@@ -1,0 +1,106 @@
+"""Scalar expression helpers.
+
+Two concerns live here:
+
+1. The scalar function surface the reference applies row-wise
+   (SURVEY.md §2.8): regex extraction, case/translate normalization,
+   timestamp parsing, epoch arithmetic. All are thin wrappers over
+   built-in ``pyspark.sql.functions`` so they stay inside whole-stage
+   codegen — no Python UDFs on the hot path.
+
+2. Cross-engine numeric determinism. Aggregating IEEE doubles is
+   order-dependent, and Spark's partial aggregation order differs run
+   to run, so a "round the double sum" oracle comparison is flaky by
+   construction. ``money()`` routes values through exact DECIMAL
+   arithmetic: SUM(DECIMAL) is exact integer math, identical in Spark
+   and DuckDB regardless of execution order; the final cast back to
+   double is then deterministic. Use ``dsum``/``davg`` for any
+   aggregate that feeds a hash-compared result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Decimal shape for exact-value aggregation. 18 integer digits and 6
+#: fractional digits comfortably hold the synthetic data's money/values;
+#: Spark widens sums to DECIMAL(38, x) internally so 100 TB-scale sums
+#: do not overflow.
+MONEY = "decimal(30,6)"
+
+
+def money(col: Column | str) -> Column:
+    """Cast a double value column to exact decimal for aggregation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent SUM: exact decimal sum, emitted as double."""
+    return F.round(F.sum(money(col)).cast("double"), scale)
+
+
+def dsum_raw(col: Column | str) -> Column:
+    """Exact decimal sum kept as decimal (for further arithmetic)."""
+    return F.sum(money(col))
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent AVG = exact decimal sum / count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(money(c)).cast("double") / F.count(c).cast("double"), scale
+    )
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Timestamp → epoch seconds as double (microsecond-exact).
+
+    Matches DuckDB ``epoch(ts)`` bit-for-bit: both produce the exact
+    IEEE double for seconds+fractional-micros, so downstream identical
+    arithmetic stays deterministic across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("double")
+
+
+def hex_digit_value(col: Column) -> Column:
+    """Value 0-15 of a single lowercase hex character column.
+
+    Built from ``instr`` so the identical expression exists in ANSI SQL
+    (``strpos``) — used by the cross-engine SimHash/MinHash operators.
+    """
+    return F.instr(F.lit("0123456789abcdef"), col) - F.lit(1)
+
+
+# --- The reference's row-wise scalar surface (SURVEY.md §2.8) --------
+
+def extract_site_metadata(line: Column) -> Column:
+    """Regex of loader metadata lines → struct(id, qc).
+
+    Reference: ``^([a-zA-Z:0# ]*)(?P<id>\\d+)(?P<qc>QC)?`` applied to
+    each of the 3 header lines of a residential CSV
+    (reference loader.py:140-145). Returns struct of the numeric id and
+    a boolean QC flag (QC suffix routes to the QC table).
+    """
+    pat = r"^([a-zA-Z:0# ]*)(\d+)(QC)?"
+    return F.struct(
+        F.regexp_extract(line, pat, 2).alias("id"),
+        (F.regexp_extract(line, pat, 3) == "QC").alias("qc"),
+    )
+
+
+def normalize_site_name(col: Column | str) -> Column:
+    """Drop spaces/':'/'0'-prefix noise, '#'→'_', lowercase.
+
+    Reference: parse_site_name (transfer_manager.py:67-70).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.translate(F.regexp_replace(c, r"[ :]", ""), "#", "_"))
+
+
+def parse_event_time(col: Column | str, fmt: str | None = None) -> Column:
+    """Timestamp parse, year-first (reference loader.py:196-200)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c)

@@ -1,0 +1,372 @@
+"""Deduplication operators over the `documents` corpus.
+
+The training-data-pipeline surface: exact dedup (hash-groupBy),
+normalized dedup, n-gram Jaccard near-dup, MinHash+LSH (the scale
+path: shingle → minhash signature → band → bucket join), SimHash
+fingerprinting, and embedding-cosine near-dup.
+
+All hashing is md5-based so every operator is *cross-engine
+deterministic* — the DuckDB oracle computes the identical signatures
+and pairs. Everything is built-in expressions (split / transform /
+explode / groupBy / window): JVM-side, shuffle only on the keys each
+stage groups by.
+
+Scale notes (the whole point of MinHash-LSH):
+* Exact/normalized dedup: one shuffle on the fingerprint.
+* n-gram Jaccard uses the inverted-index self-join (pairs must share a
+  shingle). That bounds candidates far below n² but still explodes on
+  very common shingles at 100 TB — production adds prefix filtering
+  (keep only each doc's rarest shingles as join keys); MinHash-LSH
+  below is the preferred scale path and caps candidate generation at
+  `bands` keys per doc regardless of doc length.
+* MinHash-LSH: per doc exactly `bands` bucket keys; the bucket join is
+  an equi-join on (band, signature) — skew only if the corpus has huge
+  duplicate clusters, which AQE skew-join splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized, tokens, word_shingles
+from ..functions.vectors import cosine
+from ..tables import table
+
+_NUM_HASHES = 16
+_BANDS = 4  # 4 bands × 4 rows
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+_JACCARD_THRESHOLD = 0.5
+_COSINE_DUP_THRESHOLD = 0.9
+_SIMHASH_BITS = 60  # 15 hex chars of md5 → stays in signed int64
+
+
+def _with_fingerprint(df: DataFrame, fp_col) -> DataFrame:
+    w = W.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", fp_col)
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_kept", F.col("doc_id") == F.min("doc_id").over(w))
+        .select("doc_id", "fingerprint", "group_size", "is_kept")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) fingerprint, keep min doc_id per group."""
+    docs = table(spark, sf_dir, "documents")
+    return _with_fingerprint(docs, F.md5("text"))
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup after canonicalization (lowercase/strip/collapse)."""
+    docs = table(spark, sf_dir, "documents")
+    return _with_fingerprint(docs, F.md5(normalized("text")))
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram pairs."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def _jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over shingle sets; candidates share ≥1 shingle."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5."""
+    return _jaccard_pairs(_shingle_sets(spark, sf_dir), _JACCARD_THRESHOLD)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup (the 100 TB-scale dedup path).
+
+    signature_k(doc) = min over shingles of md5(k ':' shingle);
+    band hash = md5 of its row signatures; candidate pairs share a
+    (band, band_hash) bucket; candidates are then verified with exact
+    Jaccard. Per doc the join key count is constant (= bands), so the
+    shuffle volume is O(corpus), not O(corpus × doc length).
+    """
+    shingles = _shingle_sets(spark, sf_dir)
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1))
+    ).alias("seed")
+    minhash = (
+        shingles.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        minhash.withColumn(
+            "band", (F.col("seed") / F.lit(_ROWS_PER_BAND)).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("mh")))
+            ).alias("band_hash")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = _jaccard_pairs(shingles, _JACCARD_THRESHOLD)
+    return (
+        candidates.join(verified, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (60-bit) per document.
+
+    Bit j of md5(token) is derived from its hex digits (4 bits per
+    digit); per-bit majority vote over the doc's distinct tokens;
+    fingerprint assembles winning bits into an int64. Identical SQL
+    runs in the oracle, so fingerprints hash-match across engines.
+    Hamming-band bucketing for pair search reuses the LSH pattern.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+    ).withColumn("h", F.md5("w"))
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bp"),
+    )
+    # hex digit index (1-based) and bit-within-digit for bit position bp
+    digit = F.expr("substr(h, CAST(FLOOR(bp / 4) AS INT) + 1, 1)")
+    dv = F.instr(F.lit("0123456789abcdef"), digit) - F.lit(1)
+    contrib = (
+        F.shiftright(dv, F.col("bp") % F.lit(4)).bitwiseAND(F.lit(1)) * F.lit(2)
+        - F.lit(1)
+    )
+    votes = (
+        bits.withColumn("contrib", contrib)
+        .groupBy("doc_id", "bp")
+        .agg(F.sum("contrib").alias("vote"))
+    )
+    bit_val = F.when(
+        F.col("vote") > 0,
+        F.shiftleft(F.lit(1).cast("long"), F.col("bp")),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        votes.withColumn("bitval", bit_val)
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ 0.9 (brute verification).
+
+    Brute pairwise is the correctness baseline; the bucketed LSH scale
+    path is operators/similarity.py (hyperplane buckets → pairs only
+    within bucket).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn(
+            "cos", F.round(cosine(F.col("ea"), F.col("eb")), 6)
+        )
+        .where(F.col("cos") >= _COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_normalized": dedup_normalized,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+# --- DuckDB oracle SQL ------------------------------------------------
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       unnest(range(1, GREATEST(len(t) - 1, 1))) AS u(i)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+  WITH sh AS ({_SHINGLES_SQL}),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+  common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b,
+         ROUND(CAST(n_common AS DOUBLE) /
+               CAST(x.n + y.n - n_common AS DOUBLE), 6) AS jaccard
+  FROM common JOIN sizes x ON x.doc_id = doc_a
+              JOIN sizes y ON y.doc_id = doc_b
+"""
+
+_FP_GROUP_SQL = """
+  SELECT doc_id, fingerprint,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS group_size,
+         doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_kept
+  FROM ({inner})
+  ORDER BY doc_id
+"""
+
+_NORMALIZED_TEXT_SQL = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+ORACLES = {
+    "dedup_exact": _FP_GROUP_SQL.format(
+        inner="SELECT doc_id, md5(text) AS fingerprint FROM documents"
+    ),
+    "dedup_normalized": _FP_GROUP_SQL.format(
+        inner=f"SELECT doc_id, md5({_NORMALIZED_TEXT_SQL}) AS fingerprint"
+        " FROM documents"
+    ),
+    "dedup_ngram_jaccard": f"""
+        SELECT doc_a, doc_b, jaccard FROM ({_JACCARD_PAIRS_SQL})
+        WHERE jaccard >= {_JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        minhash AS (
+          SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS mh
+          FROM sh, unnest(range(0, {_NUM_HASHES})) AS s(seed)
+          GROUP BY 1, 2
+        ),
+        bands AS (
+          SELECT doc_id, CAST(FLOOR(seed / {_ROWS_PER_BAND}) AS INT) AS band,
+                 md5(string_agg(mh, ',' ORDER BY mh)) AS band_hash
+          FROM minhash
+          GROUP BY 1, 2
+        ),
+        candidates AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+          SELECT * FROM ({_JACCARD_PAIRS_SQL})
+          WHERE jaccard >= {_JACCARD_THRESHOLD}
+        )
+        SELECT c.doc_a, c.doc_b, v.jaccard
+        FROM candidates c JOIN verified v
+          ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+        ORDER BY c.doc_a, c.doc_b
+    """,
+    "dedup_simhash": f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, w
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+        ),
+        bits AS (
+          SELECT doc_id, md5(w) AS h, bp
+          FROM tok, unnest(range(0, {_SIMHASH_BITS})) AS r(bp)
+        ),
+        votes AS (
+          SELECT doc_id, bp,
+                 SUM((((strpos('0123456789abcdef',
+                               substr(h, CAST(FLOOR(bp / 4) AS INT) + 1, 1)) - 1)
+                       >> (bp % 4)) & 1) * 2 - 1) AS vote
+          FROM bits
+          GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                             THEN CAST(1 AS BIGINT) << bp
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.e, b.e) /
+                     (SQRT(list_dot_product(a.e, a.e)) *
+                      SQRT(list_dot_product(b.e, b.e))), 6) AS cos
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+          ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.e, b.e) /
+                    (SQRT(list_dot_product(a.e, a.e)) *
+                     SQRT(list_dot_product(b.e, b.e))), 6)
+              >= {_COSINE_DUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+}
+
+HEADLINE = {"dedup_minhash_lsh", "dedup_simhash", "dedup_exact"}

@@ -1,0 +1,206 @@
+"""Text analysis operators over `documents`.
+
+Language ID (marker-token heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting, and document
+fingerprinting. All are single-pass projections built from array and
+string expressions (split / filter / regexp_replace) — codegen'd,
+no shuffle except the final aggregates, embarrassingly parallel at any
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, normalized, stopword_count, token_count, tokens
+from ..tables import table
+
+#: Marker tokens per language for the n-gram/stopword heuristic.
+#: Deterministic scoring is the contract; the marker lists are the
+#: tunable part (kept tiny here).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "zh": ("shi", "bu", "wo", "ni", "zhe"),
+}
+
+
+def _marker_score(col, markers: tuple[str, ...]):
+    return F.array_size(F.filter(tokens(col), lambda w: w.isin(*markers)))
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char stats per document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: alpha ratio, stopword ratio, mean token len.
+
+    score = 0.5·alpha_ratio + 0.3·min(stop_ratio·5, 1) +
+            0.2·(1 if 3 ≤ avg_token_len ≤ 8 else 0)
+    — a deterministic stand-in for a learned quality model.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_tok = token_count("text").cast("double")
+    alpha = F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", "")).cast(
+        "double"
+    )
+    total = F.length("text").cast("double")
+    stop = stopword_count("text").cast("double")
+    alpha_ratio = alpha / total
+    stop_ratio = stop / n_tok
+    avg_tok_len = alpha / n_tok
+    score = (
+        F.lit(0.5) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2)
+        * F.when((avg_tok_len >= 3) & (avg_tok_len <= 8), 1.0).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic argmax tiebreak."""
+    docs = table(spark, sf_dir, "documents")
+    scores = {
+        lang: _marker_score(F.col("text"), mk) for lang, mk in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    # first language (in declaration order) achieving the max wins
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    sel = [F.col(f"s_{lang}") for lang in LANG_MARKERS]
+    return (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            *[
+                scores[lang].cast("long").alias(f"s_{lang}")
+                for lang in LANG_MARKERS
+            ],
+            pred.alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: content hash over canonical text."""
+    docs = table(spark, sf_dir, "documents")
+    norm = normalized("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        token_count("text").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+_STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+_NORM_SQL = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _marker_score_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in markers)
+    return (
+        f"LEN(list_filter(string_split(text, ' '), w -> w IN ({lst})))"
+    )
+
+
+_LANG_SCORE_COLS = ",\n               ".join(
+    f"CAST({_marker_score_sql(mk)} AS BIGINT) AS s_{lang}"
+    for lang, mk in LANG_MARKERS.items()
+)
+
+_PRED_CASE = (
+    "CASE WHEN GREATEST(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN s_{lang} = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    + " ELSE 'unknown' END"
+)
+
+ORACLES = {
+    "text_token_count": """
+        SELECT doc_id,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "text_quality_score": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                 CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
+                      AS DOUBLE) AS alpha,
+                 CAST(LENGTH(text) AS DOUBLE) AS total,
+                 CAST(LEN(list_filter(string_split(text, ' '),
+                      w -> w IN {_STOP_LIST_SQL})) AS DOUBLE) AS stop
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               ROUND(alpha / total, 6) AS alpha_ratio,
+               ROUND(stop / n_tok, 6) AS stop_ratio,
+               ROUND(alpha / n_tok, 6) AS avg_token_len,
+               ROUND(0.5 * (alpha / total)
+                     + 0.3 * LEAST(stop / n_tok * 5, 1.0)
+                     + 0.2 * (CASE WHEN alpha / n_tok >= 3
+                                    AND alpha / n_tok <= 8
+                                   THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+        FROM base
+        ORDER BY doc_id
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id, labeled_lang, s_en, s_de, s_es, s_fr, s_zh,
+               {_PRED_CASE} AS predicted_lang
+        FROM (
+          SELECT doc_id, lang AS labeled_lang,
+               {_LANG_SCORE_COLS}
+          FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5({_NORM_SQL}) AS fingerprint,
+               CAST(LENGTH({_NORM_SQL}) AS BIGINT) AS n_chars_norm,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+}
+
+HEADLINE = {"text_quality_score"}

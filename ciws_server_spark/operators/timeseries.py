@@ -1,0 +1,442 @@
+"""Time-series query surface over the `events` fact table.
+
+This re-expresses, Spark-first, everything the reference does with its
+time-series backend (SURVEY.md §2.11, §3.3): tag + time-range
+selection (S10/P9), time-bucket aggregation (the InfluxQL
+`GROUP BY time()` capability), the derived-rate pulse-pair analytic
+(A5, get_hot_intake_interval.py:103-147), latest-per-key (A1),
+staleness monitoring (A2, datalogger_health_check.py:86-94), and
+retention planning (A3, memory_manager.py:3-18) — plus the standard
+time-series extras a tsdb user expects (sessionization, as-of join,
+JSON field extraction).
+
+Scale notes:
+* Every per-key analytic is a window over PARTITION BY user_id — the
+  1000-executor layout shards by key, no driver-side loops (the
+  reference's per-building thread pool becomes plain partitioning).
+* Time-range predicates are pushed to the parquet scan; at 100 TB the
+  table is date-partitioned so they prune files, not just row groups.
+* Epoch arithmetic uses microsecond-exact doubles (cast ts→double),
+  matching DuckDB `epoch()` bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.scalar import MONEY, davg, dsum, epoch_seconds, money
+from ..tables import table
+
+_START = "2024-01-10"
+_END = "2024-01-20"
+_SESSION_GAP_SEC = 3600.0
+_STALE_SEC = 2 * 86400.0  # reference SLO: alert at >2 days stale
+_RETENTION_TARGET = 10000.0  # "bytes" to free (value used as size proxy)
+
+
+def ts_tag_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 query shape: projection + tag equality + closed time range.
+
+    Reference: the one InfluxQL query the system issues
+    (get_hot_intake_interval.py:117). Predicate reaches the parquet
+    scan (PushedFilters) — on a date-partitioned table this prunes
+    partitions before any I/O.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit(_START).cast("timestamp"))
+        & (F.col("ts") <= F.lit(_END).cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "value")
+
+
+def ts_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL `GROUP BY time(1h), tag` equivalent: hourly rollup.
+
+    Map-side partial aggregation collapses rows before the shuffle;
+    group count is bounded by hours × event types.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min_by("value", "ts").alias("first_value"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window via Spark's native window() (6h, epoch-aligned)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def ts_derived_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — the reference's core derived analytic, as one window query.
+
+    Reference semantics (get_hot_intake_interval.py:56-65,121-147,
+    kept bug-compatible per SURVEY.md §7.4): between consecutive
+    "pulses" (here: purchase events) per key, emit on the closing pulse
+    rate = 60/(elapsed_seconds + 1). The reference does this with a
+    driver-side per-building state machine + O(n²) appends; here it is
+    a lag() window partitioned by key — fully parallel, no driver loop.
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    elapsed = epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts) + F.lit(1.0)
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            prev_ts.alias("prev_ts"),
+            F.round(elapsed, 6).alias("elapsed_sec"),
+            F.round(F.lit(60.0) / elapsed, 6).alias("rate"),
+        )
+        .where(F.col("prev_ts").isNotNull())
+        .orderBy("user_id", "ts")
+    )
+
+
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative flag), per user.
+
+    The batch form of the reference's pulse-gap state machine; the
+    streaming form is streaming/stateful.py.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_seconds(F.col("ts")) - epoch_seconds(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_SEC), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value").alias("sum_value"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.round(
+                epoch_seconds(F.col("session_end"))
+                - epoch_seconds(F.col("session_start")),
+                6,
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def ts_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — argmax/latest-per-key (datalogger_health_check.py:86-91)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+def ts_stale_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — staleness alert: keys whose newest point is >2 days old.
+
+    Reference intent (datalogger_health_check.py:92-94; the original
+    compares a string's mtime — implemented here as evidently meant).
+    The global max is a 1-row broadcast, not a shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    global_max = ev.agg(F.max("ts").alias("global_max_ts"))
+    per_user = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    staleness = epoch_seconds(F.col("global_max_ts")) - epoch_seconds(
+        F.col("last_ts")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(global_max))
+        .withColumn("staleness_sec", F.round(staleness, 6))
+        .where(F.col("staleness_sec") > F.lit(_STALE_SEC))
+        .select("user_id", "last_ts", "staleness_sec")
+        .orderBy("user_id")
+    )
+
+
+def ts_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — retention: delete-oldest-until-freed≥target, per series.
+
+    Reference intent (memory_manager.py:3-18, non-functional as
+    written): sort by age, delete oldest until the free-space target is
+    met. Expressed as a cumulative-sum window (exact decimal) + filter;
+    returns the delete plan summary per event_type.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(money("value")).over(w)
+    freed_before = cum - money(F.col("value"))
+    target = F.lit(_RETENTION_TARGET).cast(MONEY)
+    return (
+        ev.withColumn("freed_before", freed_before)
+        .where(F.col("freed_before") < target)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_deleted"),
+            dsum("value").alias("freed"),
+            F.max("ts").alias("newest_deleted_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ts_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column + rollup."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase ↔ most recent click of the same user.
+
+    Spark has no native ASOF JOIN; the scalable pattern is a tagged
+    union + last(ignorenulls) running window — one shuffle on the key,
+    no range cross-product, no per-group pandas. (The DuckDB oracle
+    uses its native ASOF LEFT JOIN.)
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_purchase"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    # clicks sort before purchases at identical ts: ASOF uses c.ts <= p.ts
+    merged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("is_purchase") == 0, F.col("ts"))
+    return (
+        merged.withColumn(
+            "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_click_value",
+            F.last(F.col("click_value"), ignorenulls=True).over(w),
+        )
+        .where(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            "last_click_value",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+QUERIES = {
+    "ts_tag_time_range": ts_tag_time_range,
+    "ts_time_bucket_agg": ts_time_bucket_agg,
+    "ts_tumbling_window": ts_tumbling_window,
+    "ts_derived_rate": ts_derived_rate,
+    "ts_sessionize": ts_sessionize,
+    "ts_latest_event_per_user": ts_latest_event_per_user,
+    "ts_stale_users": ts_stale_users,
+    "ts_retention_plan": ts_retention_plan,
+    "ts_json_extract": ts_json_extract,
+    "ts_asof_join": ts_asof_join,
+}
+
+_DSUM_VALUE = (
+    "ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2)"
+)
+
+ORACLES = {
+    "ts_tag_time_range": f"""
+        SELECT event_id, ts, user_id, value
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+    """,
+    "ts_time_bucket_agg": f"""
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               COUNT(*) AS n,
+               {_DSUM_VALUE} AS sum_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(COUNT(value) AS DOUBLE), 6) AS avg_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               arg_min(value, ts) AS first_value,
+               arg_max(value, ts) AS last_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY bucket, event_type
+    """,
+    "ts_tumbling_window": f"""
+        SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS window_start,
+               CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+                 + INTERVAL 6 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n,
+               {_DSUM_VALUE} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type
+    """,
+    "ts_derived_rate": """
+        SELECT user_id, ts, prev_ts,
+               ROUND(epoch(ts) - epoch(prev_ts) + 1.0, 6) AS elapsed_sec,
+               ROUND(60.0 / (epoch(ts) - epoch(prev_ts) + 1.0), 6) AS rate
+        FROM (
+          SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        WHERE prev_ts IS NOT NULL
+        ORDER BY user_id, ts
+    """,
+    "ts_sessionize": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {_SESSION_GAP_SEC}
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               {_DSUM_VALUE} AS sum_value,
+               ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 6) AS duration_sec
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    "ts_latest_event_per_user": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
+    "ts_stale_users": f"""
+        WITH g AS (SELECT MAX(ts) AS global_max_ts FROM events),
+             u AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY 1)
+        SELECT user_id, last_ts,
+               ROUND(epoch(global_max_ts) - epoch(last_ts), 6) AS staleness_sec
+        FROM u, g
+        WHERE ROUND(epoch(global_max_ts) - epoch(last_ts), 6) > {_STALE_SEC}
+        ORDER BY user_id
+    """,
+    "ts_retention_plan": f"""
+        WITH cum AS (
+          SELECT event_type, ts, value,
+                 SUM(CAST(value AS DECIMAL(30,6))) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - CAST(value AS DECIMAL(30,6)) AS freed_before
+          FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_deleted,
+               {_DSUM_VALUE} AS freed,
+               MAX(ts) AS newest_deleted_ts
+        FROM cum
+        WHERE freed_before < CAST({_RETENTION_TARGET} AS DECIMAL(30,6))
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "ts_json_extract": """
+        SELECT event_type,
+               CAST(COUNT(k) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               ROUND(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE), 6) AS avg_k
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "ts_asof_join": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               p.ts AS purchase_ts,
+               c.ts AS last_click_ts,
+               c.value AS last_click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY purchase_id
+    """,
+}
+
+HEADLINE = {
+    "ts_time_bucket_agg",
+    "ts_derived_rate",
+    "ts_sessionize",
+    "ts_asof_join",
+}

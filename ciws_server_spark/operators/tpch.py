@@ -1,0 +1,581 @@
+"""Relational analytics core: scans, joins, aggregation, windows,
+set ops, pivot — the general query surface the engine must answer
+(SURVEY.md §2.3-§2.7 notes these are required for the correctness gate
+even though the reference delegates them to its storage backend).
+
+Every query is declared through the DataFrame API so Catalyst owns the
+physical plan. Scale notes per query:
+
+* Dimension tables (region/nation, and supplier/part at any realistic
+  SF) are broadcast explicitly — no shuffle for the small side.
+* Fact-fact joins (orders⋈lineitem) are equi-joins on the natural key;
+  AQE picks sort-merge + coalesces post-shuffle partitions; at 100 TB
+  the tables would be bucketed by orderkey to make this co-located.
+* All hash-compared double aggregates go through exact DECIMAL sums
+  (functions.scalar) so results are execution-order independent.
+
+Oracle SQL for each query lives in ORACLES (DuckDB dialect, same
+aliases, same decimal-exact arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.scalar import MONEY, davg, dsum, dsum_raw, money
+from ..tables import table
+
+# Exact-decimal revenue expression used across Q3/Q5/window queries.
+_REVENUE = money("l_extendedprice") * (F.lit(1).cast(MONEY) - money("l_discount"))
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(30,6)) * "
+    "(CAST(1 AS DECIMAL(30,6)) - CAST(l_discount AS DECIMAL(30,6)))"
+)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big scan → groupBy(2 low-card keys) → 8 aggs.
+
+    Partial (map-side) aggregation collapses the input before the
+    shuffle; the shuffle itself carries ≤ |RF×LS| groups per partition.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    disc = _REVENUE
+    charge = disc * (F.lit(1).cast(MONEY) + money("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(disc).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, deterministic top-10."""
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_REVENUE).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join with broadcast dims."""
+    region = F.broadcast(
+        table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    supplier = F.broadcast(table(spark, sf_dir, "supplier"))
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (cust.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_REVENUE).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window (deterministic tiebreak)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+            "rk",
+        )
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grand total + per-flag + per-flag/status)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def distinct_agg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group + plain count."""
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having ≥1 order, per nation."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def join_outer_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join where the right side is sparse (10 suppliers)."""
+    nation = table(spark, sf_dir, "nation")
+    supplier = table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, nation.n_nationkey == supplier.s_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            dsum(F.coalesce(money("s_acctbal"), F.lit(0).cast(MONEY))).alias(
+                "sum_bal"
+            ),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+def setop_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) set operation."""
+    cust_nk = (
+        table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp_nk = (
+        table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return cust_nk.exceptAll(supp_nk).distinct().orderBy("nationkey")
+
+
+def setop_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation."""
+    cust_nk = (
+        table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp_nk = (
+        table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return cust_nk.intersect(supp_nk).orderBy("nationkey")
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per supplier with a full ordering.
+
+    Exact-decimal accumulation makes every prefix sum deterministic;
+    the frame is ROWS UNBOUNDED PRECEDING..CURRENT over a unique key.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(_REVENUE).over(w).cast("double"), 2).alias("running_revenue"),
+    )
+
+
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag over per-nation account balances."""
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.lag("c_acctbal", 1).over(w).cast("double"), 2).alias("prev_bal"),
+    ).where(F.col("rnk") <= 5)
+
+
+def pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status × priority."""
+    orders = table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_unspecified",
+        "5-LOW": "n_low",
+    }
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    cols = ["o_orderstatus"] + [
+        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+        for c in renames.values()
+    ]
+    return piv.select("o_orderstatus", *cols[1:]).orderBy("o_orderstatus")
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median / p90)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.min("o_totalprice").cast("double"), 2).alias("lo"),
+            F.round(F.max("o_totalprice").cast("double"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def conditional_agg_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN conditional aggregation + HAVING."""
+    orders = table(spark, sf_dir, "orders")
+    is_urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    grouped = (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(is_urgent, 1).otherwise(0)).cast("long").alias("n_urgent"),
+            F.round(
+                F.sum(F.when(is_urgent, money("o_totalprice")).otherwise(None)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("urgent_value"),
+        )
+        .where(F.col("n_orders") > 10)
+        .orderBy("order_year")
+    )
+    return grouped
+
+
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.8 scalar surface in one projection over part.
+
+    regexp_extract / upper / lower / substring / concat_ws / translate /
+    length / split — all codegen'd built-ins.
+    """
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.lower(F.col("p_type")).alias("type_lower"),
+        F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.translate(F.col("p_type"), " ", "_").alias("type_snake"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
+        F.array_size(F.split(F.col("p_type"), " ")).cast("long").alias("type_words"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+        F.col("p_type").endswith("d").alias("ends_d"),
+    ).orderBy("p_partkey")
+
+
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: year/month/trunc/epoch arithmetic."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+            F.max(F.col("o_orderdate").cast("long")).alias("max_epoch"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "topk_orders_per_segment": topk_orders_per_segment,
+    "rollup_pricing": rollup_pricing,
+    "distinct_agg_customers": distinct_agg_customers,
+    "join_semi_customers_with_orders": join_semi_customers_with_orders,
+    "join_anti_customers_without_orders": join_anti_customers_without_orders,
+    "join_outer_supplier_coverage": join_outer_supplier_coverage,
+    "setop_nations_without_suppliers": setop_nations_without_suppliers,
+    "setop_nations_with_both": setop_nations_with_both,
+    "window_running_revenue": window_running_revenue,
+    "window_rank_customers": window_rank_customers,
+    "pivot_order_priority": pivot_order_priority,
+    "percentile_prices": percentile_prices,
+    "conditional_agg_order_mix": conditional_agg_order_mix,
+    "scalar_string_functions": scalar_string_functions,
+    "date_functions_orders": date_functions_orders,
+}
+
+_DEC1 = "CAST(1 AS DECIMAL(30,6))"
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_base_price,
+               ROUND(CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 2) AS sum_disc_price,
+               ROUND(CAST(SUM({_REVENUE_SQL} * ({_DEC1} + CAST(l_tax AS DECIMAL(30,6)))) AS DOUBLE), 2) AS sum_charge,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE), 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE), 6) AS avg_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               ROUND(CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": f"""
+        SELECT n_name,
+               ROUND(CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "topk_orders_per_segment": """
+        SELECT c_mktsegment, o_orderkey,
+               ROUND(CAST(o_totalprice AS DOUBLE), 2) AS totalprice, rk
+        FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        WHERE rk <= 3
+        ORDER BY c_mktsegment, rk
+    """,
+    "rollup_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "distinct_agg_customers": """
+        SELECT c_mktsegment,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "join_semi_customers_with_orders": """
+        SELECT c_nationkey, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "join_anti_customers_without_orders": """
+        SELECT c_custkey, c_nationkey, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "join_outer_supplier_coverage": """
+        SELECT n_nationkey, n_name,
+               CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
+               ROUND(CAST(SUM(COALESCE(CAST(s_acctbal AS DECIMAL(30,6)),
+                                       CAST(0 AS DECIMAL(30,6)))) AS DOUBLE), 2) AS sum_bal
+        FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        GROUP BY n_nationkey, n_name
+        ORDER BY n_nationkey
+    """,
+    "setop_nations_without_suppliers": """
+        SELECT DISTINCT nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS nationkey FROM supplier
+        )
+        ORDER BY nationkey
+    """,
+    "setop_nations_with_both": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "window_running_revenue": f"""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               ROUND(CAST(SUM({_REVENUE_SQL}) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS running_revenue
+        FROM lineitem
+    """,
+    "window_rank_customers": """
+        SELECT * FROM (
+          SELECT c_nationkey, c_custkey,
+                 ROUND(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+                 RANK() OVER w AS rnk,
+                 DENSE_RANK() OVER w AS drnk,
+                 ROUND(CAST(LAG(c_acctbal, 1) OVER w AS DOUBLE), 2) AS prev_bal
+          FROM customer
+          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        )
+        WHERE rnk <= 5
+    """,
+    "pivot_order_priority": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+               CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+               CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+               CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_unspecified,
+               CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "percentile_prices": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 2) AS lo,
+               ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS hi
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "conditional_agg_order_mix": """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               ROUND(CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE), 2) AS urgent_value
+        FROM orders
+        GROUP BY 1
+        HAVING COUNT(*) > 10
+        ORDER BY order_year
+    """,
+    "scalar_string_functions": r"""
+        SELECT p_partkey,
+               CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_type) AS type_lower,
+               SUBSTRING(p_name, 1, 5) AS name_prefix,
+               p_brand || '|' || p_type AS brand_type,
+               translate(p_type, ' ', '_') AS type_snake,
+               CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+               CAST(LEN(string_split(p_type, ' ')) AS BIGINT) AS type_words,
+               (p_name LIKE 'a%') AS starts_a,
+               (p_type LIKE '%d') AS ends_d
+        FROM part
+        ORDER BY p_partkey
+    """,
+    "date_functions_orders": """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+               CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+               date_trunc('month', o_orderdate) AS month_start,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total,
+               CAST(FLOOR(epoch(MAX(o_orderdate))) AS BIGINT) AS max_epoch
+        FROM orders
+        GROUP BY 1, 2, 3
+        ORDER BY y, m
+    """,
+}
+
+#: Queries timed by bench.py.
+HEADLINE = {
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_orders_per_segment",
+    "window_running_revenue",
+}
