@@ -6,3 +6,5 @@ from . import (  # noqa: F401
     timeseries,
     tpch,
 )
+
+ALL_MODULES = (dedup, multimodal, similarity, text_analysis, timeseries, tpch)

@@ -76,22 +76,8 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over shingle sets; candidates share ≥1 shingle."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+def _jaccard_of_common(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, n_common) + per-doc sizes → thresholded Jaccard."""
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
     )
@@ -109,6 +95,46 @@ def _jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over shingle sets; candidates share ≥1 shingle."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _jaccard_of_common(common, sizes, threshold)
+
+
+def _jaccard_verify_candidates(
+    shingles: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs.
+
+    Scale property: work is Σ over candidates of |shingles(doc_a)|, not
+    all pairs sharing a shingle — at 100 TB the candidate set (bounded
+    by LSH bucketing) is what makes verification feasible.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _jaccard_of_common(common, sizes, threshold)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,12 +192,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    verified = _jaccard_pairs(shingles, _JACCARD_THRESHOLD)
-    return (
-        candidates.join(verified, ["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
+    return _jaccard_verify_candidates(shingles, candidates, _JACCARD_THRESHOLD)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,22 +213,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bp"),
     )
-    # hex digit index (1-based) and bit-within-digit for bit position bp
-    digit = F.expr("substr(h, CAST(FLOOR(bp / 4) AS INT) + 1, 1)")
-    dv = F.instr(F.lit("0123456789abcdef"), digit) - F.lit(1)
-    contrib = (
-        F.shiftright(dv, F.col("bp") % F.lit(4)).bitwiseAND(F.lit(1)) * F.lit(2)
-        - F.lit(1)
+    # hex digit index (1-based) and bit-within-digit for bit position bp.
+    # SQL expr because the Python shiftright/shiftleft API only accepts a
+    # literal int shift amount, while SQL accepts a column expression.
+    contrib = F.expr(
+        "(shiftright(instr('0123456789abcdef',"
+        " substr(h, CAST(bp div 4 AS INT) + 1, 1)) - 1,"
+        " CAST(bp % 4 AS INT)) & 1) * 2 - 1"
     )
     votes = (
         bits.withColumn("contrib", contrib)
         .groupBy("doc_id", "bp")
         .agg(F.sum("contrib").alias("vote"))
     )
-    bit_val = F.when(
-        F.col("vote") > 0,
-        F.shiftleft(F.lit(1).cast("long"), F.col("bp")),
-    ).otherwise(F.lit(0).cast("long"))
+    bit_val = F.expr(
+        "CASE WHEN vote > 0"
+        " THEN shiftleft(CAST(1 AS BIGINT), CAST(bp AS INT))"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
     return (
         votes.withColumn("bitval", bit_val)
         .groupBy("doc_id")

@@ -1,0 +1,204 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as opaque
+``binary`` columns next to a typed metadata struct; decode/resize/
+frame-sample run as Arrow-batched pandas functions over
+``mapInPandas``. The image/audio codecs are not present in this
+environment, so the decode step is a clearly-marked deterministic fake
+(`_fake_decode`) — the Spark-side plumbing (schema, batch shape,
+partitioning, UDF signature) is real and oracle-checked.
+
+The corpus is derived deterministically from the driver's `documents`
+table: payload = utf-8 bytes of the text, modality assigned by
+``doc_id % 3`` (image/audio/video). That keeps everything reproducible
+in the DuckDB oracle (md5/byte math on the same text).
+
+Scale notes:
+* The manifest query is a single-pass projection (codegen, no shuffle).
+* ``mm_byte_stats`` streams Arrow batches through pandas — per-batch
+  memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  regardless of corpus size; no shuffle, embarrassingly parallel.
+* On a real cluster payloads live in the table (Parquet binary) or as
+  object-store pointers; either way this plumbing is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..tables import table
+
+MODALITIES = ("image", "audio", "video")
+
+
+def _modality_col():
+    return F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, modality, meta struct, payload binary).
+
+    The canonical multimodal layout: binary column + typed metadata.
+    """
+    return docs.select(
+        "doc_id",
+        _modality_col().alias("modality"),
+        F.struct(
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.col("source").alias("origin"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def mm_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality manifest: the metadata/rollup query a pipeline runs
+    before scheduling decode work (sizes drive batch packing)."""
+    mm = with_payload(table(spark, sf_dir, "documents"))
+    return (
+        mm.select(
+            "doc_id",
+            "modality",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.md5("payload").alias("payload_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def mm_modality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup per modality: count / total bytes / biggest object."""
+    mm = with_payload(table(spark, sf_dir, "documents"))
+    return (
+        mm.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.max("meta.n_bytes").alias("max_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("modality")
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB for the real decoder (PIL/ffmpeg are not in this container).
+
+    Deterministic byte statistics stand in for decoded features; a real
+    deployment swaps only this function — the mapInPandas plumbing,
+    schema and batch shape stay identical. Only exact-integer stats are
+    computed here so cross-engine comparison is bit-exact; derived
+    floats (byte_mean) are added Spark-side with engine-consistent
+    rounding.
+    """
+    return {
+        "n_bytes": len(payload),
+        "byte_sum": int(sum(payload)),
+        "content_md5": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [_fake_decode(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out.insert(1, "modality", pdf["modality"].values)
+        yield out[[f.name for f in _FEATURE_SCHEMA.fields]]
+
+
+def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    The decode itself is the `_fake_decode` stub; what this proves is
+    the Arrow batch path: binary column → pandas bytes → typed feature
+    frame, schema-stable, no driver collect.
+    """
+    mm = with_payload(table(spark, sf_dir, "documents")).select(
+        "doc_id", "modality", "payload"
+    )
+    feats = mm.mapInPandas(_extract_batches, schema=_FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "byte_sum",
+        F.round(
+            F.col("byte_sum").cast("double") / F.col("n_bytes").cast("double"), 6
+        ).alias("byte_mean"),
+        "content_md5",
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "mm_manifest": mm_manifest,
+    "mm_modality_rollup": mm_modality_rollup,
+    "mm_byte_stats": mm_byte_stats,
+}
+
+_MODALITY_SQL = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+    " ELSE 'video' END"
+)
+
+ORACLES = {
+    "mm_manifest": f"""
+        SELECT doc_id,
+               {_MODALITY_SQL} AS modality,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "mm_modality_rollup": f"""
+        SELECT {_MODALITY_SQL} AS modality,
+               COUNT(*) AS n_objects,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes,
+               MIN(doc_id) AS min_doc_id
+        FROM documents
+        GROUP BY 1
+        ORDER BY modality
+    """,
+    "mm_byte_stats": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 {_MODALITY_SQL} AS modality,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes,
+                 CAST(list_sum(list_transform(string_split_regex(text, ''),
+                      x -> ascii(x))) AS BIGINT) AS byte_sum,
+                 md5(text) AS content_md5
+          FROM documents
+        )
+        SELECT doc_id, modality, n_bytes, byte_sum,
+               ROUND(CAST(byte_sum AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6)
+                 AS byte_mean,
+               content_md5
+        FROM b
+        ORDER BY doc_id
+    """,
+}
+
+HEADLINE = {"mm_byte_stats"}

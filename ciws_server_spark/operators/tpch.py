@@ -28,7 +28,13 @@ from ..functions.scalar import MONEY, davg, dsum, dsum_raw, money
 from ..tables import table
 
 # Exact-decimal revenue expression used across Q3/Q5/window queries.
-_REVENUE = money("l_extendedprice") * (F.lit(1).cast(MONEY) - money("l_discount"))
+# Built lazily (function, not module constant): constructing a Column
+# requires an active SparkContext, and this module must import cleanly
+# before any session exists (the driver enumerates queries() first).
+def _revenue() -> F.Column:
+    return money("l_extendedprice") * (F.lit(1).cast(MONEY) - money("l_discount"))
+
+
 _REVENUE_SQL = (
     "CAST(l_extendedprice AS DECIMAL(30,6)) * "
     "(CAST(1 AS DECIMAL(30,6)) - CAST(l_discount AS DECIMAL(30,6)))"
@@ -42,7 +48,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the shuffle itself carries ≤ |RF×LS| groups per partition.
     """
     l = table(spark, sf_dir, "lineitem")
-    disc = _REVENUE
+    disc = _revenue()
     charge = disc * (F.lit(1).cast(MONEY) + money("l_tax"))
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -76,7 +82,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_REVENUE).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -106,7 +112,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supplier.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_REVENUE).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -237,7 +243,9 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum(_REVENUE).over(w).cast("double"), 2).alias("running_revenue"),
+        # Round in the exact DECIMAL domain, then cast: double-domain
+        # ROUND differs between engines at half-even boundaries.
+        F.round(F.sum(_revenue()).over(w), 2).cast("double").alias("running_revenue"),
     )
 
 
@@ -351,7 +359,11 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             dsum("o_totalprice").alias("total"),
-            F.max(F.col("o_orderdate").cast("long")).alias("max_epoch"),
+            F.max(
+                F.unix_timestamp(
+                    F.col("o_orderdate").cast("timestamp")
+                )
+            ).alias("max_epoch"),
         )
         .orderBy("y", "m")
     )
@@ -491,11 +503,11 @@ ORACLES = {
     """,
     "window_running_revenue": f"""
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               ROUND(CAST(SUM({_REVENUE_SQL}) OVER (
+               CAST(ROUND(SUM({_REVENUE_SQL}) OVER (
                    PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE), 2) AS running_revenue
+               ), 2) AS DOUBLE) AS running_revenue
         FROM lineitem
     """,
     "window_rank_customers": """

@@ -23,6 +23,11 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores ts as parquet TIMESTAMP(NANOS), which the
+    # Spark 4 vectorized reader rejects; read the raw int64 nanos and
+    # convert in tables.table() (lossless: the synthetic data has
+    # whole-microsecond timestamps).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

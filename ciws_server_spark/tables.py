@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .session import apply_runtime_conf
 
@@ -32,9 +33,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one synthetic table. UTC + AQE are pinned on first touch."""
+    """Scan one synthetic table. UTC + AQE are pinned on first touch.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark's reader rejects
+    nanos, so the session reads it as raw int64 (nanosAsLong) and we
+    floor-truncate to microseconds here — exact integer math, matching
+    DuckDB's TIMESTAMP_NS→TIMESTAMP cast (the synthetic data carries no
+    sub-microsecond component, so this is lossless).
+    """
     apply_runtime_conf(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
