@@ -1,0 +1,95 @@
+"""Benchmark harness: runs the headline queries and prints one JSON line.
+
+Reads ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Each query is forced with a count-style
+action over all columns (no collect of full results into the driver —
+what's timed is scan+compute, not result transfer). Per-query wall
+seconds are reported plus the total.
+
+Usage: python bench.py [--sf-dir DIR] [--repeat N] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def headline_queries() -> dict:
+    from ciws_server_spark import operators
+
+    names: set[str] = set()
+    for mod in operators.ALL_MODULES:
+        names |= getattr(mod, "HEADLINE", set())
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    return {n: qs[n] for n in sorted(names)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    from ciws_server_spark.session import get_spark
+
+    spark = get_spark("ciws-bench")
+    qs = headline_queries()
+    if args.queries:
+        qs = {n: qs[n] for n in args.queries}
+
+    # Warm the JVM + file listing once so timings measure the queries.
+    spark.range(1).count()
+
+    sf = _sf_of(args.sf_dir)
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        best = float("inf")
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            # Force full evaluation of every column without driver
+            # transfer: aggregate a cheap hash over the result.
+            df = fn(spark, args.sf_dir)
+            df.selectExpr(
+                "count(*) AS n",
+                f"bit_xor(xxhash64({', '.join(df.columns)})) AS h",
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+if __name__ == "__main__":
+    main()

@@ -15,4 +15,6 @@ AQE). Python-side logic is restricted to Arrow-batched pandas UDFs in
 the few places built-ins cannot express the semantics.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from . import session, tables  # noqa: F401

@@ -103,4 +103,6 @@ def normalize_site_name(col: Column | str) -> Column:
 def parse_event_time(col: Column | str, fmt: str | None = None) -> Column:
     """Timestamp parse, year-first (reference loader.py:196-200)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c)
+    # try_to_timestamp: malformed input → NULL (quarantine route),
+    # not an ANSI runtime error.
+    return F.try_to_timestamp(c, F.lit(fmt)) if fmt else F.try_to_timestamp(c)

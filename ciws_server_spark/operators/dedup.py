@@ -49,7 +49,6 @@ def _with_fingerprint(df: DataFrame, fp_col) -> DataFrame:
         .withColumn("group_size", F.count(F.lit(1)).over(w))
         .withColumn("is_kept", F.col("doc_id") == F.min("doc_id").over(w))
         .select("doc_id", "fingerprint", "group_size", "is_kept")
-        .orderBy("doc_id")
     )
 
 
@@ -93,7 +92,6 @@ def _jaccard_of_common(common: DataFrame, sizes: DataFrame, threshold: float) ->
         .withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -235,7 +233,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.withColumn("bitval", bit_val)
         .groupBy("doc_id")
         .agg(F.sum("bitval").cast("long").alias("simhash"))
-        .orderBy("doc_id")
     )
 
 
@@ -260,7 +257,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos") >= _COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cos")
-        .orderBy("vec_a", "vec_b")
     )
 
 

@@ -73,7 +73,6 @@ def mm_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("meta.n_bytes").alias("n_bytes"),
             F.md5("payload").alias("payload_md5"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -149,7 +148,7 @@ def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("byte_sum").cast("double") / F.col("n_bytes").cast("double"), 6
         ).alias("byte_mean"),
         "content_md5",
-    ).orderBy("doc_id")
+    )
 
 
 QUERIES = {

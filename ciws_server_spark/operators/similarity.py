@@ -122,7 +122,6 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
         .where(F.col("cos") >= _LSH_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.col("ba").alias("bucket"), "cos")
-        .orderBy("vec_a", "vec_b")
     )
 
 

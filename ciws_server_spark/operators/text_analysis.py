@@ -40,7 +40,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
         F.octet_length("text").cast("long").alias("n_bytes"),
-    ).orderBy("doc_id")
+    )
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +73,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(avg_tok_len, 6).alias("avg_token_len"),
         F.round(score, 6).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +99,6 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             pred.alias("predicted_lang"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -112,7 +111,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("n_chars_norm"),
         token_count("text").cast("long").alias("n_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 QUERIES = {

@@ -117,7 +117,6 @@ def ts_derived_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(60.0) / elapsed, 6).alias("rate"),
         )
         .where(F.col("prev_ts").isNotNull())
-        .orderBy("user_id", "ts")
     )
 
 
@@ -153,7 +152,6 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -165,7 +163,6 @@ def ts_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
-        .orderBy("user_id")
     )
 
 
@@ -284,7 +281,6 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_ts",
             "last_click_value",
         )
-        .orderBy("purchase_id")
     )
 
 

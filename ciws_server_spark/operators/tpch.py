@@ -184,7 +184,6 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_nationkey", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -344,7 +343,7 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_size(F.split(F.col("p_type"), " ")).cast("long").alias("type_words"),
         F.col("p_name").startswith("a").alias("starts_a"),
         F.col("p_type").endswith("d").alias("ends_d"),
-    ).orderBy("p_partkey")
+    )
 
 
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,151 @@
+"""Stateful streaming operators: the session-gap derived rate (A5).
+
+Batch form: operators/timeseries.ts_derived_rate (lag window). This
+module is the streaming form the reference's per-building state
+machine implies (``get_hot_intake_interval.py:103-147``): per key,
+remember the last pulse time across micro-batches and emit
+``rate = 60 / (elapsed_seconds + 1)`` on each closing pulse
+(bug-compatible ``+1`` per SURVEY.md §7.4.1).
+
+Two implementations:
+
+* ``derived_rate_stream`` — ``applyInPandasWithState``: one GroupState
+  per key holding the last pulse timestamp. State size is O(keys),
+  not O(events); shuffle is the normal groupBy-key exchange. This is
+  the general template for reference-style custom state machines.
+* ``session_window_stream`` — watermarked built-in
+  ``session_window`` aggregation: the declarative route when
+  gap-session semantics are acceptable (SURVEY.md §4's preferred
+  disposition). Late data beyond the watermark is dropped by Spark,
+  mirroring the reference's in-flight-file guard.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("prev_ts", TimestampType()),
+        StructField("elapsed_sec", DoubleType()),
+        StructField("rate", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("last_ts_us", LongType())])
+
+
+def _emit_pairs(user_id, timestamps, last_us: int | None) -> tuple[list[dict], int | None]:
+    """Shared pairing core: consecutive pulses → rate rows."""
+    out_rows: list[dict] = []
+    for ts in timestamps:
+        ts_us = int(pd.Timestamp(ts).value // 1000)
+        if last_us is not None:
+            elapsed = (ts_us - last_us) / 1e6 + 1.0
+            out_rows.append(
+                {
+                    "user_id": user_id,
+                    "ts": pd.Timestamp(ts_us * 1000),
+                    "prev_ts": pd.Timestamp(last_us * 1000),
+                    "elapsed_sec": round(elapsed, 6),
+                    "rate": round(60.0 / elapsed, 6),
+                }
+            )
+        last_us = ts_us
+    return out_rows, last_us
+
+
+def _rate_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Pair consecutive pulses of one key, carrying the last pulse
+    timestamp across micro-batches in GroupState."""
+    (user_id,) = key
+    last_us = state.get[0] if state.exists else None
+    out_rows: list[dict] = []
+    for pdf in pdfs:
+        rows, last_us = _emit_pairs(user_id, pdf.sort_values("ts")["ts"], last_us)
+        out_rows.extend(rows)
+    if last_us is not None:
+        state.update((last_us,))
+    if out_rows:
+        yield pd.DataFrame(out_rows, columns=[f.name for f in RATE_SCHEMA.fields])
+
+
+def _rate_fn_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch form of the same state machine: the whole key history is
+    in one group, so state is just the running variable."""
+    cols = [f.name for f in RATE_SCHEMA.fields]
+    if not len(pdf):
+        return pd.DataFrame(columns=cols)
+    user_id = pdf["user_id"].iloc[0]
+    rows, _ = _emit_pairs(user_id, pdf.sort_values("ts")["ts"], None)
+    return pd.DataFrame(rows, columns=cols)
+
+
+def derived_rate_stream(pulses: DataFrame, key: str = "user_id") -> DataFrame:
+    """A5 streaming: consecutive-pulse rate per key with kept state.
+
+    ``pulses``: (user_id, ts) rows already filtered to non-zero pulses
+    (P8). Streaming input → ``applyInPandasWithState`` (O(keys) state,
+    cross-batch carry); batch input → ``applyInPandas`` with the same
+    pairing core (applyInPandasWithState is streaming-only), which is
+    how the equivalence test cross-checks it against the lag-window
+    batch operator.
+    """
+    if not pulses.isStreaming:
+        return pulses.select(key, "ts").groupBy(key).applyInPandas(
+            _rate_fn_batch, schema=RATE_SCHEMA
+        )
+    return pulses.select(key, "ts").groupBy(key).applyInPandasWithState(
+        _rate_fn,
+        outputStructType=RATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked gap-session aggregation (built-in session_window).
+
+    Streaming equivalent of operators/timeseries.ts_sessionize: late
+    rows beyond the watermark are dropped; sessions close when the
+    watermark passes start+gap, giving append-mode emission.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""Oracle smoke at sf0.001: a representative query per module
+hash-matches its DuckDB oracle (full sweep lives in
+tools/check_correctness.py; the driver runs the real gate at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SMOKE_QUERIES = [
+    "q1_pricing_summary",
+    "ts_derived_rate",
+    "ts_asof_join",
+    "dedup_minhash_lsh",
+    "sim_brute_topk",
+    "text_quality_score",
+    "mm_byte_stats",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_smoke):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_smoke}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SMOKE_QUERIES)
+def test_oracle_match(spark, sf_smoke, oracle, name):
+    import __spark_entry__ as entrymod
+
+    got = _canon(entrymod.queries()[name](spark, sf_smoke).toPandas())
+    exp = _canon(oracle.execute(entrymod.oracle_sql()[name]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_registry_complete():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 44
+    assert set(oracles) <= set(qs)
