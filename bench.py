@@ -49,8 +49,13 @@ def main() -> None:
     if args.queries:
         qs = {n: qs[n] for n in args.queries}
 
-    # Warm the JVM + file listing once so timings measure the queries.
+    # Warm the JVM (codegen, parquet reader, Arrow path) and the file
+    # listing so timings measure the queries, not first-query startup.
     spark.range(1).count()
+    from ciws_server_spark.tables import TABLE_NAMES, table
+
+    for t in TABLE_NAMES:
+        table(spark, args.sf_dir, t).count()
 
     sf = _sf_of(args.sf_dir)
     timings: dict[str, float] = {}

@@ -65,14 +65,26 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram pairs."""
-    docs = table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
-        )
-        .distinct()
-    )
+    """(doc_id, shingle) distinct word-3-gram pairs.
+
+    ``array_distinct`` dedups within the row before exploding — no
+    distinct aggregate needed.
+
+    The raw docs are repartitioned by doc_id BEFORE shingling so the
+    expensive projection parallelizes even when the corpus arrives as
+    few parquet files, and the result is persisted: minhash
+    signatures, both Jaccard verification sides and the size counts
+    all consume it, and relying on plan-level exchange reuse proved
+    fragile under AQE (measured: each consumer re-ran the shingle
+    explode). At cluster scale the same role is played by a
+    materialized shingle table or checkpoint; the hash partitioning
+    by doc_id also pre-positions the per-doc aggregates.
+    """
+    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
+    ).persist()
 
 
 def _jaccard_of_common(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
@@ -148,34 +160,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_hash) bucket; candidates are then verified with exact
     Jaccard. Per doc the join key count is constant (= bands), so the
     shuffle volume is O(corpus), not O(corpus × doc length).
+
+    Plan shape: shingles are exploded ONCE, the K seed-hashes are K
+    codegen'd md5 columns in one projection, and the per-doc minimum
+    is a groupBy with map-side partial aggregation — the shuffle
+    carries one K-column row per (doc, map partition), not
+    |shingles|×K rows (the round-1 shape). Band assembly is then
+    row-local arithmetic over the K signature columns.
     """
     shingles = _shingle_sets(spark, sf_dir)
-    seeds = F.explode(
-        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1))
-    ).alias("seed")
-    minhash = (
-        shingles.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    hashed = shingles.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))).alias(f"h{k}")
+            for k in range(_NUM_HASHES)
+        ],
     )
-    bands = (
-        minhash.withColumn(
-            "band", (F.col("seed") / F.lit(_ROWS_PER_BAND)).cast("int")
-        )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.array_sort(F.collect_list("mh")))
-            ).alias("band_hash")
-        )
+    minhash = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(_NUM_HASHES)]
     )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.array(
+                            *[
+                                F.col(f"mh{k}")
+                                for k in range(
+                                    b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND
+                                )
+                            ]
+                        )
+                    ),
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(_BANDS)
+    ]
+    bands = minhash.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -190,6 +217,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    shingles = _shingle_sets(spark, sf_dir)
     return _jaccard_verify_candidates(shingles, candidates, _JACCARD_THRESHOLD)
 
 
