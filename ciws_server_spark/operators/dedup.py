@@ -152,6 +152,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingle_sets(spark, sf_dir), _JACCARD_THRESHOLD)
 
 
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup with PREFIX FILTERING (scale-safe form).
+
+    Identical output to ``dedup_ngram_jaccard`` by construction, but
+    the candidate join uses only each doc's prefix — its
+    ``n - ⌈t·n⌉ + 1`` globally-rarest shingles (order: document
+    frequency asc, shingle asc). Prefix-filter completeness: two sets
+    with Jaccard ≥ t must share ≥1 element within these prefixes under
+    any global total order, so no pair is lost. The join keys are the
+    RAREST shingles, which removes the stopword-shingle blowup that
+    makes the naive inverted-index self-join explode at 100 TB; the
+    exact verification then runs over candidates only.
+    """
+    shingles = _shingle_sets(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy("df", "shingle")
+    )
+    prefix_len = (
+        F.col("n_shingles")
+        - F.ceil(F.lit(_JACCARD_THRESHOLD) * F.col("n_shingles"))
+        + F.lit(1)
+    )
+    prefix = (
+        shingles.join(dfreq, "shingle")
+        .withColumn("rk", rk)
+        .join(sizes, "doc_id")
+        .where(F.col("rk") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    candidates = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_verify_candidates(shingles, candidates, _JACCARD_THRESHOLD)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup (the 100 TB-scale dedup path).
 
@@ -288,13 +332,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, bucketed (the registered 100 TB path).
+
+    Candidates from the banded multi-table hyperplane LSH
+    (similarity._multitable_assignments — AND/OR construction),
+    verified with exact cosine ≥ 0.9. ``dedup_embedding_cosine`` above
+    is the O(n²) correctness baseline for this operator; this one does
+    Σ bucket² work instead of n².
+    """
+    from .similarity import _multitable_assignments
+
+    emb = table(spark, sf_dir, "embeddings")
+    asg = _multitable_assignments(emb).select("vec_id", "table_id", "bucket")
+    cand = (
+        asg.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+        .join(
+            asg.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket"),
+            ["table_id", "bucket"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .where(F.col("cos") >= _COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_normalized": dedup_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_prefix": dedup_ngram_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 # --- DuckDB oracle SQL ------------------------------------------------
@@ -344,6 +424,43 @@ ORACLES = {
     "dedup_ngram_jaccard": f"""
         SELECT doc_a, doc_b, jaccard FROM ({_JACCARD_PAIRS_SQL})
         WHERE jaccard >= {_JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_ngram_prefix": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        ranked AS (
+          SELECT s.doc_id, s.shingle,
+                 ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                    ORDER BY d.df, s.shingle) AS rk
+          FROM sh s JOIN dfq d ON s.shingle = d.shingle
+        ),
+        prefix AS (
+          SELECT r.doc_id, r.shingle
+          FROM ranked r JOIN sizes z ON z.doc_id = r.doc_id
+          WHERE r.rk <= z.n - CEIL({_JACCARD_THRESHOLD} * z.n) + 1
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM prefix a JOIN prefix b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(n_common AS DOUBLE) /
+                     CAST(x.n + y.n - n_common AS DOUBLE), 6) AS jaccard
+        FROM common JOIN sizes x ON x.doc_id = doc_a
+                    JOIN sizes y ON y.doc_id = doc_b
+        WHERE ROUND(CAST(n_common AS DOUBLE) /
+                    CAST(x.n + y.n - n_common AS DOUBLE), 6)
+              >= {_JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
     "dedup_minhash_lsh": f"""
@@ -415,5 +532,32 @@ ORACLES = {
         ORDER BY vec_a, vec_b
     """,
 }
+
+def _dedup_embedding_lsh_oracle() -> str:
+    from .similarity import (
+        _MT_COSINE_THRESHOLD,  # noqa: F401 (threshold differs here)
+        _cosine_sql,
+        _multitable_assign_sql,
+    )
+
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        assigned AS ({_multitable_assign_sql()}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM assigned a JOIN assigned b
+            ON a.table_id = b.table_id AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               ROUND({_cosine_sql('x.e', 'y.e')}, 6) AS cos
+        FROM cand JOIN e x ON x.vec_id = vec_a
+                  JOIN e y ON y.vec_id = vec_b
+        WHERE ROUND({_cosine_sql('x.e', 'y.e')}, 6) >= {_COSINE_DUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """
+
+
+ORACLES["dedup_embedding_lsh"] = _dedup_embedding_lsh_oracle()
 
 HEADLINE = {"dedup_minhash_lsh", "dedup_simhash", "dedup_exact"}

@@ -35,13 +35,24 @@ _N_PLANES = 8
 _DIM = 64
 _LSH_COSINE_THRESHOLD = 0.5
 
+# AND/OR construction (banded multi-table LSH): within one table a
+# candidate must match on ALL planes (AND → precision grows with
+# planes/table); across tables ANY table may produce the match
+# (OR → recall grows with tables). 4×12 ⇒ 4096 buckets per table:
+# collision probability for unrelated vectors ~(1/2)^12 per table, so
+# Σ bucket² stays near-linear even at 100 TB vector counts, while a
+# genuinely-similar pair (cosine ≥ ~0.8, angle ≤ 37°) hits some table
+# with probability 1-(1-(1-θ/π)^12)^4.
+_N_TABLES = 4
+_PLANES_PER_TABLE = 12
 
-def hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
+
+def hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM, seed: str = "hp") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — identical in
     any engine/language, so the oracle can inline the same literals."""
     return [
         [
-            int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[0], 16) - 7.5
+            int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[0], 16) - 7.5
             for d in range(dim)
         ]
         for p in range(n_planes)
@@ -55,14 +66,40 @@ def _plane_dot_sql(plane: list[float], col: str = "e") -> str:
     )
 
 
-def _bucket_col(emb_col) -> F.Column:
+def _bucket_col(emb_col, planes: list[list[float]] | None = None) -> F.Column:
     """LSH bucket id: bit p = sign of <v, plane_p>."""
     bucket = F.lit(0)
-    for p, plane in enumerate(hyperplanes()):
+    for p, plane in enumerate(planes if planes is not None else hyperplanes()):
         w = F.array(*[F.lit(x) for x in plane])
         bit = F.when(dot(emb_col, w) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
+
+
+def _table_planes(t: int) -> list[list[float]]:
+    return hyperplanes(_PLANES_PER_TABLE, _DIM, seed=f"mt{t}")
+
+
+def _multitable_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, table_id, bucket) — one row per table.
+
+    All T×P plane dot products are computed in ONE projection over the
+    scan (codegen, no shuffle); the explode emits T rows per vector.
+    At 100 TB (table_id, bucket) doubles as the physical partition key
+    of the ANN index table.
+    """
+    assigns = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _bucket_col(F.col("embedding"), _table_planes(t)).alias("bucket"),
+            )
+            for t in range(_N_TABLES)
+        ]
+    )
+    return emb.select(
+        "vec_id", "embedding", F.explode(assigns).alias("a")
+    ).select("vec_id", "embedding", "a.table_id", "a.bucket")
 
 
 def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,10 +162,66 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MT_COSINE_THRESHOLD = 0.3
+
+
+def sim_lsh_multitable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index layout of the banded multi-table LSH: per-table bucket
+    occupancy. This is the honest-ANN path: 4 tables × 12 planes
+    (AND/OR construction) instead of one 8-plane table."""
+    emb = table(spark, sf_dir, "embeddings")
+    asg = _multitable_assignments(emb)
+    return (
+        asg.groupBy("table_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("table_id", "bucket")
+    )
+
+
+def sim_lsh_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN near-pairs via multi-table LSH: candidates collide in ANY
+    table (OR), verified with exact cosine.
+
+    The candidate join is per (table_id, bucket) — Σ bucket² per
+    table, with the 12-plane AND keeping buckets small; the distinct
+    collapses cross-table duplicates before the (cheap, broadcastable)
+    embedding re-join for verification.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    asg = _multitable_assignments(emb).select("vec_id", "table_id", "bucket")
+    a = asg.select(
+        F.col("vec_id").alias("vec_a"), "table_id", "bucket"
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vec_b"), "table_id", "bucket"
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .where(F.col("cos") >= _MT_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
+    "sim_lsh_multitable_buckets": sim_lsh_multitable_buckets,
+    "sim_lsh_multitable_pairs": sim_lsh_multitable_pairs,
 }
 
 
@@ -139,12 +232,25 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
-def _bucket_sql(col: str = "e") -> str:
+def _bucket_sql(col: str = "e", planes: list[list[float]] | None = None) -> str:
     bits = [
         f"(CASE WHEN {_plane_dot_sql(plane, col)} > 0 THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(hyperplanes())
+        for p, plane in enumerate(
+            planes if planes is not None else hyperplanes()
+        )
     ]
     return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+def _multitable_assign_sql() -> str:
+    """UNION ALL of per-table bucket assignments (matches
+    _multitable_assignments)."""
+    parts = [
+        f"SELECT vec_id, e, {t} AS table_id,"
+        f" {_bucket_sql('e', _table_planes(t))} AS bucket FROM e"
+        for t in range(_N_TABLES)
+    ]
+    return " UNION ALL ".join(parts)
 
 
 ORACLES = {
@@ -183,6 +289,32 @@ ORACLES = {
         WHERE ROUND({_cosine_sql('a.e', 'b.e')}, 6) >= {_LSH_COSINE_THRESHOLD}
         ORDER BY vec_a, vec_b
     """,
+    "sim_lsh_multitable_buckets": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        assigned AS ({_multitable_assign_sql()})
+        SELECT CAST(table_id AS INT) AS table_id, bucket,
+               COUNT(*) AS n_vectors,
+               MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+        FROM assigned
+        GROUP BY 1, 2
+        ORDER BY table_id, bucket
+    """,
+    "sim_lsh_multitable_pairs": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        assigned AS ({_multitable_assign_sql()}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM assigned a JOIN assigned b
+            ON a.table_id = b.table_id AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               ROUND({_cosine_sql('x.e', 'y.e')}, 6) AS cos
+        FROM cand JOIN e x ON x.vec_id = vec_a
+                  JOIN e y ON y.vec_id = vec_b
+        WHERE ROUND({_cosine_sql('x.e', 'y.e')}, 6) >= {_MT_COSINE_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
 }
 
-HEADLINE = {"sim_brute_topk", "sim_lsh_pairs"}
+HEADLINE = {"sim_brute_topk", "sim_lsh_pairs", "sim_lsh_multitable_pairs"}

@@ -1,0 +1,101 @@
+"""Ops-plane operators (A1-A3, P11) + incremental feeder (S5/P12/P13)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+
+def _listing(spark):
+    base = dt.datetime(2021, 3, 10)
+    rows = [
+        # host, filename, mtime, size
+        ("pi-a", "multi_meter_001.csv", base, 100),
+        ("pi-a", "multi_meter_002.csv", base + dt.timedelta(days=1), 150),
+        ("pi-a", "other.log", base + dt.timedelta(days=5), 10),
+        ("pi-b", "multi_meter_001.csv", base - dt.timedelta(days=10), 300),
+        ("pi-b", "multi_meter_000.csv", base - dt.timedelta(days=12), 200),
+    ]
+    return spark.createDataFrame(rows, ["host", "filename", "mtime", "size"])
+
+
+def test_latest_and_stale(spark):
+    from ciws_server_spark.operators.ops import latest_file_per_host, stale_hosts
+
+    latest = {
+        r["host"]: r["latest_file"]
+        for r in latest_file_per_host(_listing(spark)).collect()
+    }
+    # prefix filter excludes other.log even though it is newest on pi-a
+    assert latest == {
+        "pi-a": "multi_meter_002.csv",
+        "pi-b": "multi_meter_001.csv",
+    }
+
+    stale = stale_hosts(
+        _listing(spark), now=dt.datetime(2021, 3, 12)
+    ).collect()
+    assert [r["host"] for r in stale] == ["pi-b"]
+    assert stale[0]["latest_file"] == "multi_meter_001.csv"
+
+
+def test_retention_file_plan(spark):
+    from ciws_server_spark.operators.ops import retention_file_plan
+
+    plan = retention_file_plan(_listing(spark), free_bytes_needed=250)
+    by_host = {}
+    for r in plan.collect():
+        by_host.setdefault(r["host"], []).append(r["filename"])
+    for host in by_host:
+        by_host[host].sort()
+    # pi-a: oldest-first 100+150 → second file crosses the 250 target
+    assert by_host["pi-a"] == ["multi_meter_001.csv", "multi_meter_002.csv"]
+    # pi-b: oldest (000, 200 bytes) then 001 crosses target
+    assert by_host["pi-b"] == ["multi_meter_000.csv", "multi_meter_001.csv"]
+
+
+def test_feeder_incremental(tmp_path):
+    from ciws_server_spark.sources.sftp_feeder import (
+        LocalDirTransport,
+        sync_incremental,
+    )
+
+    remote = tmp_path / "remote"
+    landing = tmp_path / "landing"
+    remote.mkdir()
+    (remote / "a.csv").write_text("Time,Pulses\n")
+    (remote / "b.CSV").write_text("Time,Pulses\n2021-03-01 00:00:04,1\n")
+    (remote / "notes.txt").write_text("ignore me")
+    os.mkdir(remote / "subdir")
+
+    t = LocalDirTransport(str(remote))
+    now = time.time() + 10  # everything already landed is "old enough"
+
+    s1 = sync_incremental(t, str(landing), job_start=now)
+    assert s1 == {"fetched": 2, "skipped_inflight": 0, "skipped_unchanged": 0}
+
+    # second pass: nothing changed → nothing re-fetched (P13)
+    s2 = sync_incremental(t, str(landing), job_start=now)
+    assert s2["fetched"] == 0 and s2["skipped_unchanged"] == 2
+
+    # grow a file → size-change re-fetch (P13)
+    (remote / "a.csv").write_text("Time,Pulses\n2021-03-01 00:00:08,2\n")
+    s3 = sync_incremental(t, str(landing), job_start=time.time() + 10)
+    assert s3["fetched"] == 1
+
+    # in-flight guard: mtime newer than job_start → skipped (P12)
+    (remote / "c.csv").write_text("Time,Pulses\n")
+    os.utime(remote / "c.csv", (time.time() + 3600, time.time() + 3600))
+    s4 = sync_incremental(t, str(landing), job_start=time.time() + 10)
+    assert s4["skipped_inflight"] == 1
+    assert not (landing / "c.csv").exists()
+
+
+def test_sftp_transport_is_explicit_stub():
+    import pytest
+
+    from ciws_server_spark.sources.sftp_feeder import SFTPTransport
+
+    with pytest.raises(NotImplementedError, match="paramiko"):
+        SFTPTransport("host", "user", "key", "/data")
