@@ -38,7 +38,9 @@ def main() -> None:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
-    ap.add_argument("--repeat", type=int, default=1)
+    # best-of-2 by default: the first execution of a query pays
+    # one-time codegen/JIT compilation that is not the query's cost
+    ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -49,9 +51,15 @@ def main() -> None:
     if args.queries:
         qs = {n: qs[n] for n in args.queries}
 
-    # Warm the JVM (codegen, parquet reader, Arrow path) and the file
-    # listing so timings measure the queries, not first-query startup.
+    # Warm the JVM (codegen, parquet reader, Arrow path), the Python
+    # worker pool (pandas stages reuse workers), and the file listing
+    # so timings measure the queries, not first-use startup.
     spark.range(1).count()
+    import pandas as _pd
+
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
     from ciws_server_spark.tables import TABLE_NAMES, table
 
     for t in TABLE_NAMES:

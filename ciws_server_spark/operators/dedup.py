@@ -273,39 +273,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint assembles winning bits into an int64. Identical SQL
     runs in the oracle, so fingerprints hash-match across engines.
     Hamming-band bucketing for pair search reuses the LSH pattern.
+
+    Plan shape: one token row carries all 60 bit votes as 60
+    codegen'd integer expressions; the per-doc majority vote is a
+    single groupBy with 60 partial-aggregated sums (shuffle: one
+    60-column row per doc per map partition). The round-1 shape
+    exploded tokens × 60 bit positions — 60× the shuffle rows for the
+    same arithmetic.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition("doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
     ).withColumn("h", F.md5("w"))
-    bits = toks.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bp"),
-    )
-    # hex digit index (1-based) and bit-within-digit for bit position bp.
-    # SQL expr because the Python shiftright/shiftleft API only accepts a
-    # literal int shift amount, while SQL accepts a column expression.
-    contrib = F.expr(
-        "(shiftright(instr('0123456789abcdef',"
-        " substr(h, CAST(bp div 4 AS INT) + 1, 1)) - 1,"
-        " CAST(bp % 4 AS INT)) & 1) * 2 - 1"
-    )
+    # bit bp of the hash: hex digit bp//4, bit bp%4 within it → ±1 vote
+    contribs = [
+        F.expr(
+            f"(shiftright(instr('0123456789abcdef', substr(h, {bp // 4 + 1}, 1))"
+            f" - 1, {bp % 4}) & 1) * 2 - 1"
+        ).alias(f"c{bp}")
+        for bp in range(_SIMHASH_BITS)
+    ]
     votes = (
-        bits.withColumn("contrib", contrib)
-        .groupBy("doc_id", "bp")
-        .agg(F.sum("contrib").alias("vote"))
-    )
-    bit_val = F.expr(
-        "CASE WHEN vote > 0"
-        " THEN shiftleft(CAST(1 AS BIGINT), CAST(bp AS INT))"
-        " ELSE CAST(0 AS BIGINT) END"
-    )
-    return (
-        votes.withColumn("bitval", bit_val)
+        toks.select("doc_id", *contribs)
         .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
+        .agg(*[F.sum(f"c{bp}").alias(f"v{bp}") for bp in range(_SIMHASH_BITS)])
     )
+    fingerprint = None
+    for bp in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"v{bp}") > 0, F.lit(1 << bp).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

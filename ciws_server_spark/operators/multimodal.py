@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -112,9 +113,10 @@ def _fake_decode(payload: bytes) -> dict:
     floats (byte_mean) are added Spark-side with engine-consistent
     rounding.
     """
+    arr = np.frombuffer(payload, dtype=np.uint8)
     return {
         "n_bytes": len(payload),
-        "byte_sum": int(sum(payload)),
+        "byte_sum": int(arr.sum(dtype=np.int64)),
         "content_md5": hashlib.md5(payload).hexdigest(),
     }
 
@@ -135,8 +137,13 @@ def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow batch path: binary column → pandas bytes → typed feature
     frame, schema-stable, no driver collect.
     """
-    mm = with_payload(table(spark, sf_dir, "documents")).select(
-        "doc_id", "modality", "payload"
+    mm = (
+        with_payload(table(spark, sf_dir, "documents"))
+        .select("doc_id", "modality", "payload")
+        # hash-spread before the pandas stage: a single-row-group scan
+        # would otherwise feed ONE python worker; on a many-split
+        # cluster scan this exchange is cheap relative to decode work
+        .repartition("doc_id")
     )
     feats = mm.mapInPandas(_extract_batches, schema=_FEATURE_SCHEMA)
     return feats.select(

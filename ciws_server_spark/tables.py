@@ -40,6 +40,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     floor-truncate to microseconds here — exact integer math, matching
     DuckDB's TIMESTAMP_NS→TIMESTAMP cast (the synthetic data carries no
     sub-microsecond component, so this is lossless).
+
+    Note on scan parallelism: the test tables arrive as ONE parquet
+    row group, so a scan is a single task (Spark cannot split below a
+    row group). Operators whose map-side work dominates (shingling,
+    pandas feature extraction) spread rows with an explicit HASH
+    repartition on their grouping key before the heavy projection —
+    a blanket round-robin repartition here measured slower (it
+    local-sorts every row for retry determinism and taxes the many
+    queries that are shuffle-bound anyway).
     """
     apply_runtime_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
