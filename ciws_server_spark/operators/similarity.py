@@ -246,8 +246,95 @@ def sim_lsh_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CELLS = 16
+_IVF_TOP_K = 3
+
+
+def ivf_centroids(n_cells: int = _N_CELLS, dim: int = _DIM) -> list[list[float]]:
+    """Deterministic pseudo-centroids from md5 (stand-in for k-means
+    training — the assignment/search plumbing is what matters here and
+    is identical once real centroids are plugged in)."""
+    return [
+        [
+            (int(hashlib.md5(f"iv:{c}:{d}".encode()).hexdigest()[:2], 16) - 127.5)
+            / 256.0
+            for d in range(dim)
+        ]
+        for c in range(n_cells)
+    ]
+
+
+def _ivf_cell_col(emb_col) -> F.Column:
+    """argmin-distance cell id (1-based), deterministic first-min
+    tiebreak; all math is left-fold double — identical in the oracle."""
+    dists = []
+    for cent in ivf_centroids():
+        c = F.array(*[F.lit(x) for x in cent])
+        diffs = F.zip_with(
+            F.transform(emb_col, lambda x: x.cast("double")),
+            c,
+            lambda x, y: (x - y) * (x - y),
+        )
+        dists.append(F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x))
+    darr = F.array(*dists)
+    return F.array_position(darr, F.array_min(darr)).cast("int")
+
+
+def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index layout: cell occupancy (coarse-quantizer rollup)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("cell", _ivf_cell_col(F.col("embedding")))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cell")
+    )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: each query searches ONLY its own cell (nprobe=1).
+
+    The scan side is partitioned by cell — at 100 TB the cell id is
+    the table's physical partition key, so a query touches 1/k of the
+    data; accuracy/nprobe tradeoffs are the standard IVF knobs.
+    """
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "cell", _ivf_cell_col(F.col("embedding"))
+    )
+    queries = F.broadcast(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+            "cell",
+        )
+        .join(queries, F.col("cell") == F.col("qcell"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id", F.col("cell"), "cos", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
+    "sim_ivf_cells": sim_ivf_cells,
+    "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
     "sim_lsh_multitable_buckets": sim_lsh_multitable_buckets,
@@ -270,6 +357,22 @@ def _bucket_sql(col: str = "e", planes: list[list[float]] | None = None) -> str:
         )
     ]
     return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+def _dist_sql(cent: list[float], col: str = "e") -> str:
+    return " + ".join(
+        f"({col}[{i + 1}] - ({c})) * ({col}[{i + 1}] - ({c}))"
+        for i, c in enumerate(cent)
+    )
+
+
+def _ivf_assign_sql() -> str:
+    """CTE body: vec_id, e, cell — mirrors _ivf_cell_col exactly."""
+    dists = ", ".join(_dist_sql(c) for c in ivf_centroids())
+    return (
+        f"SELECT vec_id, e, CAST(list_position(dists, list_min(dists)) AS INT)"
+        f" AS cell FROM (SELECT vec_id, e, [{dists}] AS dists FROM e)"
+    )
 
 
 def _multitable_assign_sql() -> str:
@@ -318,6 +421,33 @@ ORACLES = {
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ROUND({_cosine_sql('a.e', 'b.e')}, 6) >= {_LSH_COSINE_THRESHOLD}
         ORDER BY vec_a, vec_b
+    """,
+    "sim_ivf_cells": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        assigned AS ({_ivf_assign_sql()})
+        SELECT cell, COUNT(*) AS n_vectors,
+               MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+        FROM assigned
+        GROUP BY cell
+        ORDER BY cell
+    """,
+    "sim_ivf_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        assigned AS ({_ivf_assign_sql()}),
+        scored AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.cell AS cell,
+                 ROUND({_cosine_sql('q.e', 'n.e')}, 6) AS cos
+          FROM assigned q JOIN assigned n
+            ON q.cell = n.cell AND q.vec_id != n.vec_id
+          WHERE q.vec_id < {_N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, cell, cos, rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM scored
+        )
+        WHERE rk <= {_IVF_TOP_K}
+        ORDER BY query_id, rk
     """,
     "sim_lsh_multitable_buckets": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

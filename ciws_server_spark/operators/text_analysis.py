@@ -114,11 +114,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: alpha runs | digit runs | punct runs — the
+#: standard pre-split a BPE tokenizer applies before merges. Uses only
+#: regex constructs with identical semantics in Java regex (Spark) and
+#: RE2 (DuckDB): no lookahead, no backrefs.
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+#: Rolling-hash parameters (polynomial hash, exact int64 arithmetic:
+#: max intermediate 1e9·131+255 < 2^63).
+_RH_BASE = 131
+_RH_MOD = 1_000_000_007
+
+
+def text_tokenize_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-pre-tokenizer style (brief: "whitespace + a
+    BPE-ish regex"): per-class token counts from one regex pass."""
+    docs = table(spark, sf_dir, "documents")
+    all_toks = F.regexp_extract_all("text", F.lit(BPEISH_PATTERN), 0)
+    alpha = F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0)
+    nums = F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)
+    punct = F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]+"), 0)
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        F.array_size(all_toks).cast("long").alias("n_bpeish_tokens"),
+        F.array_size(alpha).cast("long").alias("n_alpha_runs"),
+        F.array_size(nums).cast("long").alias("n_digit_runs"),
+        F.array_size(punct).cast("long").alias("n_punct_runs"),
+    )
+
+
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via polynomial rolling hash over character
+    codes: h ← (h·B + code) mod M, exact int64 — the incremental-hash
+    form used for chunk-level dedup, cross-engine reproducible (unlike
+    md5-of-whole-text it extends to streaming chunks)."""
+    docs = table(spark, sf_dir, "documents")
+    codes = F.transform(F.split(F.col("text"), ""), lambda ch: F.ascii(ch))
+    rh = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _RH_BASE + c.cast("long")) % _RH_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        rh.alias("rolling_hash"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_tokenize_bpeish": text_tokenize_bpeish,
+    "text_rolling_fingerprint": text_rolling_fingerprint,
 }
 
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -202,4 +253,32 @@ ORACLES = {
     """,
 }
 
-HEADLINE = {"text_quality_score"}
+ORACLES["text_tokenize_bpeish"] = f"""
+    SELECT doc_id,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '{BPEISH_PATTERN}')) AS BIGINT)
+             AS n_bpeish_tokens,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+             AS n_alpha_runs,
+           CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_digit_runs,
+           CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\\s]+')) AS BIGINT)
+             AS n_punct_runs
+    FROM documents
+    ORDER BY doc_id
+"""
+
+ORACLES["text_rolling_fingerprint"] = f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(text, ''),
+                                  x -> CAST(ascii(x) AS BIGINT))),
+                 (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})
+             AS BIGINT) AS rolling_hash,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+"""
+
+HEADLINE = {"text_quality_score", "text_tokenize_bpeish"}
