@@ -1,0 +1,75 @@
+"""End-to-end jobs: the reference's analytical lifecycles as single
+Spark statements (SURVEY.md §3.3, §7.1.4).
+
+``run_derived_rate_job`` is the reference's derived hot-water intake
+computation (``get_hot_intake_interval.py``): read the campus flow
+table, pair consecutive non-zero pulses per building, write the rate
+series back as ``derived_hot_intake``. The reference does this with a
+per-building thread pool and a driver-side state machine with O(n²)
+appends; here it is one window query — ``buildingID`` partitioning IS
+the parallelism — and one partitioned append.
+
+Semantics kept bug-compatible (SURVEY.md §7.4.1): only the closing
+pulse row is emitted, ``rate = 60 / (elapsed_seconds + 1)``, written
+at ms-capable timestamp precision (TimestampType is µs-native).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .sources import sinks
+
+
+def derived_rate(flow: DataFrame) -> DataFrame:
+    """campus_flow → (time, buildingID, hotOutFlowRate-as-rate).
+
+    P8 non-zero-pulse filter, per-building lag window (A5), reference
+    rate formula. Filter reaches the scan; the only shuffle is the
+    window partitioning by the low-cardinality tag.
+    """
+    pulses = flow.where(F.col("hotOutFlowRate") != 0)
+    w = W.partitionBy("buildingID").orderBy("time")
+    # materialize the lag BEFORE filtering: a window expression placed
+    # after the filter would be evaluated over the filtered frame
+    paired = pulses.withColumn("prev_time", F.lag("time").over(w)).where(
+        F.col("prev_time").isNotNull()
+    )
+    elapsed = (
+        F.col("time").cast("double")
+        - F.col("prev_time").cast("double")
+        + F.lit(1.0)
+    )
+    return paired.select(
+        "time",
+        "buildingID",
+        F.round(F.lit(60.0) / elapsed, 6).alias("hotOutFlowRate"),
+    )
+
+
+def run_derived_rate_job(
+    spark: SparkSession,
+    table_dir: str,
+    building: str | None = None,
+    start: str | None = None,
+    end: str | None = None,
+) -> int:
+    """S10→A5→S9: query campus_flow (optionally one tag + time range,
+    the reference's exercised predicate shape), derive, append to the
+    derived table. Returns rows written."""
+    flow = spark.read.parquet(os.path.join(table_dir, "campus_flow"))
+    if building is not None:
+        flow = flow.where(F.col("buildingID") == building.upper())
+    if start is not None:
+        flow = flow.where(F.col("time") >= F.lit(start).cast("timestamp"))
+    if end is not None:
+        flow = flow.where(F.col("time") <= F.lit(end).cast("timestamp"))
+    out = derived_rate(flow)
+    n = out.count()
+    if n:
+        sinks.append_points(out, table_dir, "derived_hot_intake")
+    return n

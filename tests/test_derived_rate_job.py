@@ -1,0 +1,54 @@
+"""End-to-end §3.3 lifecycle: campus CSV → campus_flow table →
+derived-rate job → derived_hot_intake table, F4 hand-computed values."""
+
+from __future__ import annotations
+
+import os
+
+# F4 pulse pattern: pulses at :00, :59, :03:59; zeros between.
+CSV = """Campus Meter Logger
+Date,coldInFlowRate,hotInFlowRate,hotOutFlowRate,hotInTemp,hotOutTemp,coldInTemp
+2021-03-01 00:00:00,0.5,0.2,5.0,48.9,41.2,12.7
+2021-03-01 00:00:30,0.5,0.2,0.0,48.9,41.2,12.7
+2021-03-01 00:00:59,0.5,0.2,2.0,48.9,41.2,12.7
+2021-03-01 00:02:00,0.5,0.2,0.0,48.9,41.2,12.7
+2021-03-01 00:03:59,0.5,0.2,1.0,48.9,41.2,12.7
+"""
+
+
+def test_campus_to_derived(spark, tmp_path):
+    from ciws_server_spark.jobs import run_derived_rate_job
+    from ciws_server_spark.sources import campus, sinks
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "meter.csv").write_text(CSV)
+    table_dir = str(tmp_path / "tables")
+
+    points, _ = campus.parse(spark, str(landing), building="d")
+    sinks.append_points(points.drop("src_file"), table_dir, "campus_flow")
+
+    n = run_derived_rate_job(spark, table_dir, building="d")
+    assert n == 2
+
+    derived = spark.read.parquet(
+        os.path.join(table_dir, "derived_hot_intake")
+    ).orderBy("time")
+    rows = derived.collect()
+    # pulses at t=0,59,239s → rates 60/(59+1)=1.0 and 60/(180+1)
+    assert [r["hotOutFlowRate"] for r in rows] == [1.0, round(60.0 / 181, 6)]
+    assert {r["buildingID"] for r in rows} == {"D"}
+    # partition layout: buildingID + date
+    assert os.path.isdir(
+        os.path.join(table_dir, "derived_hot_intake", "buildingID=D")
+    )
+
+    # time-range restriction (the reference's exercised query shape)
+    n2 = run_derived_rate_job(
+        spark,
+        table_dir,
+        building="d",
+        start="2021-03-01 00:00:30",
+        end="2021-03-01 00:02:30",
+    )
+    assert n2 == 0  # only one pulse in range → no pair
