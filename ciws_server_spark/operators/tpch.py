@@ -368,6 +368,97 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over status × priority (all 4 grouping sets)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape: customers above their nation's mean
+    balance. Decorrelated by hand into an aggregate + broadcast join —
+    the plan Catalyst's own decorrelation produces, stated explicitly.
+    """
+    cust = table(spark, sf_dir, "customer")
+    # exact decimal sum → double division: engines' decimal-division
+    # scale/rounding rules differ, double arithmetic is identical
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (
+            F.sum(money("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.max("c_acctbal").cast("double"), 2).alias("max_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + dedup-count across two key populations."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("side").alias("n_sides"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def salted_high_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation — the hot-key pattern at 100 TB.
+
+    `l_returnflag` has ~3 values: a plain groupBy sends every row for a
+    flag to ONE reducer. Phase 1 aggregates (flag, salt) — fan-out
+    bounded by salt count, map-side combine still applies; phase 2
+    merges the per-salt partials. Result identical to a direct groupBy
+    (the oracle computes the direct form), plan has no single hot
+    reducer. AQE skew handling covers joins; explicit salting is the
+    aggregation-side equivalent, shown here as a first-class pattern.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    n_salts = 16
+    salted = l.withColumn(
+        "salt", (F.xxhash64("l_orderkey", "l_linenumber") % n_salts).cast("int")
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum(money("l_quantity")).alias("part_qty"),
+        F.count(F.lit(1)).alias("part_n"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("part_qty").cast("double"), 2).alias("sum_qty"),
+            F.sum("part_n").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -387,6 +478,10 @@ QUERIES = {
     "conditional_agg_order_mix": conditional_agg_order_mix,
     "scalar_string_functions": scalar_string_functions,
     "date_functions_orders": date_functions_orders,
+    "cube_order_stats": cube_order_stats,
+    "subquery_above_avg_balance": subquery_above_avg_balance,
+    "union_all_keys": union_all_keys,
+    "salted_high_cardinality_agg": salted_high_cardinality_agg,
 }
 
 _DEC1 = "CAST(1 AS DECIMAL(30,6))"
@@ -581,6 +676,49 @@ ORACLES = {
         ORDER BY y, m
     """,
 }
+
+ORACLES["cube_order_stats"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+ORACLES["subquery_above_avg_balance"] = """
+    SELECT c_nationkey,
+           COUNT(*) AS n_above,
+           ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 2) AS max_bal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DOUBLE) >
+          (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)
+           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+ORACLES["union_all_keys"] = """
+    SELECT nationkey, COUNT(*) AS n_total,
+           CAST(COUNT(DISTINCT side) AS BIGINT) AS n_sides
+    FROM (
+      SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    )
+    GROUP BY nationkey
+    ORDER BY nationkey
+"""
+
+ORACLES["salted_high_cardinality_agg"] = """
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
 
 #: Queries timed by bench.py.
 HEADLINE = {

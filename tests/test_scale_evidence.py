@@ -1,0 +1,107 @@
+"""Scale-design evidence tests: bucketed co-located joins and
+watermarked late-data handling — the 100 TB mechanisms, demonstrated.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke, tmp_path):
+    """Bucketing lineitem/orders by orderkey co-locates the fact-fact
+    join: the sort-merge join runs with NO Exchange on either side —
+    exactly the layout the tpch docstrings prescribe for 100 TB."""
+    from ciws_server_spark.tables import table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets_test")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        table(spark, sf_smoke, "orders").write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable(
+            "buckets_test.orders_b"
+        )
+        table(spark, sf_smoke, "lineitem").write.bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").mode("overwrite").saveAsTable(
+            "buckets_test.lineitem_b"
+        )
+        joined = spark.table("buckets_test.lineitem_b").join(
+            spark.table("buckets_test.orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP DATABASE IF EXISTS buckets_test CASCADE")
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked tumbling-window aggregation drops rows later than
+    the watermark (the reference's in-flight/late-file guard, §2.9):
+    batch 1 advances the watermark to 09:00; batch 2's 00:30 row is
+    late and must NOT appear in the finalized 00:00 window."""
+    base = dt.datetime(2021, 3, 1)
+    src = tmp_path / "stream"
+
+    early = [(1, base + dt.timedelta(minutes=m)) for m in (5, 10, 30)] + [
+        (1, base + dt.timedelta(hours=10))
+    ]
+    late = [(1, base + dt.timedelta(minutes=30)), (1, base + dt.timedelta(hours=12))]
+
+    out = str(tmp_path / "out")
+
+    def run_pass() -> dict:
+        stream = (
+            spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {str(r["ws"]): r["n"] for r in spark.read.parquet(out).collect()}
+
+    # pass 1: on-time data only → watermark advances to 09:00 and the
+    # 00:00 window finalizes with 3 rows (checkpointed across restarts)
+    spark.createDataFrame(early, ["user_id", "ts"]).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    rows1 = run_pass()
+    assert rows1.get("2021-03-01 00:00:00") == 3
+
+    # pass 2: a late 00:30 row (behind the persisted watermark) and a
+    # fresh 12:00 row arrive; the late row must be DROPPED — the 00:00
+    # window's emitted count is unchanged
+    spark.createDataFrame(late, ["user_id", "ts"]).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    rows2 = run_pass()
+    assert rows2.get("2021-03-01 00:00:00") == 3  # late row dropped
+    # 10:00 window finalizes now (watermark moved to 11:00)
+    assert rows2.get("2021-03-01 10:00:00") == 1
+    # 12:00 still open (watermark 11:00) → not emitted in append mode
+    assert "2021-03-01 12:00:00" not in rows2
