@@ -52,7 +52,12 @@ def parse(
     buildingID, src_file. ``manifest``: per-file row counts + schema
     generation + quarantine reason for unparseable files.
     """
-    lines = read_lines(spark, landing_dir)
+    return parse_lines(read_lines(spark, landing_dir), building)
+
+
+def parse_lines(lines: DataFrame, building: str) -> tuple[DataFrame, DataFrame]:
+    """Parse a (line, src_file) frame — shared by batch parse() and
+    the streaming foreachBatch path (streaming/ingest.py)."""
     fields = F.split(F.col("line"), ",")
     n = F.size(fields)
     is_data = F.col("line").rlike(_DATA_ROW_RE)

@@ -104,6 +104,43 @@ def move_files(manifest_rows: list, archive_dir: str, quarantine_dir: str) -> di
     return moved
 
 
+def compact_table(
+    spark, table_dir: str, table: str, target_files_per_partition: int = 1
+) -> int:
+    """OPTIMIZE-equivalent: rewrite each partition's small files.
+
+    Per-file streaming appends accumulate one file per micro-batch per
+    partition (SURVEY.md §7.4.5's small-file hazard). Rewrites the
+    table with coalesced files per partition directory and swaps it
+    in atomically-enough for a single writer (rename). Returns the
+    file count after compaction. On Delta this is `OPTIMIZE`; on plain
+    parquet it is this rewrite.
+    """
+    import glob
+
+    root = os.path.join(table_dir, table)
+    if not os.path.isdir(root):
+        return 0
+    parts = PARTITIONING.get(table, [])
+    df = spark.read.parquet(root)
+    tmp = root + ".compact.tmp"
+    writer = df.coalesce(
+        max(target_files_per_partition, 1)
+    ) if not parts else df.repartition(
+        target_files_per_partition, *parts
+    )
+    (
+        writer.write.mode("overwrite")
+        .partitionBy(*parts)
+        .parquet(tmp)
+    )
+    old = root + ".compact.old"
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+
+
 def retention_delete(
     spark, table_dir: str, table: str, horizon_date: str
 ) -> int:

@@ -91,3 +91,54 @@ def run_ingest_pass(
     """One cron-equivalent ingest pass (start + await)."""
     q = stream_residential(spark, landing_dir, table_dir, checkpoint_dir, **kwargs)
     q.awaitTermination()
+
+
+def stream_campus(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    building: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming form of the campus transfer-manager path (S4→S8):
+    same checkpointed file source, per-batch superset-schema parse,
+    campus_flow append + quarantine manifest."""
+    from ..sources import campus
+
+    reader = spark.readStream.option("pathGlobFilter", "*.[cC][sS][vV]")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    lines = reader.text(landing_dir).select(
+        F.col("value").alias("line"),
+        F.col("_metadata.file_path").alias("src_file"),
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        points, manifest = campus.parse_lines(batch_df, building)
+        if points.limit(1).count():
+            sinks.append_points(
+                points.drop("src_file"), table_dir, "campus_flow"
+            )
+        sinks.append_quarantine_manifest(manifest, table_dir)
+
+    return (
+        lines.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "campus"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_campus_pass(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    building: str,
+    **kwargs,
+) -> None:
+    q = stream_campus(
+        spark, landing_dir, table_dir, checkpoint_dir, building, **kwargs
+    )
+    q.awaitTermination()
