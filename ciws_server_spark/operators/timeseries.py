@@ -284,8 +284,40 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def influxql_select_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exercised InfluxQL shape, THROUGH the text
+    front-end (plans/influxql.py): projection + tag equality + closed
+    time range — proves the translator against the oracle."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        'SELECT "value", "user_id" FROM "events" '
+        f"WHERE \"event_type\" = 'purchase' "
+        f"AND time >= '{_START}' AND time <= '{_END}'"
+    )
+    return translate(ev, q, time_col="ts")
+
+
+def influxql_group_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL `GROUP BY time(6h), tag` through the text front-end
+    (the standard tsdb rollup surface, SURVEY.md §2.11)."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT count(value), min(value), max(value), "
+        "first(value), last(value) "
+        "FROM events GROUP BY time(6h), event_type"
+    )
+    out = translate(ev, q, time_col="ts")
+    return out.orderBy("time_bucket", "event_type")
+
+
 QUERIES = {
     "ts_tag_time_range": ts_tag_time_range,
+    "influxql_select_range": influxql_select_range,
+    "influxql_group_by_time": influxql_group_by_time,
     "ts_time_bucket_agg": ts_time_bucket_agg,
     "ts_tumbling_window": ts_tumbling_window,
     "ts_derived_rate": ts_derived_rate,
@@ -302,6 +334,25 @@ _DSUM_VALUE = (
 )
 
 ORACLES = {
+    "influxql_select_range": f"""
+        SELECT ts, value, user_id
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+    """,
+    "influxql_group_by_time": """
+        SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600)
+                 AS TIMESTAMP) AS time_bucket,
+               event_type,
+               CAST(COUNT(value) AS BIGINT) AS count_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               arg_min(value, ts) AS first_value,
+               arg_max(value, ts) AS last_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY time_bucket, event_type
+    """,
     "ts_tag_time_range": f"""
         SELECT event_id, ts, user_id, value
         FROM events
