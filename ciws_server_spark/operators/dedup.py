@@ -148,7 +148,13 @@ def _jaccard_verify_candidates(
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5."""
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5 — ORACLE
+    BASELINE form. The inverted-index self-join explodes on common
+    shingles (stopword trigrams) at corpus scale; production runs
+    ``dedup_ngram_prefix`` (same exact result, prefix-filtered
+    candidates) or ``dedup_minhash_lsh`` (approximate candidates,
+    exact verification). Registered so the scale paths have an
+    in-repo ground truth to be tested against."""
     return _jaccard_pairs(_shingle_sets(spark, sf_dir), _JACCARD_THRESHOLD)
 
 
@@ -308,11 +314,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ 0.9 (brute verification).
+    """Near-dup pairs by embedding cosine ≥ 0.9 — ORACLE BASELINE.
 
-    Brute pairwise is the correctness baseline; the bucketed LSH scale
-    path is operators/similarity.py (hyperplane buckets → pairs only
-    within bucket).
+    O(n²) cross join: correctness ground truth only. The registered
+    scale path is ``dedup_embedding_lsh`` below (banded multi-table
+    hyperplane LSH candidates, exact cosine verification).
     """
     emb = table(spark, sf_dir, "embeddings")
     a = emb.select(

@@ -158,10 +158,61 @@ def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_LEN = 64
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("first_frame_md5", StringType()),
+        StructField("last_frame_md5", StringType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling over binary payloads — the video/audio chunking
+    stub (`_FRAME_LEN`-byte frames stand in for decoded frames; a real
+    deployment replaces the slicing with the codec's frame iterator,
+    the batch plumbing stays identical)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, modality, payload in zip(
+            pdf["doc_id"], pdf["modality"], pdf["payload"]
+        ):
+            n = len(payload)
+            n_frames = (n + _FRAME_LEN - 1) // _FRAME_LEN
+            first = payload[:_FRAME_LEN]
+            last = payload[(n_frames - 1) * _FRAME_LEN :] if n_frames else b""
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "modality": modality,
+                    "n_frames": n_frames,
+                    "first_frame_md5": hashlib.md5(first).hexdigest(),
+                    "last_frame_md5": hashlib.md5(last).hexdigest(),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the binary payloads via mapInPandas (brief item:
+    decode / frame-sample as pandas over Arrow batches)."""
+    mm = (
+        with_payload(table(spark, sf_dir, "documents"))
+        .select("doc_id", "modality", "payload")
+        .repartition("doc_id")
+    )
+    return mm.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
 QUERIES = {
     "mm_manifest": mm_manifest,
     "mm_modality_rollup": mm_modality_rollup,
     "mm_byte_stats": mm_byte_stats,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 _MODALITY_SQL = (
@@ -206,5 +257,19 @@ ORACLES = {
         ORDER BY doc_id
     """,
 }
+
+ORACLES["mm_frame_sample"] = f"""
+    SELECT doc_id,
+           {_MODALITY_SQL} AS modality,
+           CAST(CEIL(CAST(strlen(text) AS DOUBLE) / {_FRAME_LEN}) AS BIGINT)
+             AS n_frames,
+           md5(substring(text, 1, {_FRAME_LEN})) AS first_frame_md5,
+           md5(substring(text,
+               CAST((CEIL(CAST(strlen(text) AS DOUBLE) / {_FRAME_LEN}) - 1)
+                    * {_FRAME_LEN} + 1 AS BIGINT),
+               {_FRAME_LEN})) AS last_frame_md5
+    FROM documents
+    ORDER BY doc_id
+"""
 
 HEADLINE = {"mm_byte_stats"}

@@ -170,7 +170,12 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN candidate pairs: same bucket, verified cosine ≥ threshold."""
+    """ANN candidate pairs: same bucket, verified cosine ≥ threshold.
+
+    Single-table 8-plane form — kept as the simple baseline; the
+    honest scale path is ``sim_lsh_multitable_pairs`` (4×12 AND/OR:
+    smaller buckets ⇒ Σ bucket² stays near-linear, with recall
+    recovered across tables)."""
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _bucket_col(F.col("embedding"))
     )
