@@ -233,9 +233,19 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame is ROWS UNBOUNDED PRECEDING..CURRENT over a unique key.
     """
     l = table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this data — full
+    # ties in the ROWS frame make the first prefix of a tie group
+    # engine/run-dependent. Price+discount complete a total order
+    # (verified: zero residual tied groups at sf0.1).
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return l.select(
@@ -459,8 +469,39 @@ def salted_high_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crypto_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 crypto surface: md5 + sha256 (reference auth plane uses
+    sha256 over joined strings, auth.py:71-75; exposed in-engine)."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.sha2(F.concat_ws(":", "p_brand", "p_type"), 256).alias("keyed_sha256"),
+    )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the spark.sql() entry path (text SQL over
+    a parquet-backed view — the engine's second query front door)."""
+    path = f"{sf_dir}/orders.parquet"
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+                 AS total
+        FROM parquet.`{path}`
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "crypto_hashes": crypto_hashes,
+    "grouping_sets_orders": grouping_sets_orders,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "topk_orders_per_segment": topk_orders_per_segment,
@@ -599,7 +640,8 @@ ORACLES = {
         SELECT l_suppkey, l_orderkey, l_linenumber,
                CAST(ROUND(SUM({_REVENUE_SQL}) OVER (
                    PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_extendedprice, l_discount
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ), 2) AS DOUBLE) AS running_revenue
         FROM lineitem
@@ -676,6 +718,25 @@ ORACLES = {
         ORDER BY y, m
     """,
 }
+
+ORACLES["crypto_hashes"] = """
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           sha256(p_brand || ':' || p_type) AS keyed_sha256
+    FROM part
+    ORDER BY p_partkey
+"""
+
+ORACLES["grouping_sets_orders"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
 
 ORACLES["cube_order_stats"] = """
     SELECT o_orderstatus, o_orderpriority,
