@@ -314,10 +314,57 @@ def influxql_group_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("time_bucket", "event_type")
 
 
+_RANGE_SEC = 1800  # ±30 min
+
+
+def ts_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bucket equi-join: clicks within ±30 min of
+    each purchase, per user.
+
+    Spark has no native range join; the scalable pattern buckets time
+    into range-sized cells and equi-joins each probe row against its
+    cell and the two neighbors (explode of 3 bucket keys), then
+    applies the exact range predicate. Join fan-out is 3× rows —
+    bounded — instead of the unbounded merge a naive
+    ``ON a.ts BETWEEN ...`` theta-join degenerates to. (The DuckDB
+    oracle uses its native range join.)
+    """
+    ev = table(spark, sf_dir, "events")
+    bucket = lambda c: (c.cast("double") / _RANGE_SEC).cast("long")  # noqa: E731
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(
+                bucket(F.col("ts")) - 1, bucket(F.col("ts")), bucket(F.col("ts")) + 1
+            )
+        ).alias("bucket"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        bucket(F.col("ts")).alias("bucket"),
+    )
+    dt = F.abs(F.col("c_ts").cast("double") - F.col("p_ts").cast("double"))
+    return (
+        purchases.join(clicks, ["user_id", "bucket"])
+        .where(dt <= _RANGE_SEC)
+        .groupBy("purchase_id", "user_id", "p_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby_clicks"),
+            F.min("c_ts").alias("first_click_ts"),
+            F.max("c_ts").alias("last_click_ts"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 QUERIES = {
     "ts_tag_time_range": ts_tag_time_range,
     "influxql_select_range": influxql_select_range,
     "influxql_group_by_time": influxql_group_by_time,
+    "ts_range_join_buckets": ts_range_join_buckets,
     "ts_time_bucket_agg": ts_time_bucket_agg,
     "ts_tumbling_window": ts_tumbling_window,
     "ts_derived_rate": ts_derived_rate,
@@ -358,6 +405,18 @@ ORACLES = {
         FROM events
         WHERE event_type = 'click'
           AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+    """,
+    "ts_range_join_buckets": f"""
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+               COUNT(*) AS n_nearby_clicks,
+               MIN(c.ts) AS first_click_ts,
+               MAX(c.ts) AS last_click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND ABS(epoch(c.ts) - epoch(p.ts)) <= {_RANGE_SEC}
+        GROUP BY 1, 2, 3
+        ORDER BY purchase_id
     """,
     "ts_time_bucket_agg": f"""
         SELECT date_trunc('hour', ts) AS bucket, event_type,
