@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     dedup,
     multimodal,
     ops,
+    pipeline,
     similarity,
     text_analysis,
     timeseries,
@@ -17,4 +18,12 @@ from . import (  # noqa: F401
 )
 
 #: Modules contributing to the driver's queries()/oracle_sql() registry.
-ALL_MODULES = (dedup, multimodal, similarity, text_analysis, timeseries, tpch)
+ALL_MODULES = (
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    text_analysis,
+    timeseries,
+    tpch,
+)
