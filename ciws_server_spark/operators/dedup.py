@@ -291,16 +291,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
     ).withColumn("h", F.md5("w"))
-    # bit bp of the hash: hex digit bp//4, bit bp%4 within it → ±1 vote
+    # two projections: 15 hex-digit values first (one substr each),
+    # then the 60 bit votes as integer bit math over those — 4× less
+    # string work than extracting the digit per bit position
+    digits = toks.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"instr('0123456789abcdef', substr(h, {d + 1}, 1)) - 1"
+            ).alias(f"d{d}")
+            for d in range(_SIMHASH_BITS // 4)
+        ],
+    )
     contribs = [
-        F.expr(
-            f"(shiftright(instr('0123456789abcdef', substr(h, {bp // 4 + 1}, 1))"
-            f" - 1, {bp % 4}) & 1) * 2 - 1"
-        ).alias(f"c{bp}")
+        F.expr(f"(shiftright(d{bp // 4}, {bp % 4}) & 1) * 2 - 1").alias(f"c{bp}")
         for bp in range(_SIMHASH_BITS)
     ]
     votes = (
-        toks.select("doc_id", *contribs)
+        digits.select("doc_id", *contribs)
         .groupBy("doc_id")
         .agg(*[F.sum(f"c{bp}").alias(f"v{bp}") for bp in range(_SIMHASH_BITS)])
     )
