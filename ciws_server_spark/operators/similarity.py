@@ -85,31 +85,45 @@ def _table_planes(t: int) -> list[list[float]]:
     return hyperplanes(_PLANES_PER_TABLE, _DIM, seed=f"mt{t}")
 
 
+def _fold_buckets(m: "np.ndarray", planes: "np.ndarray") -> "np.ndarray":
+    """Sign-bucket ids for a vector batch with explicit left-fold
+    accumulation over dimensions — every partial sum is the same IEEE
+    double the JVM fold (functions.vectors.dot) and the oracle's
+    left-associative SQL sum produce; numpy's pairwise-summation
+    ``dot`` would round differently and could flip a sign at a bucket
+    boundary."""
+    acc = np.zeros((m.shape[0], planes.shape[0]))
+    for d in range(m.shape[1]):
+        acc += m[:, [d]] * planes[:, d]
+    weights = 1 << np.arange(planes.shape[0])
+    return ((acc > 0) @ weights).astype(np.int32)
+
+
 # DataType object, not a DDL string: string return types are parsed at
 # decoration time and require a live SparkContext, which would break
 # importing this module before a session exists (driver contract).
 @pandas_udf(ArrayType(IntegerType()))
 def _mt_buckets_udf(emb: pd.Series) -> pd.Series:
-    """All T×P plane dots for a batch of vectors, Arrow-vectorized.
-
-    The accumulation is an explicit left-fold over dimensions so every
-    partial sum is the same IEEE double the JVM fold
-    (functions.vectors.dot) and the oracle's left-associative SQL sum
-    produce — numpy's pairwise-summation ``dot`` would round
-    differently and could flip a sign at a bucket boundary.
-    """
+    """All T×P plane dots for a batch of vectors, Arrow-vectorized."""
     if not len(emb):
         return pd.Series([], dtype=object)
     m = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
-    buckets = []
-    for t in range(_N_TABLES):
-        planes = np.asarray(_table_planes(t), dtype=np.float64)  # (P, dim)
-        acc = np.zeros((m.shape[0], planes.shape[0]))
-        for d in range(m.shape[1]):
-            acc += m[:, [d]] * planes[:, d]
-        weights = 1 << np.arange(planes.shape[0])
-        buckets.append(((acc > 0) @ weights).astype(np.int32))
+    buckets = [
+        _fold_buckets(m, np.asarray(_table_planes(t), dtype=np.float64))
+        for t in range(_N_TABLES)
+    ]
     return pd.Series(np.stack(buckets, axis=1).tolist())
+
+
+@pandas_udf(IntegerType())
+def _single_bucket_udf(emb: pd.Series) -> pd.Series:
+    """Single-table 8-plane bucket id (same fold-order contract)."""
+    if not len(emb):
+        return pd.Series([], dtype="int32")
+    m = np.vstack(emb.to_numpy()).astype(np.float64)
+    return pd.Series(
+        _fold_buckets(m, np.asarray(hyperplanes(), dtype=np.float64))
+    )
 
 
 def _multitable_assignments(emb: DataFrame) -> DataFrame:
@@ -157,7 +171,7 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket assignment + occupancy (the ANN index layout)."""
     emb = table(spark, sf_dir, "embeddings")
-    assigned = emb.withColumn("bucket", _bucket_col(F.col("embedding")))
+    assigned = emb.withColumn("bucket", _single_bucket_udf(F.col("embedding")))
     return (
         assigned.groupBy("bucket")
         .agg(
@@ -176,8 +190,8 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest scale path is ``sim_lsh_multitable_pairs`` (4×12 AND/OR:
     smaller buckets ⇒ Σ bucket² stays near-linear, with recall
     recovered across tables)."""
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _bucket_col(F.col("embedding"))
+    emb = table(spark, sf_dir, "embeddings").repartition("vec_id").withColumn(
+        "bucket", _single_bucket_udf(F.col("embedding"))
     )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
