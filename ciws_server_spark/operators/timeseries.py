@@ -360,11 +360,61 @@ def ts_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``fill()`` equivalent: dense hourly axis per series
+    with ``fill(0)`` for counts and ``fill(previous)`` (LOCF) for the
+    last observed value.
+
+    The dense axis is generated (sequence+explode per series over the
+    GLOBAL min/max hour — a 2-row broadcast, not a shuffle), left-
+    joined with the rollup; LOCF is last(ignorenulls) over the series
+    window. Axis size = hours × series keys: bounded, independent of
+    event count.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    axis = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        axis.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n_filled"),
+            F.col("n").isNull().alias("was_gap"),
+            F.last("last_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
 QUERIES = {
     "ts_tag_time_range": ts_tag_time_range,
     "influxql_select_range": influxql_select_range,
     "influxql_group_by_time": influxql_group_by_time,
     "ts_range_join_buckets": ts_range_join_buckets,
+    "ts_gap_fill": ts_gap_fill,
     "ts_time_bucket_agg": ts_time_bucket_agg,
     "ts_tumbling_window": ts_tumbling_window,
     "ts_derived_rate": ts_derived_rate,
@@ -405,6 +455,33 @@ ORACLES = {
         FROM events
         WHERE event_type = 'click'
           AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+    """,
+    "ts_gap_fill": """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS bucket, event_type,
+                 COUNT(*) AS n, arg_max(value, ts) AS last_value
+          FROM events GROUP BY 1, 2
+        ),
+        axis AS (
+          SELECT t.event_type,
+                 CAST(to_timestamp(u.h * 3600) AS TIMESTAMP) AS bucket
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               unnest(range(
+                 (SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT)
+                         // 3600 FROM events),
+                 (SELECT CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT)
+                         // 3600 FROM events) + 1)) u(h)
+        )
+        SELECT a.event_type, a.bucket,
+               COALESCE(h.n, 0) AS n_filled,
+               h.n IS NULL AS was_gap,
+               LAST_VALUE(h.last_value IGNORE NULLS) OVER (
+                 PARTITION BY a.event_type ORDER BY a.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_value
+        FROM axis a LEFT JOIN hourly h
+          ON h.event_type = a.event_type AND h.bucket = a.bucket
+        ORDER BY a.event_type, a.bucket
     """,
     "ts_range_join_buckets": f"""
         SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
