@@ -208,11 +208,54 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
 
 
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """2× downsample stub: every other byte (a real deployment swaps
+    in the codec's resampler; schema/batch plumbing identical)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, modality, payload in zip(
+            pdf["doc_id"], pdf["modality"], pdf["payload"]
+        ):
+            resized = payload[::2]
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "modality": modality,
+                    "orig_bytes": len(payload),
+                    "resized_bytes": len(resized),
+                    "resized_md5": hashlib.md5(resized).hexdigest(),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample over binary payloads via mapInPandas."""
+    mm = (
+        with_payload(table(spark, sf_dir, "documents"))
+        .select("doc_id", "modality", "payload")
+        .repartition("doc_id")
+    )
+    return mm.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
 QUERIES = {
     "mm_manifest": mm_manifest,
     "mm_modality_rollup": mm_modality_rollup,
     "mm_byte_stats": mm_byte_stats,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize": mm_resize,
 }
 
 _MODALITY_SQL = (
@@ -268,6 +311,19 @@ ORACLES["mm_frame_sample"] = f"""
                CAST((CEIL(CAST(strlen(text) AS DOUBLE) / {_FRAME_LEN}) - 1)
                     * {_FRAME_LEN} + 1 AS BIGINT),
                {_FRAME_LEN})) AS last_frame_md5
+    FROM documents
+    ORDER BY doc_id
+"""
+
+# keep-every-other-byte in SQL: regexp '(.)(.)' → first of each pair
+# (plus any trailing odd byte) — identical semantics in RE2 and Java
+ORACLES["mm_resize"] = f"""
+    SELECT doc_id,
+           {_MODALITY_SQL} AS modality,
+           CAST(strlen(text) AS BIGINT) AS orig_bytes,
+           CAST(strlen(regexp_replace(text, '(.)(.)', '\\1', 'g')) AS BIGINT)
+             AS resized_bytes,
+           md5(regexp_replace(text, '(.)(.)', '\\1', 'g')) AS resized_md5
     FROM documents
     ORDER BY doc_id
 """
