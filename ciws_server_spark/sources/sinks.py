@@ -32,6 +32,7 @@ PARTITIONING = {
     "raw_data": ["siteID", "date"],
     "qc_data": ["siteID", "date"],
     "campus_flow": ["buildingID", "date"],
+    "campus_flow_hourly": ["buildingID", "date"],
     "derived_hot_intake": ["buildingID", "date"],
     "quarantine_files": [],
 }

@@ -52,3 +52,33 @@ def test_campus_to_derived(spark, tmp_path):
         end="2021-03-01 00:02:30",
     )
     assert n2 == 0  # only one pulse in range → no pair
+
+
+def test_hourly_rollup_matches_direct_aggregation(spark, tmp_path):
+    """Continuous-aggregate table ≡ direct aggregation over raw points."""
+    import pyspark.sql.functions as F
+
+    from ciws_server_spark.jobs import build_hourly_rollup
+    from ciws_server_spark.sources import campus, sinks
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "meter.csv").write_text(CSV)
+    table_dir = str(tmp_path / "tables")
+    points, _ = campus.parse(spark, str(landing), building="d")
+    sinks.append_points(points.drop("src_file"), table_dir, "campus_flow")
+
+    n = build_hourly_rollup(spark, table_dir)
+    assert n == 1  # all fixture rows fall in one building-hour
+
+    rollup = spark.read.parquet(
+        os.path.join(table_dir, "campus_flow_hourly")
+    ).collect()[0]
+    raw = spark.read.parquet(os.path.join(table_dir, "campus_flow"))
+    exp = raw.agg(
+        F.count(F.lit(1)), F.sum("hotOutFlowRate"), F.max("hotOutFlowRate")
+    ).collect()[0]
+    assert rollup["n_points"] == exp[0]
+    assert rollup["sum_hot_out"] == exp[1]
+    assert rollup["max_hot_out"] == exp[2]
+    assert str(rollup["time"]) == "2021-03-01 00:00:00"
