@@ -76,12 +76,17 @@ def build_hourly_rollup(spark: SparkSession, table_dir: str) -> int:
         )
         .withColumn("time", F.col("hour"))
     )
-    n = rollup.count()
-    if n:
-        sinks.append_points(
-            rollup.drop("hour"), table_dir, "campus_flow_hourly"
-        )
-    return n
+    # one evaluation: cache the (small) rollup so count + append share it
+    rollup = rollup.persist()
+    try:
+        n = rollup.count()
+        if n:
+            sinks.append_points(
+                rollup.drop("hour"), table_dir, "campus_flow_hourly"
+            )
+        return n
+    finally:
+        rollup.unpersist()
 
 
 def run_derived_rate_job(
@@ -101,8 +106,11 @@ def run_derived_rate_job(
         flow = flow.where(F.col("time") >= F.lit(start).cast("timestamp"))
     if end is not None:
         flow = flow.where(F.col("time") <= F.lit(end).cast("timestamp"))
-    out = derived_rate(flow)
-    n = out.count()
-    if n:
-        sinks.append_points(out, table_dir, "derived_hot_intake")
-    return n
+    out = derived_rate(flow).persist()
+    try:
+        n = out.count()
+        if n:
+            sinks.append_points(out, table_dir, "derived_hot_intake")
+        return n
+    finally:
+        out.unpersist()

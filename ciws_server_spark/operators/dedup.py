@@ -40,6 +40,7 @@ _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 _JACCARD_THRESHOLD = 0.5
 _COSINE_DUP_THRESHOLD = 0.9
 _SIMHASH_BITS = 60  # 15 hex chars of md5 → stays in signed int64
+_MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 
 
 def _with_fingerprint(df: DataFrame, fp_col) -> DataFrame:
@@ -85,6 +86,22 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
     ).persist()
+
+
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` eagerly, then release cached inputs.
+
+    Query callables return DataFrames the caller collects later, so an
+    ``unpersist`` before that action would just force a full recompute
+    of the shingle explode. ``localCheckpoint(eager=True)`` runs the
+    job once while the cache is hot and pins only the (small) result
+    partitions, after which every persisted input can be dropped — no
+    cached shingle frames outlive the query (the round-2 leak).
+    """
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def _jaccard_of_common(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
@@ -155,7 +172,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates) or ``dedup_minhash_lsh`` (approximate candidates,
     exact verification). Registered so the scale paths have an
     in-repo ground truth to be tested against."""
-    return _jaccard_pairs(_shingle_sets(spark, sf_dir), _JACCARD_THRESHOLD)
+    shingles = _shingle_sets(spark, sf_dir)
+    return _finalize(_jaccard_pairs(shingles, _JACCARD_THRESHOLD), shingles)
 
 
 def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,35 +217,53 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_verify_candidates(shingles, candidates, _JACCARD_THRESHOLD)
+    return _finalize(
+        _jaccard_verify_candidates(shingles, candidates, _JACCARD_THRESHOLD),
+        shingles,
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup (the 100 TB-scale dedup path).
 
-    signature_k(doc) = min over shingles of md5(k ':' shingle);
-    band hash = md5 of its row signatures; candidate pairs share a
-    (band, band_hash) bucket; candidates are then verified with exact
-    Jaccard. Per doc the join key count is constant (= bands), so the
-    shuffle volume is O(corpus), not O(corpus × doc length).
+    signature_k(doc) = min over shingles of (h1 + k·h2) mod p, where
+    h1/h2 are the top-60/next-32 bits of md5(shingle) and p = 2^61-1 —
+    the standard 2-universal seed-combination, so ONE md5 per shingle
+    yields all K signatures (round 2 computed K md5 strings per
+    shingle — 16× the string hashing for the same candidate quality).
+    Band hash = md5 of the band's signatures in seed order; candidate
+    pairs share a (band, band_hash) bucket; candidates are then
+    verified with exact Jaccard. Per doc the join key count is
+    constant (= bands), so shuffle volume is O(corpus), not
+    O(corpus × doc length).
 
-    Plan shape: shingles are exploded ONCE, the K seed-hashes are K
-    codegen'd md5 columns in one projection, and the per-doc minimum
-    is a groupBy with map-side partial aggregation — the shuffle
-    carries one K-column row per (doc, map partition), not
-    |shingles|×K rows (the round-1 shape). Band assembly is then
-    row-local arithmetic over the K signature columns.
+    Plan shape: one codegen'd explode → md5 → two int columns, a
+    groupBy with K map-side partial mins (one K-column row per doc
+    per map partition), row-local band assembly — and verification
+    explodes the shingles of CANDIDATE docs only (broadcast
+    semi-join), not the whole corpus. No persisted intermediates.
     """
-    shingles = _shingle_sets(spark, sf_dir)
-    hashed = shingles.select(
+    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    exploded = docs.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))).alias(f"h{k}")
-            for k in range(_NUM_HASHES)
-        ],
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
     )
-    minhash = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(_NUM_HASHES)]
+    hx = exploded.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5("shingle"), 17, 8), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
+    minhash = hx.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(_MINHASH_P)
+            ).alias(f"mh{k}")
+            for k in range(_NUM_HASHES)
+        ]
     )
     band_structs = [
         F.struct(
@@ -235,16 +271,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.array_sort(
-                        F.array(
-                            *[
-                                F.col(f"mh{k}")
-                                for k in range(
-                                    b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND
-                                )
-                            ]
+                    *[
+                        F.col(f"mh{k}").cast("string")
+                        for k in range(
+                            b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND
                         )
-                    ),
+                    ],
                 )
             ).alias("band_hash"),
         )
@@ -253,6 +285,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_hash")
+    # both sides of the bucket self-join consume `bands`; without a
+    # materialization each side re-runs the whole signature pipeline
+    # (bands is 4 small rows per doc — at cluster scale this is the
+    # stage you'd persist or write as the LSH index table)
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -267,8 +304,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    shingles = _shingle_sets(spark, sf_dir)
-    return _jaccard_verify_candidates(shingles, candidates, _JACCARD_THRESHOLD)
+    # candidates are consumed by three plan branches below (doc list,
+    # verify join); they are tiny (bounded by bucket collisions), so
+    # materialize once instead of re-running the signature pipeline
+    # per consumer
+    candidates = candidates.localCheckpoint(eager=True)
+    # verification shingles: explode only docs that appear in a
+    # candidate pair — the broadcast semi-join keeps the explode (and
+    # the per-doc size counts) proportional to the candidate set, not
+    # the corpus
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_shingles = (
+        docs.join(F.broadcast(cand_docs), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text", 3))).alias(
+                "shingle"
+            ),
+        )
+    )
+    return _jaccard_verify_candidates(
+        cand_shingles, candidates, _JACCARD_THRESHOLD
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,14 +539,20 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": f"""
         WITH sh AS ({_SHINGLES_SQL}),
+        hx AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+                 ('0x' || substr(md5(shingle), 17, 8))::BIGINT AS h2
+          FROM sh
+        ),
         minhash AS (
-          SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS mh
-          FROM sh, unnest(range(0, {_NUM_HASHES})) AS s(seed)
+          SELECT doc_id, seed, MIN((h1 + seed * h2) % {_MINHASH_P}) AS mh
+          FROM hx, unnest(range(0, {_NUM_HASHES})) AS s(seed)
           GROUP BY 1, 2
         ),
         bands AS (
           SELECT doc_id, CAST(FLOOR(seed / {_ROWS_PER_BAND}) AS INT) AS band,
-                 md5(string_agg(mh, ',' ORDER BY mh)) AS band_hash
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
           FROM minhash
           GROUP BY 1, 2
         ),

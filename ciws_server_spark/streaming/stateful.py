@@ -70,6 +70,16 @@ def _emit_pairs(user_id, timestamps, last_us: int | None) -> tuple[list[dict], i
     return out_rows, last_us
 
 
+def _sorted_ts(pdf: pd.DataFrame) -> pd.Series:
+    """Pulse order within a group: (ts, event_id) when the tiebreaker
+    column is present — the same total order the batch lag-window
+    operator uses (``timeseries.ts_derived_rate`` orders by ts,
+    event_id), so timestamp ties pair deterministically on both paths
+    instead of in input-partition order."""
+    order = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+    return pdf.sort_values(order)["ts"]
+
+
 def _rate_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -79,7 +89,7 @@ def _rate_fn(
     last_us = state.get[0] if state.exists else None
     out_rows: list[dict] = []
     for pdf in pdfs:
-        rows, last_us = _emit_pairs(user_id, pdf.sort_values("ts")["ts"], last_us)
+        rows, last_us = _emit_pairs(user_id, _sorted_ts(pdf), last_us)
         out_rows.extend(rows)
     if last_us is not None:
         state.update((last_us,))
@@ -94,7 +104,7 @@ def _rate_fn_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     if not len(pdf):
         return pd.DataFrame(columns=cols)
     user_id = pdf["user_id"].iloc[0]
-    rows, _ = _emit_pairs(user_id, pdf.sort_values("ts")["ts"], None)
+    rows, _ = _emit_pairs(user_id, _sorted_ts(pdf), None)
     return pd.DataFrame(rows, columns=cols)
 
 
@@ -108,11 +118,12 @@ def derived_rate_stream(pulses: DataFrame, key: str = "user_id") -> DataFrame:
     how the equivalence test cross-checks it against the lag-window
     batch operator.
     """
+    cols = [key, "ts"] + (["event_id"] if "event_id" in pulses.columns else [])
     if not pulses.isStreaming:
-        return pulses.select(key, "ts").groupBy(key).applyInPandas(
+        return pulses.select(*cols).groupBy(key).applyInPandas(
             _rate_fn_batch, schema=RATE_SCHEMA
         )
-    return pulses.select(key, "ts").groupBy(key).applyInPandasWithState(
+    return pulses.select(*cols).groupBy(key).applyInPandasWithState(
         _rate_fn,
         outputStructType=RATE_SCHEMA,
         stateStructType=_STATE_SCHEMA,
