@@ -451,6 +451,13 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
+#: Oracle-checked locally (tests/test_extra_oracle.py) but kept out of
+#: the driver registry: the driver verifies at most 50 queries, and
+#: these are the O(n²)/inverted-index ORACLE BASELINES whose scale
+#: paths (prefix filter, embedding LSH) are registered and
+#: equality-tested against them.
+EXTRA = {"dedup_ngram_jaccard", "dedup_embedding_cosine"}
+
 # --- DuckDB oracle SQL ------------------------------------------------
 
 _SHINGLES_SQL = """

@@ -258,6 +258,10 @@ QUERIES = {
     "mm_resize": mm_resize,
 }
 
+#: Locally oracle-checked, not driver-registered (50-entry budget):
+#: mm_resize drives the identical mapInPandas binary-batch plumbing.
+EXTRA = {"mm_frame_sample"}
+
 _MODALITY_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
     " ELSE 'video' END"

@@ -360,6 +360,12 @@ QUERIES = {
     "sim_lsh_multitable_pairs": sim_lsh_multitable_pairs,
 }
 
+#: Locally oracle-checked, not driver-registered (50-entry budget):
+#: each is the intermediate stage of a registered end-to-end query
+#: (buckets→pairs, cells→topk) so the machinery is still driver-
+#: verified through its consumer.
+EXTRA = {"sim_lsh_pairs", "sim_lsh_multitable_buckets", "sim_ivf_cells"}
+
 
 def _cosine_sql(a: str, b: str) -> str:
     return (
@@ -496,4 +502,4 @@ ORACLES = {
     """,
 }
 
-HEADLINE = {"sim_brute_topk", "sim_lsh_pairs", "sim_lsh_multitable_pairs"}
+HEADLINE = {"sim_brute_topk", "sim_lsh_buckets", "sim_lsh_multitable_pairs"}

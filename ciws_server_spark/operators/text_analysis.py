@@ -172,6 +172,11 @@ QUERIES = {
     "text_rolling_fingerprint": text_rolling_fingerprint,
 }
 
+#: Locally oracle-checked, not driver-registered (50-entry budget):
+#: ws token counting is subsumed by the BPE-ish tokenizer query and
+#: md5 content fingerprinting by dedup_exact's fingerprint column.
+EXTRA = {"text_token_count", "text_fingerprint"}
+
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 _NORM_SQL = (
     "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"

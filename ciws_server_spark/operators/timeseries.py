@@ -426,6 +426,11 @@ QUERIES = {
     "ts_asof_join": ts_asof_join,
 }
 
+#: Locally oracle-checked, not driver-registered (50-entry budget):
+#: the same S10/P9 predicate shape is driver-verified through the
+#: InfluxQL text front-end (influxql_select_range).
+EXTRA = {"ts_tag_time_range"}
+
 _DSUM_VALUE = (
     "ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2)"
 )

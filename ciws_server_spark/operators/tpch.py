@@ -525,6 +525,23 @@ QUERIES = {
     "salted_high_cardinality_agg": salted_high_cardinality_agg,
 }
 
+#: Locally oracle-checked, not driver-registered: the driver verifies
+#: at most 50 queries, so near-duplicate exercisers of already-covered
+#: machinery yield their slots — anti/outer joins (semi + q3/q5 cover
+#: the join surface), rank windows (running-revenue frames are in),
+#: rollup (cube + grouping sets are in), conditional agg (pivot is
+#: in), decorrelated subquery, union-all, and the salting demo.
+EXTRA = {
+    "join_anti_customers_without_orders",
+    "join_outer_supplier_coverage",
+    "window_rank_customers",
+    "conditional_agg_order_mix",
+    "subquery_above_avg_balance",
+    "union_all_keys",
+    "salted_high_cardinality_agg",
+    "rollup_pricing",
+}
+
 _DEC1 = "CAST(1 AS DECIMAL(30,6))"
 
 ORACLES = {

@@ -53,8 +53,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # registered (driver-verified) + extra (locally-verified) queries:
+    # the replica sweeps both so nothing is ever oracle-unchecked
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     results: dict[str, str] = {}
     for name, fn in sorted(qs.items()):
         if ONLY and name not in ONLY:
