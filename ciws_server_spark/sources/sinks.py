@@ -9,13 +9,22 @@ CSV to an archive (success) or quarantine (parse failure) directory
   partitions — the same pruning InfluxDB's tag/time indexes give
   (SURVEY.md §1.6). At 100 TB this layout is the whole game: a query
   for one site and one week touches only those directories.
-* archive / quarantine moves → manifest-driven file moves. In the
-  streaming form (streaming/ingest.py) archive is the file source's
-  own ``cleanSource=archive``; the batch form here moves exactly the
-  files the parse manifest routed, after the table append succeeds —
-  the same at-least-once contract as the reference (move gated on
-  write success), minus its crash-window double-ingest
-  (SURVEY.md §7.4.3).
+* archive / quarantine moves → manifest-driven file moves. The
+  streaming form (streaming/ingest.py) records every landed file in an
+  ``ingest_manifest`` table in-batch and replays the moves AFTER the
+  streaming pass terminates (post-commit): a replayed batch re-reads
+  its original landing paths, so moving files inside the batch would
+  make crash recovery re-read paths that no longer exist. Moves are
+  idempotent (missing source = already moved = skipped).
+
+Idempotence under batch replay: when a ``batch_id`` is supplied, the
+append becomes a DYNAMIC PARTITION OVERWRITE of the
+``(…, batch_id=N)`` leaf partitions — replaying a crashed
+micro-batch rewrites exactly the partitions it wrote the first time,
+so table contents are exactly-once even though foreachBatch delivery
+is at-least-once (the reference double-ingests in this crash window,
+``loader.py:68-84``; Delta's ``txnAppId`` idempotence is the managed
+equivalent of this, not available in this container).
 """
 
 from __future__ import annotations
@@ -35,34 +44,53 @@ PARTITIONING = {
     "campus_flow_hourly": ["buildingID", "date"],
     "derived_hot_intake": ["buildingID", "date"],
     "quarantine_files": [],
+    "ingest_manifest": [],
 }
 
 
-def append_points(df: DataFrame, table_dir: str, table: str) -> None:
+def append_points(
+    df: DataFrame, table_dir: str, table: str, batch_id: int | None = None
+) -> None:
     """S7/S8/S9 — append points to a partitioned parquet table.
 
     ``date`` is derived from the time column for partition pruning.
     Batch size / numeric precision knobs of the reference's line
     protocol are storage no-ops under parquet.
+
+    With ``batch_id`` (streaming foreachBatch), the write is an
+    idempotent overwrite of this batch's own ``batch_id=N`` leaf
+    partitions (module docstring): replay converges instead of
+    duplicating. Without it, a plain append (single-shot batch jobs).
     """
     parts = PARTITIONING.get(table, [])
     out = df
     if "date" in parts:
         out = out.withColumn("date", F.to_date("time"))
-    (
-        out.write.mode("append")
-        .partitionBy(*parts)
-        .parquet(os.path.join(table_dir, table))
-    )
+    path = os.path.join(table_dir, table)
+    if batch_id is None:
+        out.write.mode("append").partitionBy(*parts).parquet(path)
+    else:
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts, "batch_id")
+            .parquet(path)
+        )
 
 
 def route_residential(
-    points: DataFrame, manifest: DataFrame, table_dir: str
+    points: DataFrame,
+    manifest: DataFrame,
+    table_dir: str,
+    batch_id: int | None = None,
 ) -> dict[str, int]:
     """Raw/QC routing (S7): one parse, two partitioned appends.
 
     Returns per-target row counts. The split is two filtered writes of
-    the same cached parse so the scan is not repeated.
+    the same cached parse so the scan is not repeated. With
+    ``batch_id`` every write (points, quarantine rows, ingest
+    manifest) is the idempotent overwrite-by-batch form.
     """
     points = points.cache()
     try:
@@ -71,38 +99,139 @@ def route_residential(
             sub = points.where(F.col("is_qc") == flag).drop("is_qc", "src_file")
             counts[target] = sub.count()
             if counts[target]:  # empty write would leave a schemaless dir
-                append_points(sub, table_dir, target)
-        append_quarantine_manifest(manifest, table_dir)
+                append_points(sub, table_dir, target, batch_id=batch_id)
+        append_quarantine_manifest(manifest, table_dir, batch_id=batch_id)
+        if batch_id is not None:
+            append_ingest_manifest(manifest, table_dir, batch_id)
         return counts
     finally:
         points.unpersist()
 
 
-def append_quarantine_manifest(manifest: DataFrame, table_dir: str) -> None:
+def _write_manifest(
+    rows: DataFrame, path: str, batch_id: int | None
+) -> None:
+    if batch_id is None:
+        rows.write.mode("append").parquet(path)
+    else:
+        (
+            rows.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+
+def append_quarantine_manifest(
+    manifest: DataFrame, table_dir: str, batch_id: int | None = None
+) -> None:
     """S12 — record quarantined files + reasons as a table."""
     bad = manifest.where(F.col("quarantine_reason").isNotNull()).select(
         "src_file", "quarantine_reason"
     )
-    bad.write.mode("append").parquet(os.path.join(table_dir, "quarantine_files"))
+    _write_manifest(bad, os.path.join(table_dir, "quarantine_files"), batch_id)
+
+
+def append_ingest_manifest(
+    manifest: DataFrame, table_dir: str, batch_id: int
+) -> None:
+    """Record EVERY file of a committed-or-in-flight batch with its
+    routing decision. This is what makes archive/quarantine moves safe
+    to defer until after the streaming pass commits: the moves job
+    (``apply_pending_moves``) needs only this table, never the live
+    query. Overwrite-by-batch, so replay converges."""
+    rows = manifest.select("src_file", "quarantine_reason")
+    _write_manifest(rows, os.path.join(table_dir, "ingest_manifest"), batch_id)
+
+
+def apply_pending_moves(
+    spark, table_dir: str, archive_dir: str, quarantine_dir: str
+) -> dict:
+    """S11/S12 — archive/quarantine every manifest file still in the
+    landing dir. Run AFTER the streaming pass terminates: an
+    uncommitted batch replays from its original landing paths, so
+    in-batch moves would break crash recovery (files gone on replay).
+    Idempotent — already-moved files are skipped; a crash mid-moves is
+    healed by the next call. At 100 TB scale the manifest read prunes
+    to recent ``batch_id`` partitions; file counts (not bytes) bound
+    the work — it is rename metadata, not data motion.
+    """
+    path = os.path.join(table_dir, "ingest_manifest")
+    if not os.path.isdir(path):
+        return {"archive": 0, "quarantine": 0, "skipped": 0}
+    return move_files(
+        spark.read.parquet(path)
+        .select("src_file", "quarantine_reason")
+        .collect(),
+        archive_dir,
+        quarantine_dir,
+    )
 
 
 def move_files(manifest_rows: list, archive_dir: str, quarantine_dir: str) -> dict:
-    """S11/S12 — move each landed file to archive or quarantine.
+    """Move each landed file to archive or quarantine.
 
-    Driver-side file plumbing (same as the reference's shutil moves) —
-    called with the collected manifest AFTER the table append
-    succeeded. On a cluster this is an fs rename job, not data motion.
+    Driver-side file plumbing (same as the reference's shutil moves).
+    Missing sources are counted as ``skipped`` (already moved by an
+    earlier pass), making re-runs idempotent. On a cluster this is an
+    fs rename job, not data motion.
     """
     os.makedirs(archive_dir, exist_ok=True)
     os.makedirs(quarantine_dir, exist_ok=True)
-    moved = {"archive": 0, "quarantine": 0}
+    moved = {"archive": 0, "quarantine": 0, "skipped": 0}
     for row in manifest_rows:
         # _metadata.file_path is a URI: file:/x, file:///x both occur
         src = re.sub(r"^file:(//)?", "", row["src_file"])
+        if not os.path.exists(src):
+            moved["skipped"] += 1
+            continue
         dest = quarantine_dir if row["quarantine_reason"] else archive_dir
         shutil.move(src, os.path.join(dest, os.path.basename(src)))
         moved["quarantine" if row["quarantine_reason"] else "archive"] += 1
     return moved
+
+
+def recover_compaction(table_dir: str, table: str) -> str | None:
+    """Heal any state a crashed ``compact_table`` left behind.
+
+    The swap protocol is: (1) rewrite → ``.compact.tmp``; (2) rename
+    tmp → ``.compact.new`` (completion marker); (3) rename the live
+    table → ``.compact.old``; (4) rename new → live; (5) delete old.
+    A crash after any step is recoverable here because each state is
+    distinguishable:
+
+    * tmp present → incomplete rewrite, live table intact: drop tmp.
+    * new present AND live present → rewrite finished but swap never
+      started: drop new (stale — data may have grown since).
+    * live missing, new present → crash mid-swap: finish it
+      (new → live, drop old). The table is the compacted copy.
+    * live present, old present → crash before cleanup: drop old.
+
+    Returns a short description of the action taken, or None.
+    """
+    root = os.path.join(table_dir, table)
+    tmp, new, old = (root + s for s in (".compact.tmp", ".compact.new", ".compact.old"))
+    action = None
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+        action = "dropped stale tmp"
+    if os.path.isdir(root):
+        if os.path.isdir(new):
+            shutil.rmtree(new)
+            action = "dropped stale new"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+            action = "dropped leftover old"
+    elif os.path.isdir(new):
+        os.rename(new, root)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        action = "completed interrupted swap"
+    elif os.path.isdir(old):
+        os.rename(old, root)
+        action = "restored from old"
+    return action
 
 
 def compact_table(
@@ -112,19 +241,28 @@ def compact_table(
 
     Per-file streaming appends accumulate one file per micro-batch per
     partition (SURVEY.md §7.4.5's small-file hazard). Rewrites the
-    table with coalesced files per partition directory and swaps it
-    in atomically-enough for a single writer (rename). Returns the
-    file count after compaction. On Delta this is `OPTIMIZE`; on plain
-    parquet it is this rewrite.
+    table with coalesced files per partition directory and swaps it in
+    via the recoverable rename protocol (``recover_compaction``): a
+    crash at any step leaves the table either fully old or fully new
+    after the next call. Single-writer; the brief no-live-dir window
+    between the two swap renames is the plain-parquet cost of not
+    having a transaction log — Delta's ``OPTIMIZE`` removes it.
+    Streaming-ingested tables keep their ``batch_id`` leaf partitions
+    so replay idempotence survives compaction (files merge WITHIN a
+    batch partition; cross-batch merging is safe only with a log).
+    Returns the file count after compaction.
     """
     import glob
 
+    recover_compaction(table_dir, table)
     root = os.path.join(table_dir, table)
     if not os.path.isdir(root):
         return 0
-    parts = PARTITIONING.get(table, [])
+    parts = list(PARTITIONING.get(table, []))
     df = spark.read.parquet(root)
-    tmp = root + ".compact.tmp"
+    if "batch_id" in df.columns and "batch_id" not in parts:
+        parts.append("batch_id")
+    tmp, new, old = (root + s for s in (".compact.tmp", ".compact.new", ".compact.old"))
     writer = df.coalesce(
         max(target_files_per_partition, 1)
     ) if not parts else df.repartition(
@@ -135,9 +273,9 @@ def compact_table(
         .partitionBy(*parts)
         .parquet(tmp)
     )
-    old = root + ".compact.old"
+    os.rename(tmp, new)  # completion marker: tmp is fully written
     os.rename(root, old)
-    os.rename(tmp, root)
+    os.rename(new, root)
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
 

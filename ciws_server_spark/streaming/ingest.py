@@ -8,15 +8,28 @@ in-flight-file guard (mtime > job start skipped,
 natively and stronger:
 
 * new-file discovery per trigger with a checkpointed seen-files map
-  (replaces glob + size diff) — exactly-once per file;
+  (replaces glob + size diff) — each file enters exactly one batch;
 * ``Trigger.AvailableNow`` = "process everything landed, then stop"
   (the cron contract, restart-safe mid-batch);
 * ``maxFilesPerTrigger`` = backpressure (the reference's
-  batch_size=2000 analog);
-* crash between table write and archive move cannot double-ingest
-  (the reference's known crash window, SURVEY.md §7.4.3): the
-  checkpoint commits a batch exactly once, and re-processing a batch
-  replays the same file set deterministically.
+  batch_size=2000 analog).
+
+Delivery semantics (stated precisely — foreachBatch itself is
+at-least-once):
+
+* TABLE CONTENTS are exactly-once under crash/replay. Every in-batch
+  write is an idempotent dynamic partition overwrite of that batch's
+  own ``batch_id=N`` partitions (sources/sinks.py module docstring),
+  so a batch replayed after a crash between the table write and the
+  checkpoint commit rewrites the same partitions instead of appending
+  duplicates. The reference double-ingests in this exact window
+  (``loader.py:68-84``).
+* FILE MOVES (archive/quarantine) are at-least-once and strictly
+  post-commit: batches record routing in the ``ingest_manifest``
+  table, and ``run_ingest_pass`` replays pending moves only after the
+  query terminates. Moving inside the batch would break recovery — a
+  replayed batch re-reads its original landing paths, which would
+  already be gone.
 
 The per-batch body reuses the exact batch parser
 (sources/residential.parse_lines) — one code path for both modes.
@@ -38,16 +51,15 @@ def stream_residential(
     landing_dir: str,
     table_dir: str,
     checkpoint_dir: str,
-    archive_dir: str | None = None,
-    quarantine_dir: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start an availableNow ingest pass over the landing directory.
 
-    Each micro-batch: parse → Raw/QC partitioned append + quarantine
-    manifest → (optionally) move files to archive/quarantine dirs.
-    Returns the started query; call ``awaitTermination()`` to run the
-    pass to completion.
+    Each micro-batch: parse → Raw/QC idempotent overwrite-by-batch +
+    quarantine/ingest manifests. Returns the started query; call
+    ``awaitTermination()`` to run the pass to completion, then
+    ``sinks.apply_pending_moves`` for archive/quarantine routing
+    (``run_ingest_pass`` does both).
     """
     reader = (
         spark.readStream.option("pathGlobFilter", "*.[cC][sS][vV]")
@@ -63,13 +75,9 @@ def stream_residential(
         points, manifest = residential.parse_lines(batch_df)
         manifest = manifest.cache()
         try:
-            sinks.route_residential(points, manifest, table_dir)
-            if archive_dir and quarantine_dir:
-                sinks.move_files(
-                    manifest.select("src_file", "quarantine_reason").collect(),
-                    archive_dir,
-                    quarantine_dir,
-                )
+            sinks.route_residential(
+                points, manifest, table_dir, batch_id=batch_id
+            )
         finally:
             manifest.unpersist()
 
@@ -86,11 +94,19 @@ def run_ingest_pass(
     landing_dir: str,
     table_dir: str,
     checkpoint_dir: str,
+    archive_dir: str | None = None,
+    quarantine_dir: str | None = None,
     **kwargs,
 ) -> None:
-    """One cron-equivalent ingest pass (start + await)."""
-    q = stream_residential(spark, landing_dir, table_dir, checkpoint_dir, **kwargs)
+    """One cron-equivalent ingest pass: stream to completion, then
+    replay pending archive/quarantine moves (post-commit, idempotent —
+    also heals moves a previous crashed pass never got to)."""
+    q = stream_residential(
+        spark, landing_dir, table_dir, checkpoint_dir, **kwargs
+    )
     q.awaitTermination()
+    if archive_dir and quarantine_dir:
+        sinks.apply_pending_moves(spark, table_dir, archive_dir, quarantine_dir)
 
 
 def stream_campus(
@@ -103,7 +119,9 @@ def stream_campus(
 ) -> StreamingQuery:
     """Streaming form of the campus transfer-manager path (S4→S8):
     same checkpointed file source, per-batch superset-schema parse,
-    campus_flow append + quarantine manifest."""
+    idempotent campus_flow overwrite-by-batch + quarantine manifest.
+    The parse is cached so the emptiness probe and the write share one
+    evaluation."""
     from ..sources import campus
 
     reader = spark.readStream.option("pathGlobFilter", "*.[cC][sS][vV]")
@@ -116,11 +134,20 @@ def stream_campus(
 
     def process_batch(batch_df, batch_id: int) -> None:
         points, manifest = campus.parse_lines(batch_df, building)
-        if points.limit(1).count():
-            sinks.append_points(
-                points.drop("src_file"), table_dir, "campus_flow"
+        points = points.cache()
+        try:
+            if points.count():
+                sinks.append_points(
+                    points.drop("src_file"),
+                    table_dir,
+                    "campus_flow",
+                    batch_id=batch_id,
+                )
+            sinks.append_quarantine_manifest(
+                manifest, table_dir, batch_id=batch_id
             )
-        sinks.append_quarantine_manifest(manifest, table_dir)
+        finally:
+            points.unpersist()
 
     return (
         lines.writeStream.foreachBatch(process_batch)

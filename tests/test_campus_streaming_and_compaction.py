@@ -48,6 +48,46 @@ def test_campus_streaming_and_compaction(spark, tmp_path):
     assert flow2.count() == 2  # same data, fewer files
 
 
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames used to strand the table
+    in <table>.compact.old with nothing at the table path; the
+    completion-marker protocol heals every intermediate state on the
+    next call."""
+    import os as _os
+    import shutil as _shutil
+
+    from ciws_server_spark.sources import sinks
+    from ciws_server_spark.streaming.ingest import run_campus_pass
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_dir = str(tmp_path / "tables")
+    (landing / "a.csv").write_text(CSV_A)
+    run_campus_pass(spark, str(landing), table_dir, str(tmp_path / "ckpt"),
+                    building="e")
+    root = _os.path.join(table_dir, "campus_flow")
+    n = spark.read.parquet(root).count()
+
+    # simulate: rewrite finished (.compact.new), live dir moved aside
+    # (.compact.old), then CRASH before new→live — the worst state:
+    # no live table directory at all
+    _shutil.copytree(root, root + ".compact.new")
+    _os.rename(root, root + ".compact.old")
+    assert not _os.path.isdir(root)
+
+    assert sinks.recover_compaction(table_dir, "campus_flow") == (
+        "completed interrupted swap"
+    )
+    assert spark.read.parquet(root).count() == n
+    assert not _os.path.isdir(root + ".compact.old")
+
+    # a stale tmp (crash mid-rewrite) is dropped, table untouched
+    _os.makedirs(root + ".compact.tmp")
+    assert sinks.compact_table(spark, table_dir, "campus_flow") > 0
+    assert spark.read.parquet(root).count() == n
+    assert not _os.path.isdir(root + ".compact.tmp")
+
+
 def test_partition_pruning_on_tag_and_date(spark, tmp_path):
     """Tag+date layout prunes partitions: a siteID+date predicate
     reads ONLY the matching partition directory (PartitionFilters in

@@ -110,7 +110,7 @@ def test_route_and_move(spark, landing, tmp_path):
         archive,
         quarantine,
     )
-    assert moved == {"archive": 2, "quarantine": 3}
+    assert moved == {"archive": 2, "quarantine": 3, "skipped": 0}
     assert sorted(os.listdir(archive)) == ["good_qc.CSV", "good_raw.csv"]
     assert sorted(os.listdir(quarantine)) == [
         "bad_body.csv",
