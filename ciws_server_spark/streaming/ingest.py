@@ -169,3 +169,68 @@ def run_campus_pass(
         spark, landing_dir, table_dir, checkpoint_dir, building, **kwargs
     )
     q.awaitTermination()
+
+
+#: campus_flow on-disk schema as written by stream_campus (data
+#: columns + buildingID/date/batch_id partition levels).
+_CAMPUS_FLOW_SCHEMA = (
+    "time TIMESTAMP, coldInFlowRate DOUBLE, hotInFlowRate DOUBLE,"
+    " hotOutFlowRate DOUBLE, hotInTemp DOUBLE, hotOutTemp DOUBLE,"
+    " coldInTemp DOUBLE, buildingID STRING, date DATE, batch_id BIGINT"
+)
+
+
+def stream_derived_rate(
+    spark: SparkSession, table_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Continuous §3.3 lifecycle: campus_flow → stateful pulse-pair
+    rate → derived_hot_intake, chained through storage.
+
+    The reference recomputes the derived series with a cron job per
+    building (``get_hot_intake_interval.py:151-160``); here the
+    derived table FOLLOWS the flow table: a second streaming query
+    reads campus_flow's parquet files as a file stream (new ingest
+    batches = new input), pairs consecutive non-zero pulses per
+    building with GroupState carried across micro-batches AND across
+    availableNow runs (checkpointed state store), and appends the
+    rate series idempotently (overwrite-by-batch). This is the
+    standard two-hop table pipeline — each hop checkpoints its own
+    progress, so the chain is restart-safe end-to-end.
+    """
+    flow = (
+        spark.readStream.schema(_CAMPUS_FLOW_SCHEMA)
+        .parquet(os.path.join(table_dir, "campus_flow"))
+    )
+    pulses = flow.where(F.col("hotOutFlowRate") != 0).select(
+        "buildingID", F.col("time").alias("ts")
+    )
+    from .stateful import derived_rate_stream
+
+    rates = derived_rate_stream(pulses, key="buildingID")
+    out = rates.select(
+        F.col("ts").alias("time"),
+        "buildingID",
+        F.col("rate").alias("hotOutFlowRate"),
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        sinks.append_points(
+            batch_df, table_dir, "derived_hot_intake", batch_id=batch_id
+        )
+
+    return (
+        out.writeStream.foreachBatch(write_batch)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "derived_rate")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_derived_pass(
+    spark: SparkSession, table_dir: str, checkpoint_dir: str
+) -> None:
+    q = stream_derived_rate(spark, table_dir, checkpoint_dir)
+    q.awaitTermination()

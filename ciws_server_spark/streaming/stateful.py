@@ -37,20 +37,29 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-RATE_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("ts", TimestampType()),
-        StructField("prev_ts", TimestampType()),
-        StructField("elapsed_sec", DoubleType()),
-        StructField("rate", DoubleType()),
-    ]
-)
+def rate_schema(key: str = "user_id", key_type=None) -> StructType:
+    """Output schema of the derived-rate operator for any key column
+    (long user_id for the events table, string buildingID for the
+    campus lifecycle)."""
+    return StructType(
+        [
+            StructField(key, key_type or LongType()),
+            StructField("ts", TimestampType()),
+            StructField("prev_ts", TimestampType()),
+            StructField("elapsed_sec", DoubleType()),
+            StructField("rate", DoubleType()),
+        ]
+    )
+
+
+RATE_SCHEMA = rate_schema()
 
 _STATE_SCHEMA = StructType([StructField("last_ts_us", LongType())])
 
 
-def _emit_pairs(user_id, timestamps, last_us: int | None) -> tuple[list[dict], int | None]:
+def _emit_pairs(
+    key_name: str, key_value, timestamps, last_us: int | None
+) -> tuple[list[dict], int | None]:
     """Shared pairing core: consecutive pulses → rate rows."""
     out_rows: list[dict] = []
     for ts in timestamps:
@@ -59,7 +68,7 @@ def _emit_pairs(user_id, timestamps, last_us: int | None) -> tuple[list[dict], i
             elapsed = (ts_us - last_us) / 1e6 + 1.0
             out_rows.append(
                 {
-                    "user_id": user_id,
+                    key_name: key_value,
                     "ts": pd.Timestamp(ts_us * 1000),
                     "prev_ts": pd.Timestamp(last_us * 1000),
                     "elapsed_sec": round(elapsed, 6),
@@ -80,32 +89,42 @@ def _sorted_ts(pdf: pd.DataFrame) -> pd.Series:
     return pdf.sort_values(order)["ts"]
 
 
-def _rate_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Pair consecutive pulses of one key, carrying the last pulse
-    timestamp across micro-batches in GroupState."""
-    (user_id,) = key
-    last_us = state.get[0] if state.exists else None
-    out_rows: list[dict] = []
-    for pdf in pdfs:
-        rows, last_us = _emit_pairs(user_id, _sorted_ts(pdf), last_us)
-        out_rows.extend(rows)
-    if last_us is not None:
-        state.update((last_us,))
-    if out_rows:
-        yield pd.DataFrame(out_rows, columns=[f.name for f in RATE_SCHEMA.fields])
+def _make_rate_fn(key_name: str, out_cols: list[str]):
+    """applyInPandasWithState body for one key column: pair
+    consecutive pulses, carrying the last pulse timestamp across
+    micro-batches in GroupState."""
+
+    def rate_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_value,) = key
+        last_us = state.get[0] if state.exists else None
+        out_rows: list[dict] = []
+        for pdf in pdfs:
+            rows, last_us = _emit_pairs(
+                key_name, key_value, _sorted_ts(pdf), last_us
+            )
+            out_rows.extend(rows)
+        if last_us is not None:
+            state.update((last_us,))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return rate_fn
 
 
-def _rate_fn_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _make_rate_fn_batch(key_name: str, out_cols: list[str]):
     """Batch form of the same state machine: the whole key history is
     in one group, so state is just the running variable."""
-    cols = [f.name for f in RATE_SCHEMA.fields]
-    if not len(pdf):
-        return pd.DataFrame(columns=cols)
-    user_id = pdf["user_id"].iloc[0]
-    rows, _ = _emit_pairs(user_id, _sorted_ts(pdf), None)
-    return pd.DataFrame(rows, columns=cols)
+
+    def rate_fn_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=out_cols)
+        key_value = pdf[key_name].iloc[0]
+        rows, _ = _emit_pairs(key_name, key_value, _sorted_ts(pdf), None)
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return rate_fn_batch
 
 
 def derived_rate_stream(pulses: DataFrame, key: str = "user_id") -> DataFrame:
@@ -118,14 +137,17 @@ def derived_rate_stream(pulses: DataFrame, key: str = "user_id") -> DataFrame:
     how the equivalence test cross-checks it against the lag-window
     batch operator.
     """
+    key_type = pulses.schema[key].dataType
+    schema = rate_schema(key, key_type)
+    out_cols = [f.name for f in schema.fields]
     cols = [key, "ts"] + (["event_id"] if "event_id" in pulses.columns else [])
     if not pulses.isStreaming:
         return pulses.select(*cols).groupBy(key).applyInPandas(
-            _rate_fn_batch, schema=RATE_SCHEMA
+            _make_rate_fn_batch(key, out_cols), schema=schema
         )
     return pulses.select(*cols).groupBy(key).applyInPandasWithState(
-        _rate_fn,
-        outputStructType=RATE_SCHEMA,
+        _make_rate_fn(key, out_cols),
+        outputStructType=schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -99,3 +99,68 @@ def test_sftp_transport_is_explicit_stub():
 
     with pytest.raises(NotImplementedError, match="paramiko"):
         SFTPTransport("host", "user", "key", "/data")
+
+
+RES_CSV_1 = """Site #: 0042
+Datalogger #: 0007
+Meter #: 0001
+Time,Pulses
+2021-03-01 00:00:04,1
+2021-03-01 00:00:08,2
+"""
+
+RES_CSV_2 = """Site #: 0042
+Datalogger #: 0007
+Meter #: 0001
+Time,Pulses
+2021-03-02 00:00:00,5
+"""
+
+
+def test_feeder_to_ingest_to_query_lifecycle(spark, tmp_path):
+    """The reference's §3.2 lifecycle end-to-end: remote datalogger
+    dir → incremental feeder → landing dir → checkpointed streaming
+    ingest → partitioned table → tag+time-range query. Second feeder
+    pass skips unchanged remote files AND the streaming checkpoint
+    skips already-ingested landed files (both dedup layers active)."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from ciws_server_spark.sources.sftp_feeder import (
+        LocalDirTransport,
+        sync_incremental,
+    )
+    from ciws_server_spark.streaming.ingest import run_ingest_pass
+
+    remote = tmp_path / "datalogger"
+    remote.mkdir()
+    landing = tmp_path / "landing"
+    table_dir = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+
+    (remote / "day1.csv").write_text(RES_CSV_1)
+    t = LocalDirTransport(str(remote))
+    s1 = sync_incremental(t, str(landing), job_start=time.time() + 10)
+    assert s1["fetched"] == 1
+    run_ingest_pass(spark, str(landing), table_dir, ckpt)
+
+    raw = spark.read.parquet(os.path.join(table_dir, "raw_data"))
+    assert raw.count() == 2
+
+    # new remote file lands; old one unchanged (feeder skip); ingest
+    # picks up ONLY the new file (checkpoint skip of day1)
+    (remote / "day2.csv").write_text(RES_CSV_2)
+    s2 = sync_incremental(t, str(landing), job_start=time.time() + 10)
+    assert s2["fetched"] == 1 and s2["skipped_unchanged"] == 1
+    run_ingest_pass(spark, str(landing), table_dir, ckpt)
+
+    raw = spark.read.parquet(os.path.join(table_dir, "raw_data"))
+    assert raw.count() == 3
+    # S10/P9 query shape over the ingested table: tag + time range,
+    # partition-pruned by (siteID, date)
+    got = raw.where(
+        (F.col("siteID") == "42")
+        & F.col("time").between("2021-03-02 00:00:00", "2021-03-02 23:59:59")
+    ).collect()
+    assert [r["pulses"] for r in got] == [5]
