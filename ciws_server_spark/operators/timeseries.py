@@ -314,6 +314,25 @@ def influxql_group_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("time_bucket", "event_type")
 
 
+def influxql_group_by_time_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``fill(previous)`` + OR-predicate, through the text
+    front-end: dense hourly axis per series over the WHERE time range,
+    empty buckets carrying the last observed aggregate (LOCF). The
+    translator reuses the sequence-axis + series-window shape of
+    ``ts_gap_fill`` — axis work is buckets × series, never event-count
+    (plans/influxql._apply_fill)."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT count(value), last(value) FROM events "
+        "WHERE (\"event_type\" = 'purchase' OR \"event_type\" = 'view') "
+        f"AND time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(1h), event_type fill(previous)"
+    )
+    return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
+
+
 _RANGE_SEC = 1800  # ±30 min
 
 
@@ -413,6 +432,7 @@ QUERIES = {
     "ts_tag_time_range": ts_tag_time_range,
     "influxql_select_range": influxql_select_range,
     "influxql_group_by_time": influxql_group_by_time,
+    "influxql_group_by_time_fill": influxql_group_by_time_fill,
     "ts_range_join_buckets": ts_range_join_buckets,
     "ts_gap_fill": ts_gap_fill,
     "ts_time_bucket_agg": ts_time_bucket_agg,
@@ -454,6 +474,36 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2
         ORDER BY time_bucket, event_type
+    """,
+    "influxql_group_by_time_fill": f"""
+        WITH filt AS (
+          SELECT * FROM events
+          WHERE (event_type = 'purchase' OR event_type = 'view')
+            AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+        ),
+        hourly AS (
+          SELECT date_trunc('hour', ts) AS time_bucket, event_type,
+                 CAST(COUNT(value) AS BIGINT) AS count_value,
+                 arg_max(value, ts) AS last_value
+          FROM filt
+          GROUP BY 1, 2
+        ),
+        axis AS (
+          SELECT t.event_type, a.time_bucket
+          FROM (SELECT DISTINCT event_type FROM hourly) t,
+               (SELECT unnest(generate_series(
+                  date_trunc('hour', TIMESTAMP '{_START}'),
+                  date_trunc('hour', TIMESTAMP '{_END}'),
+                  INTERVAL 1 HOUR)) AS time_bucket) a
+        )
+        SELECT x.event_type, x.time_bucket,
+               last_value(h.count_value IGNORE NULLS) OVER w AS count_value,
+               last_value(h.last_value IGNORE NULLS) OVER w AS last_value
+        FROM axis x LEFT JOIN hourly h
+          ON h.event_type = x.event_type AND h.time_bucket = x.time_bucket
+        WINDOW w AS (PARTITION BY x.event_type ORDER BY x.time_bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY x.time_bucket, x.event_type
     """,
     "ts_tag_time_range": f"""
         SELECT event_id, ts, user_id, value

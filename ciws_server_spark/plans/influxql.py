@@ -20,15 +20,23 @@ Grammar (case-insensitive keywords):
 
     SELECT <item> [, <item>...]
     FROM <measurement>
-    [WHERE <cond> [AND <cond>...]]
-    [GROUP BY time(<N><u>) [, <tag>...]]
+    [WHERE <bool>]
+    [GROUP BY time(<N><u>) [, <tag>...] [fill(<mode>)]]
     [LIMIT <n>]
 
     item  := "col" | col | agg(col) | agg("col") | *
     agg   := mean|sum|count|min|max|first|last
-    cond  := tag = 'value' | time >= 'ts' | time <= 'ts'
-           | time > 'ts' | time < 'ts'
+    bool  := <bool> OR <bool> | <bool> AND <bool> | ( <bool> ) | cond
+    cond  := col <op> 'value' | time <op> 'ts'
+    op    := = | != | <> | >= | <= | > | <
+    mode  := none | null | previous | <number>
     unit  := s|m|h|d (time(1h), time(30m), ...)
+
+``fill()`` follows InfluxQL: it requires a closed time range in WHERE
+(the dense bucket axis is generated from those bounds), emits one row
+per (series, bucket), and fills empty buckets with null / the
+previous value (LOCF) / a constant. ``fill(none)`` is the default
+drop-empty-buckets behavior.
 """
 
 from __future__ import annotations
@@ -47,17 +55,107 @@ _QUERY_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>\S+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?:\s+fill\s*\(\s*(?P<fill>[^)]*?)\s*\))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 _AGG_RE = re.compile(r"^(mean|sum|count|min|max|first|last)\s*\(\s*(.+?)\s*\)$", re.I)
 _COND_RE = re.compile(
-    r"""^(?P<lhs>"[^"]+"|\w+)\s*(?P<op>>=|<=|>|<|=)\s*(?P<rhs>'[^']*'|\S+)$"""
+    r"""^(?P<lhs>"[^"]+"|\w+)\s*(?P<op>>=|<=|!=|<>|>|<|=)\s*(?P<rhs>'[^']*'|\S+)$"""
 )
 _TIME_BUCKET_RE = re.compile(r"^time\s*\(\s*(\d+)\s*([smhd])\s*\)$", re.I)
 
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _split_top(expr: str, keyword: str) -> list[str]:
+    """Split on a keyword at paren depth 0, outside quoted strings."""
+    parts, depth, in_q, i, start = [], 0, None, 0, 0
+    kw = keyword.upper()
+    n = len(expr)
+    while i < n:
+        ch = expr[i]
+        if in_q:
+            if ch == in_q:
+                in_q = None
+        elif ch in "'\"":
+            in_q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and expr[i : i + len(kw)].upper() == kw
+            and (i == 0 or not expr[i - 1].isalnum())
+            and (i + len(kw) >= n or not expr[i + len(kw)].isalnum())
+        ):
+            parts.append(expr[start:i])
+            i += len(kw)
+            start = i
+            continue
+        i += 1
+    parts.append(expr[start:])
+    return parts
+
+
+def _where_expr(expr: str, time_col: str, bounds: dict):
+    """Recursive descent over OR → AND → atom, with parentheses.
+
+    Time-range atoms additionally record lo/hi bounds in ``bounds``
+    (consumed by fill() to generate the dense bucket axis).
+    """
+    expr = expr.strip()
+    ors = _split_top(expr, "OR")
+    if len(ors) > 1:
+        col = _where_expr(ors[0], time_col, bounds)
+        for part in ors[1:]:
+            col = col | _where_expr(part, time_col, bounds)
+        return col
+    ands = _split_top(expr, "AND")
+    if len(ands) > 1:
+        col = _where_expr(ands[0], time_col, bounds)
+        for part in ands[1:]:
+            col = col & _where_expr(part, time_col, bounds)
+        return col
+    if expr.startswith("(") and expr.endswith(")"):
+        # strip only if the outer parens wrap the WHOLE expression
+        depth, wraps = 0, True
+        for i, ch in enumerate(expr):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(expr) - 1:
+                    wraps = False
+                    break
+        if wraps:
+            return _where_expr(expr[1:-1], time_col, bounds)
+    cm = _COND_RE.match(expr)
+    if not cm:
+        raise InfluxQLError(f"unsupported condition: {expr!r}")
+    lhs = _unquote(cm.group("lhs"))
+    rhs = _unquote(cm.group("rhs"))
+    op = cm.group("op")
+    is_time = lhs.lower() == "time"
+    col = F.col(time_col).cast("timestamp") if is_time else F.col(lhs)
+    val = F.lit(rhs).cast("timestamp") if is_time else F.lit(rhs)
+    if is_time and op in (">=", ">"):
+        bounds["lo"] = min(bounds.get("lo", rhs), rhs)
+    if is_time and op in ("<=", "<"):
+        bounds["hi"] = max(bounds.get("hi", rhs), rhs)
+    if op == "=":
+        return col == val
+    if op in ("!=", "<>"):
+        return col != val
+    if op == ">=":
+        return col >= val
+    if op == "<=":
+        return col <= val
+    if op == ">":
+        return col > val
+    return col < val
 
 
 def _unquote(tok: str) -> str:
@@ -87,6 +185,81 @@ def _agg_column(fn: str, col: str, time_col: str):
     raise InfluxQLError(f"unsupported aggregate: {fn}")
 
 
+def _apply_fill(
+    agg_df: DataFrame,
+    mode: str,
+    bucket_secs: int | None,
+    tag_cols: list[str],
+    time_bounds: dict,
+) -> DataFrame:
+    """Densify the bucketed aggregate per series and fill gaps.
+
+    Reuses the gap-fill shape of ``operators.timeseries.ts_gap_fill``:
+    the axis is sequence+explode over the WHERE time range (a literal
+    range — no extra scan), cross-joined with the distinct series tags
+    present in the result, left-joined with the aggregate. LOCF
+    (``fill(previous)``) is last(ignorenulls) over the series window;
+    constants are coalesce. Axis size = buckets × series — bounded and
+    independent of event count, the 100 TB-safe shape.
+    """
+    from pyspark.sql import Window as W
+
+    if bucket_secs is None:
+        raise InfluxQLError("fill() requires GROUP BY time(...)")
+    if "lo" not in time_bounds or "hi" not in time_bounds:
+        raise InfluxQLError(
+            "fill() requires a closed time range in WHERE (InfluxQL rule)"
+        )
+    lo, hi = time_bounds["lo"], time_bounds["hi"]
+    floor = lambda ts: F.timestamp_seconds(  # noqa: E731
+        (F.unix_timestamp(F.lit(ts).cast("timestamp")) / bucket_secs).cast(
+            "long"
+        )
+        * bucket_secs
+    )
+    axis_col = F.explode(
+        F.sequence(
+            floor(lo), floor(hi), F.expr(f"INTERVAL {bucket_secs} SECOND")
+        )
+    ).alias("time_bucket")
+    spark = agg_df.sparkSession
+    if tag_cols:
+        axis = agg_df.select(*tag_cols).distinct().select(
+            *tag_cols, axis_col
+        )
+    else:
+        axis = spark.range(1).select(axis_col)
+    out = axis.join(agg_df, [*tag_cols, "time_bucket"], "left")
+    value_cols = [
+        c for c in agg_df.columns if c not in (*tag_cols, "time_bucket")
+    ]
+    if mode == "null":
+        return out
+    if mode == "previous":
+        w = (
+            W.partitionBy(*tag_cols)
+            .orderBy("time_bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return out.select(
+            *tag_cols,
+            "time_bucket",
+            *[
+                F.last(c, ignorenulls=True).over(w).alias(c)
+                for c in value_cols
+            ],
+        )
+    try:
+        const = float(mode)
+    except ValueError:
+        raise InfluxQLError(f"unsupported fill mode: {mode!r}") from None
+    return out.select(
+        *tag_cols,
+        "time_bucket",
+        *[F.coalesce(F.col(c), F.lit(const)).alias(c) for c in value_cols],
+    )
+
+
 def translate(
     df: DataFrame, query: str, time_col: str = "time"
 ) -> DataFrame:
@@ -102,44 +275,32 @@ def translate(
 
     out = df
     # WHERE --------------------------------------------------------
+    time_bounds: dict = {}
     if m.group("where"):
-        for cond in re.split(r"\s+AND\s+", m.group("where"), flags=re.I):
-            cm = _COND_RE.match(cond.strip())
-            if not cm:
-                raise InfluxQLError(f"unsupported condition: {cond!r}")
-            lhs = _unquote(cm.group("lhs"))
-            rhs = _unquote(cm.group("rhs"))
-            col = (
-                F.col(time_col).cast("timestamp")
-                if lhs.lower() == "time"
-                else F.col(lhs)
-            )
-            val = F.lit(rhs).cast("timestamp") if lhs.lower() == "time" else F.lit(rhs)
-            op = cm.group("op")
-            out = out.where(
-                col == val if op == "="
-                else col >= val if op == ">="
-                else col <= val if op == "<="
-                else col > val if op == ">"
-                else col < val
-            )
+        out = out.where(_where_expr(m.group("where"), time_col, time_bounds))
 
     # GROUP BY -----------------------------------------------------
     group_cols = []
+    tag_cols: list[str] = []
     bucket = None
+    bucket_secs = None
     if m.group("group"):
         for g in m.group("group").split(","):
             g = g.strip()
             tb = _TIME_BUCKET_RE.match(g)
             if tb:
                 n, unit = int(tb.group(1)), tb.group(2).lower()
-                secs = n * _UNIT_SECONDS[unit]
+                bucket_secs = n * _UNIT_SECONDS[unit]
                 # epoch-aligned bucket start, like InfluxQL time(n)
                 bucket = F.timestamp_seconds(
-                    (F.unix_timestamp(F.col(time_col)) / secs).cast("long") * secs
+                    (F.unix_timestamp(F.col(time_col)) / bucket_secs).cast(
+                        "long"
+                    )
+                    * bucket_secs
                 ).alias("time_bucket")
                 group_cols.append(bucket)
             else:
+                tag_cols.append(_unquote(g))
                 group_cols.append(F.col(_unquote(g)))
 
     # SELECT -------------------------------------------------------
@@ -155,11 +316,16 @@ def translate(
         else:
             plain_items.append(_unquote(item)) if plain_items is not None else None
 
+    fill_mode = (m.group("fill") or "none").strip().lower()
     if agg_items:
         grouped = out.groupBy(*group_cols) if group_cols else out.groupBy()
         out = grouped.agg(
             *[_agg_column(fn, col, time_col) for fn, col in agg_items]
         )
+        if fill_mode != "none":
+            out = _apply_fill(
+                out, fill_mode, bucket_secs, tag_cols, time_bounds
+            )
         if bucket is not None:
             out = out.orderBy("time_bucket")
     else:

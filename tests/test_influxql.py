@@ -93,3 +93,85 @@ def test_limit_and_errors(spark, flow):
         )
     with pytest.raises(InfluxQLError, match="unparseable"):
         query_measurement(spark, {"flow": flow}, "SHOW MEASUREMENTS")
+
+
+def test_or_and_not_equal_predicates(spark, flow):
+    """Round-3 grammar: !=, OR, and parenthesized combinations."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    ne = query_measurement(
+        spark, {"flow": flow},
+        "SELECT hotOutFlowRate FROM flow WHERE buildingID != 'A'",
+    )
+    assert ne.count() == 120  # only B rows survive
+
+    both = query_measurement(
+        spark, {"flow": flow},
+        "SELECT hotOutFlowRate FROM flow "
+        "WHERE buildingID = 'A' OR buildingID = 'B'",
+    )
+    assert both.count() == 240
+
+    # parens: OR group ANDed with a time bound; AND binds tighter
+    mixed = query_measurement(
+        spark, {"flow": flow},
+        "SELECT hotOutFlowRate, buildingID FROM flow "
+        "WHERE (buildingID = 'A' OR buildingID = 'B') "
+        "AND time >= '2021-03-01 01:00:00' AND time <= '2021-03-01 01:09:00'",
+    )
+    rows = mixed.collect()
+    assert len(rows) == 20  # 10 minutes x 2 buildings
+    assert {r["buildingID"] for r in rows} == {"A", "B"}
+
+
+def test_fill_modes(spark):
+    """fill(previous)/fill(0)/fill(null) densify the bucket axis from
+    the WHERE range; fill(none) keeps only observed buckets."""
+    import datetime as dt
+
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    base = dt.datetime(2021, 3, 1)
+    # building A has data in hours 0 and 3 only — hours 1-2 are gaps
+    rows = [
+        (base, "A", 5.0),
+        (base + dt.timedelta(hours=3), "A", 9.0),
+    ]
+    sparse = spark.createDataFrame(rows, ["time", "buildingID", "hotOutFlowRate"])
+    q_tpl = (
+        "SELECT count(hotOutFlowRate), last(hotOutFlowRate) FROM flow "
+        "WHERE time >= '2021-03-01 00:00:00' AND time <= '2021-03-01 03:59:59' "
+        "GROUP BY time(1h), buildingID fill({mode})"
+    )
+    prev = query_measurement(
+        spark, {"flow": sparse}, q_tpl.format(mode="previous")
+    ).collect()
+    assert len(prev) == 4  # dense axis
+    assert [r["last_hotOutFlowRate"] for r in prev] == [5.0, 5.0, 5.0, 9.0]
+    assert [r["count_hotOutFlowRate"] for r in prev] == [1, 1, 1, 1]  # LOCF'd
+
+    zero = query_measurement(
+        spark, {"flow": sparse}, q_tpl.format(mode="0")
+    ).collect()
+    assert [r["count_hotOutFlowRate"] for r in zero] == [1, 0, 0, 1]
+
+    nul = query_measurement(
+        spark, {"flow": sparse}, q_tpl.format(mode="null")
+    ).collect()
+    assert [r["last_hotOutFlowRate"] for r in nul] == [5.0, None, None, 9.0]
+
+    none = query_measurement(
+        spark, {"flow": sparse}, q_tpl.format(mode="none")
+    ).collect()
+    assert len(none) == 2  # gaps dropped (default behavior)
+
+    # InfluxQL rule: fill needs a closed WHERE time range
+    with pytest.raises(InfluxQLError, match="closed time range"):
+        query_measurement(
+            spark, {"flow": sparse},
+            "SELECT count(hotOutFlowRate) FROM flow "
+            "GROUP BY time(1h) fill(previous)",
+        )
