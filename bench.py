@@ -67,9 +67,10 @@ def main() -> None:
 
     sf = _sf_of(args.sf_dir)
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")
-        for _ in range(args.repeat):
+        for i in range(args.repeat):
             t0 = time.perf_counter()
             # Force full evaluation of every column without driver
             # transfer: aggregate a cheap hash over the result.
@@ -78,9 +79,17 @@ def main() -> None:
                 "count(*) AS n",
                 f"bit_xor(xxhash64({', '.join(df.columns)})) AS h",
             ).collect()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            if i == 0:
+                # first run pays per-query codegen/JIT; reported
+                # separately so startup-heavy regressions stay visible
+                cold[name] = round(elapsed, 3)
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +99,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

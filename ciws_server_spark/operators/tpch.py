@@ -805,4 +805,11 @@ HEADLINE = {
     "q5_local_supplier_volume",
     "topk_orders_per_segment",
     "window_running_revenue",
+    # round 3: the previously-unbenched registered tpch surface
+    "crypto_hashes",
+    "grouping_sets_orders",
+    "cube_order_stats",
+    "percentile_prices",
+    "pivot_order_priority",
+    "date_functions_orders",
 }
