@@ -155,8 +155,12 @@ def _jaccard_verify_candidates(
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # candidates are the bounded small side by construction (LSH
+    # buckets / prefix join), and a localCheckpointed frame carries no
+    # stats for the planner — broadcast explicitly so verification
+    # never sort-merge-shuffles the shingle side
     common = (
-        candidates.join(a, "doc_a")
+        a.join(F.broadcast(candidates), "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -341,20 +345,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs in the oracle, so fingerprints hash-match across engines.
     Hamming-band bucketing for pair search reuses the LSH pattern.
 
-    Plan shape: one token row carries all 60 bit votes as 60
-    codegen'd integer expressions; the per-doc majority vote is a
-    single groupBy with 60 partial-aggregated sums (shuffle: one
-    60-column row per doc per map partition). The round-1 shape
-    exploded tokens × 60 bit positions — 60× the shuffle rows for the
-    same arithmetic.
+    Plan shape: one token row carries 15 PACKED bit-counter columns —
+    each hex digit's 4 bit indicators occupy 16-bit lanes of one long
+    (counts ≤ 65535 ≫ any doc's token count, so lanes cannot carry) —
+    and the per-doc tally is a groupBy with 15 partial-aggregated sums
+    plus a token count. The majority vote unpacks lanes AFTER the
+    aggregate: bit j wins iff 2·S_j > n. Round 2 shipped 60 vote
+    columns through the shuffle for the same result; round 1 exploded
+    tokens × 60 bit positions.
     """
     docs = table(spark, sf_dir, "documents").repartition("doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
     ).withColumn("h", F.md5("w"))
-    # two projections: 15 hex-digit values first (one substr each),
-    # then the 60 bit votes as integer bit math over those — 4× less
-    # string work than extracting the digit per bit position
+    # 15 hex-digit values (one substr each), then each digit's 4 bits
+    # spread into 16-bit lanes of one packed long
     digits = toks.select(
         "doc_id",
         *[
@@ -364,22 +369,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(_SIMHASH_BITS // 4)
         ],
     )
-    contribs = [
-        F.expr(f"(shiftright(d{bp // 4}, {bp % 4}) & 1) * 2 - 1").alias(f"c{bp}")
-        for bp in range(_SIMHASH_BITS)
-    ]
-    votes = (
-        digits.select("doc_id", *contribs)
-        .groupBy("doc_id")
-        .agg(*[F.sum(f"c{bp}").alias(f"v{bp}") for bp in range(_SIMHASH_BITS)])
+    packed = digits.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"CAST((d{d} & 1) AS BIGINT)"
+                f" + (shiftleft(CAST(shiftright(d{d}, 1) & 1 AS BIGINT), 16))"
+                f" + (shiftleft(CAST(shiftright(d{d}, 2) & 1 AS BIGINT), 32))"
+                f" + (shiftleft(CAST(shiftright(d{d}, 3) & 1 AS BIGINT), 48))"
+            ).alias(f"p{d}")
+            for d in range(_SIMHASH_BITS // 4)
+        ],
+    )
+    tally = packed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"p{d}").alias(f"s{d}") for d in range(_SIMHASH_BITS // 4)],
     )
     fingerprint = None
     for bp in range(_SIMHASH_BITS):
-        bit = F.when(F.col(f"v{bp}") > 0, F.lit(1 << bp).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        lane = F.expr(f"shiftright(s{bp // 4}, {(bp % 4) * 16}) & 65535")
+        bit = F.when(
+            lane * 2 > F.col("n"), F.lit(1 << bp).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return votes.select("doc_id", fingerprint.alias("simhash"))
+    return tally.select("doc_id", fingerprint.alias("simhash"))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,20 +43,20 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristics: alpha ratio, stopword ratio, mean token len.
+def quality_exprs(col: str = "text") -> dict:
+    """The quality-heuristic Columns, reusable by the standalone query
+    and the composed curation pipeline (one formula, one place).
 
     score = 0.5·alpha_ratio + 0.3·min(stop_ratio·5, 1) +
             0.2·(1 if 3 ≤ avg_token_len ≤ 8 else 0)
     — a deterministic stand-in for a learned quality model.
     """
-    docs = table(spark, sf_dir, "documents")
-    n_tok = token_count("text").cast("double")
-    alpha = F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", "")).cast(
+    n_tok = token_count(col).cast("double")
+    alpha = F.length(F.regexp_replace(F.lower(col), r"[^a-z]", "")).cast(
         "double"
     )
-    total = F.length("text").cast("double")
-    stop = stopword_count("text").cast("double")
+    total = F.length(col).cast("double")
+    stop = stopword_count(col).cast("double")
     alpha_ratio = alpha / total
     stop_ratio = stop / n_tok
     avg_tok_len = alpha / n_tok
@@ -66,13 +66,37 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.2)
         * F.when((avg_tok_len >= 3) & (avg_tok_len <= 8), 1.0).otherwise(0.0)
     )
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "avg_token_len": F.round(avg_tok_len, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def predicted_lang_expr(col: str = "text"):
+    """Marker-token language-ID Column (argmax, deterministic
+    declaration-order tiebreak), shared with the pipeline."""
+    scores = {
+        lang: _marker_score(F.col(col), mk)
+        for lang, mk in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    # first language (in declaration order) achieving the max wins
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best == 0, F.lit("unknown")).otherwise(pred)
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: alpha ratio, stopword ratio, mean token len
+    (formula in ``quality_exprs``)."""
+    docs = table(spark, sf_dir, "documents")
+    q = quality_exprs("text")
     return docs.select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(avg_tok_len, 6).alias("avg_token_len"),
-        F.round(score, 6).alias("quality_score"),
+        "doc_id", *[c.alias(name) for name, c in q.items()]
     )
 
 
@@ -82,13 +106,6 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = {
         lang: _marker_score(F.col("text"), mk) for lang, mk in LANG_MARKERS.items()
     }
-    best = F.greatest(*scores.values())
-    pred = F.lit("unknown")
-    # first language (in declaration order) achieving the max wins
-    for lang in reversed(list(LANG_MARKERS)):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
-    sel = [F.col(f"s_{lang}") for lang in LANG_MARKERS]
     return (
         docs.select(
             "doc_id",
@@ -97,7 +114,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 scores[lang].cast("long").alias(f"s_{lang}")
                 for lang in LANG_MARKERS
             ],
-            pred.alias("predicted_lang"),
+            predicted_lang_expr("text").alias("predicted_lang"),
         )
     )
 
