@@ -78,6 +78,35 @@ class AlertSink:
         return len(rows)
 
 
+def webhook_notifier(url: str, timeout: float = 5.0) -> Callable[[list[dict]], None]:
+    """Webhook adapter for ``AlertSink`` (S13).
+
+    The reference POSTs ``{"text": message}`` to a Slack incoming
+    webhook (``transfer_manager.py:233-246``); this returns a notifier
+    callable with the same contract — one POST per alert batch, the
+    human-readable summary under ``text`` plus the structured rows.
+    stdlib urllib, no dependency; inject via
+    ``AlertSink(dir, notifier=webhook_notifier(url))``.
+    """
+    import urllib.request
+
+    def notify(alerts: list[dict]) -> None:
+        lines = [
+            ", ".join(f"{k}={v}" for k, v in sorted(row.items()))
+            for row in alerts
+        ]
+        body = json.dumps(
+            {"text": "\n".join(lines), "alerts": alerts}, default=str
+        ).encode()
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            resp.read()
+
+    return notify
+
+
 class ProgressLog(StreamingQueryListener):
     """Append per-batch progress to JSONL (monitoring hook, §2.9)."""
 

@@ -75,3 +75,54 @@ def test_progress_log_listener(spark, tmp_path):
         assert "durationMs" in recs[0]
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_webhook_notifier_posts_alert_batches(spark, tmp_path):
+    """S13 end-to-end with a REAL HTTP hop: alerts flow through
+    AlertSink into a webhook POST (local in-process server — the
+    reference's Slack webhook shape, {"text": ...} + rows)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from ciws_server_spark.streaming.monitor import (
+        AlertSink,
+        staleness_alerts,
+        webhook_notifier,
+    )
+
+    received = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers["Content-Length"])
+            received.append(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_port}/hook"
+    try:
+        import datetime as dt
+
+        base = dt.datetime(2021, 3, 10)
+        events = spark.createDataFrame(
+            [
+                (1, base),                            # stale
+                (2, base + dt.timedelta(days=5)),     # fresh (= now ref)
+            ],
+            ["user_id", "ts"],
+        )
+        alerts = staleness_alerts(events)
+        sink = AlertSink(str(tmp_path), notifier=webhook_notifier(url))
+        n = sink.send(alerts, source="staleness")
+        assert n == 1
+        assert len(received) == 1
+        assert "user_id=1" in received[0]["text"]
+        assert received[0]["alerts"][0]["alert_source"] == "staleness"
+    finally:
+        server.shutdown()
