@@ -11,6 +11,7 @@ scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, normalized, stopword_count, token_count, tokens
@@ -180,6 +181,67 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Decontamination knobs: shingles present in more than _DECON_MAX_DF
+#: docs are dropped as stop-shingles (both standard practice and the
+#: scale bound — inverted-index fanout is capped at MAX_DF per
+#: shingle); a train doc is contaminated if it shares at least
+#: _DECON_MIN_OVERLAP surviving shingles with any eval doc.
+_DECON_MAX_DF = 100
+_DECON_MIN_OVERLAP = 3
+_EVAL_MOD = 50  # doc_id % 50 == 0 → the held-out "benchmark" slice
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the decontamination pass every
+    pretraining corpus needs: flag training documents that share
+    ≥ ``_DECON_MIN_OVERLAP`` rare word-3-gram shingles with any
+    held-out eval document (here the deterministic ``doc_id % 50``
+    slice stands in for the benchmark set).
+
+    Scale shape: document frequency is computed once (one groupBy);
+    shingles with df > ``_DECON_MAX_DF`` are dropped BEFORE the
+    train⋈eval join, so the inverted-index fanout is bounded at
+    MAX_DF per shingle and the join cost is Σ matches on rare
+    shingles — no all-pairs stage. The eval side is benchmark-sized
+    (tiny vs the corpus) and broadcasts.
+    """
+    from ..functions.text import word_shingles
+
+    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        dfreq.where(F.col("df") <= _DECON_MAX_DF).select("shingle"), "shingle"
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    ev = rare.where(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    tr = rare.where(~is_eval)
+    overlap = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= _DECON_MIN_OVERLAP)
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("n_overlap"), F.asc("eval_id")
+    )
+    return (
+        overlap.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("eval_id").alias("contaminated_by"),
+            "n_overlap",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
@@ -187,6 +249,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_tokenize_bpeish": text_tokenize_bpeish,
     "text_rolling_fingerprint": text_rolling_fingerprint,
+    "text_decontaminate": text_decontaminate,
 }
 
 #: Locally oracle-checked, not driver-registered (50-entry budget):
@@ -300,6 +363,45 @@ ORACLES["text_rolling_fingerprint"] = f"""
              AS BIGINT) AS rolling_hash,
            CAST(LENGTH(text) AS BIGINT) AS n_chars
     FROM documents
+    ORDER BY doc_id
+"""
+
+#: Same shingle CTE the dedup oracles use (word_shingles parity is
+#: already equality-tested there).
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       unnest(range(1, GREATEST(len(t) - 1, 1))) AS u(i)
+"""
+
+ORACLES["text_decontaminate"] = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    rare AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN dfq d USING (shingle)
+      WHERE d.df <= {_DECON_MAX_DF}
+    ),
+    ev AS (
+      SELECT doc_id AS eval_id, shingle FROM rare
+      WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    tr AS (
+      SELECT doc_id, shingle FROM rare WHERE doc_id % {_EVAL_MOD} != 0
+    ),
+    ov AS (
+      SELECT t.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM tr t JOIN ev e USING (shingle)
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_DECON_MIN_OVERLAP}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY n_overlap DESC, eval_id) AS rk
+      FROM ov
+    )
+    SELECT doc_id, eval_id AS contaminated_by, n_overlap
+    FROM ranked WHERE rk = 1
     ORDER BY doc_id
 """
 

@@ -64,9 +64,26 @@ _AGG_RE = re.compile(r"^(mean|sum|count|min|max|first|last)\s*\(\s*(.+?)\s*\)$",
 _COND_RE = re.compile(
     r"""^(?P<lhs>"[^"]+"|\w+)\s*(?P<op>>=|<=|!=|<>|>|<|=)\s*(?P<rhs>'[^']*'|\S+)$"""
 )
-_TIME_BUCKET_RE = re.compile(r"^time\s*\(\s*(\d+)\s*([smhd])\s*\)$", re.I)
+_TIME_BUCKET_RE = re.compile(
+    r"^time\s*\(\s*(\d+)\s*([smhd])\s*(?:,\s*(\d+)\s*([smhd])\s*)?\)$", re.I
+)
 
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _split_commas(expr: str) -> list[str]:
+    """Split on commas at paren depth 0 (time(1h, 30m) stays whole)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(expr):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(expr[start:i])
+            start = i + 1
+    parts.append(expr[start:])
+    return parts
 
 
 def _split_top(expr: str, keyword: str) -> list[str]:
@@ -191,6 +208,7 @@ def _apply_fill(
     bucket_secs: int | None,
     tag_cols: list[str],
     time_bounds: dict,
+    bucket_offset: int = 0,
 ) -> DataFrame:
     """Densify the bucketed aggregate per series and fill gaps.
 
@@ -212,10 +230,12 @@ def _apply_fill(
         )
     lo, hi = time_bounds["lo"], time_bounds["hi"]
     floor = lambda ts: F.timestamp_seconds(  # noqa: E731
-        (F.unix_timestamp(F.lit(ts).cast("timestamp")) / bucket_secs).cast(
-            "long"
-        )
+        (
+            (F.unix_timestamp(F.lit(ts).cast("timestamp")) - bucket_offset)
+            / bucket_secs
+        ).cast("long")
         * bucket_secs
+        + bucket_offset
     )
     axis_col = F.explode(
         F.sequence(
@@ -284,19 +304,27 @@ def translate(
     tag_cols: list[str] = []
     bucket = None
     bucket_secs = None
+    bucket_offset = 0
     if m.group("group"):
-        for g in m.group("group").split(","):
+        for g in _split_commas(m.group("group")):
             g = g.strip()
             tb = _TIME_BUCKET_RE.match(g)
             if tb:
                 n, unit = int(tb.group(1)), tb.group(2).lower()
                 bucket_secs = n * _UNIT_SECONDS[unit]
-                # epoch-aligned bucket start, like InfluxQL time(n)
+                if tb.group(3):
+                    # time(n, offset): shift bucket boundaries
+                    bucket_offset = int(tb.group(3)) * _UNIT_SECONDS[
+                        tb.group(4).lower()
+                    ]
+                # epoch-aligned (± offset) bucket start, like InfluxQL
                 bucket = F.timestamp_seconds(
-                    (F.unix_timestamp(F.col(time_col)) / bucket_secs).cast(
-                        "long"
-                    )
+                    (
+                        (F.unix_timestamp(F.col(time_col)) - bucket_offset)
+                        / bucket_secs
+                    ).cast("long")
                     * bucket_secs
+                    + bucket_offset
                 ).alias("time_bucket")
                 group_cols.append(bucket)
             else:
@@ -324,7 +352,8 @@ def translate(
         )
         if fill_mode != "none":
             out = _apply_fill(
-                out, fill_mode, bucket_secs, tag_cols, time_bounds
+                out, fill_mode, bucket_secs, tag_cols, time_bounds,
+                bucket_offset,
             )
         if bucket is not None:
             out = out.orderBy("time_bucket")

@@ -175,3 +175,22 @@ def test_fill_modes(spark):
             "SELECT count(hotOutFlowRate) FROM flow "
             "GROUP BY time(1h) fill(previous)",
         )
+
+
+def test_time_bucket_offset(spark, flow):
+    """time(1h, 30m): bucket boundaries shift by the offset."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT count(hotOutFlowRate) FROM flow "
+        "WHERE buildingID = 'A' GROUP BY time(1h, 30m)",
+    ).collect()
+    # minutes 0-119 per building; offset-30 hourly buckets are
+    # [23:30,00:30) [00:30,01:30) [01:30,02:30): 30 + 60 + 30 rows
+    by_bucket = {str(r["time_bucket"]): r["count_hotOutFlowRate"] for r in got}
+    assert by_bucket == {
+        "2021-02-28 23:30:00": 30,
+        "2021-03-01 00:30:00": 60,
+        "2021-03-01 01:30:00": 30,
+    }
