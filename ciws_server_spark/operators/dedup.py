@@ -245,7 +245,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy with K map-side partial mins (one K-column row per doc
     per map partition), row-local band assembly — and verification
     explodes the shingles of CANDIDATE docs only (broadcast
-    semi-join), not the whole corpus. No persisted intermediates.
+    semi-join), not the whole corpus. The three multi-consumer
+    intermediates (bands, candidates, candidate shingle sets) are
+    eagerly materialized via localCheckpoint so no branch re-runs the
+    pipeline; on a cluster the same role is played by writing the LSH
+    index / candidate tables to storage between stages (localCheckpoint
+    is executor-local and not fault-tolerant), with identical plan
+    shape. Nothing stays cached after the query returns.
     """
     docs = table(spark, sf_dir, "documents").repartition("doc_id")
     exploded = docs.select(
@@ -313,26 +319,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once instead of re-running the signature pipeline
     # per consumer
     candidates = candidates.localCheckpoint(eager=True)
-    # verification shingles: explode only docs that appear in a
-    # candidate pair — the broadcast semi-join keeps the explode (and
-    # the per-doc size counts) proportional to the candidate set, not
-    # the corpus
+    # verification over CANDIDATE docs only: shingles re-derived for
+    # the broadcast-semi-joined sliver, per-doc set sizes via F.size
+    # on the in-row array (no groupBy), candidate/size frames
+    # broadcast — the whole verify stage has ONE shuffle (the
+    # n_common aggregate). All broadcast sides are bounded by the
+    # candidate set, which LSH banding keeps small by construction.
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_shingles = (
-        docs.join(F.broadcast(cand_docs), "doc_id")
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(word_shingles("text", 3))).alias(
-                "shingle"
-            ),
-        )
+    # materialized once: both join sides and both size frames below
+    # consume it (4 plan references), and it is candidate-sized
+    with_sh = docs.join(F.broadcast(cand_docs), "doc_id").select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sh = with_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = with_sh.select(
+        "doc_id", F.size("shingles").alias("n_shingles")
     )
-    return _jaccard_verify_candidates(
-        cand_shingles, candidates, _JACCARD_THRESHOLD
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(F.broadcast(candidates), "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
