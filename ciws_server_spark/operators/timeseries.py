@@ -314,6 +314,34 @@ def influxql_group_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("time_bucket", "event_type")
 
 
+def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window aggregate: 6h windows every 3h (each event lands
+    in 2 overlapping windows) via Spark's native
+    ``window(ts, '6 hours', '3 hours')``. Completes the
+    tumbling/session/sliding triple (§2.9); the overlap factor
+    (window/slide) bounds the row amplification — here exactly 2×."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def influxql_group_by_time_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``fill(previous)`` + OR-predicate, through the text
     front-end: dense hourly axis per series over the WHERE time range,
@@ -433,6 +461,7 @@ QUERIES = {
     "influxql_select_range": influxql_select_range,
     "influxql_group_by_time": influxql_group_by_time,
     "influxql_group_by_time_fill": influxql_group_by_time_fill,
+    "ts_sliding_window": ts_sliding_window,
     "ts_range_join_buckets": ts_range_join_buckets,
     "ts_gap_fill": ts_gap_fill,
     "ts_time_bucket_agg": ts_time_bucket_agg,
@@ -447,9 +476,11 @@ QUERIES = {
 }
 
 #: Locally oracle-checked, not driver-registered (50-entry budget):
-#: the same S10/P9 predicate shape is driver-verified through the
-#: InfluxQL text front-end (influxql_select_range).
-EXTRA = {"ts_tag_time_range"}
+#: ts_tag_time_range's S10/P9 predicate shape is driver-verified
+#: through the InfluxQL text front-end (influxql_select_range), and
+#: the sliding window composes the driver-verified tumbling-window
+#: machinery with an overlap factor.
+EXTRA = {"ts_tag_time_range", "ts_sliding_window"}
 
 _DSUM_VALUE = (
     "ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2)"
@@ -474,6 +505,30 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2
         ORDER BY time_bucket, event_type
+    """,
+    "ts_sliding_window": """
+        WITH ev AS (
+          SELECT *, CAST(FLOOR(epoch(ts) / 10800) AS BIGINT) * 10800 AS s1
+          FROM events
+        ),
+        exploded AS (
+          SELECT CAST(to_timestamp(s1) AS TIMESTAMP) AS window_start,
+                 event_type, value
+          FROM ev
+          UNION ALL
+          SELECT CAST(to_timestamp(s1 - 10800) AS TIMESTAMP) AS window_start,
+                 event_type, value
+          FROM ev
+        )
+        SELECT window_start,
+               window_start + INTERVAL 6 HOUR AS window_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM exploded
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type
     """,
     "influxql_group_by_time_fill": f"""
         WITH filt AS (
