@@ -154,6 +154,95 @@ def derived_rate_stream(pulses: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
+def stale_alert_schema(key: str = "user_id", key_type=None) -> StructType:
+    return StructType(
+        [
+            StructField(key, key_type or LongType()),
+            StructField("last_ts", TimestampType()),
+            StructField("stale_after_sec", DoubleType()),
+        ]
+    )
+
+
+def _make_staleness_fn(key_name: str, stale_ms: int, out_cols: list[str]):
+    """Event-time-timeout body for the staleness monitor: every
+    arriving point re-arms the key's timeout at ``last_ts + stale``;
+    when the watermark passes it with no newer point, the timed-out
+    invocation emits exactly one alert row and drops the state."""
+
+    def staleness_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (last_ms,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        key_name: key[0],
+                        "last_ts": pd.Timestamp(last_ms * 1_000_000),
+                        "stale_after_sec": stale_ms / 1000.0,
+                    }
+                ],
+                columns=out_cols,
+            )
+            return
+        mx = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pd.to_datetime(pdf["ts"]).max()
+                mx = m if mx is None else max(mx, m)
+        if mx is None:
+            return
+        new_ms = int(mx.value // 1_000_000)
+        if state.exists:
+            (last_ms,) = state.get
+            new_ms = max(new_ms, last_ms)  # late data: keep newer state
+        state.update((new_ms,))
+        state.setTimeoutTimestamp(new_ms + stale_ms)
+
+    return staleness_fn
+
+
+def staleness_monitor_stream(
+    events: DataFrame,
+    stale_sec: float = 2 * 86400,
+    watermark: str = "1 second",
+    key: str = "user_id",
+) -> DataFrame:
+    """A2 as a true stream: one alert row per key whose newest point
+    is older than ``stale_sec`` when the watermark passes it.
+
+    The reference polls — a cron health check compares each host's
+    newest file mtime against now-2d (``datalogger_health_check.py:
+    86-94``). Here the check is EVENT-DRIVEN:
+    ``applyInPandasWithState`` with ``EventTimeTimeout`` re-arms a
+    per-key timeout on every point; the timed-out invocation emits the
+    alert and clears the key. State is O(keys), lives in the
+    checkpointed state store (alerting spans restarts and
+    availableNow runs), and there is no periodic full-table scan —
+    the 100 TB form of the health check. (Spark 4's
+    ``transformWithStateInPandas`` timer API is the successor surface;
+    its Python runner needs protobuf, unavailable in this container —
+    semantics here are identical.)
+    """
+    key_type = events.schema[key].dataType
+    schema = stale_alert_schema(key, key_type)
+    out_cols = [f.name for f in schema.fields]
+    return (
+        events.withWatermark("ts", watermark)
+        .select(key, "ts")
+        .groupBy(key)
+        .applyInPandasWithState(
+            _make_staleness_fn(key, int(stale_sec * 1000), out_cols),
+            outputStructType=schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def session_window_stream(
     events: DataFrame,
     gap: str = "1 hour",

@@ -116,3 +116,35 @@ def test_partition_pruning_on_tag_and_date(spark, tmp_path):
     scanned = df.select(F.input_file_name().alias("f")).distinct().collect()
     assert len(scanned) == 1
     assert "siteID=42" in scanned[0]["f"] and "date=2021-03-01" in scanned[0]["f"]
+
+def test_compaction_between_ingest_passes_keeps_layout(spark, tmp_path):
+    """Compacting a streaming-ingested table must preserve the
+    batch_id partition level: a later ingest pass appends new batch
+    partitions into the same directory tree, and reads spanning
+    compacted + fresh data must not hit conflicting layouts."""
+    import os as _os
+
+    from ciws_server_spark.sources import sinks
+    from ciws_server_spark.streaming.ingest import run_campus_pass
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_dir = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+
+    (landing / "a.csv").write_text(CSV_A)
+    run_campus_pass(spark, str(landing), table_dir, ckpt, building="e")
+    sinks.compact_table(spark, table_dir, "campus_flow")
+
+    # post-compaction ingest: new batch partitions land beside the
+    # compacted ones
+    (landing / "b.csv").write_text(CSV_B)
+    run_campus_pass(spark, str(landing), table_dir, ckpt, building="e")
+
+    root = _os.path.join(table_dir, "campus_flow")
+    flow = spark.read.parquet(root)
+    assert flow.count() == 2
+    assert "batch_id" in flow.columns
+    # both dates present and partition-pruned reads still work
+    one_day = flow.where(flow.date == "2021-03-02")
+    assert one_day.count() == 1

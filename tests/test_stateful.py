@@ -119,3 +119,65 @@ def test_session_window_stream_batch_equivalence(spark, sf_smoke):
         .collect()
     }
     assert got == exp
+
+
+def test_staleness_monitor_timer_fires_on_silent_key(spark, tmp_path):
+    """A2 as a true stream (transformWithStateInPandas event-time
+    timers): user 1 goes silent, user 2 keeps reporting. When the
+    watermark passes user 1's last_ts + stale window, exactly one
+    alert is emitted; user 2's timer keeps re-arming. State and
+    timers live in the checkpoint, spanning availableNow runs."""
+    import datetime as dt
+
+    from ciws_server_spark.streaming.stateful import staleness_monitor_stream
+
+    base = dt.datetime(2021, 3, 1)
+    src = tmp_path / "events"
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        spark.createDataFrame(rows, ["user_id", "ts"]).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            staleness_monitor_stream(stream, stale_sec=7200)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: both users alive at t0; batch 2: only user 2 at t0+3h.
+    # Watermark reaches t0+3h-1s > user1's timer (t0+2h) → fires.
+    land("f1", [(1, base), (2, base)])
+    land("f2", [(2, base + dt.timedelta(hours=3))])
+    run_pass()
+    import os
+
+    rows = spark.read.parquet(out).collect() if os.path.isdir(out) else []
+    assert [(r["user_id"], str(r["last_ts"])) for r in rows] == [
+        (1, "2021-03-01 00:00:00")
+    ]
+
+    # second RUN: user 2 stays silent past its re-armed timer
+    # (t0+3h+2h); a new point at t0+6h advances the watermark → the
+    # timer registered in the PREVIOUS run fires (checkpointed state)
+    land("f3", [(3, base + dt.timedelta(hours=6))])
+    run_pass()
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r["user_id"])
+    assert [(r["user_id"], str(r["last_ts"])) for r in rows] == [
+        (1, "2021-03-01 00:00:00"),
+        (2, "2021-03-01 03:00:00"),
+    ]
