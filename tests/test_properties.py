@@ -77,3 +77,75 @@ def test_rolling_hash_matches_python_model(spark, texts):
     )
     got = [r["h"] for r in df.collect()]
     assert got == [_py_rolling(t) for t in texts]
+
+
+# ---- InfluxQL WHERE parser vs a Python evaluator -------------------
+
+_TAGS = ("A", "B", "C")
+
+
+@st.composite
+def _bool_exprs(draw, depth=0):
+    """Random predicate tree over (buildingID, time) with parens."""
+    if depth >= 2 or draw(st.booleans()):
+        lhs_time = draw(st.booleans())
+        if lhs_time:
+            op = draw(st.sampled_from([">=", "<=", ">", "<"]))
+            minute = draw(st.integers(0, 59))
+            return f"time {op} '2021-03-01 00:{minute:02d}:00'"
+        op = draw(st.sampled_from(["=", "!=", "<>"]))
+        tag = draw(st.sampled_from(_TAGS))
+        return f"\"buildingID\" {op} '{tag}'"
+    left = draw(_bool_exprs(depth=depth + 1))
+    right = draw(_bool_exprs(depth=depth + 1))
+    conj = draw(st.sampled_from(["AND", "OR"]))
+    if draw(st.booleans()):
+        return f"({left}) {conj} ({right})"
+    return f"{left} {conj} {right}"
+
+
+def _py_eval(expr: str, row) -> bool:
+    """Reference evaluator: rewrite the InfluxQL condition into a
+    Python expression over the row dict (AND binds tighter than OR —
+    same precedence the parser implements)."""
+    import re as _re
+
+    def atom(m):
+        lhs, op, rhs = m.group(1), m.group(2), m.group(3)
+        lhs_v = repr(str(row["time"])) if lhs.strip('"').lower() == "time" else repr(row["buildingID"])
+        op = {"=": "==", "<>": "!="}.get(op, op)
+        return f"({lhs_v} {op} {rhs})"
+
+    py = _re.sub(
+        r"(\"[^\"]+\"|\w+)\s*(>=|<=|!=|<>|>|<|=)\s*('[^']*')", atom, expr
+    )
+    py = _re.sub(r"\bAND\b", "and", py)
+    py = _re.sub(r"\bOR\b", "or", py)
+    return bool(eval(py))  # noqa: S307 — test-only, generated input
+
+
+@settings(max_examples=20, deadline=None)
+@given(_bool_exprs())
+def test_influxql_where_matches_python_model(spark, expr):
+    import datetime as dt
+
+    from ciws_server_spark.plans.influxql import translate
+
+    base = dt.datetime(2021, 3, 1)
+    rows = [
+        (base + dt.timedelta(minutes=m), t)
+        for m in range(0, 60, 7)
+        for t in _TAGS
+    ]
+    df = spark.createDataFrame(rows, ["time", "buildingID"])
+    q = f'SELECT "buildingID" FROM flow WHERE {expr}'
+    got = sorted(
+        (str(r["time"]), r["buildingID"])
+        for r in translate(df, q).collect()
+    )
+    exp = sorted(
+        (str(ts), tag)
+        for ts, tag in rows
+        if _py_eval(expr, {"time": ts, "buildingID": tag})
+    )
+    assert got == exp, expr
