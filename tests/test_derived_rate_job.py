@@ -82,3 +82,48 @@ def test_hourly_rollup_matches_direct_aggregation(spark, tmp_path):
     assert rollup["sum_hot_out"] == exp[1]
     assert rollup["max_hot_out"] == exp[2]
     assert str(rollup["time"]) == "2021-03-01 00:00:00"
+
+
+def test_hourly_rollup_incremental_refresh_is_idempotent(spark, tmp_path):
+    """The continuous aggregate refreshes per date partition: a
+    re-run of the same date converges (overwrite-by-partition, no
+    double counting), and refreshing only the new date leaves the
+    old partition untouched."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from ciws_server_spark.jobs import build_hourly_rollup
+    from ciws_server_spark.sources import sinks
+
+    table_dir = str(tmp_path / "tables")
+    base = dt.datetime(2021, 3, 1)
+
+    def land(day, n_rows):
+        rows = [
+            (
+                base.replace(day=day) + dt.timedelta(minutes=i),
+                "D", 1.0, 0.5, 45.0,
+            )
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            ["time", "buildingID", "hotOutFlowRate", "hotInFlowRate", "hotInTemp"],
+        )
+        sinks.append_points(df, table_dir, "campus_flow")
+
+    land(1, 5)
+    assert build_hourly_rollup(spark, table_dir) == 1
+    # re-run: same single partition, same counts (idempotent)
+    assert build_hourly_rollup(spark, table_dir) == 1
+    hourly = spark.read.parquet(os.path.join(table_dir, "campus_flow_hourly"))
+    assert hourly.count() == 1
+    assert hourly.collect()[0]["n_points"] == 5
+
+    # day 2 arrives; refresh ONLY that partition
+    land(2, 3)
+    assert build_hourly_rollup(spark, table_dir, dates=["2021-03-02"]) == 1
+    hourly = spark.read.parquet(os.path.join(table_dir, "campus_flow_hourly"))
+    got = {str(r["date"]): r["n_points"] for r in hourly.collect()}
+    assert got == {"2021-03-01": 5, "2021-03-02": 3}
