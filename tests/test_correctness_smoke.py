@@ -68,3 +68,22 @@ def test_registry_complete():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 44
     assert set(oracles) <= set(qs)
+
+
+def test_register_views_enables_raw_sql(spark, sf_smoke):
+    """Full Spark SQL surface over the registered measurement views:
+    a user can point spark.sql at the same tables the DataFrame
+    operators use."""
+    from ciws_server_spark.tables import register_views
+
+    register_views(spark, sf_smoke)
+    row = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 1
+        """
+    ).collect()[0]
+    assert row["n_customers"] > 0
