@@ -242,6 +242,38 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report: doc counts, unique-content counts
+    (normalized fingerprint), exact token totals and mean quality —
+    the summary table a curation run publishes per crawl/source.
+
+    Mean quality routes through an exact DECIMAL sum divided by the
+    count so the double result is execution-order independent
+    (hash-stable across engines); one shuffle on the low-cardinality
+    source key with partial aggregation.
+    """
+    docs = table(spark, sf_dir, "documents")
+    q = quality_exprs("text")
+    per_doc = docs.select(
+        "source",
+        F.md5(normalized("text")).alias("fp"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].cast("decimal(20,6)").alias("q_dec"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("q_dec").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
@@ -250,12 +282,13 @@ QUERIES = {
     "text_tokenize_bpeish": text_tokenize_bpeish,
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_decontaminate": text_decontaminate,
+    "text_source_rollup": text_source_rollup,
 }
 
 #: Locally oracle-checked, not driver-registered (50-entry budget):
 #: ws token counting is subsumed by the BPE-ish tokenizer query and
 #: md5 content fingerprinting by dedup_exact's fingerprint column.
-EXTRA = {"text_token_count", "text_fingerprint"}
+EXTRA = {"text_token_count", "text_fingerprint", "text_source_rollup"}
 
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 _NORM_SQL = (
@@ -364,6 +397,34 @@ ORACLES["text_rolling_fingerprint"] = f"""
            CAST(LENGTH(text) AS BIGINT) AS n_chars
     FROM documents
     ORDER BY doc_id
+"""
+
+ORACLES["text_source_rollup"] = f"""
+    WITH base AS (
+      SELECT source,
+             md5({_NORM_SQL}) AS fp,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(ROUND(
+               0.5 * (CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                      / CAST(LENGTH(text) AS DOUBLE))
+               + 0.3 * LEAST(CAST(LEN(list_filter(string_split(text, ' '),
+                               w -> w IN {_STOP_LIST_SQL})) AS DOUBLE)
+                             / CAST(LEN(string_split(text, ' ')) AS DOUBLE) * 5, 1.0)
+               + 0.2 * (CASE WHEN CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                                  / CAST(LEN(string_split(text, ' ')) AS DOUBLE) >= 3
+                              AND CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                                  / CAST(LEN(string_split(text, ' ')) AS DOUBLE) <= 8
+                             THEN 1.0 ELSE 0.0 END), 6) AS DECIMAL(20,6)) AS q_dec
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(q_dec) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+    FROM base
+    GROUP BY source
+    ORDER BY source
 """
 
 #: Same shingle CTE the dedup oracles use (word_shingles parity is

@@ -342,6 +342,44 @@ def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first click.
+    Stage-to-stage joins are per-user equi-joins (one shuffle each on
+    the same key, and each stage's frame shrinks monotonically);
+    no window over the full event stream is needed."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stages = [("view", v), ("click_after_view", c), ("purchase_after_click", p)]
+    out = None
+    for i, (name, df) in enumerate(stages):
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("stage_idx")
+
+
 def influxql_group_by_time_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``fill(previous)`` + OR-predicate, through the text
     front-end: dense hourly axis per series over the WHERE time range,
@@ -462,6 +500,7 @@ QUERIES = {
     "influxql_group_by_time": influxql_group_by_time,
     "influxql_group_by_time_fill": influxql_group_by_time_fill,
     "ts_sliding_window": ts_sliding_window,
+    "ts_funnel": ts_funnel,
     "ts_range_join_buckets": ts_range_join_buckets,
     "ts_gap_fill": ts_gap_fill,
     "ts_time_bucket_agg": ts_time_bucket_agg,
@@ -480,7 +519,7 @@ QUERIES = {
 #: through the InfluxQL text front-end (influxql_select_range), and
 #: the sliding window composes the driver-verified tumbling-window
 #: machinery with an overlap factor.
-EXTRA = {"ts_tag_time_range", "ts_sliding_window"}
+EXTRA = {"ts_tag_time_range", "ts_sliding_window", "ts_funnel"}
 
 _DSUM_VALUE = (
     "ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2)"
@@ -505,6 +544,29 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2
         ORDER BY time_bucket, event_type
+    """,
+    "ts_funnel": """
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS v_ts FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+          WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT 0 AS stage_idx, 'view' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 1, 'click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 2, 'purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+        ORDER BY stage_idx
     """,
     "ts_sliding_window": """
         WITH ev AS (
