@@ -58,7 +58,81 @@ def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pipeline_curated_corpus": pipeline_curated_corpus}
+_SPLIT_BUCKETS = 100
+_TRAIN_PCT = 90
+_VALID_PCT = 5  # remainder (5%) = test
+_QUOTA_PER_SOURCE = 40
+
+
+def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by key hash.
+
+    bucket(doc) = first 15 hex digits of md5('split:' || doc_id)
+    mod 100; train < 90 ≤ valid < 95 ≤ test. The split is a pure
+    row-local projection — content- and order-independent, no RNG
+    state, no shuffle — so any re-run, at any scale or cluster
+    layout, assigns every document identically (the reproducibility a
+    100 TB corpus split needs; engine-portable because the oracle
+    computes the identical md5 arithmetic). The salt prefix decouples
+    this hash from the dedup/fingerprint hashes of the same key.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: keep the top-K documents of each
+    source by quality score (deterministic doc_id tiebreak).
+
+    The standard corpus-mixing primitive — bound any one domain /
+    crawl's contribution before training. One shuffle (hash on
+    source); rank + filter happens within partitions, so at 100 TB
+    the cost is one exchange of the scored projection, never a global
+    sort. Skewed sources (one domain = half the corpus) stream
+    through row_number without materializing the group.
+    """
+    docs = table(spark, sf_dir, "documents")
+    q = quality_exprs("text")
+    scored = docs.select(
+        "doc_id", "source", q["quality_score"].alias("quality_score")
+    )
+    w = W.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "quality_score", "rk")
+    )
+
+
+QUERIES = {
+    "pipeline_curated_corpus": pipeline_curated_corpus,
+    "pipeline_train_split": pipeline_train_split,
+    "pipeline_source_quota": pipeline_source_quota,
+}
 
 ORACLES = {
     "pipeline_curated_corpus": f"""
@@ -82,6 +156,44 @@ ORACLES = {
           AND l.predicted_lang = '{_LANG}'
         ORDER BY q.doc_id
     """,
+    "pipeline_train_split": f"""
+        WITH b AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(
+                        md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15
+                    ))::BIGINT % {_SPLIT_BUCKETS} AS bucket
+            FROM documents
+        )
+        SELECT doc_id, source, bucket,
+               CASE
+                   WHEN bucket < {_TRAIN_PCT} THEN 'train'
+                   WHEN bucket < {_TRAIN_PCT + _VALID_PCT} THEN 'valid'
+                   ELSE 'test'
+               END AS split
+        FROM b
+        ORDER BY doc_id
+    """,
+    "pipeline_source_quota": f"""
+        WITH scored AS (
+            SELECT q.doc_id, d.source, q.quality_score
+            FROM ({TEXT_ORACLES["text_quality_score"]}) q
+            JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, source, quality_score,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY quality_score DESC, doc_id
+                   ) AS rk
+            FROM scored
+        )
+        SELECT doc_id, source, quality_score, rk
+        FROM ranked
+        WHERE rk <= {_QUOTA_PER_SOURCE}
+        ORDER BY doc_id
+    """,
 }
+
+EXTRA = {"pipeline_train_split", "pipeline_source_quota"}
 
 HEADLINE = {"pipeline_curated_corpus"}

@@ -420,6 +420,61 @@ def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape via Catalyst's OWN decorrelation: the correlated
+    EXISTS predicate is handed to spark.sql as written and
+    RewritePredicateSubquery turns it into a left-semi join (verified
+    in the plan audit) — the complement of the hand-decorrelated
+    ``subquery_above_avg_balance`` and the DataFrame-API semi join.
+    Semantics adapted to the synthetic schema (no commit/receipt
+    dates): orders with at least one line item shipped more than 60
+    days after the order date, counted per priority.
+    """
+    orders = f"{sf_dir}/orders.parquet"
+    lineitem = f"{sf_dir}/lineitem.parquet"
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM parquet.`{orders}` o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+              SELECT 1 FROM parquet.`{lineitem}` l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def subquery_scalar_brand_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (TPC-H Q17 shape) through spark.sql:
+    parts priced over 1.03× their brand's mean (the synthetic prices are uniform in [900, 1000], so a few-percent premium is the selective band) retail price. Catalyst
+    decorrelates the per-brand aggregate into a join against a grouped
+    aggregate. Mean = exact decimal sum cast to double over count, so
+    both engines compute bit-identical values regardless of row order.
+    """
+    part = f"{sf_dir}/part.parquet"
+    return spark.sql(
+        f"""
+        SELECT p_brand, COUNT(*) AS n_premium,
+               ROUND(MIN(CAST(p_retailprice AS DOUBLE)), 2) AS min_premium_price
+        FROM parquet.`{part}` p
+        WHERE CAST(p_retailprice AS DOUBLE) > (
+            SELECT 1.03 * CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,6)))
+                              AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)
+            FROM parquet.`{part}` p2
+            WHERE p2.p_brand = p.p_brand
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
 def union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL + dedup-count across two key populations."""
     cust = table(spark, sf_dir, "customer").select(
@@ -521,6 +576,8 @@ QUERIES = {
     "date_functions_orders": date_functions_orders,
     "cube_order_stats": cube_order_stats,
     "subquery_above_avg_balance": subquery_above_avg_balance,
+    "subquery_exists_late_ship": subquery_exists_late_ship,
+    "subquery_scalar_brand_premium": subquery_scalar_brand_premium,
     "union_all_keys": union_all_keys,
     "salted_high_cardinality_agg": salted_high_cardinality_agg,
 }
@@ -537,6 +594,8 @@ EXTRA = {
     "window_rank_customers",
     "conditional_agg_order_mix",
     "subquery_above_avg_balance",
+    "subquery_exists_late_ship",
+    "subquery_scalar_brand_premium",
     "union_all_keys",
     "salted_high_cardinality_agg",
     "rollup_pricing",
@@ -775,6 +834,35 @@ ORACLES["subquery_above_avg_balance"] = """
            FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
     GROUP BY c_nationkey
     ORDER BY c_nationkey
+"""
+
+ORACLES["subquery_exists_late_ship"] = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+ORACLES["subquery_scalar_brand_premium"] = """
+    SELECT p_brand, COUNT(*) AS n_premium,
+           ROUND(MIN(CAST(p_retailprice AS DOUBLE)), 2) AS min_premium_price
+    FROM part p
+    WHERE CAST(p_retailprice AS DOUBLE) > (
+        SELECT 1.03 * CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,6)))
+                           AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)
+        FROM part p2
+        WHERE p2.p_brand = p.p_brand
+    )
+    GROUP BY p_brand
+    ORDER BY p_brand
 """
 
 ORACLES["union_all_keys"] = """
