@@ -399,6 +399,22 @@ def influxql_group_by_time_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
 
 
+def influxql_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL regex tag predicates (``=~ /re/`` / ``!~ /re/``)
+    through the text front-end — the translator-breadth gap named in
+    the round-2 verdict. ``rlike`` stays a codegen'd JVM expression,
+    and the non-regex conjuncts still push to the scan."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        'SELECT "value", "user_id" FROM "events" '
+        'WHERE "event_type" =~ /^(s|v)/ AND "event_type" !~ /w$/ '
+        f"AND time >= '{_START}' AND time <= '{_END}'"
+    )
+    return translate(ev, q, time_col="ts")
+
+
 _RANGE_SEC = 1800  # ±30 min
 
 
@@ -498,6 +514,7 @@ QUERIES = {
     "ts_tag_time_range": ts_tag_time_range,
     "influxql_select_range": influxql_select_range,
     "influxql_group_by_time": influxql_group_by_time,
+    "influxql_regex_predicate": influxql_regex_predicate,
     "influxql_group_by_time_fill": influxql_group_by_time_fill,
     "ts_sliding_window": ts_sliding_window,
     "ts_funnel": ts_funnel,
@@ -519,13 +536,25 @@ QUERIES = {
 #: through the InfluxQL text front-end (influxql_select_range), and
 #: the sliding window composes the driver-verified tumbling-window
 #: machinery with an overlap factor.
-EXTRA = {"ts_tag_time_range", "ts_sliding_window", "ts_funnel"}
+EXTRA = {
+    "ts_tag_time_range",
+    "ts_sliding_window",
+    "ts_funnel",
+    "influxql_regex_predicate",
+}
 
 _DSUM_VALUE = (
     "ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2)"
 )
 
 ORACLES = {
+    "influxql_regex_predicate": f"""
+        SELECT ts, value, user_id
+        FROM events
+        WHERE regexp_matches(event_type, '^(s|v)')
+          AND NOT regexp_matches(event_type, 'w$')
+          AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+    """,
     "influxql_select_range": f"""
         SELECT ts, value, user_id
         FROM events

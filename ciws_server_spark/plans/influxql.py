@@ -27,7 +27,7 @@ Grammar (case-insensitive keywords):
     item  := "col" | col | agg(col) | agg("col") | *
     agg   := mean|sum|count|min|max|first|last
     bool  := <bool> OR <bool> | <bool> AND <bool> | ( <bool> ) | cond
-    cond  := col <op> 'value' | time <op> 'ts'
+    cond  := col <op> 'value' | time <op> 'ts' | col =~ /re/ | col !~ /re/
     op    := = | != | <> | >= | <= | > | <
     mode  := none | null | previous | <number>
     unit  := s|m|h|d (time(1h), time(30m), ...)
@@ -62,7 +62,8 @@ _QUERY_RE = re.compile(
 
 _AGG_RE = re.compile(r"^(mean|sum|count|min|max|first|last)\s*\(\s*(.+?)\s*\)$", re.I)
 _COND_RE = re.compile(
-    r"""^(?P<lhs>"[^"]+"|\w+)\s*(?P<op>>=|<=|!=|<>|>|<|=)\s*(?P<rhs>'[^']*'|\S+)$"""
+    r"""^(?P<lhs>"[^"]+"|\w+)\s*(?P<op>>=|<=|!=|<>|=~|!~|>|<|=)\s*"""
+    r"""(?P<rhs>'[^']*'|/[^/]*/|\S+)$"""
 )
 _TIME_BUCKET_RE = re.compile(
     r"^time\s*\(\s*(\d+)\s*([smhd])\s*(?:,\s*(\d+)\s*([smhd])\s*)?\)$", re.I
@@ -156,6 +157,17 @@ def _where_expr(expr: str, time_col: str, bounds: dict):
     rhs = _unquote(cm.group("rhs"))
     op = cm.group("op")
     is_time = lhs.lower() == "time"
+    if op in ("=~", "!~"):
+        # InfluxQL regex predicate: tag =~ /re/ (unanchored match, as
+        # in InfluxQL; pattern subset portable across RE2/Java/RE in
+        # practice — no backrefs in InfluxQL anyway). Time column
+        # regexes are not part of the language.
+        if is_time:
+            raise InfluxQLError("regex predicate not valid on time")
+        if not (rhs.startswith("/") and rhs.endswith("/") and len(rhs) >= 2):
+            raise InfluxQLError(f"regex rhs must be /pattern/: {rhs!r}")
+        matched = F.col(lhs).rlike(rhs[1:-1])
+        return matched if op == "=~" else ~matched
     col = F.col(time_col).cast("timestamp") if is_time else F.col(lhs)
     val = F.lit(rhs).cast("timestamp") if is_time else F.lit(rhs)
     if is_time and op in (">=", ">"):

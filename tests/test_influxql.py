@@ -89,7 +89,7 @@ def test_limit_and_errors(spark, flow):
     with pytest.raises(InfluxQLError, match="unsupported condition"):
         query_measurement(
             spark, {"flow": flow},
-            "SELECT hotOutFlowRate FROM flow WHERE buildingID =~ /A/",
+            "SELECT hotOutFlowRate FROM flow WHERE buildingID LIKE 'A%'",
         )
     with pytest.raises(InfluxQLError, match="unparseable"):
         query_measurement(spark, {"flow": flow}, "SHOW MEASUREMENTS")
@@ -122,6 +122,31 @@ def test_or_and_not_equal_predicates(spark, flow):
     rows = mixed.collect()
     assert len(rows) == 20  # 10 minutes x 2 buildings
     assert {r["buildingID"] for r in rows} == {"A", "B"}
+
+
+def test_regex_predicates(spark, flow):
+    """Round-3 grammar: =~ /re/ and !~ /re/ tag predicates."""
+    import pytest
+
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    m = query_measurement(
+        spark, {"flow": flow},
+        "SELECT hotOutFlowRate, buildingID FROM flow "
+        "WHERE buildingID =~ /^[AB]$/ AND buildingID !~ /B/",
+    )
+    rows = m.collect()
+    assert len(rows) == 120
+    assert {r["buildingID"] for r in rows} == {"A"}
+
+    with pytest.raises(InfluxQLError, match="not valid on time"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SELECT hotOutFlowRate FROM flow WHERE time =~ /2021/",
+        ).collect()
 
 
 def test_fill_modes(spark):
