@@ -365,6 +365,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    each document that appears in ≥1 near-dup pair is labeled with the
+    MINIMUM doc_id of its transitive duplicate cluster (the canonical
+    keeper) plus the cluster size — the step that turns pairwise
+    near-dup output into per-document keep/drop decisions.
+
+    Iterative min-label propagation: label(v) ← min(label(v),
+    min over neighbors' labels), repeated to fixpoint. Each round is
+    one distributed join + partial-min aggregate; the round count is
+    bounded by the cluster DIAMETER (single digits for near-dup
+    graphs), never by corpus size, and the driver only orchestrates —
+    it joins no rows itself. Per round the label frame is
+    localCheckpointed to truncate lineage (on a cluster: write each
+    round's labels to a scratch table); convergence is detected with
+    a one-row aggregate, not a collect of labels. If diameters ever
+    grew (chain-shaped graphs), the alternating small-star/large-star
+    rewrite of the same join drops rounds to O(log n).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters are tiny
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("neigh_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "node")
+            .where(F.col("old") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint (60-bit) per document.
 
@@ -488,6 +559,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_prefix": dedup_ngram_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -498,7 +570,7 @@ QUERIES = {
 #: these are the O(n²)/inverted-index ORACLE BASELINES whose scale
 #: paths (prefix filter, embedding LSH) are registered and
 #: equality-tested against them.
-EXTRA = {"dedup_ngram_jaccard", "dedup_embedding_cosine"}
+EXTRA = {"dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters"}
 
 # --- DuckDB oracle SQL ------------------------------------------------
 
@@ -690,3 +762,28 @@ def _dedup_embedding_lsh_oracle() -> str:
 ORACLES["dedup_embedding_lsh"] = _dedup_embedding_lsh_oracle()
 
 HEADLINE = {"dedup_minhash_lsh", "dedup_simhash", "dedup_exact"}
+
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_lsh"]})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS seen FROM edges
+        UNION
+        SELECT e.src, r.seen
+        FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    labeled AS (
+        SELECT node AS doc_id, MIN(seen) AS cluster_id
+        FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labeled
+    ORDER BY doc_id
+"""
