@@ -350,9 +350,109 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_ROUNDS = 2
+
+
+def _cell_for_centroids(emb_col, cents: list[tuple[int, list[float]]]) -> F.Column:
+    """argmin-distance cell id over explicit (cell_id, centroid)
+    pairs; first-min tiebreak lands on the smallest id because the
+    pairs are evaluated in ascending id order. Same left-fold double
+    arithmetic as the oracle's explicit `+` chains."""
+    dists = []
+    for _, cent in cents:
+        c = F.array(*[F.lit(x) for x in cent])
+        diffs = F.zip_with(
+            F.transform(emb_col, lambda x: x.cast("double")),
+            c,
+            lambda x, y: (x - y) * (x - y),
+        )
+        dists.append(F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x))
+    darr = F.array(*dists)
+    ids = F.array(*[F.lit(i) for i, _ in cents])
+    return F.element_at(ids, F.array_position(darr, F.array_min(darr)).cast("int"))
+
+
+def kmeans_train(
+    spark: SparkSession, sf_dir: str, rounds: int = _KMEANS_ROUNDS
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over the embedding corpus, Spark-first.
+
+    Per round: (1) assignment is a codegen'd argmin projection over
+    the full corpus — centroids enter the plan as literals, the exact
+    mechanism MLlib's KMeans uses (driver-held centers broadcast to
+    executors); (2) the update is one shuffle keyed by (cell, dim)
+    with EXACT decimal sums cast to double over counts, so the new
+    centroids are bit-identical regardless of partitioning/order —
+    which is what lets a SQL oracle replay the same iterations.
+    Only k×dim aggregated means ever reach the driver (16×64 rows
+    here), never corpus rows: rounds scan the data, the driver holds
+    centers. Cells that lose all members drop out (ids stay stable).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cents = list(enumerate(ivf_centroids(), start=1))
+    for _ in range(rounds):
+        assigned = emb.withColumn(
+            "cell", _cell_for_centroids(F.col("embedding"), cents)
+        )
+        means = (
+            assigned.select(
+                "cell",
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("m")
+            )
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means.collect():  # ≤ k×dim rows — model state, not data
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            (cid, [by_cell[cid][d] for d in range(_DIM)])
+            for cid in sorted(by_cell)
+        ]
+    return cents
+
+
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer with REAL k-means training (2 Lloyd
+    rounds from the deterministic seed centroids), then the final
+    cell layout: occupancy + centroid L2 norm per cell. Upgrades the
+    pseudo-centroid stand-in: the oracle replays the identical
+    iterations (unrolled SQL), proving assignment AND update math
+    match across engines bit-for-bit."""
+    cents = kmeans_train(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    norms = {
+        cid: sum(x * x for x in cent) for cid, cent in cents
+    }  # left-fold, same order as the oracle's explicit chain
+    norm_map = F.create_map(
+        *[F.lit(v) for cid in sorted(norms) for v in (cid, norms[cid])]
+    )
+    return (
+        emb.withColumn("cell", _cell_for_centroids(F.col("embedding"), cents))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .withColumn(
+            "centroid_l2", F.round(F.sqrt(norm_map[F.col("cell")]), 6)
+        )
+        .orderBy("cell")
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_cells": sim_ivf_cells,
+    "sim_ivf_kmeans": sim_ivf_kmeans,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
@@ -364,7 +464,12 @@ QUERIES = {
 #: each is the intermediate stage of a registered end-to-end query
 #: (buckets→pairs, cells→topk) so the machinery is still driver-
 #: verified through its consumer.
-EXTRA = {"sim_lsh_pairs", "sim_lsh_multitable_buckets", "sim_ivf_cells"}
+EXTRA = {
+    "sim_lsh_pairs",
+    "sim_lsh_multitable_buckets",
+    "sim_ivf_cells",
+    "sim_ivf_kmeans",
+}
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -389,6 +494,54 @@ def _dist_sql(cent: list[float], col: str = "e") -> str:
         f"({col}[{i + 1}] - ({c})) * ({col}[{i + 1}] - ({c}))"
         for i, c in enumerate(cent)
     )
+
+
+def _kmeans_oracle_sql(rounds: int = _KMEANS_ROUNDS) -> str:
+    """Unrolled Lloyd iterations in DuckDB SQL, mirroring
+    kmeans_train/sim_ivf_kmeans: same seed centroids, same exact
+    decimal-sum/double-count means, same explicit left-to-right
+    distance chains (no SQL SUM over dims — FP addition order must
+    match the Spark fold), same (dist, cell) tiebreak."""
+    dims = range(1, _DIM + 1)
+    mean_cols = ", ".join(
+        f"CAST(SUM(CAST(e[{d}] AS DECIMAL(38,12))) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE) AS m{d}"
+        for d in dims
+    )
+    dist_chain = " + ".join(
+        f"(v.e[{d}] - c.m{d}) * (v.e[{d}] - c.m{d})" for d in dims
+    )
+    norm_chain = " + ".join(f"m{d} * m{d}" for d in dims)
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"a0 AS ({_ivf_assign_sql()})",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"c{r} AS (SELECT cell, {mean_cols} FROM a{r - 1} GROUP BY cell)"
+        )
+        ctes.append(
+            f"d{r} AS (SELECT v.vec_id, v.e, c.cell, {dist_chain} AS dist"
+            f" FROM e v CROSS JOIN c{r} c)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, e, cell FROM ("
+            f"SELECT vec_id, e, cell, ROW_NUMBER() OVER ("
+            f"PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d{r})"
+            f" WHERE rn = 1)"
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined},
+        norm AS (SELECT cell, ROUND(SQRT({norm_chain}), 6) AS centroid_l2
+                 FROM c{rounds})
+        SELECT a.cell, COUNT(*) AS n_vectors,
+               MIN(a.vec_id) AS min_vec_id, MAX(a.vec_id) AS max_vec_id,
+               ANY_VALUE(n.centroid_l2) AS centroid_l2
+        FROM a{rounds} a JOIN norm n ON n.cell = a.cell
+        GROUP BY a.cell
+        ORDER BY a.cell
+    """
 
 
 def _ivf_assign_sql() -> str:
@@ -447,6 +600,7 @@ ORACLES = {
         WHERE ROUND({_cosine_sql('a.e', 'b.e')}, 6) >= {_LSH_COSINE_THRESHOLD}
         ORDER BY vec_a, vec_b
     """,
+    "sim_ivf_kmeans": _kmeans_oracle_sql(),
     "sim_ivf_cells": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         assigned AS ({_ivf_assign_sql()})
