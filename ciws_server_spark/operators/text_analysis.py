@@ -14,7 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, normalized, stopword_count, token_count, tokens
+from ..functions.text import (
+    STOPWORDS,
+    normalized,
+    stopword_count,
+    token_count,
+    tokens,
+    word_shingles,
+)
 from ..tables import table
 
 #: Marker tokens per language for the n-gram/stopword heuristic.
@@ -274,6 +281,110 @@ def text_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns — identical semantics in Java regex (Spark) and RE2
+#: (DuckDB): char classes, bounded repeats, and \b word boundaries only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def _inject_pii(docs: DataFrame):
+    """Deterministically splice synthetic PII into a subset of docs.
+
+    The synthetic corpus is a PII-free word bag, so a redactor run
+    directly on it would be vacuously green (all zeros). Injection by
+    doc_id residue makes detection+redaction *provably exercised*:
+    ~1/7 of docs gain an email, ~1/11 an IPv4, ~1/13 a phone number,
+    and the oracle performs the identical splice in SQL.
+    """
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".25"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails / IPv4s / phone numbers.
+
+    Single codegen'd projection (regexp_extract_all + chained
+    regexp_replace), no shuffle — embarrassingly parallel at 100 TB.
+    Redaction order (email → ip → phone) is part of the contract; the
+    patterns are deliberately RE2-compatible so the same scrub runs on
+    any engine. ``redacted_fp`` is md5 of the scrubbed text, proving
+    byte-identical redaction against the oracle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    itext = _inject_pii(docs)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(itext, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    n = lambda pat: F.size(F.regexp_extract_all(itext, F.lit(pat), F.lit(0)))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n(PII_EMAIL).cast("long").alias("n_emails"),
+        n(PII_IPV4).cast("long").alias("n_ips"),
+        n(PII_PHONE).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    distinct_token_ratio plus duplicate word-2-gram / 3-gram fractions
+    (fraction of n-gram occurrences that are repeats of an earlier one
+    in the same doc). Pure array expressions over the token array —
+    zero shuffle, codegen'd end to end; the natural long-document
+    repetition filter for a training-data pipeline.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n_tok = F.array_size(t)
+
+    def dup_frac(arr):
+        sz = F.array_size(arr)
+        return F.when(sz == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.array_size(F.array_distinct(arr)) / sz.cast("double"),
+                6,
+            )
+        )
+
+    distinct_ratio = F.round(
+        F.array_size(F.array_distinct(t)) / n_tok.cast("double"), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        dup_frac(word_shingles("text", 2)).alias("dup_2gram_frac"),
+        dup_frac(word_shingles("text", 3)).alias("dup_3gram_frac"),
+        (distinct_ratio < 0.4).alias("is_repetitive"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
@@ -283,12 +394,20 @@ QUERIES = {
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_decontaminate": text_decontaminate,
     "text_source_rollup": text_source_rollup,
+    "text_pii_redact": text_pii_redact,
+    "text_repetition": text_repetition,
 }
 
 #: Locally oracle-checked, not driver-registered (50-entry budget):
 #: ws token counting is subsumed by the BPE-ish tokenizer query and
 #: md5 content fingerprinting by dedup_exact's fingerprint column.
-EXTRA = {"text_token_count", "text_fingerprint", "text_source_rollup"}
+EXTRA = {
+    "text_token_count",
+    "text_fingerprint",
+    "text_source_rollup",
+    "text_pii_redact",
+    "text_repetition",
+}
 
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 _NORM_SQL = (
@@ -464,6 +583,63 @@ ORACLES["text_decontaminate"] = f"""
     SELECT doc_id, eval_id AS contaminated_by, n_overlap
     FROM ranked WHERE rk = 1
     ORDER BY doc_id
+"""
+
+_INJECT_SQL = """
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END
+"""
+
+ORACLES["text_pii_redact"] = f"""
+    WITH inj AS (SELECT doc_id, {_INJECT_SQL} AS itext FROM documents)
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(itext, '{PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(LEN(regexp_extract_all(itext, '{PII_IPV4}')) AS BIGINT)
+               AS n_ips,
+           CAST(LEN(regexp_extract_all(itext, '{PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(itext, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM inj
+    ORDER BY doc_id
+"""
+
+ORACLES["text_repetition"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g2 AS (
+      SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT g) AS nd
+      FROM (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+            FROM t, unnest(range(1, len(t))) AS u(i))
+      GROUP BY 1
+    ),
+    g3 AS (
+      SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT g) AS nd
+      FROM (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM t, unnest(range(1, len(t) - 1)) AS u(i))
+      GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           ROUND(LEN(list_distinct(t.t)) / CAST(len(t.t) AS DOUBLE), 6)
+               AS distinct_token_ratio,
+           COALESCE(ROUND(1.0 - g2.nd / CAST(g2.n AS DOUBLE), 6), 0.0)
+               AS dup_2gram_frac,
+           COALESCE(ROUND(1.0 - g3.nd / CAST(g3.n AS DOUBLE), 6), 0.0)
+               AS dup_3gram_frac,
+           ROUND(LEN(list_distinct(t.t)) / CAST(len(t.t) AS DOUBLE), 6) < 0.4
+               AS is_repetitive
+    FROM t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+    ORDER BY t.doc_id
 """
 
 HEADLINE = {"text_quality_score", "text_tokenize_bpeish"}
