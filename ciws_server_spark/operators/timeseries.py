@@ -415,6 +415,24 @@ def influxql_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts")
 
 
+def influxql_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``ORDER BY time DESC LIMIT n`` through the text
+    front-end — the latest-n-points shape every tsdb dashboard issues.
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-k, no global sort); purchase timestamps are unique in the
+    corpus so the cut is deterministic vs the oracle."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        'SELECT "value", "user_id" FROM "events" '
+        "WHERE \"event_type\" = 'purchase' "
+        f"AND time >= '{_START}' AND time <= '{_END}' "
+        "ORDER BY time DESC LIMIT 100"
+    )
+    return translate(ev, q, time_col="ts")
+
+
 _RANGE_SEC = 1800  # ±30 min
 
 
@@ -516,6 +534,7 @@ QUERIES = {
     "influxql_group_by_time": influxql_group_by_time,
     "influxql_regex_predicate": influxql_regex_predicate,
     "influxql_group_by_time_fill": influxql_group_by_time_fill,
+    "influxql_order_limit": influxql_order_limit,
     "ts_sliding_window": ts_sliding_window,
     "ts_funnel": ts_funnel,
     "ts_range_join_buckets": ts_range_join_buckets,
@@ -541,6 +560,7 @@ EXTRA = {
     "ts_sliding_window",
     "ts_funnel",
     "influxql_regex_predicate",
+    "influxql_order_limit",
 }
 
 _DSUM_VALUE = (
@@ -560,6 +580,13 @@ ORACLES = {
         FROM events
         WHERE event_type = 'purchase'
           AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+    """,
+    "influxql_order_limit": f"""
+        SELECT ts, value, user_id
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+        ORDER BY ts DESC LIMIT 100
     """,
     "influxql_group_by_time": """
         SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600)

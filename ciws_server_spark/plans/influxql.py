@@ -22,6 +22,7 @@ Grammar (case-insensitive keywords):
     FROM <measurement>
     [WHERE <bool>]
     [GROUP BY time(<N><u>) [, <tag>...] [fill(<mode>)]]
+    [ORDER BY time [ASC|DESC]]
     [LIMIT <n>]
 
     item  := "col" | col | agg(col) | agg("col") | *
@@ -56,6 +57,7 @@ _QUERY_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+fill\s*\(\s*(?P<fill>[^)]*?)\s*\))?"
+    r"(?:\s+(?P<orderby>ORDER\s+BY\s+\"?time\"?)(?:\s+(?P<order>ASC|DESC))?)?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -357,6 +359,10 @@ def translate(
             plain_items.append(_unquote(item)) if plain_items is not None else None
 
     fill_mode = (m.group("fill") or "none").strip().lower()
+    # InfluxQL only sorts on time; direction defaults to ASC. The sort
+    # key is the raw time column (no GROUP BY) or the bucket column.
+    order_desc = (m.group("order") or "ASC").upper() == "DESC"
+    has_order = m.group("orderby") is not None
     if agg_items:
         grouped = out.groupBy(*group_cols) if group_cols else out.groupBy()
         out = grouped.agg(
@@ -368,7 +374,10 @@ def translate(
                 bucket_offset,
             )
         if bucket is not None:
-            out = out.orderBy("time_bucket")
+            key = F.col("time_bucket")
+            out = out.orderBy(key.desc() if order_desc else key.asc())
+        elif has_order:
+            raise InfluxQLError("ORDER BY time requires a time(...) bucket")
     else:
         if group_cols:
             raise InfluxQLError("GROUP BY requires aggregate select items")
@@ -376,6 +385,12 @@ def translate(
             # InfluxQL always returns time alongside projected fields
             cols = [time_col] + [c for c in plain_items if c != time_col]
             out = out.select(*cols)
+        if has_order:
+            key = F.col(time_col)
+            # with a LIMIT below this becomes TakeOrderedAndProject —
+            # a per-partition top-k + driver-side merge, never a full
+            # global sort of the scan
+            out = out.orderBy(key.desc() if order_desc else key.asc())
 
     # LIMIT --------------------------------------------------------
     if m.group("limit"):

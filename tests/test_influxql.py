@@ -95,6 +95,53 @@ def test_limit_and_errors(spark, flow):
         query_measurement(spark, {"flow": flow}, "SHOW MEASUREMENTS")
 
 
+def test_order_by_time(spark, flow):
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    got = query_measurement(
+        spark,
+        {"flow": flow},
+        "SELECT hotOutFlowRate FROM flow ORDER BY time DESC LIMIT 3",
+    ).collect()
+    # buildings A and B share each timestamp → the two latest rows tie
+    assert [r["time"].minute for r in got] == [59, 59, 58]
+    # TakeOrderedAndProject, not a global Sort+Exchange
+    plan = query_measurement(
+        spark,
+        {"flow": flow},
+        "SELECT hotOutFlowRate FROM flow ORDER BY time DESC LIMIT 3",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # direction defaults to ASC
+    got = query_measurement(
+        spark,
+        {"flow": flow},
+        "SELECT hotOutFlowRate FROM flow ORDER BY time LIMIT 2",
+    ).collect()
+    assert [r["time"].minute for r in got] == [0, 0]
+
+    # bucketed aggregates sort on the bucket
+    got = query_measurement(
+        spark,
+        {"flow": flow},
+        "SELECT count(hotOutFlowRate) FROM flow "
+        "GROUP BY time(1h) ORDER BY time DESC",
+    ).collect()
+    assert got[0]["time_bucket"] > got[-1]["time_bucket"]
+
+    with pytest.raises(InfluxQLError, match="ORDER BY time requires"):
+        query_measurement(
+            spark,
+            {"flow": flow},
+            "SELECT count(hotOutFlowRate) FROM flow "
+            "GROUP BY buildingID ORDER BY time DESC",
+        )
+
+
 def test_or_and_not_equal_predicates(spark, flow):
     """Round-3 grammar: !=, OR, and parenthesized combinations."""
     from ciws_server_spark.plans.influxql import query_measurement
