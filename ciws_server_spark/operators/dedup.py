@@ -227,33 +227,17 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup (the 100 TB-scale dedup path).
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) MinHash-LSH index rows for any
+    (doc_id, text) frame — exactly ``_BANDS`` rows per document.
 
-    signature_k(doc) = min over shingles of (h1 + k·h2) mod p, where
-    h1/h2 are the top-60/next-32 bits of md5(shingle) and p = 2^61-1 —
-    the standard 2-universal seed-combination, so ONE md5 per shingle
-    yields all K signatures (round 2 computed K md5 strings per
-    shingle — 16× the string hashing for the same candidate quality).
-    Band hash = md5 of the band's signatures in seed order; candidate
-    pairs share a (band, band_hash) bucket; candidates are then
-    verified with exact Jaccard. Per doc the join key count is
-    constant (= bands), so shuffle volume is O(corpus), not
-    O(corpus × doc length).
-
-    Plan shape: one codegen'd explode → md5 → two int columns, a
-    groupBy with K map-side partial mins (one K-column row per doc
-    per map partition), row-local band assembly — and verification
-    explodes the shingles of CANDIDATE docs only (broadcast
-    semi-join), not the whole corpus. The three multi-consumer
-    intermediates (bands, candidates, candidate shingle sets) are
-    eagerly materialized via localCheckpoint so no branch re-runs the
-    pipeline; on a cluster the same role is played by writing the LSH
-    index / candidate tables to storage between stages (localCheckpoint
-    is executor-local and not fault-tolerant), with identical plan
-    shape. Nothing stays cached after the query returns.
+    This IS the corpus LSH index: the batch near-dup query self-joins
+    it, and the streaming detector (streaming/dedup.py) joins each
+    micro-batch's signatures against it as the static side of a
+    stream-static join. One codegen'd explode → one md5 per shingle →
+    K partial-min aggregates → row-local band assembly (see
+    dedup_minhash_lsh docstring for the full plan-shape argument).
     """
-    docs = table(spark, sf_dir, "documents").repartition("doc_id")
     exploded = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
@@ -292,9 +276,108 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_BANDS)
     ]
-    bands = minhash.select(
+    return minhash.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_hash")
+
+
+def verify_pairs_cross(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    candidates: DataFrame,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs
+    whose two sides come from DIFFERENT document frames (e.g. a
+    streaming micro-batch vs the static corpus).
+
+    Same scale contract as the self-join verify in dedup_minhash_lsh:
+    shingles are derived for candidate docs only (broadcast semi-join
+    of the bounded candidate id list), sizes via F.size on the in-row
+    array, and the whole stage has ONE shuffle (the n_common
+    aggregate).
+    """
+    candidates = candidates.localCheckpoint(eager=True)
+
+    def cand_shingles(docs: DataFrame, ids: DataFrame):
+        with_sh = (
+            docs.join(F.broadcast(ids), "doc_id")
+            .select(
+                "doc_id",
+                F.array_distinct(word_shingles("text", 3)).alias("shingles"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sh = with_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        sizes = with_sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+        return sh, sizes
+
+    sh_a, sizes_a = cand_shingles(
+        docs_a, candidates.select(F.col("doc_a").alias("doc_id")).distinct()
+    )
+    sh_b, sizes_b = cand_shingles(
+        docs_b, candidates.select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    common = (
+        sh_a.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(F.broadcast(candidates), "doc_a")
+        .join(
+            sh_b.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(
+        sizes_a.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+        )
+    )
+    sb = F.broadcast(
+        sizes_b.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup (the 100 TB-scale dedup path).
+
+    signature_k(doc) = min over shingles of (h1 + k·h2) mod p, where
+    h1/h2 are the top-60/next-32 bits of md5(shingle) and p = 2^61-1 —
+    the standard 2-universal seed-combination, so ONE md5 per shingle
+    yields all K signatures (round 2 computed K md5 strings per
+    shingle — 16× the string hashing for the same candidate quality).
+    Band hash = md5 of the band's signatures in seed order; candidate
+    pairs share a (band, band_hash) bucket; candidates are then
+    verified with exact Jaccard. Per doc the join key count is
+    constant (= bands), so shuffle volume is O(corpus), not
+    O(corpus × doc length).
+
+    Plan shape: one codegen'd explode → md5 → two int columns, a
+    groupBy with K map-side partial mins (one K-column row per doc
+    per map partition), row-local band assembly — and verification
+    explodes the shingles of CANDIDATE docs only (broadcast
+    semi-join), not the whole corpus. The three multi-consumer
+    intermediates (bands, candidates, candidate shingle sets) are
+    eagerly materialized via localCheckpoint so no branch re-runs the
+    pipeline; on a cluster the same role is played by writing the LSH
+    index / candidate tables to storage between stages (localCheckpoint
+    is executor-local and not fault-tolerant), with identical plan
+    shape. Nothing stays cached after the query returns.
+    """
+    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    bands = band_signatures(docs)
     # both sides of the bucket self-join consume `bands`; without a
     # materialization each side re-runs the whole signature pipeline
     # (bands is 4 small rows per doc — at cluster scale this is the

@@ -1,0 +1,92 @@
+"""Streaming near-dup detection: stream-vs-static-corpus LSH join,
+cross-batch discovery, and idempotent replay (streaming/dedup.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ciws_server_spark.streaming.dedup import (
+    NEAR_DUP_TABLE,
+    near_dups_against_corpus,
+    run_near_dup_pass,
+)
+from ciws_server_spark.operators.dedup import band_signatures
+from ciws_server_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke):
+    return table(spark, sf_smoke, "documents").select("doc_id", "text")
+
+
+def _corpus_text(corpus, doc_id: int) -> str:
+    return corpus.where(f"doc_id = {doc_id}").collect()[0]["text"]
+
+
+def _land(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_batch_core_detects_exact_and_near(spark, corpus):
+    base = _corpus_text(corpus, 0)
+    new = spark.createDataFrame(
+        [
+            (10_000, base),                      # exact dup of doc 0
+            (10_001, base + " trailing extra"),  # near dup of doc 0
+            (10_002, "completely unrelated words nowhere in corpus"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_dups_against_corpus(new, corpus).collect()
+    }
+    assert got[(10_000, 0)] == 1.0
+    assert (10_001, 0) in got and got[(10_001, 0)] >= 0.5
+    assert not any(a == 10_002 for a, _ in got)
+
+
+def test_streaming_pass_cross_batch_and_replay(spark, corpus, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    tables = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+    # precomputed static index, as a deployment would persist it
+    idx = band_signatures(corpus).cache()
+    idx.count()
+
+    base0 = _corpus_text(corpus, 0)
+    base1 = _corpus_text(corpus, 1)
+
+    # batch 1: one exact dup + one unrelated doc
+    _land(landing / "b1.jsonl", [
+        {"doc_id": 20_000, "text": base0},
+        {"doc_id": 20_001, "text": "nothing like the corpus at all"},
+    ])
+    run_near_dup_pass(spark, str(landing), corpus, tables, ckpt, idx)
+    out = spark.read.parquet(f"{tables}/{NEAR_DUP_TABLE}")
+    first = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (20_000, 0) in first
+    assert not any(a == 20_001 for a, _ in first)
+
+    # batch 2 (new file, same checkpoint): near dup of a different doc
+    _land(landing / "b2.jsonl", [
+        {"doc_id": 20_002, "text": base1 + " tail"},
+    ])
+    run_near_dup_pass(spark, str(landing), corpus, tables, ckpt, idx)
+    out = spark.read.parquet(f"{tables}/{NEAR_DUP_TABLE}")
+    pairs = [(r["doc_a"], r["doc_b"]) for r in out.collect()]
+    assert (20_002, 1) in pairs
+    # batch-1 results intact, nothing double-ingested
+    assert (20_000, 0) in pairs
+    assert len(pairs) == len(set(pairs))
+
+    # replay: same checkpoint, no new files → no growth
+    n_before = out.count()
+    run_near_dup_pass(spark, str(landing), corpus, tables, ckpt, idx)
+    assert spark.read.parquet(f"{tables}/{NEAR_DUP_TABLE}").count() == n_before
+    idx.unpersist()
