@@ -35,6 +35,14 @@ At 100 TB the corpus index is a parquet table partitioned by band (4
 small rows per doc); loading it per pass is a scan of doc_count × 4
 short rows, and the (band, band_hash) join prunes to colliding
 buckets. New confirmed pairs can feed dedup_clusters incrementally.
+
+Scope note: newcomers are checked against corpus + previously-KEPT
+newcomers (``grow_index``), not against other docs in the SAME
+micro-batch — within-batch self-dedup is the batch operator's job
+(run dedup_minhash_lsh over the batch first, or accept one batch
+interval of within-batch duplicates; at maxFilesPerTrigger-bounded
+batch sizes that window is small and the downstream batch dedup
+catches it).
 """
 
 from __future__ import annotations
@@ -55,6 +63,19 @@ from ..operators.dedup import (
 DOC_SCHEMA = "doc_id BIGINT, text STRING"
 
 NEAR_DUP_TABLE = "near_dups"
+NEAR_DUP_SCHEMA = "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, batch_id BIGINT"
+INDEX_TABLE = "lsh_index"
+
+
+def read_near_dups(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The near_dups table, or an empty typed frame if no pass has
+    confirmed a pair yet (zero-row dynamic overwrites write no part
+    files, so a raw ``spark.read.parquet`` cannot infer the schema).
+    """
+    path = os.path.join(table_dir, NEAR_DUP_TABLE)
+    if not _has_parquet(path):
+        return spark.createDataFrame([], NEAR_DUP_SCHEMA)
+    return spark.read.parquet(path)
 
 
 def near_dups_against_corpus(
@@ -87,6 +108,17 @@ def near_dups_against_corpus(
     return verify_pairs_cross(new_docs, corpus_docs, candidates, threshold)
 
 
+def _has_parquet(path: str) -> bool:
+    """True if any parquet part file exists under ``path`` (local FS,
+    like the rest of the sink file-management; an all-duplicate batch
+    writes zero part files, so a bare directory probe is not enough).
+    """
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def stream_near_dups(
     spark: SparkSession,
     landing_dir: str,
@@ -95,12 +127,20 @@ def stream_near_dups(
     checkpoint_dir: str,
     corpus_index: DataFrame | None = None,
     threshold: float = _JACCARD_THRESHOLD,
+    grow_index: bool = False,
 ) -> StreamingQuery:
     """Start an availableNow near-dup detection pass.
 
     Returns the started query; ``awaitTermination()`` runs the pass to
     completion. Confirmed pairs land in ``<table_dir>/near_dups``
     partitioned by batch_id (idempotent under replay).
+
+    With ``grow_index`` the pass is a self-maintaining dedup service:
+    each batch's KEPT docs (no confirmed duplicate) have their band
+    signatures appended to ``<table_dir>/lsh_index`` — also
+    overwrite-by-batch — and later batches join against corpus ∪
+    previously-kept newcomers, so a duplicate arriving an hour after
+    its original is still caught.
     """
     docs = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -108,18 +148,59 @@ def stream_near_dups(
         .json(landing_dir)
     )
     out_path = os.path.join(table_dir, NEAR_DUP_TABLE)
+    index_path = os.path.join(table_dir, INDEX_TABLE)
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = near_dups_against_corpus(
-            batch_df, corpus_docs, corpus_index, threshold
-        )
+    def _overwrite_by_batch(df: DataFrame, path: str, batch_id: int) -> None:
         (
-            pairs.withColumn("batch_id", F.lit(int(batch_id)))
+            df.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(out_path)
+            .parquet(path)
         )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # a multi-consumer micro-batch frame: signatures + verify both
+        # read it, and streaming sources can't be re-scanned mid-batch
+        batch_df = batch_df.localCheckpoint(eager=True)
+        corpus = corpus_docs.select("doc_id", "text")
+        idx = corpus_index
+        if grow_index and _has_parquet(index_path):
+            # prior batches' kept docs join the static side, so later
+            # batches dedup against earlier arrivals too — reading the
+            # index back each batch keeps this crash-consistent (a
+            # replayed batch sees exactly the pre-crash index; its own
+            # partition is overwritten, never double-appended)
+            # exclude THIS batch's own partition: a replayed batch
+            # must not join against its pre-crash self (every doc
+            # would match itself, flipping the whole batch to
+            # "duplicate" and overwriting its kept-set with empty)
+            grown = spark.read.parquet(index_path).where(
+                F.col("batch_id") != int(batch_id)
+            )
+            base_idx = (
+                idx if idx is not None else band_signatures(corpus_docs)
+            )
+            idx = base_idx.unionByName(
+                grown.select("doc_id", "band", "band_hash")
+            )
+            corpus = corpus.unionByName(
+                grown.select("doc_id", "text").distinct()
+            )
+        pairs = near_dups_against_corpus(batch_df, corpus, idx, threshold)
+        pairs = pairs.localCheckpoint(eager=True)
+        _overwrite_by_batch(pairs, out_path, batch_id)
+        if grow_index:
+            # keep = newcomers with NO confirmed duplicate; store text
+            # alongside signatures so future verification can re-derive
+            # shingles (at scale this is the doc store reference, not
+            # an inline copy)
+            dup_ids = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
+            kept = batch_df.join(dup_ids, "doc_id", "left_anti")
+            new_rows = band_signatures(kept).join(
+                kept.select("doc_id", "text"), "doc_id"
+            )
+            _overwrite_by_batch(new_rows, index_path, batch_id)
 
     return (
         docs.writeStream.foreachBatch(process_batch)
@@ -137,6 +218,7 @@ def run_near_dup_pass(
     checkpoint_dir: str,
     corpus_index: DataFrame | None = None,
     threshold: float = _JACCARD_THRESHOLD,
+    grow_index: bool = False,
 ) -> None:
     """One complete pass: process everything landed, then stop."""
     q = stream_near_dups(
@@ -147,5 +229,6 @@ def run_near_dup_pass(
         checkpoint_dir,
         corpus_index,
         threshold,
+        grow_index,
     )
     q.awaitTermination()

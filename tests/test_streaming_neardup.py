@@ -90,3 +90,45 @@ def test_streaming_pass_cross_batch_and_replay(spark, corpus, tmp_path):
     run_near_dup_pass(spark, str(landing), corpus, tables, ckpt, idx)
     assert spark.read.parquet(f"{tables}/{NEAR_DUP_TABLE}").count() == n_before
     idx.unpersist()
+
+
+def test_grow_index_catches_later_arriving_dup(spark, corpus, tmp_path):
+    """Self-maintaining mode: a newcomer kept in pass 1 becomes part
+    of the static side, so its near-dup arriving in pass 2 is caught
+    even though neither resembles the original corpus."""
+    from ciws_server_spark.streaming.dedup import INDEX_TABLE, read_near_dups
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    tables = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 40 distinct invented tokens: nothing like the corpus, and enough
+    # distinct shingles that an exact copy always lands in its buckets
+    novel = " ".join(f"zyx{i}qq" for i in range(40))
+
+    _land(landing / "b1.jsonl", [{"doc_id": 30_000, "text": novel.strip()}])
+    run_near_dup_pass(
+        spark, str(landing), corpus, tables, ckpt, grow_index=True
+    )
+    idx = spark.read.parquet(f"{tables}/{INDEX_TABLE}")
+    assert idx.where("doc_id = 30000").count() > 0  # kept + indexed
+    assert read_near_dups(spark, tables).count() == 0
+
+    # an exact copy of the pass-1 newcomer (J=1.0: every band matches,
+    # so detection is deterministic, unlike a probabilistic near-copy)
+    _land(
+        landing / "b2.jsonl",
+        [{"doc_id": 30_001, "text": novel.strip()}],
+    )
+    run_near_dup_pass(
+        spark, str(landing), corpus, tables, ckpt, grow_index=True
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in read_near_dups(spark, tables).collect()
+    }
+    assert (30_001, 30_000) in pairs
+    # the duplicate was NOT added to the index
+    idx = spark.read.parquet(f"{tables}/{INDEX_TABLE}")
+    assert idx.where("doc_id = 30001").count() == 0
