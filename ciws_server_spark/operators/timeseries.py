@@ -415,6 +415,24 @@ def influxql_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts")
 
 
+def influxql_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``fill(linear)`` through the text front-end: empty
+    buckets interpolate between the surrounding non-null points of
+    their series (min aggregate — order-independent, so the
+    interpolated doubles are bit-stable vs the oracle); leading and
+    trailing empties stay null."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT min(value) FROM events "
+        "WHERE (\"event_type\" = 'purchase' OR \"event_type\" = 'view') "
+        f"AND time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(1h), event_type fill(linear)"
+    )
+    return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
+
+
 def influxql_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``ORDER BY time DESC LIMIT n`` through the text
     front-end — the latest-n-points shape every tsdb dashboard issues.
@@ -535,6 +553,7 @@ QUERIES = {
     "influxql_regex_predicate": influxql_regex_predicate,
     "influxql_group_by_time_fill": influxql_group_by_time_fill,
     "influxql_order_limit": influxql_order_limit,
+    "influxql_fill_linear": influxql_fill_linear,
     "ts_sliding_window": ts_sliding_window,
     "ts_funnel": ts_funnel,
     "ts_range_join_buckets": ts_range_join_buckets,
@@ -561,6 +580,7 @@ EXTRA = {
     "ts_funnel",
     "influxql_regex_predicate",
     "influxql_order_limit",
+    "influxql_fill_linear",
 }
 
 _DSUM_VALUE = (
@@ -587,6 +607,55 @@ ORACLES = {
         WHERE event_type = 'purchase'
           AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
         ORDER BY ts DESC LIMIT 100
+    """,
+    "influxql_fill_linear": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)
+                       * 3600) AS TIMESTAMP) AS time_bucket,
+                 event_type, MIN(value) AS min_value
+          FROM events
+          WHERE (event_type = 'purchase' OR event_type = 'view')
+            AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        series AS (SELECT DISTINCT event_type FROM agg),
+        axis AS (
+          SELECT unnest(generate_series(
+            CAST(to_timestamp(CAST(FLOOR(epoch(TIMESTAMP '{_START}') / 3600)
+                  AS BIGINT) * 3600) AS TIMESTAMP),
+            CAST(to_timestamp(CAST(FLOOR(epoch(TIMESTAMP '{_END}') / 3600)
+                  AS BIGINT) * 3600) AS TIMESTAMP),
+            INTERVAL 1 HOUR)) AS time_bucket
+        ),
+        dense AS (
+          SELECT s.event_type, a.time_bucket, g.min_value
+          FROM series s CROSS JOIN axis a
+          LEFT JOIN agg g
+            ON g.event_type = s.event_type AND g.time_bucket = a.time_bucket
+        ),
+        win AS (
+          SELECT event_type, time_bucket, min_value,
+            last_value(min_value IGNORE NULLS) OVER pw AS pv,
+            last_value(CASE WHEN min_value IS NOT NULL THEN time_bucket END
+                       IGNORE NULLS) OVER pw AS pt,
+            first_value(min_value IGNORE NULLS) OVER nw AS nv,
+            first_value(CASE WHEN min_value IS NOT NULL THEN time_bucket END
+                        IGNORE NULLS) OVER nw AS nt
+          FROM dense
+          WINDOW pw AS (PARTITION BY event_type ORDER BY time_bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 nw AS (PARTITION BY event_type ORDER BY time_bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, time_bucket,
+               ROUND(CASE WHEN min_value IS NOT NULL THEN min_value
+                          WHEN pv IS NOT NULL AND nv IS NOT NULL
+                          THEN pv + (nv - pv)
+                               * ((epoch(time_bucket) - epoch(pt))
+                                  / (epoch(nt) - epoch(pt)))
+                          ELSE NULL END, 6) AS min_value
+        FROM win
+        ORDER BY time_bucket, event_type
     """,
     "influxql_group_by_time": """
         SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600)

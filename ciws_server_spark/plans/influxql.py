@@ -30,7 +30,7 @@ Grammar (case-insensitive keywords):
     bool  := <bool> OR <bool> | <bool> AND <bool> | ( <bool> ) | cond
     cond  := col <op> 'value' | time <op> 'ts' | col =~ /re/ | col !~ /re/
     op    := = | != | <> | >= | <= | > | <
-    mode  := none | null | previous | <number>
+    mode  := none | null | previous | linear | <number>
     unit  := s|m|h|d (time(1h), time(30m), ...)
 
 ``fill()`` follows InfluxQL: it requires a closed time range in WHERE
@@ -269,6 +269,39 @@ def _apply_fill(
     ]
     if mode == "null":
         return out
+    if mode == "linear":
+        # InfluxQL fill(linear): empty buckets interpolate between the
+        # surrounding non-null points of the series; buckets before
+        # the first / after the last point stay null. Two ignore-nulls
+        # windows (prev from the left, next from the right); the
+        # interpolation computes frac = (t-pt)/(nt-pt) FIRST and in
+        # the same operation order as the SQL oracle so IEEE doubles
+        # round identically. Values come back as double (interpolated
+        # points are fractional even for integer aggregates).
+        wp = (
+            W.partitionBy(*tag_cols)
+            .orderBy("time_bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        wn = (
+            W.partitionBy(*tag_cols)
+            .orderBy("time_bucket")
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        t = F.unix_timestamp("time_bucket")
+        filled = []
+        for c in value_cols:
+            v = F.col(c).cast("double")
+            pv = F.last(v, ignorenulls=True).over(wp)
+            pt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wp)
+            nv = F.first(v, ignorenulls=True).over(wn)
+            nt = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wn)
+            frac = (t - pt).cast("double") / (nt - pt).cast("double")
+            interp = pv + (nv - pv) * frac
+            filled.append(
+                F.round(F.when(v.isNotNull(), v).otherwise(interp), 6).alias(c)
+            )
+        return out.select(*tag_cols, "time_bucket", *filled)
     if mode == "previous":
         w = (
             W.partitionBy(*tag_cols)

@@ -240,6 +240,19 @@ def test_fill_modes(spark):
     ).collect()
     assert len(none) == 2  # gaps dropped (default behavior)
 
+    # linear: hours 1-2 interpolate between 5.0 (h0) and 9.0 (h3);
+    # extend the WHERE range to get a trailing empty bucket → null
+    lin = query_measurement(
+        spark,
+        {"flow": sparse},
+        "SELECT last(hotOutFlowRate) FROM flow "
+        "WHERE time >= '2021-03-01 00:00:00' "
+        "AND time <= '2021-03-01 04:59:59' "
+        "GROUP BY time(1h), buildingID fill(linear)",
+    ).collect()
+    got = [r["last_hotOutFlowRate"] for r in sorted(lin, key=lambda r: r["time_bucket"])]
+    assert got == [5.0, pytest.approx(6.333333), pytest.approx(7.666667), 9.0, None]
+
     # InfluxQL rule: fill needs a closed WHERE time range
     with pytest.raises(InfluxQLError, match="closed time range"):
         query_measurement(
