@@ -1,0 +1,39 @@
+"""The driver's bench contract: `python bench.py` must exit 0 and
+print ONE parseable JSON line with the agreed keys. Runs a 2-query
+subset at sf0.001 in a subprocess (own SparkSession, like the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def test_bench_emits_contract_json():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "bench.py",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--repeat",
+            "1",
+            "q1_pricing_summary",
+            "text_quality_score",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["metric"] == "headline_total_wall"
+    assert d["unit"] == "sec"
+    assert d["sf"] == 0.001
+    assert set(d["queries"]) == {"q1_pricing_summary", "text_quality_score"}
+    assert all(v > 0 for v in d["queries"].values())
+    assert d["value"] >= max(d["queries"].values())
+    assert set(d["cold"]) == set(d["queries"])
