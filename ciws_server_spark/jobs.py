@@ -103,6 +103,51 @@ def build_hourly_rollup(
         rollup.unpersist()
 
 
+def export_training_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """Materialize the curated corpus as shard-partitioned parquet —
+    the WRITE side of the training-data pipeline (a training loader
+    consumes ``<out_dir>/corpus/shard=K/``).
+
+    shard = pmod(xxhash64(doc_id), n_shards): deterministic content-key
+    hashing, so re-exports assign every doc to the same shard and a
+    loader can address any shard subset reproducibly. partitionBy
+    writes one directory per shard; at 100 TB each shard splits
+    further by parquet's maxRecordsPerFile and writer parallelism
+    follows the upstream partitioning, so no single-writer bottleneck.
+    ``mode=overwrite`` + parquet's commit protocol (stage to
+    _temporary, rename on commit) make the job idempotent — a re-run
+    converges, a crashed run leaves the previous export readable.
+
+    The per-shard manifest (shard, n_docs, total_tokens) is computed
+    from the WRITTEN files (write-audit-publish: the manifest attests
+    what a loader will actually read, not what the plan intended) and
+    stored at ``<out_dir>/manifest``. Returns the manifest frame.
+    """
+    from .operators.pipeline import pipeline_curated_corpus
+    from .tables import table
+
+    curated = pipeline_curated_corpus(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = curated.join(docs, "doc_id").withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+    )
+    corpus_path = os.path.join(out_dir, "corpus")
+    corpus.write.mode("overwrite").partitionBy("shard").parquet(corpus_path)
+    manifest = (
+        spark.read.parquet(corpus_path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
+    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+
+
 def run_derived_rate_job(
     spark: SparkSession,
     table_dir: str,
