@@ -23,7 +23,7 @@ Grammar (case-insensitive keywords):
     [WHERE <bool>]
     [GROUP BY time(<N><u>) [, <tag>...] [fill(<mode>)]]
     [ORDER BY time [ASC|DESC]]
-    [LIMIT <n>]
+    [LIMIT <n>] [SLIMIT <n>]
 
     item  := "col" | col | agg(col) | agg("col") | *
     agg   := mean|sum|count|min|max|first|last
@@ -58,7 +58,8 @@ _QUERY_RE = re.compile(
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+fill\s*\(\s*(?P<fill>[^)]*?)\s*\))?"
     r"(?:\s+(?P<orderby>ORDER\s+BY\s+\"?time\"?)(?:\s+(?P<order>ASC|DESC))?)?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -425,9 +426,39 @@ def translate(
             # global sort of the scan
             out = out.orderBy(key.desc() if order_desc else key.asc())
 
+    # SLIMIT -------------------------------------------------------
+    if m.group("slimit"):
+        if not tag_cols:
+            raise InfluxQLError("SLIMIT requires GROUP BY on ≥1 tag")
+        # InfluxQL keeps the first n series in tag order. Series
+        # cardinality is bounded (it's a GROUP BY key), so the kept
+        # set is a broadcastable dimension: distinct-sort-limit it and
+        # semi-join — no window over the full result.
+        n = int(m.group("slimit"))
+        kept = out.select(*tag_cols).distinct().orderBy(*tag_cols).limit(n)
+        out = out.join(F.broadcast(kept), tag_cols, "left_semi")
+
     # LIMIT --------------------------------------------------------
     if m.group("limit"):
-        out = out.limit(int(m.group("limit")))
+        n = int(m.group("limit"))
+        if m.group("slimit") and bucket is not None:
+            # InfluxQL: combined with SLIMIT, LIMIT caps points PER
+            # SERIES (first n buckets in time order per kept series)
+            from pyspark.sql import Window as W
+
+            key = (
+                F.col("time_bucket").desc()
+                if order_desc
+                else F.col("time_bucket").asc()
+            )
+            w = W.partitionBy(*tag_cols).orderBy(key)
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n)
+                .drop("_rn")
+            )
+        else:
+            out = out.limit(n)
     return out
 
 

@@ -142,6 +142,40 @@ def test_order_by_time(spark, flow):
         )
 
 
+def test_slimit(spark, flow):
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    # 2 series (A, B); SLIMIT 1 keeps the first in tag order
+    got = query_measurement(
+        spark,
+        {"flow": flow},
+        "SELECT mean(hotOutFlowRate) FROM flow "
+        "GROUP BY time(1h), buildingID SLIMIT 1",
+    ).collect()
+    assert {r["buildingID"] for r in got} == {"A"}
+    assert len(got) == 2  # 2 hourly buckets
+
+    # with SLIMIT, LIMIT caps points PER SERIES (InfluxQL semantics)
+    got = query_measurement(
+        spark,
+        {"flow": flow},
+        "SELECT mean(hotOutFlowRate) FROM flow "
+        "GROUP BY time(1h), buildingID LIMIT 1 SLIMIT 1",
+    ).collect()
+    assert len(got) == 1 and got[0]["buildingID"] == "A"
+    assert got[0]["time_bucket"].hour == 0  # first bucket in time order
+
+    with pytest.raises(InfluxQLError, match="SLIMIT requires"):
+        query_measurement(
+            spark,
+            {"flow": flow},
+            "SELECT mean(hotOutFlowRate) FROM flow GROUP BY time(1h) SLIMIT 1",
+        )
+
+
 def test_or_and_not_equal_predicates(spark, flow):
     """Round-3 grammar: !=, OR, and parenthesized combinations."""
     from ciws_server_spark.plans.influxql import query_measurement
