@@ -433,6 +433,20 @@ def influxql_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
 
 
+def influxql_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``LIMIT n SLIMIT m`` (n points per series, first m
+    series in tag order) through the text front-end."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT count(value) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type LIMIT 10 SLIMIT 2"
+    )
+    return translate(ev, q, time_col="ts").orderBy("event_type", "time_bucket")
+
+
 def influxql_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``ORDER BY time DESC LIMIT n`` through the text
     front-end — the latest-n-points shape every tsdb dashboard issues.
@@ -554,6 +568,7 @@ QUERIES = {
     "influxql_group_by_time_fill": influxql_group_by_time_fill,
     "influxql_order_limit": influxql_order_limit,
     "influxql_fill_linear": influxql_fill_linear,
+    "influxql_slimit": influxql_slimit,
     "ts_sliding_window": ts_sliding_window,
     "ts_funnel": ts_funnel,
     "ts_range_join_buckets": ts_range_join_buckets,
@@ -581,6 +596,7 @@ EXTRA = {
     "influxql_regex_predicate",
     "influxql_order_limit",
     "influxql_fill_linear",
+    "influxql_slimit",
 }
 
 _DSUM_VALUE = (
@@ -607,6 +623,28 @@ ORACLES = {
         WHERE event_type = 'purchase'
           AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
         ORDER BY ts DESC LIMIT 100
+    """,
+    "influxql_slimit": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS BIGINT) AS count_value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        kept AS (
+          SELECT DISTINCT event_type FROM agg ORDER BY event_type LIMIT 2
+        ),
+        ranked AS (
+          SELECT a.*, ROW_NUMBER() OVER (PARTITION BY a.event_type
+                                         ORDER BY a.time_bucket) AS rn
+          FROM agg a JOIN kept k USING (event_type)
+        )
+        SELECT time_bucket, event_type, count_value
+        FROM ranked WHERE rn <= 10
+        ORDER BY event_type, time_bucket
     """,
     "influxql_fill_linear": f"""
         WITH agg AS (
