@@ -351,6 +351,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMEANS_ROUNDS = 2
+_NPROBE = 2
 
 
 def _cell_for_centroids(emb_col, cents: list[tuple[int, list[float]]]) -> F.Column:
@@ -419,6 +420,71 @@ def kmeans_train(
     return cents
 
 
+def _probe_cells_col(
+    emb_col, cents: list[tuple[int, list[float]]], nprobe: int = _NPROBE
+) -> F.Column:
+    """The ``nprobe`` nearest cell ids for a query vector: per-cell
+    distances (same left-fold chain as ``_cell_for_centroids``) packed
+    into (dist, cell) structs, array_sort's lexicographic struct order
+    gives the (dist, cell) tiebreak, slice keeps the first nprobe."""
+    entries = []
+    for cid, cent in cents:
+        c = F.array(*[F.lit(x) for x in cent])
+        diffs = F.zip_with(
+            F.transform(emb_col, lambda x: x.cast("double")),
+            c,
+            lambda x, y: (x - y) * (x - y),
+        )
+        d = F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x)
+        entries.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["c"])
+
+
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with REAL trained centroids and multi-probe search.
+
+    The production IVF path: centroids come from ``kmeans_train`` (2
+    deterministic Lloyd rounds — the oracle replays the identical
+    iterations), the corpus is assigned once (at 100 TB the cell id is
+    the table's physical partition key), and each query probes its
+    ``_NPROBE`` nearest cells instead of one — the standard recall
+    knob; nprobe=1 on a trained quantizer still misses neighbors that
+    fall just across a cell boundary. Queries (with their probe lists
+    exploded) are broadcast; the scan side is touched once and only
+    matching cells survive the join — per-query cost is
+    Σ probed-cell sizes, never the corpus.
+    """
+    cents = kmeans_train(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        _cell_for_centroids(F.col("embedding"), cents).alias("cell"),
+    )
+    queries = F.broadcast(
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _probe_cells_col(F.col("embedding"), cents).alias("probe_cells"),
+        )
+        .select("query_id", "qe", F.explode("probe_cells").alias("qcell"))
+    )
+    scored = (
+        assigned.join(queries, F.col("cell") == F.col("qcell"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cos", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantizer with REAL k-means training (2 Lloyd
     rounds from the deterministic seed centroids), then the final
@@ -454,6 +520,7 @@ QUERIES = {
     "sim_ivf_cells": sim_ivf_cells,
     "sim_ivf_kmeans": sim_ivf_kmeans,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_trained_topk": sim_ivf_trained_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
     "sim_lsh_multitable_buckets": sim_lsh_multitable_buckets,
@@ -469,6 +536,10 @@ EXTRA = {
     "sim_lsh_multitable_buckets",
     "sim_ivf_cells",
     "sim_ivf_kmeans",
+    # nprobe=1 pseudo-centroid form: superseded in the driver registry
+    # by sim_ivf_trained_topk (trained centroids, nprobe=2); kept as a
+    # locally-verified baseline of the same layout.
+    "sim_ivf_topk",
 }
 
 
@@ -496,9 +567,11 @@ def _dist_sql(cent: list[float], col: str = "e") -> str:
     )
 
 
-def _kmeans_oracle_sql(rounds: int = _KMEANS_ROUNDS) -> str:
-    """Unrolled Lloyd iterations in DuckDB SQL, mirroring
-    kmeans_train/sim_ivf_kmeans: same seed centroids, same exact
+def _kmeans_ctes(rounds: int = _KMEANS_ROUNDS) -> tuple[list[str], str, str]:
+    """Shared CTE chain for the unrolled Lloyd iterations: returns
+    (ctes, dist_chain, norm_chain) where the final assignment CTE is
+    ``a{rounds}`` (vec_id, e, cell) and the final centroid CTE is
+    ``c{rounds}`` (cell, m1..m{dim}). Same seed centroids, same exact
     decimal-sum/double-count means, same explicit left-to-right
     distance chains (no SQL SUM over dims — FP addition order must
     match the Spark fold), same (dist, cell) tiebreak."""
@@ -530,6 +603,12 @@ def _kmeans_oracle_sql(rounds: int = _KMEANS_ROUNDS) -> str:
             f"PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d{r})"
             f" WHERE rn = 1)"
         )
+    return ctes, dist_chain, norm_chain
+
+
+def _kmeans_oracle_sql(rounds: int = _KMEANS_ROUNDS) -> str:
+    """sim_ivf_kmeans oracle: final cell occupancy + centroid norms."""
+    ctes, _, norm_chain = _kmeans_ctes(rounds)
     joined = ",\n        ".join(ctes)
     return f"""
         WITH {joined},
@@ -541,6 +620,43 @@ def _kmeans_oracle_sql(rounds: int = _KMEANS_ROUNDS) -> str:
         FROM a{rounds} a JOIN norm n ON n.cell = a.cell
         GROUP BY a.cell
         ORDER BY a.cell
+    """
+
+
+def _trained_topk_oracle_sql(rounds: int = _KMEANS_ROUNDS) -> str:
+    """sim_ivf_trained_topk oracle: replay the training CTEs, assign
+    the corpus with the final centroids (a{rounds}), rank each query's
+    cells by the same explicit dist chain and keep nprobe of them,
+    then exact-cosine top-k over the probed cells only."""
+    ctes, dist_chain, _ = _kmeans_ctes(rounds)
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined},
+        qd AS (
+          SELECT v.vec_id AS query_id, v.e AS qe, c.cell, {dist_chain} AS dist
+          FROM e v CROSS JOIN c{rounds} c
+          WHERE v.vec_id < {_N_QUERIES}
+        ),
+        probe AS (
+          SELECT query_id, qe, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY dist, cell) AS rn
+            FROM qd
+          ) WHERE rn <= {_NPROBE}
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, a.cell,
+                 ROUND({_cosine_sql('p.qe', 'a.e')}, 6) AS cos
+          FROM probe p JOIN a{rounds} a ON a.cell = p.cell
+          WHERE a.vec_id != p.query_id
+        )
+        SELECT query_id, neighbor_id, cell, cos, rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM scored
+        )
+        WHERE rk <= {_IVF_TOP_K}
+        ORDER BY query_id, rk
     """
 
 
@@ -601,6 +717,7 @@ ORACLES = {
         ORDER BY vec_a, vec_b
     """,
     "sim_ivf_kmeans": _kmeans_oracle_sql(),
+    "sim_ivf_trained_topk": _trained_topk_oracle_sql(),
     "sim_ivf_cells": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         assigned AS ({_ivf_assign_sql()})
