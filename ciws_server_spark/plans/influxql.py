@@ -25,13 +25,29 @@ Grammar (case-insensitive keywords):
     [ORDER BY time [ASC|DESC]]
     [LIMIT <n>] [SLIMIT <n>]
 
-    item  := "col" | col | agg(col) | agg("col") | *
+    item  := "col" | col | agg(col) | agg("col") | * | xform
     agg   := mean|sum|count|min|max|first|last
+          |  percentile(col, <p>)            -- nearest-rank, InfluxQL's
+                                             -- floor(n*p/100 + 0.5) index
+    xform := derivative(arg [, <dur>])       -- Δv/Δt scaled to <dur>
+          |  non_negative_derivative(arg [, <dur>])
+          |  moving_average(arg, <n>)        -- trailing n-point mean
+    arg   := col | agg(col)                  -- agg form needs time(...)
     bool  := <bool> OR <bool> | <bool> AND <bool> | ( <bool> ) | cond
     cond  := col <op> 'value' | time <op> 'ts' | col =~ /re/ | col !~ /re/
     op    := = | != | <> | >= | <= | > | <
     mode  := none | null | previous | linear | <number>
     unit  := s|m|h|d (time(1h), time(30m), ...)
+
+Transforms follow InfluxQL 1.x semantics: ``derivative`` emits one row
+per point after the first of each series ((v−prev)/(Δt seconds) ×
+unit, default unit = the GROUP BY time interval for the aggregated
+form, 1s for the raw form); ``non_negative_derivative`` additionally
+drops negative results; ``moving_average(x, n)`` emits the trailing
+n-point mean starting at the n-th point. The aggregated forms compose
+with ``fill()`` (fill runs first, as InfluxQL does). All are window
+expressions over the bucket/series machinery — one shuffle on the
+series key, no self-joins.
 
 ``fill()`` follows InfluxQL: it requires a closed time range in WHERE
 (the dense bucket axis is generated from those bounds), emits one row
@@ -64,9 +80,18 @@ _QUERY_RE = re.compile(
 )
 
 _AGG_RE = re.compile(r"^(mean|sum|count|min|max|first|last)\s*\(\s*(.+?)\s*\)$", re.I)
+_PERC_RE = re.compile(
+    r"""^percentile\s*\(\s*("[^"]+"|\w+)\s*,\s*(\d+(?:\.\d+)?)\s*\)$""", re.I
+)
+_TRANSFORM_RE = re.compile(
+    r"^(derivative|non_negative_derivative|moving_average)\s*\(\s*(.+?)\s*\)$",
+    re.I,
+)
+_DURATION_RE = re.compile(r"^(\d+)\s*([smhd])$", re.I)
+# rhs regex literal: body allows \-escapes (incl. \/) per InfluxQL
 _COND_RE = re.compile(
     r"""^(?P<lhs>"[^"]+"|\w+)\s*(?P<op>>=|<=|!=|<>|=~|!~|>|<|=)\s*"""
-    r"""(?P<rhs>'[^']*'|/[^/]*/|\S+)$"""
+    r"""(?P<rhs>'[^']*'|/(?:[^/\\]|\\.)*/|\S+)$"""
 )
 _TIME_BUCKET_RE = re.compile(
     r"^time\s*\(\s*(\d+)\s*([smhd])\s*(?:,\s*(\d+)\s*([smhd])\s*)?\)$", re.I
@@ -169,7 +194,14 @@ def _where_expr(expr: str, time_col: str, bounds: dict):
             raise InfluxQLError("regex predicate not valid on time")
         if not (rhs.startswith("/") and rhs.endswith("/") and len(rhs) >= 2):
             raise InfluxQLError(f"regex rhs must be /pattern/: {rhs!r}")
-        matched = F.col(lhs).rlike(rhs[1:-1])
+        pattern = rhs[1:-1]
+        if not pattern:
+            # InfluxQL rejects the empty pattern // rather than
+            # treating it as match-everything
+            raise InfluxQLError("empty regex pattern //")
+        # \/ escapes the delimiter; both Java regex and RE2 accept the
+        # unescaped form, so normalize for portability
+        matched = F.col(lhs).rlike(pattern.replace("\\/", "/"))
         return matched if op == "=~" else ~matched
     col = F.col(time_col).cast("timestamp") if is_time else F.col(lhs)
     val = F.lit(rhs).cast("timestamp") if is_time else F.lit(rhs)
