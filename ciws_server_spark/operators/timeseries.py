@@ -481,7 +481,7 @@ def ts_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle uses its native range join.)
     """
     ev = table(spark, sf_dir, "events")
-    bucket = lambda c: (c.cast("double") / _RANGE_SEC).cast("long")  # noqa: E731
+    bucket = lambda c: (epoch_seconds(c) / _RANGE_SEC).cast("long")  # noqa: E731
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -497,7 +497,7 @@ def ts_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("c_ts"),
         bucket(F.col("ts")).alias("bucket"),
     )
-    dt = F.abs(F.col("c_ts").cast("double") - F.col("p_ts").cast("double"))
+    dt = F.abs(epoch_seconds(F.col("c_ts")) - epoch_seconds(F.col("p_ts")))
     return (
         purchases.join(clicks, ["user_id", "bucket"])
         .where(dt <= _RANGE_SEC)

@@ -23,12 +23,12 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores ts as parquet TIMESTAMP(NANOS), which the
-    # Spark 4 vectorized reader rejects; read the raw int64 nanos and
-    # convert in tables.table() (lossless: the synthetic data has
-    # whole-microsecond timestamps).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+# Note: earlier testdata generations stored events.ts as parquet
+# TIMESTAMP(NANOS), which required spark.sql.legacy.parquet.nanosAsLong
+# plus an int64→timestamp conversion. Current testdata is timestamp[us]
+# at every scale factor (verified 2026-08), so the conf is gone;
+# tables.table() still normalizes either arrival shape.
 
 
 def default_parallelism() -> int:

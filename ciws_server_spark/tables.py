@@ -35,11 +35,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. UTC + AQE are pinned on first touch.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark's reader rejects
-    nanos, so the session reads it as raw int64 (nanosAsLong) and we
-    floor-truncate to microseconds here — exact integer math, matching
-    DuckDB's TIMESTAMP_NS→TIMESTAMP cast (the synthetic data carries no
-    sub-microsecond component, so this is lossless).
+    ``events.ts`` arrives as parquet ``timestamp[us]`` (no timezone), so
+    Spark reads it as TIMESTAMP_NTZ. Downstream epoch arithmetic
+    (``functions.scalar.epoch_seconds`` = ``cast("double")``) is only
+    legal on the zoned TIMESTAMP type, so we normalize NTZ → TIMESTAMP
+    here in ONE place; the session timezone is pinned UTC
+    (session.py RUNTIME_CONF), making the cast an identity on the
+    underlying microsecond value. Older testdata generations delivered
+    ts as raw int64 nanoseconds (parquet TIMESTAMP(NANOS) via
+    nanosAsLong); that branch is kept for backward compatibility.
 
     Note on scan parallelism: the test tables arrive as ONE parquet
     row group, so a scan is a single task (Spark cannot split below a
@@ -52,8 +56,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     apply_runtime_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # UTC session → NTZ and zoned TIMESTAMP share the same
+            # microsecond instant; cast is identity on the value.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
