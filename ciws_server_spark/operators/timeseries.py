@@ -447,6 +447,60 @@ def influxql_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts").orderBy("event_type", "time_bucket")
 
 
+def influxql_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``derivative(agg, unit)`` through the text front-end —
+    the per-unit rate-of-change of a bucketed aggregate, InfluxDB's
+    counter-to-rate workhorse (reference depends on the InfluxQL
+    surface: requirements.txt:2). One window pass over the bucketed
+    rollup partitioned by series — buckets × series rows, never event
+    count. ``count`` keeps the inner aggregate integer-exact so the
+    derivative doubles are bit-stable vs the oracle."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT derivative(count(value), 1h) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
+
+
+def influxql_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``moving_average(agg, n)`` composed with
+    ``fill(previous)`` through the text front-end: densify + LOCF runs
+    FIRST (as InfluxQL does), then the trailing n-point mean per
+    series, emitted from the n-th point on. Same bucket-rollup +
+    one-window shape as ``influxql_derivative`` (integer inner
+    aggregate → exact double mean of 3 ints); the fill axis is
+    buckets × series, independent of event count."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT moving_average(count(value), 3) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type fill(previous)"
+    )
+    return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
+
+
+def influxql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``percentile(field, p)`` (nearest-rank) through the
+    text front-end. The aggregate selects a stored value — no
+    arithmetic — so the result is exact vs the oracle's
+    row_number/count window formulation of the same rank rule."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT percentile(value, 90) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
+
+
 def influxql_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``ORDER BY time DESC LIMIT n`` through the text
     front-end — the latest-n-points shape every tsdb dashboard issues.
@@ -566,6 +620,9 @@ QUERIES = {
     "influxql_group_by_time": influxql_group_by_time,
     "influxql_regex_predicate": influxql_regex_predicate,
     "influxql_group_by_time_fill": influxql_group_by_time_fill,
+    "influxql_derivative": influxql_derivative,
+    "influxql_moving_average": influxql_moving_average,
+    "influxql_percentile": influxql_percentile,
     "influxql_order_limit": influxql_order_limit,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
@@ -597,6 +654,16 @@ EXTRA = {
     "influxql_order_limit",
     "influxql_fill_linear",
     "influxql_slimit",
+    # Displaced to make driver room for the r4-flagged transform
+    # surface (derivative/moving_average): the basic GROUP BY time
+    # rollup and fill(previous) machinery both still run inside the
+    # registered derivative/moving_average queries, and stay
+    # oracle-checked here.
+    "influxql_group_by_time",
+    "influxql_group_by_time_fill",
+    # nearest-rank percentile (locally oracle-checked; the two
+    # transforms above take the driver slots)
+    "influxql_percentile",
 }
 
 _DSUM_VALUE = (
@@ -784,6 +851,90 @@ ORACLES = {
         WINDOW w AS (PARTITION BY x.event_type ORDER BY x.time_bucket
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY x.time_bucket, x.event_type
+    """,
+    "influxql_derivative": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS BIGINT) AS count_value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT time_bucket, event_type,
+                 CAST(count_value AS DOUBLE) AS v,
+                 LAG(CAST(count_value AS DOUBLE)) OVER w AS pv,
+                 epoch(time_bucket) - LAG(epoch(time_bucket)) OVER w AS dt
+          FROM agg
+          WINDOW w AS (PARTITION BY event_type ORDER BY time_bucket)
+        )
+        SELECT time_bucket, event_type,
+               (v - pv) / dt * 3600.0 AS derivative
+        FROM lagged
+        WHERE pv IS NOT NULL AND dt > 0
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_moving_average": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS BIGINT) AS count_value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        axis AS (
+          SELECT t.event_type, a.time_bucket
+          FROM (SELECT DISTINCT event_type FROM agg) t,
+               (SELECT unnest(generate_series(
+                  TIMESTAMP '{_START}', TIMESTAMP '{_END}',
+                  INTERVAL 6 HOUR)) AS time_bucket) a
+        ),
+        filled AS (
+          SELECT x.event_type, x.time_bucket,
+                 last_value(g.count_value IGNORE NULLS) OVER
+                   (PARTITION BY x.event_type ORDER BY x.time_bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS count_value
+          FROM axis x LEFT JOIN agg g
+            ON g.event_type = x.event_type AND g.time_bucket = x.time_bucket
+        ),
+        windowed AS (
+          SELECT time_bucket, event_type,
+                 AVG(CAST(count_value AS DOUBLE)) OVER w AS moving_average,
+                 ROW_NUMBER() OVER w AS rn
+          FROM filled
+          WHERE count_value IS NOT NULL
+          WINDOW w AS (PARTITION BY event_type ORDER BY time_bucket
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        )
+        SELECT time_bucket, event_type, moving_average
+        FROM windowed WHERE rn >= 3
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_percentile": f"""
+        WITH ranked AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY CAST(FLOOR(epoch(ts) / 21600) AS BIGINT),
+                                event_type
+                   ORDER BY value) AS rn,
+                 COUNT(value) OVER (
+                   PARTITION BY CAST(FLOOR(epoch(ts) / 21600) AS BIGINT),
+                                event_type) AS n
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+            AND value IS NOT NULL
+        )
+        SELECT time_bucket, event_type, value AS percentile_value
+        FROM ranked
+        WHERE rn = CAST(FLOOR(n * 90.0 / 100.0 + 0.5) AS BIGINT)
+        ORDER BY time_bucket, event_type
     """,
     "ts_tag_time_range": f"""
         SELECT event_id, ts, user_id, value

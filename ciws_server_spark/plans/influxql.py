@@ -229,9 +229,24 @@ def _unquote(tok: str) -> str:
     return tok
 
 
-def _agg_column(fn: str, col: str, time_col: str):
+def _agg_column(fn: str, col: str, time_col: str, pct: float | None = None):
     fn = fn.lower()
     out_name = f"{fn}_{col}"
+    if fn == "percentile":
+        # InfluxQL nearest-rank: sort ascending, 1-based index
+        # floor(n*p/100 + 0.5); out-of-range index → null (matches
+        # influxdb's PercentileReduceSlice). collect_list is bounded
+        # by points-per-(bucket, series) — the same boundedness that
+        # makes GROUP BY time() itself viable — so the array never
+        # scales with corpus size. The when() guard keeps element_at
+        # unevaluated on invalid indices (ANSI-safe).
+        vals = F.sort_array(F.collect_list(F.col(col)))
+        idx = (
+            F.floor(F.size(vals) * F.lit(pct) / F.lit(100.0) + F.lit(0.5))
+        ).cast("int")
+        return F.when(
+            (idx >= 1) & (idx <= F.size(vals)), F.element_at(vals, idx)
+        ).alias(out_name)
     if fn == "mean":
         return F.avg(col).alias(out_name)
     if fn == "sum":
@@ -360,6 +375,137 @@ def _apply_fill(
     )
 
 
+def _apply_transform(
+    out: DataFrame,
+    xform_m,
+    *,
+    time_col: str,
+    group_cols: list,
+    tag_cols: list[str],
+    bucket_secs: int | None,
+    bucket_offset: int,
+    fill_mode: str,
+    time_bounds: dict,
+    order_desc: bool,
+) -> tuple[DataFrame, str]:
+    """InfluxQL 1.x transforms: derivative / non_negative_derivative /
+    moving_average, over a raw field or an aggregated+bucketed series.
+
+    All three are ONE window pass over the series key (the GROUP BY
+    tags), ordered by time — one shuffle on (tags), no self-join, no
+    driver state. The aggregated form runs the bucket aggregate (and
+    ``fill()``, first, as InfluxQL does) and then windows over bucket
+    rows — cardinality buckets × series, independent of event count.
+    Null field values are dropped up front so differences span
+    successive NON-null points (InfluxQL semantics).
+
+    Returns (frame, time-column-name-in-output).
+    """
+    from pyspark.sql import Window as W
+
+    fn = xform_m.group(1).lower()
+    args = [a.strip() for a in _split_commas(xform_m.group(2))]
+    inner = args[0]
+    im = _AGG_RE.match(inner)
+    if im:
+        inner_fn, inner_col = im.group(1).lower(), _unquote(im.group(2))
+    else:
+        inner_fn, inner_col = None, _unquote(inner)
+
+    # Per-transform parameter parsing -----------------------------
+    n_points = None
+    unit_secs: float
+    if fn == "moving_average":
+        if len(args) != 2 or not args[1].isdigit() or int(args[1]) < 1:
+            raise InfluxQLError(
+                "moving_average requires a positive integer point count"
+            )
+        n_points = int(args[1])
+        unit_secs = 1.0  # unused
+    else:  # derivative / non_negative_derivative
+        if len(args) > 2:
+            raise InfluxQLError(f"{fn} takes at most 2 arguments")
+        if len(args) == 2:
+            dm = _DURATION_RE.match(args[1])
+            if not dm:
+                raise InfluxQLError(f"bad duration: {args[1]!r}")
+            unit_secs = float(
+                int(dm.group(1)) * _UNIT_SECONDS[dm.group(2).lower()]
+            )
+        elif inner_fn is not None:
+            # default unit = the GROUP BY time interval (InfluxQL)
+            if bucket_secs is None:
+                raise InfluxQLError(
+                    f"{fn}({inner_fn}(...)) requires GROUP BY time(...)"
+                )
+            unit_secs = float(bucket_secs)
+        else:
+            unit_secs = 1.0  # raw form default: per second
+
+    # Base series frame -------------------------------------------
+    if inner_fn is not None:
+        if bucket_secs is None:
+            raise InfluxQLError(
+                f"{fn}({inner_fn}(...)) requires GROUP BY time(...)"
+            )
+        vname = f"{inner_fn}_{inner_col}"
+        base = out.groupBy(*group_cols).agg(
+            _agg_column(inner_fn, inner_col, time_col)
+        )
+        if fill_mode != "none":
+            base = _apply_fill(
+                base, fill_mode, bucket_secs, tag_cols, time_bounds,
+                bucket_offset,
+            )
+        tkey = "time_bucket"
+    else:
+        if bucket_secs is not None:
+            raise InfluxQLError(
+                "GROUP BY time(...) requires an aggregate transform argument"
+            )
+        if fill_mode != "none":
+            raise InfluxQLError("fill() requires GROUP BY time(...)")
+        vname = inner_col
+        base = out.select(time_col, *tag_cols, inner_col)
+        tkey = time_col
+
+    base = base.where(F.col(vname).isNotNull())
+    w = W.partitionBy(*tag_cols).orderBy(tkey)
+    v = F.col(vname).cast("double")
+
+    if fn == "moving_average":
+        # trailing n-point mean, emitted from the n-th point on
+        wn = w.rowsBetween(-(n_points - 1), 0)
+        res = (
+            base.withColumn("moving_average", F.avg(v).over(wn))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") >= n_points)
+            .select(tkey, *tag_cols, "moving_average")
+        )
+    else:
+        # Δvalue / Δt(seconds) × unit, one row per point after the
+        # first of each series; equal-timestamp pairs are skipped
+        # (Δt=0, as InfluxQL does)
+        res = (
+            base.withColumn("_pv", F.lag(v).over(w))
+            .withColumn("_pt", F.lag(F.col(tkey)).over(w))
+            .withColumn(
+                "_dt", F.col(tkey).cast("double") - F.col("_pt").cast("double")
+            )
+            .where(F.col("_pv").isNotNull() & (F.col("_dt") > 0))
+            .withColumn(
+                fn, (v - F.col("_pv")) / F.col("_dt") * F.lit(unit_secs)
+            )
+        )
+        if fn == "non_negative_derivative":
+            res = res.where(F.col(fn) >= 0)
+        res = res.select(tkey, *tag_cols, fn)
+
+    key = F.col(tkey)
+    res = res.orderBy(key.desc() if order_desc else key.asc())
+    return res, tkey
+
+
 def translate(
     df: DataFrame, query: str, time_col: str = "time"
 ) -> DataFrame:
@@ -412,13 +558,28 @@ def translate(
                 group_cols.append(F.col(_unquote(g)))
 
     # SELECT -------------------------------------------------------
-    select_raw = [s.strip() for s in m.group("select").split(",")]
-    agg_items = []
+    select_raw = [s.strip() for s in _split_commas(m.group("select"))]
+    agg_items = []  # (fn, col, pct-or-None)
     plain_items = []
+    xform_m = None
     for item in select_raw:
+        tm = _TRANSFORM_RE.match(item)
+        pm = _PERC_RE.match(item)
         am = _AGG_RE.match(item)
-        if am:
-            agg_items.append((_unquote(am.group(1)), _unquote(am.group(2))))
+        if tm:
+            if len(select_raw) != 1:
+                raise InfluxQLError(
+                    "a transform must be the only select item"
+                )
+            xform_m = tm
+        elif pm:
+            agg_items.append(
+                ("percentile", _unquote(pm.group(1)), float(pm.group(2)))
+            )
+        elif am:
+            agg_items.append(
+                (_unquote(am.group(1)), _unquote(am.group(2)), None)
+            )
         elif item == "*":
             plain_items = None  # all columns
         else:
@@ -429,10 +590,24 @@ def translate(
     # key is the raw time column (no GROUP BY) or the bucket column.
     order_desc = (m.group("order") or "ASC").upper() == "DESC"
     has_order = m.group("orderby") is not None
-    if agg_items:
+    time_key: str | None = None  # time column present in the output
+    if xform_m is not None:
+        out, time_key = _apply_transform(
+            out,
+            xform_m,
+            time_col=time_col,
+            group_cols=group_cols,
+            tag_cols=tag_cols,
+            bucket_secs=bucket_secs,
+            bucket_offset=bucket_offset,
+            fill_mode=fill_mode,
+            time_bounds=time_bounds,
+            order_desc=order_desc,
+        )
+    elif agg_items:
         grouped = out.groupBy(*group_cols) if group_cols else out.groupBy()
         out = grouped.agg(
-            *[_agg_column(fn, col, time_col) for fn, col in agg_items]
+            *[_agg_column(fn, col, time_col, p) for fn, col, p in agg_items]
         )
         if fill_mode != "none":
             out = _apply_fill(
@@ -440,7 +615,8 @@ def translate(
                 bucket_offset,
             )
         if bucket is not None:
-            key = F.col("time_bucket")
+            time_key = "time_bucket"
+            key = F.col(time_key)
             out = out.orderBy(key.desc() if order_desc else key.asc())
         elif has_order:
             raise InfluxQLError("ORDER BY time requires a time(...) bucket")
@@ -451,6 +627,7 @@ def translate(
             # InfluxQL always returns time alongside projected fields
             cols = [time_col] + [c for c in plain_items if c != time_col]
             out = out.select(*cols)
+        time_key = time_col
         if has_order:
             key = F.col(time_col)
             # with a LIMIT below this becomes TakeOrderedAndProject —
@@ -473,17 +650,25 @@ def translate(
     # LIMIT --------------------------------------------------------
     if m.group("limit"):
         n = int(m.group("limit"))
-        if m.group("slimit") and bucket is not None:
+        if m.group("slimit"):
             # InfluxQL: combined with SLIMIT, LIMIT caps points PER
-            # SERIES (first n buckets in time order per kept series)
+            # SERIES (first n points in time order per kept series).
+            # Without a time column in the output (tag-only GROUP BY:
+            # exactly one row per series) any per-series order gives
+            # the same result; tag columns are a deterministic stand-in.
             from pyspark.sql import Window as W
 
-            key = (
-                F.col("time_bucket").desc()
-                if order_desc
-                else F.col("time_bucket").asc()
-            )
-            w = W.partitionBy(*tag_cols).orderBy(key)
+            if time_key is not None:
+                key = (
+                    F.col(time_key).desc()
+                    if order_desc
+                    else F.col(time_key).asc()
+                )
+                w = W.partitionBy(*tag_cols).orderBy(key)
+            else:
+                w = W.partitionBy(*tag_cols).orderBy(
+                    *[F.col(c) for c in tag_cols]
+                )
             out = (
                 out.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= n)

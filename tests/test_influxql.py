@@ -313,3 +313,178 @@ def test_time_bucket_offset(spark, flow):
         "2021-03-01 00:30:00": 60,
         "2021-03-01 01:30:00": 30,
     }
+
+
+def test_derivative_raw(spark, flow):
+    """Raw-field derivative: Δv/Δt(s) × unit, one row per point after
+    the first; GROUP BY tag segments series."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT derivative(hotOutFlowRate) FROM flow "
+        "WHERE buildingID = 'A'",
+    ).collect()
+    assert len(got) == 119  # 120 points → 119 differences
+    # minute cadence, default unit 1s: (v1 - v0) / 60
+    assert got[0]["derivative"] == pytest.approx(1.0 / 60)
+
+    # per-series with an explicit unit: (Δv)/60s × 60s = Δv
+    by_series = query_measurement(
+        spark, {"flow": flow},
+        "SELECT derivative(hotOutFlowRate, 1m) FROM flow GROUP BY buildingID",
+    ).collect()
+    assert len(by_series) == 238
+    a = sorted(
+        (r for r in by_series if r["buildingID"] == "A"),
+        key=lambda r: r["time"],
+    )
+    # value cycles 0..6: six +1 steps then one -6 step
+    assert a[0]["derivative"] == pytest.approx(1.0)
+    assert a[6]["derivative"] == pytest.approx(-6.0)
+
+
+def test_non_negative_derivative_drops_negatives(spark, flow):
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT non_negative_derivative(hotOutFlowRate, 1m) FROM flow "
+        "GROUP BY buildingID",
+    ).collect()
+    # per series: 119 diffs, 17 of them the -6 wrap → 102 kept
+    assert len(got) == 204
+    assert all(r["non_negative_derivative"] >= 0 for r in got)
+
+
+def test_derivative_aggregated(spark, flow):
+    """derivative(mean(v), unit) over GROUP BY time buckets: default
+    unit is the bucket interval."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT derivative(mean(coldInFlowRate), 1h) FROM flow "
+        "GROUP BY time(1h), buildingID",
+    ).collect()
+    # hour means 29.5 → 89.5 per building: Δ60 over 3600s × 3600 = 60
+    assert sorted(
+        (r["buildingID"], str(r["time_bucket"]), r["derivative"]) for r in got
+    ) == [
+        ("A", "2021-03-01 01:00:00", 60.0),
+        ("B", "2021-03-01 01:00:00", 60.0),
+    ]
+    # default unit = bucket interval → same result without the 1h arg
+    dflt = query_measurement(
+        spark, {"flow": flow},
+        "SELECT derivative(mean(coldInFlowRate)) FROM flow "
+        "GROUP BY time(1h), buildingID",
+    ).collect()
+    assert sorted(r["derivative"] for r in dflt) == [60.0, 60.0]
+
+
+def test_moving_average(spark, flow):
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    raw = query_measurement(
+        spark, {"flow": flow},
+        "SELECT moving_average(coldInFlowRate, 3) FROM flow "
+        "WHERE buildingID = 'A'",
+    ).collect()
+    assert len(raw) == 118  # emitted from the 3rd point on
+    assert raw[0]["moving_average"] == pytest.approx(1.0)  # mean(0,1,2)
+
+    agg = query_measurement(
+        spark, {"flow": flow},
+        "SELECT moving_average(mean(coldInFlowRate), 2) FROM flow "
+        "GROUP BY time(30m), buildingID",
+    ).collect()
+    # 30m bucket means per building: 14.5, 44.5, 74.5, 104.5
+    assert sorted(
+        (r["buildingID"], str(r["time_bucket"]), r["moving_average"])
+        for r in agg
+    ) == [
+        ("A", "2021-03-01 00:30:00", 29.5),
+        ("A", "2021-03-01 01:00:00", 59.5),
+        ("A", "2021-03-01 01:30:00", 89.5),
+        ("B", "2021-03-01 00:30:00", 29.5),
+        ("B", "2021-03-01 01:00:00", 59.5),
+        ("B", "2021-03-01 01:30:00", 89.5),
+    ]
+
+
+def test_percentile_nearest_rank(spark, flow):
+    """InfluxQL nearest-rank: 1-based index floor(n*p/100 + 0.5)."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT percentile(coldInFlowRate, 50) FROM flow "
+        "GROUP BY time(1h), buildingID",
+    ).collect()
+    # hour buckets hold values 0..59 / 60..119: n=60, idx=floor(30.5)=30
+    # → 30th smallest = 29.0 / 89.0
+    assert sorted(
+        (r["buildingID"], str(r["time_bucket"]), r["percentile_coldInFlowRate"])
+        for r in got
+    ) == [
+        ("A", "2021-03-01 00:00:00", 29.0),
+        ("A", "2021-03-01 01:00:00", 89.0),
+        ("B", "2021-03-01 00:00:00", 29.0),
+        ("B", "2021-03-01 01:00:00", 89.0),
+    ]
+    # composes with other aggregates in one SELECT
+    mixed = query_measurement(
+        spark, {"flow": flow},
+        "SELECT percentile(coldInFlowRate, 100), max(coldInFlowRate) "
+        "FROM flow GROUP BY buildingID",
+    ).collect()
+    for r in mixed:
+        assert r["percentile_coldInFlowRate"] == r["max_coldInFlowRate"]
+
+
+def test_transform_grammar_errors(spark, flow):
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    with pytest.raises(InfluxQLError, match="only select item"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SELECT derivative(hotOutFlowRate), coldInFlowRate FROM flow",
+        )
+    with pytest.raises(InfluxQLError, match="GROUP BY time"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SELECT derivative(mean(hotOutFlowRate)) FROM flow",
+        )
+    with pytest.raises(InfluxQLError, match="aggregate transform argument"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SELECT derivative(hotOutFlowRate) FROM flow GROUP BY time(1h)",
+        )
+    with pytest.raises(InfluxQLError, match="positive integer"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SELECT moving_average(hotOutFlowRate) FROM flow",
+        )
+    with pytest.raises(InfluxQLError, match="bad duration"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SELECT derivative(hotOutFlowRate, 5x) FROM flow",
+        )
+
+
+def test_slimit_limit_without_bucket(spark, flow):
+    """LIMIT composed with SLIMIT caps points per series even when the
+    output has no time column (tag-only GROUP BY → 1 row/series)."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT mean(hotOutFlowRate) FROM flow "
+        "GROUP BY buildingID LIMIT 5 SLIMIT 1",
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["buildingID"] == "A"
