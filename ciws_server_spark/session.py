@@ -23,6 +23,13 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.ts is parquet timestamp[us] with isAdjustedToUTC=false;
+    # infer it as the session-zoned TIMESTAMP (identity under the UTC
+    # session) instead of TIMESTAMP_NTZ. This keeps ts a bare scan
+    # attribute — no cast wrapper — so ts-range predicates push down
+    # to parquet row-group stats. tables.table() keeps a cast branch
+    # as a safety net for sessions where this conf cannot apply.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 # Note: earlier testdata generations stored events.ts as parquet
 # TIMESTAMP(NANOS), which required spark.sql.legacy.parquet.nanosAsLong
