@@ -448,28 +448,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash-LSH near-dup pair graph:
-    each document that appears in ≥1 near-dup pair is labeled with the
-    MINIMUM doc_id of its transitive duplicate cluster (the canonical
-    keeper) plus the cluster size — the step that turns pairwise
-    near-dup output into per-document keep/drop decisions.
-
-    Iterative min-label propagation: label(v) ← min(label(v),
-    min over neighbors' labels), repeated to fixpoint. Each round is
-    one distributed join + partial-min aggregate; the round count is
-    bounded by the cluster DIAMETER (single digits for near-dup
-    graphs), never by corpus size, and the driver only orchestrates —
-    it joins no rows itself. Per round the label frame is
-    localCheckpointed to truncate lineage (on a cluster: write each
-    round's labels to a scratch table); convergence is detected with
-    a one-row aggregate, not a collect of labels. If diameters ever
-    grew (chain-shaped graphs), the alternating small-star/large-star
-    rewrite of the same join drops rounds to O(log n).
+def min_label_propagation(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(node, label) connected-component labels for an undirected pair
+    graph, via iterative min-label propagation (see dedup_clusters for
+    the scale contract). Raises instead of returning a partial
+    labeling if the graph's diameter exceeds ``max_rounds`` — a
+    partial result would silently over-split clusters, letting
+    transitive duplicates survive as "keepers".
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
+        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
         .toDF("src", "dst")
         .localCheckpoint(eager=True)
     )
@@ -479,7 +467,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # diameter bound; near-dup clusters are tiny
+    for _ in range(max_rounds):  # diameter bound; near-dup clusters are tiny
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -504,7 +492,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
+            return labels
+    raise RuntimeError(
+        "min_label_propagation: did not converge in "
+        f"{max_rounds} rounds — cluster diameter exceeds the bound; "
+        "switch to the small-star/large-star rewrite for this graph"
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    each document that appears in ≥1 near-dup pair is labeled with the
+    MINIMUM doc_id of its transitive duplicate cluster (the canonical
+    keeper) plus the cluster size — the step that turns pairwise
+    near-dup output into per-document keep/drop decisions.
+
+    Iterative min-label propagation: label(v) ← min(label(v),
+    min over neighbors' labels), repeated to fixpoint. Each round is
+    one distributed join + partial-min aggregate; the round count is
+    bounded by the cluster DIAMETER (single digits for near-dup
+    graphs), never by corpus size, and the driver only orchestrates —
+    it joins no rows itself. Per round the label frame is
+    localCheckpointed to truncate lineage (on a cluster: write each
+    round's labels to a scratch table); convergence is detected with
+    a one-row aggregate, not a collect of labels. If diameters ever
+    grew (chain-shaped graphs), the alternating small-star/large-star
+    rewrite of the same join drops rounds to O(log n).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_propagation(pairs)
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

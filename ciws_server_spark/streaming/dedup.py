@@ -36,13 +36,13 @@ small rows per doc); loading it per pass is a scan of doc_count × 4
 short rows, and the (band, band_hash) join prunes to colliding
 buckets. New confirmed pairs can feed dedup_clusters incrementally.
 
-Scope note: newcomers are checked against corpus + previously-KEPT
-newcomers (``grow_index``), not against other docs in the SAME
-micro-batch — within-batch self-dedup is the batch operator's job
-(run dedup_minhash_lsh over the batch first, or accept one batch
-interval of within-batch duplicates; at maxFilesPerTrigger-bounded
-batch sizes that window is small and the downstream batch dedup
-catches it).
+Each batch is ALSO self-deduped before the corpus join: the batch's
+band signatures self-join on (band, band_hash) with ``doc_a > doc_b``
+(the larger id is the duplicate, so the min-id arrival of a duplicate
+group survives), and confirmed within-batch duplicates are excluded
+from the kept/indexed set. Two near-identical docs landing in one
+micro-batch therefore produce one survivor, the same outcome as if
+they had arrived a batch apart.
 """
 
 from __future__ import annotations
@@ -75,7 +75,12 @@ def read_near_dups(spark: SparkSession, table_dir: str) -> DataFrame:
     path = os.path.join(table_dir, NEAR_DUP_TABLE)
     if not _has_parquet(path):
         return spark.createDataFrame([], NEAR_DUP_SCHEMA)
-    return spark.read.parquet(path)
+    # batch_id is a directory-derived partition column, which Spark
+    # infers as INT; cast so the schema matches the declared
+    # NEAR_DUP_SCHEMA (and the empty-table branch) exactly
+    return spark.read.parquet(path).withColumn(
+        "batch_id", F.col("batch_id").cast("bigint")
+    )
 
 
 def near_dups_against_corpus(
@@ -106,6 +111,30 @@ def near_dups_against_corpus(
         .distinct()
     )
     return verify_pairs_cross(new_docs, corpus_docs, candidates, threshold)
+
+
+def within_batch_near_dups(
+    batch_docs: DataFrame, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """(doc_a=duplicate, doc_b=survivor, jaccard) near-dup pairs WITHIN
+    one micro-batch.
+
+    Band-signature self-join on (band, band_hash), keeping only
+    ``doc_a > doc_b`` — each duplicate points at a smaller-id match,
+    so the minimum-id arrival of a duplicate group never appears as
+    ``doc_a`` and survives. Verification is exact Jaccard over
+    candidates only; the whole stage is micro-batch-sized.
+    """
+    sig = band_signatures(batch_docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    candidates = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("doc_a") > F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verify_pairs_cross(batch_docs, batch_docs, candidates, threshold)
 
 
 def _has_parquet(path: str) -> bool:
@@ -187,7 +216,12 @@ def stream_near_dups(
             corpus = corpus.unionByName(
                 grown.select("doc_id", "text").distinct()
             )
-        pairs = near_dups_against_corpus(batch_df, corpus, idx, threshold)
+        # within-batch self-dedup first: two near-dups landing in ONE
+        # batch yield one survivor (min doc_id), exactly as if they
+        # had arrived a batch apart
+        pairs = within_batch_near_dups(batch_df, threshold).unionByName(
+            near_dups_against_corpus(batch_df, corpus, idx, threshold)
+        )
         pairs = pairs.localCheckpoint(eager=True)
         _overwrite_by_batch(pairs, out_path, batch_id)
         if grow_index:

@@ -105,3 +105,50 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert rows2.get("2021-03-01 10:00:00") == 1
     # 12:00 still open (watermark 11:00) → not emitted in append mode
     assert "2021-03-01 12:00:00" not in rows2
+
+
+def test_date_partition_pruning(spark, tmp_path):
+    """Date-partitioned writes (sinks.PARTITIONING) let a time-range
+    query prune partitions BEFORE any I/O: a 3-day predicate over a
+    10-day table must touch only the 3 matching date directories.
+    Evidence is execution-level (input_file_name of rows actually
+    read), not just the plan string."""
+    import datetime as dt
+
+    from ciws_server_spark.sources.sinks import append_points
+
+    base = dt.datetime(2021, 3, 1)
+    rows = [
+        ("B1", base + dt.timedelta(days=d, hours=h), float(d * 24 + h))
+        for d in range(10)
+        for h in (0, 12)
+    ]
+    df = spark.createDataFrame(rows, ["buildingID", "time", "flow"])
+    append_points(df, str(tmp_path), "campus_flow")
+    root = str(tmp_path / "campus_flow")
+
+    full = spark.read.parquet(root)
+    pruned = full.where(
+        (F.col("date") >= "2021-03-02") & (F.col("date") <= "2021-03-04")
+    )
+
+    # plan-level: the date conjuncts land in PartitionFilters
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "date" in plan
+
+    n_total = full.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    days_read = {
+        str(r["date"]) for r in pruned.select("date").distinct().collect()
+    }
+    assert days_read == {"2021-03-02", "2021-03-03", "2021-03-04"}
+    assert n_pruned < n_total  # strictly fewer files touched
+    # exactly the files living under the 3 matching date directories
+    import glob
+
+    in_range = [
+        f
+        for d in ("2021-03-02", "2021-03-03", "2021-03-04")
+        for f in glob.glob(f"{root}/*/date={d}/*.parquet")
+    ]
+    assert n_pruned == len(in_range)

@@ -132,3 +132,41 @@ def test_grow_index_catches_later_arriving_dup(spark, corpus, tmp_path):
     # the duplicate was NOT added to the index
     idx = spark.read.parquet(f"{tables}/{INDEX_TABLE}")
     assert idx.where("doc_id = 30001").count() == 0
+
+
+def test_within_batch_self_dedup(spark, corpus, tmp_path):
+    """Two near-dups landing in the SAME micro-batch: only the min
+    doc_id survivor is kept/indexed; the pair is recorded with the
+    larger id as doc_a (r3 ask #3)."""
+    from ciws_server_spark.streaming.dedup import INDEX_TABLE, read_near_dups
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    tables = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+
+    novel = " ".join(f"wvu{i}kk" for i in range(40))
+    # one batch: exact copies (J=1.0 → deterministic detection) plus
+    # one unrelated doc
+    _land(landing / "b1.jsonl", [
+        {"doc_id": 40_000, "text": novel},
+        {"doc_id": 40_001, "text": novel},
+        {"doc_id": 40_002, "text": "entirely different text here"},
+    ])
+    run_near_dup_pass(
+        spark, str(landing), corpus, tables, ckpt, grow_index=True
+    )
+    nd = read_near_dups(spark, tables)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in nd.collect()}
+    assert (40_001, 40_000) in pairs  # larger id is the duplicate
+    assert not any(a == 40_000 for a, _ in pairs)  # survivor clean
+
+    idx = spark.read.parquet(f"{tables}/{INDEX_TABLE}")
+    assert idx.where("doc_id = 40000").count() > 0  # survivor indexed
+    assert idx.where("doc_id = 40001").count() == 0  # duplicate not
+    assert idx.where("doc_id = 40002").count() > 0  # unrelated kept
+
+    # schema contract: empty and non-empty reads agree (batch_id is a
+    # partition dir column — must come back BIGINT, not INT)
+    assert dict(nd.dtypes)["batch_id"] == "bigint"
+    assert nd.schema == read_near_dups(spark, str(tmp_path / "nope")).schema
