@@ -1,0 +1,123 @@
+"""Synthesize a larger scale factor from /root/testdata/sf0.1 by
+key-offset replication — local scale-evidence only (the driver owns
+real testdata; this never writes outside the repo).
+
+Replication rules keep workload *structure* flat instead of inflating
+it artificially:
+
+* ``lineitem`` / ``orders`` / ``events``: replicas shift the primary
+  and foreign line/order/event/user keys past the original key space,
+  so join fan-in per key and group sizes stay constant while row count
+  scales. Dimension tables (customer/supplier/part/nation/region) stay
+  fixed, like TPC-H's fixed small dims.
+* ``documents``: every token in replica *i* is prefixed ``r{i}``, so
+  shingle sets across replicas are disjoint — the near-dup cluster
+  structure is replicated ×N, NOT turned into one giant cross-replica
+  clique (exact copies would quadratically inflate LSH candidate
+  counts and measure a different workload).
+* ``embeddings``: vectors perturbed per replica by a deterministic
+  per-dimension nudge (cosine-distinct, no exact-duplicate top-k
+  degeneracy), vec_id offset.
+
+Usage: python tools/gen_sf_scale.py [factor] [out_dir]
+       (defaults: 10 → ./tmp/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tmp", "sf1",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    def write(name: str, sql: str) -> None:
+        path = os.path.join(out_dir, f"{name}.parquet")
+        con.sql(f"COPY ({sql}) TO '{path}' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    # fixed dims: straight copies
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        write(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+
+    reps = f"(SELECT unnest(range({factor})) AS rep)"
+
+    okey = con.sql(
+        f"SELECT max(o_orderkey) FROM read_parquet('{SRC}/orders.parquet')"
+    ).fetchone()[0] + 1
+    write(
+        "orders",
+        f"""
+        SELECT o_orderkey + rep * {okey} AS o_orderkey,
+               * EXCLUDE (o_orderkey, rep)
+        FROM read_parquet('{SRC}/orders.parquet'), {reps}
+        """,
+    )
+    write(
+        "lineitem",
+        f"""
+        SELECT l_orderkey + rep * {okey} AS l_orderkey,
+               * EXCLUDE (l_orderkey, rep)
+        FROM read_parquet('{SRC}/lineitem.parquet'), {reps}
+        """,
+    )
+
+    ekey, ukey = con.sql(
+        f"SELECT max(event_id) + 1, max(user_id) + 1 "
+        f"FROM read_parquet('{SRC}/events.parquet')"
+    ).fetchone()
+    write(
+        "events",
+        f"""
+        SELECT event_id + rep * {ekey} AS event_id, ts,
+               user_id + rep * {ukey} AS user_id,
+               event_type, value, props
+        FROM read_parquet('{SRC}/events.parquet'), {reps}
+        """,
+    )
+
+    dkey = con.sql(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    write(
+        "documents",
+        f"""
+        SELECT doc_id + rep * {dkey} AS doc_id,
+               CASE WHEN rep = 0 THEN text
+                    ELSE regexp_replace(text, '(\\S+)', 'r' || rep || '\\1', 'g')
+               END AS text,
+               * EXCLUDE (doc_id, text, rep)
+        FROM read_parquet('{SRC}/documents.parquet'), {reps}
+        """,
+    )
+
+    vkey = con.sql(
+        f"SELECT max(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    write(
+        "embeddings",
+        f"""
+        SELECT vec_id + rep * {vkey} AS vec_id,
+               list_transform(embedding,
+                   (x, j) -> CAST(x + 0.003 * rep * sin(j * 1.7) AS FLOAT)
+               ) AS embedding,
+               * EXCLUDE (vec_id, embedding, rep)
+        FROM read_parquet('{SRC}/embeddings.parquet'), {reps}
+        """,
+    )
+
+
+if __name__ == "__main__":
+    main()
