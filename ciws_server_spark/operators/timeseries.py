@@ -501,6 +501,90 @@ def influxql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
 
 
+def influxql_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``difference(agg)``: value minus previous value per
+    series over the bucketed rollup (one window pass; integer inner
+    aggregate → exact doubles vs the oracle)."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT difference(count(value)) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
+
+
+def influxql_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``cumulative_sum(agg)``: running sum per series over
+    the bucketed rollup, emitted at every bucket."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT cumulative_sum(count(value)) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
+
+
+def influxql_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``elapsed(field, unit)``: integer time delta between
+    consecutive points. Exact integer math from microsecond
+    timestamps; purchase timestamps are unique so ordering is
+    deterministic vs the oracle."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT elapsed(value, 1h) FROM events "
+        "WHERE \"event_type\" = 'purchase' "
+        f"AND time >= '{_START}' AND time <= '{_END}'"
+    )
+    return translate(ev, q, time_col="ts")
+
+
+def influxql_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``spread``/``median``/``stddev``/``mode`` aggregates
+    over GROUP BY time buckets. median averages the two middle values
+    with the SAME (a+b)/2 operation order as the oracle SQL; stddev is
+    rounded to 6dp on both engines; mode ties resolve to the smallest
+    value on both engines (continuous doubles → all counts 1 → mode ==
+    min, deterministic)."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT spread(value), median(value), stddev(value), mode(value) "
+        f"FROM events WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
+
+
+def influxql_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``integral(field, unit)``: per-bucket trapezoid area
+    under the series. Per-segment contributions are windowed within
+    (bucket, series) and summed; the result is rounded to 6dp on both
+    engines (double summation order is engine-dependent)."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT integral(value, 1h) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    out = translate(ev, q, time_col="ts")
+    return out.select(
+        "time_bucket",
+        "event_type",
+        F.round("integral", 6).alias("integral"),
+    ).orderBy("time_bucket", "event_type")
+
+
 def influxql_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``ORDER BY time DESC LIMIT n`` through the text
     front-end — the latest-n-points shape every tsdb dashboard issues.
@@ -626,6 +710,11 @@ QUERIES = {
     "influxql_order_limit": influxql_order_limit,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
+    "influxql_difference": influxql_difference,
+    "influxql_cumulative_sum": influxql_cumulative_sum,
+    "influxql_elapsed": influxql_elapsed,
+    "influxql_stats_aggs": influxql_stats_aggs,
+    "influxql_integral": influxql_integral,
     "ts_sliding_window": ts_sliding_window,
     "ts_funnel": ts_funnel,
     "ts_range_join_buckets": ts_range_join_buckets,
@@ -664,6 +753,14 @@ EXTRA = {
     # nearest-rank percentile (locally oracle-checked; the two
     # transforms above take the driver slots)
     "influxql_percentile",
+    # round-5 function-surface widening: the rest of InfluxQL 1.x's
+    # common functions, all locally oracle-checked with the identical
+    # row/schema/value-hash comparison
+    "influxql_difference",
+    "influxql_cumulative_sum",
+    "influxql_elapsed",
+    "influxql_stats_aggs",
+    "influxql_integral",
 }
 
 _DSUM_VALUE = (
@@ -851,6 +948,121 @@ ORACLES = {
         WINDOW w AS (PARTITION BY x.event_type ORDER BY x.time_bucket
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY x.time_bucket, x.event_type
+    """,
+    "influxql_difference": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS BIGINT) AS count_value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT time_bucket, event_type,
+                 CAST(count_value AS DOUBLE) AS v,
+                 LAG(CAST(count_value AS DOUBLE)) OVER
+                   (PARTITION BY event_type ORDER BY time_bucket) AS pv
+          FROM agg
+        )
+        SELECT time_bucket, event_type, v - pv AS difference
+        FROM lagged WHERE pv IS NOT NULL
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_cumulative_sum": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS BIGINT) AS count_value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        )
+        SELECT time_bucket, event_type,
+               SUM(CAST(count_value AS DOUBLE)) OVER
+                 (PARTITION BY event_type ORDER BY time_bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumulative_sum
+        FROM agg
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_elapsed": f"""
+        WITH pts AS (
+          SELECT ts, value FROM events
+          WHERE event_type = 'purchase'
+            AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+            AND value IS NOT NULL
+        ),
+        lagged AS (
+          SELECT ts,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (ORDER BY ts) AS d_us
+          FROM pts
+        )
+        SELECT ts, CAST(FLOOR(d_us / 3600000000) AS BIGINT) AS elapsed
+        FROM lagged WHERE d_us IS NOT NULL
+    """,
+    "influxql_stats_aggs": f"""
+        WITH pts AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type, value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+            AND value IS NOT NULL
+        ),
+        agg AS (
+          SELECT time_bucket, event_type,
+                 MAX(value) - MIN(value) AS spread_value,
+                 list_sort(list(value)) AS l,
+                 COUNT(*) AS n,
+                 ROUND(stddev_samp(value), 6) AS stddev_value
+          FROM pts GROUP BY 1, 2
+        ),
+        counts AS (
+          SELECT time_bucket, event_type, value, COUNT(*) AS c
+          FROM pts GROUP BY 1, 2, 3
+        ),
+        modes AS (
+          SELECT time_bucket, event_type, value AS mode_value,
+                 ROW_NUMBER() OVER (PARTITION BY time_bucket, event_type
+                                    ORDER BY c DESC, value ASC) AS rn
+          FROM counts
+        )
+        SELECT a.time_bucket, a.event_type,
+               a.spread_value,
+               CASE WHEN n % 2 = 1 THEN l[CAST((n + 1) / 2 AS BIGINT)]
+                    ELSE (l[CAST(n / 2 AS BIGINT)]
+                          + l[CAST(n / 2 + 1 AS BIGINT)]) / 2
+               END AS median_value,
+               a.stddev_value,
+               m.mode_value
+        FROM agg a JOIN modes m
+          ON m.time_bucket = a.time_bucket AND m.event_type = a.event_type
+             AND m.rn = 1
+        ORDER BY a.time_bucket, a.event_type
+    """,
+    "influxql_integral": f"""
+        WITH pts AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type, ts, value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+            AND value IS NOT NULL
+        ),
+        seg AS (
+          SELECT time_bucket, event_type,
+                 (value + LAG(value) OVER w) / 2
+                   * (epoch(ts) - LAG(epoch(ts)) OVER w) / 3600.0 AS c
+          FROM pts
+          WINDOW w AS (PARTITION BY event_type, time_bucket ORDER BY ts)
+        )
+        SELECT time_bucket, event_type, ROUND(SUM(c), 6) AS integral
+        FROM seg WHERE c IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY time_bucket, event_type
     """,
     "influxql_derivative": f"""
         WITH agg AS (

@@ -27,11 +27,21 @@ Grammar (case-insensitive keywords):
 
     item  := "col" | col | agg(col) | agg("col") | * | xform
     agg   := mean|sum|count|min|max|first|last
+          |  spread|stddev|median|mode       -- max−min / sample stddev
+                                             -- (rounded 6dp) / middle-
+                                             -- or-mean-of-two / most-
+                                             -- frequent (ties→smallest)
           |  percentile(col, <p>)            -- nearest-rank, InfluxQL's
                                              -- floor(n*p/100 + 0.5) index
     xform := derivative(arg [, <dur>])       -- Δv/Δt scaled to <dur>
           |  non_negative_derivative(arg [, <dur>])
           |  moving_average(arg, <n>)        -- trailing n-point mean
+          |  difference(arg)                 -- v − prev v
+          |  non_negative_difference(arg)
+          |  cumulative_sum(arg)             -- running sum per series
+          |  elapsed(col [, <dur>])          -- int Δt in units (dflt ns)
+          |  integral(col [, <dur>])         -- trapezoid area per bucket
+                                             -- (dflt per-second)
     arg   := col | agg(col)                  -- agg form needs time(...)
     bool  := <bool> OR <bool> | <bool> AND <bool> | ( <bool> ) | cond
     cond  := col <op> 'value' | time <op> 'ts' | col =~ /re/ | col !~ /re/
@@ -79,12 +89,18 @@ _QUERY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-_AGG_RE = re.compile(r"^(mean|sum|count|min|max|first|last)\s*\(\s*(.+?)\s*\)$", re.I)
+_AGG_RE = re.compile(
+    r"^(mean|sum|count|min|max|first|last|spread|stddev|median|mode)"
+    r"\s*\(\s*(.+?)\s*\)$",
+    re.I,
+)
 _PERC_RE = re.compile(
     r"""^percentile\s*\(\s*("[^"]+"|\w+)\s*,\s*(\d+(?:\.\d+)?)\s*\)$""", re.I
 )
 _TRANSFORM_RE = re.compile(
-    r"^(derivative|non_negative_derivative|moving_average)\s*\(\s*(.+?)\s*\)$",
+    r"^(derivative|non_negative_derivative|moving_average|difference"
+    r"|non_negative_difference|cumulative_sum|elapsed|integral)"
+    r"\s*\(\s*(.+?)\s*\)$",
     re.I,
 )
 _DURATION_RE = re.compile(r"^(\d+)\s*([smhd])$", re.I)
@@ -261,6 +277,54 @@ def _agg_column(fn: str, col: str, time_col: str, pct: float | None = None):
         return F.min_by(col, time_col).alias(out_name)
     if fn == "last":
         return F.max_by(col, time_col).alias(out_name)
+    if fn == "spread":  # max − min (InfluxQL SPREAD)
+        return (F.max(col) - F.min(col)).alias(out_name)
+    if fn == "stddev":
+        # sample stddev. FP accumulation order is engine-dependent, so
+        # round to 6 decimals (same convention as fill(linear)) for
+        # cross-engine determinism.
+        return F.round(F.stddev_samp(col), 6).alias(out_name)
+    if fn == "median":
+        # InfluxQL MEDIAN: middle of the sorted values; the average of
+        # the two middle values when the count is even
+        vals = F.sort_array(F.collect_list(F.col(col)))
+        n = F.size(vals)
+        mid_hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+        odd = F.element_at(vals, ((n + 1) / 2).cast("int"))
+        even = (F.element_at(vals, (n / 2).cast("int")) + mid_hi) / 2
+        return (
+            F.when(n == 0, F.lit(None))
+            .when(n % 2 == 1, odd)
+            .otherwise(even)
+            .alias(out_name)
+        )
+    if fn == "mode":
+        # most frequent value; ties resolve to the SMALLEST value
+        # (deterministic, unlike Spark's F.mode). One pass over the
+        # sorted value array: equal values are adjacent, so a run-
+        # length reduce finds the longest run; strict > keeps the
+        # earlier (smaller) run on ties.
+        vals = F.sort_array(F.collect_list(F.col(col)))
+        init = F.struct(
+            F.lit(None).cast("double").alias("best"),
+            F.lit(0).alias("bestn"),
+            F.lit(None).cast("double").alias("cur"),
+            F.lit(0).alias("curn"),
+        )
+
+        def step(acc, x):
+            curn = F.when(x == acc["cur"], acc["curn"] + 1).otherwise(F.lit(1))
+            better = curn > acc["bestn"]
+            return F.struct(
+                F.when(better, x).otherwise(acc["best"]).alias("best"),
+                F.when(better, curn).otherwise(acc["bestn"]).alias("bestn"),
+                x.alias("cur"),
+                curn.alias("curn"),
+            )
+
+        return F.aggregate(
+            vals, init, step, lambda acc: acc["best"]
+        ).alias(out_name)
     raise InfluxQLError(f"unsupported aggregate: {fn}")
 
 
@@ -414,15 +478,17 @@ def _apply_transform(
 
     # Per-transform parameter parsing -----------------------------
     n_points = None
-    unit_secs: float
+    unit_secs: float = 1.0
     if fn == "moving_average":
         if len(args) != 2 or not args[1].isdigit() or int(args[1]) < 1:
             raise InfluxQLError(
                 "moving_average requires a positive integer point count"
             )
         n_points = int(args[1])
-        unit_secs = 1.0  # unused
-    else:  # derivative / non_negative_derivative
+    elif fn in ("difference", "non_negative_difference", "cumulative_sum"):
+        if len(args) != 1:
+            raise InfluxQLError(f"{fn} takes exactly 1 argument")
+    elif fn in ("derivative", "non_negative_derivative", "elapsed", "integral"):
         if len(args) > 2:
             raise InfluxQLError(f"{fn} takes at most 2 arguments")
         if len(args) == 2:
@@ -432,18 +498,59 @@ def _apply_transform(
             unit_secs = float(
                 int(dm.group(1)) * _UNIT_SECONDS[dm.group(2).lower()]
             )
-        elif inner_fn is not None:
-            # default unit = the GROUP BY time interval (InfluxQL)
-            if bucket_secs is None:
-                raise InfluxQLError(
-                    f"{fn}({inner_fn}(...)) requires GROUP BY time(...)"
-                )
-            unit_secs = float(bucket_secs)
-        else:
-            unit_secs = 1.0  # raw form default: per second
+        elif fn in ("derivative", "non_negative_derivative"):
+            if inner_fn is not None:
+                # default unit = the GROUP BY time interval (InfluxQL)
+                if bucket_secs is None:
+                    raise InfluxQLError(
+                        f"{fn}({inner_fn}(...)) requires GROUP BY time(...)"
+                    )
+                unit_secs = float(bucket_secs)
+            else:
+                unit_secs = 1.0  # raw form default: per second
+        # elapsed defaults to nanoseconds (InfluxQL), integral to 1s;
+        # both handled at expression build below
+        elif fn == "elapsed":
+            unit_secs = 1e-9
+
+    # integral: field-only "aggregate transform" — per-bucket (or
+    # whole-range) trapezoid area, so it builds its own base frame
+    # (raw points + optional bucket column) instead of the generic one
+    if fn == "integral":
+        if inner_fn is not None:
+            raise InfluxQLError("integral takes a field, not an aggregate")
+        if len(args) == 1:
+            unit_secs = 1.0  # InfluxQL default: per second
+        part_cols = list(tag_cols)
+        sel = [F.col(time_col), *[F.col(c) for c in tag_cols],
+               F.col(inner_col)]
+        if bucket_secs is not None:
+            bcol = F.timestamp_seconds(
+                ((F.unix_timestamp(F.col(time_col)) - bucket_offset)
+                 / bucket_secs).cast("long") * bucket_secs + bucket_offset
+            ).alias("time_bucket")
+            sel.append(bcol)
+            part_cols.append("time_bucket")
+        pts = out.select(*sel).where(F.col(inner_col).isNotNull())
+        wi = W.partitionBy(*part_cols).orderBy(time_col)
+        v = F.col(inner_col).cast("double")
+        pv = F.lag(v).over(wi)
+        pt = F.lag(F.col(time_col)).over(wi)
+        dt = F.col(time_col).cast("double") - pt.cast("double")
+        contrib = (v + pv) / 2 * dt / F.lit(unit_secs)
+        seg = pts.withColumn("_c", contrib).where(F.col("_c").isNotNull())
+        grouped = seg.groupBy(*part_cols) if part_cols else seg.groupBy()
+        res = grouped.agg(F.sum("_c").alias("integral"))
+        tkey = "time_bucket" if bucket_secs is not None else None
+        if tkey:
+            key = F.col(tkey)
+            res = res.orderBy(key.desc() if order_desc else key.asc())
+        return res, tkey
 
     # Base series frame -------------------------------------------
     if inner_fn is not None:
+        if fn == "elapsed":
+            raise InfluxQLError("elapsed takes a field, not an aggregate")
         if bucket_secs is None:
             raise InfluxQLError(
                 f"{fn}({inner_fn}(...)) requires GROUP BY time(...)"
@@ -481,6 +588,38 @@ def _apply_transform(
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") >= n_points)
             .select(tkey, *tag_cols, "moving_average")
+        )
+    elif fn == "cumulative_sum":
+        # running sum per series, emitted at every point
+        wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        res = base.select(
+            tkey, *tag_cols, F.sum(v).over(wc).alias("cumulative_sum")
+        )
+    elif fn in ("difference", "non_negative_difference"):
+        # value − previous value, one row per point after the first
+        res = (
+            base.withColumn("_pv", F.lag(v).over(w))
+            .where(F.col("_pv").isNotNull())
+            .withColumn(fn, v - F.col("_pv"))
+        )
+        if fn == "non_negative_difference":
+            res = res.where(F.col(fn) >= 0)
+        res = res.select(tkey, *tag_cols, fn)
+    elif fn == "elapsed":
+        # integer time-delta between consecutive points, truncated to
+        # the unit (default nanoseconds, as InfluxQL). Exact integer
+        # math from microsecond timestamps — no double rounding.
+        t_us = F.unix_micros(F.col(tkey))
+        pt_us = F.lag(t_us).over(w)
+        if unit_secs == 1e-9:
+            expr = (t_us - pt_us) * F.lit(1000)
+        else:
+            unit_us = int(round(unit_secs * 1_000_000))
+            expr = F.floor((t_us - pt_us) / F.lit(unit_us)).cast("long")
+        res = (
+            base.withColumn("_e", expr)
+            .where(F.col("_e").isNotNull())
+            .select(tkey, *tag_cols, F.col("_e").alias("elapsed"))
         )
     else:
         # Δvalue / Δt(seconds) × unit, one row per point after the

@@ -488,3 +488,123 @@ def test_slimit_limit_without_bucket(spark, flow):
     ).collect()
     assert len(got) == 1
     assert got[0]["buildingID"] == "A"
+
+
+def test_difference_and_cumulative_sum(spark, flow):
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    diff = query_measurement(
+        spark, {"flow": flow},
+        "SELECT difference(hotOutFlowRate) FROM flow WHERE buildingID = 'A'",
+    ).collect()
+    assert len(diff) == 119
+    assert diff[0]["difference"] == 1.0
+    assert any(r["difference"] == -6.0 for r in diff)  # the 6→0 wrap
+
+    nnd = query_measurement(
+        spark, {"flow": flow},
+        "SELECT non_negative_difference(hotOutFlowRate) FROM flow "
+        "WHERE buildingID = 'A'",
+    ).collect()
+    assert len(nnd) == 102  # 17 wrap steps dropped
+    assert all(r["non_negative_difference"] >= 0 for r in nnd)
+
+    cs = query_measurement(
+        spark, {"flow": flow},
+        "SELECT cumulative_sum(coldInFlowRate) FROM flow "
+        "WHERE buildingID = 'A'",
+    ).collect()
+    assert len(cs) == 120  # emitted at every point
+    assert cs[-1]["cumulative_sum"] == sum(range(120))
+
+    # aggregated form: running sum of bucket counts per series
+    agg = query_measurement(
+        spark, {"flow": flow},
+        "SELECT cumulative_sum(count(coldInFlowRate)) FROM flow "
+        "GROUP BY time(30m), buildingID",
+    ).collect()
+    a = sorted(
+        (str(r["time_bucket"]), r["cumulative_sum"])
+        for r in agg
+        if r["buildingID"] == "A"
+    )
+    assert [x[1] for x in a] == [30.0, 60.0, 90.0, 120.0]
+
+
+def test_elapsed_units(spark, flow):
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    ns = query_measurement(
+        spark, {"flow": flow},
+        "SELECT elapsed(coldInFlowRate) FROM flow WHERE buildingID = 'A'",
+    ).collect()
+    assert len(ns) == 119
+    assert ns[0]["elapsed"] == 60_000_000_000  # 1 min in ns (default unit)
+
+    mins = query_measurement(
+        spark, {"flow": flow},
+        "SELECT elapsed(coldInFlowRate, 1m) FROM flow WHERE buildingID = 'A'",
+    ).collect()
+    assert all(r["elapsed"] == 1 for r in mins)
+
+
+def test_stats_aggregates(spark, flow):
+    """spread / median / mode / stddev per InfluxQL semantics."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT spread(coldInFlowRate), median(coldInFlowRate), "
+        "mode(hotOutFlowRate) FROM flow GROUP BY buildingID",
+    ).collect()
+    for r in got:
+        assert r["spread_coldInFlowRate"] == 119.0
+        assert r["median_coldInFlowRate"] == 59.5  # even n: mean of middles
+        # hotOutFlowRate cycles 0..6 over 120 points: 0 occurs 18
+        # times (most frequent) — and is also the tie-smallest
+        assert r["mode_hotOutFlowRate"] == 0.0
+
+    # odd-count median: middle value exactly
+    odd = query_measurement(
+        spark, {"flow": flow},
+        "SELECT median(coldInFlowRate) FROM flow "
+        "WHERE buildingID = 'A' AND time <= '2021-03-01 00:04:00'",
+    ).collect()
+    assert odd[0]["median_coldInFlowRate"] == 2.0  # of [0,1,2,3,4]
+
+    # mode tie-break: values 1.0 and 2.0 both occur twice → smallest
+    import datetime as dt
+
+    base = dt.datetime(2021, 3, 1)
+    tie = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=i), v)
+         for i, v in enumerate([2.0, 1.0, 2.0, 1.0, 3.0])],
+        ["time", "v"],
+    )
+    got = query_measurement(
+        spark, {"flow": tie}, "SELECT mode(v) FROM flow"
+    ).collect()
+    assert got[0]["mode_v"] == 1.0
+
+
+def test_integral_trapezoid(spark, flow):
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT integral(coldInFlowRate, 1h) FROM flow "
+        "GROUP BY time(1h), buildingID",
+    ).collect()
+    # hour 0 values 0..59 at minute cadence: sum of trapezoids
+    # (i-0.5)*60s scaled to hours = (sum(1..59) - 59*0.5)/60
+    expect_h0 = (sum(range(1, 60)) - 59 * 0.5) / 60
+    a = {
+        str(r["time_bucket"]): r["integral"]
+        for r in got
+        if r["buildingID"] == "A"
+    }
+    assert a["2021-03-01 00:00:00"] == pytest.approx(expect_h0)
+    # integral is per-bucket (no trapezoid spans the boundary): hour 1
+    # holds 59 trapezoids of mean value (60+i-0.5), i.e. h0's sum
+    # shifted up by 59×60s-worth = +59.0 hours·units
+    assert a["2021-03-01 01:00:00"] == pytest.approx(expect_h0 + 59.0)
