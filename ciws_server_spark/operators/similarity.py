@@ -485,6 +485,111 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def save_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    model_dir: str,
+    rounds: int = _KMEANS_ROUNDS,
+) -> None:
+    """Train and PERSIST the IVF index: centroids as a tiny parquet
+    model table, the corpus assigned and written partitioned BY CELL.
+
+    This is the amortized production shape sim_ivf_trained_topk's
+    docstring promises: training scans happen once here; at serve
+    time each query touches only its ``nprobe`` cell partitions —
+    partition pruning does the cell restriction before any I/O, the
+    same mechanism as the date-partitioned event tables.
+    """
+    import os
+
+    cents = kmeans_train(spark, sf_dir, rounds)
+    cent_rows = [
+        (cid, pos, val)
+        for cid, cent in cents
+        for pos, val in enumerate(cent)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell INT, pos INT, val DOUBLE"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(model_dir, "centroids")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    (
+        emb.withColumn(
+            "cell", _cell_for_centroids(F.col("embedding"), cents)
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(model_dir, "corpus_by_cell"))
+    )
+
+
+def load_ivf_centroids(
+    spark: SparkSession, model_dir: str
+) -> list[tuple[int, list[float]]]:
+    """Centroids back from the model table (k×dim rows — model state,
+    not data)."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(model_dir, "centroids")).collect()
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["val"]
+    return [
+        (cid, [d[p] for p in sorted(d)])
+        for cid, d in sorted(by_cell.items())
+    ]
+
+
+def ivf_search_saved(
+    spark: SparkSession,
+    model_dir: str,
+    queries: DataFrame,
+    k: int = _IVF_TOP_K,
+    nprobe: int = _NPROBE,
+) -> DataFrame:
+    """Serve top-k ANN from a PERSISTED IVF index (save_ivf_index).
+
+    ``queries`` is any (query_id, embedding) frame. Probe-cell ids are
+    computed from the loaded centroids and joined against the
+    cell-partitioned corpus — the join key is the PARTITION column, so
+    only probed cell directories are read (asserted in
+    tests/test_similarity_ivf.py via input_file_name).
+    """
+    import os
+
+    cents = load_ivf_centroids(spark, model_dir)
+    corpus = spark.read.parquet(os.path.join(model_dir, "corpus_by_cell"))
+    probed = F.broadcast(
+        queries.select(
+            "query_id",
+            F.col("embedding").alias("qe"),
+            _probe_cells_col(F.col("embedding"), cents, nprobe).alias(
+                "probe_cells"
+            ),
+        ).select("query_id", "qe", F.explode("probe_cells").alias("qcell"))
+    )
+    scored = (
+        corpus.join(probed, F.col("cell") == F.col("qcell"))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            "cos",
+            "rk",
+        )
+    )
+
+
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantizer with REAL k-means training (2 Lloyd
     rounds from the deterministic seed centroids), then the final
