@@ -585,6 +585,25 @@ def influxql_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("time_bucket", "event_type")
 
 
+def influxql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL subquery (``FROM (SELECT ...)``): peak 6-hourly event
+    count per series — the canonical max-of-rollup nested shape,
+    translated inside-out (plans/influxql.query_measurement)."""
+    from ..plans.influxql import query_measurement
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT max(count_value) FROM "
+        "(SELECT count(value) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type) "
+        "GROUP BY event_type"
+    )
+    return query_measurement(
+        spark, {"events": ev}, q, time_col="ts"
+    ).orderBy("event_type")
+
+
 def influxql_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``ORDER BY time DESC LIMIT n`` through the text
     front-end — the latest-n-points shape every tsdb dashboard issues.
@@ -715,6 +734,7 @@ QUERIES = {
     "influxql_elapsed": influxql_elapsed,
     "influxql_stats_aggs": influxql_stats_aggs,
     "influxql_integral": influxql_integral,
+    "influxql_subquery": influxql_subquery,
     "ts_sliding_window": ts_sliding_window,
     "ts_funnel": ts_funnel,
     "ts_range_join_buckets": ts_range_join_buckets,
@@ -761,6 +781,7 @@ EXTRA = {
     "influxql_elapsed",
     "influxql_stats_aggs",
     "influxql_integral",
+    "influxql_subquery",
 }
 
 _DSUM_VALUE = (
@@ -948,6 +969,20 @@ ORACLES = {
         WINDOW w AS (PARTITION BY x.event_type ORDER BY x.time_bucket
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY x.time_bucket, x.event_type
+    """,
+    "influxql_subquery": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS BIGINT) AS count_value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        )
+        SELECT event_type, MAX(count_value) AS max_count_value
+        FROM agg GROUP BY event_type
+        ORDER BY event_type
     """,
     "influxql_difference": f"""
         WITH agg AS (

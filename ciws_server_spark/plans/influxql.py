@@ -19,7 +19,7 @@ pruning on tag/date columns).
 Grammar (case-insensitive keywords):
 
     SELECT <item> [, <item>...]
-    FROM <measurement>
+    FROM <measurement> | ( <statement> )     -- subqueries nest inside-out
     [WHERE <bool>]
     [GROUP BY time(<N><u>) [, <tag>...] [fill(<mode>)]]
     [ORDER BY time [ASC|DESC]]
@@ -58,6 +58,10 @@ n-point mean starting at the n-th point. The aggregated forms compose
 with ``fill()`` (fill runs first, as InfluxQL does). All are window
 expressions over the bucket/series machinery — one shuffle on the
 series key, no self-joins.
+
+Metadata statements: ``SHOW MEASUREMENTS``, ``SHOW TAG KEYS FROM m``
+(string columns), ``SHOW FIELD KEYS FROM m`` (typed value columns) —
+schema introspection over the measurement registry, no scan.
 
 ``fill()`` follows InfluxQL: it requires a closed time range in WHERE
 (the dense bucket axis is generated from those bounds), emits one row
@@ -818,10 +822,96 @@ def translate(
     return out
 
 
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+(MEASUREMENTS|TAG\s+KEYS|FIELD\s+KEYS)"
+    r"(?:\s+FROM\s+(\S+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SUBQUERY_RE = re.compile(r"\bFROM\s*\(", re.IGNORECASE)
+
+#: Spark dtypes InfluxQL reports as field (value) types; everything
+#: else string-typed is a tag.
+_FIELD_TYPES = {
+    "double": "float",
+    "float": "float",
+    "bigint": "integer",
+    "int": "integer",
+    "smallint": "integer",
+    "tinyint": "integer",
+    "boolean": "boolean",
+    "decimal": "float",
+}
+
+
+def _show(spark, tables: dict[str, DataFrame], m: re.Match) -> DataFrame:
+    """InfluxQL metadata statements (SHOW MEASUREMENTS / TAG KEYS /
+    FIELD KEYS) over the measurement registry — schema introspection,
+    driver-side only, no scan."""
+    kind = re.sub(r"\s+", " ", m.group(1).upper())
+    if kind == "MEASUREMENTS":
+        return spark.createDataFrame(
+            [(n,) for n in sorted(tables)], "name STRING"
+        )
+    name = _unquote(m.group(2) or "")
+    if name not in tables:
+        raise InfluxQLError(f"unknown measurement: {name!r}")
+    dtypes = tables[name].dtypes
+    if kind == "TAG KEYS":
+        rows = [
+            (c,)
+            for c, t in dtypes
+            if t == "string" and c.lower() != "time"
+        ]
+        return spark.createDataFrame(rows or [], "tagKey STRING")
+    rows = [
+        (c, _FIELD_TYPES[t.split("(")[0]])
+        for c, t in dtypes
+        if t.split("(")[0] in _FIELD_TYPES
+    ]
+    return spark.createDataFrame(rows or [], "fieldKey STRING, fieldType STRING")
+
+
+def _split_subquery(query: str) -> tuple[str, str] | None:
+    """If the statement's FROM clause is a parenthesized subquery,
+    return (inner_statement, outer_with_placeholder)."""
+    m = _SUBQUERY_RE.search(query)
+    if not m:
+        return None
+    start = m.end() - 1  # the '('
+    depth = 0
+    for i in range(start, len(query)):
+        if query[i] == "(":
+            depth += 1
+        elif query[i] == ")":
+            depth -= 1
+            if depth == 0:
+                inner = query[start + 1 : i]
+                outer = query[: m.start()] + "FROM __sub__" + query[i + 1 :]
+                return inner, outer
+    raise InfluxQLError("unbalanced parentheses in FROM subquery")
+
+
 def query_measurement(
     spark, tables: dict[str, DataFrame], query: str, time_col: str = "time"
 ) -> DataFrame:
-    """Resolve FROM against a measurement registry and translate."""
+    """Resolve FROM against a measurement registry and translate.
+
+    Also accepts InfluxQL subqueries (``SELECT ... FROM (SELECT ...)``,
+    translated inside-out — the inner statement's result frame becomes
+    the outer statement's measurement, with the inner bucket column as
+    the outer time column) and the SHOW metadata statements.
+    """
+    sm = _SHOW_RE.match(query)
+    if sm:
+        return _show(spark, tables, sm)
+    sub = _split_subquery(query)
+    if sub is not None:
+        inner_q, outer_q = sub
+        inner_df = query_measurement(spark, tables, inner_q, time_col)
+        inner_time = (
+            "time_bucket" if "time_bucket" in inner_df.columns else time_col
+        )
+        return translate(inner_df, outer_q, time_col=inner_time)
     m = _QUERY_RE.match(query)
     if not m:
         raise InfluxQLError(f"unparseable InfluxQL: {query!r}")

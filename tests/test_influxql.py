@@ -92,7 +92,7 @@ def test_limit_and_errors(spark, flow):
             "SELECT hotOutFlowRate FROM flow WHERE buildingID LIKE 'A%'",
         )
     with pytest.raises(InfluxQLError, match="unparseable"):
-        query_measurement(spark, {"flow": flow}, "SHOW MEASUREMENTS")
+        query_measurement(spark, {"flow": flow}, "DROP MEASUREMENT flow")
 
 
 def test_order_by_time(spark, flow):
@@ -608,3 +608,74 @@ def test_integral_trapezoid(spark, flow):
     # holds 59 trapezoids of mean value (60+i-0.5), i.e. h0's sum
     # shifted up by 59×60s-worth = +59.0 hours·units
     assert a["2021-03-01 01:00:00"] == pytest.approx(expect_h0 + 59.0)
+
+
+def test_show_statements(spark, flow):
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    t = {"flow": flow}
+    assert [r["name"] for r in query_measurement(
+        spark, t, "SHOW MEASUREMENTS"
+    ).collect()] == ["flow"]
+    assert [r["tagKey"] for r in query_measurement(
+        spark, t, "SHOW TAG KEYS FROM flow"
+    ).collect()] == ["buildingID"]
+    fields = {
+        r["fieldKey"]: r["fieldType"]
+        for r in query_measurement(
+            spark, t, "SHOW FIELD KEYS FROM flow"
+        ).collect()
+    }
+    assert fields == {
+        "hotOutFlowRate": "float",
+        "coldInFlowRate": "float",
+    }
+    with pytest.raises(InfluxQLError, match="unknown measurement"):
+        query_measurement(spark, t, "SHOW TAG KEYS FROM nope")
+
+
+def test_subquery_nesting(spark, flow):
+    """InfluxQL subqueries: inner statement translated first, its
+    result frame is the outer statement's measurement (inner bucket =
+    outer time)."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    t = {"flow": flow}
+    # max of the hourly mean — the canonical nested shape
+    got = query_measurement(
+        spark, t,
+        "SELECT max(mean_coldInFlowRate) FROM "
+        "(SELECT mean(coldInFlowRate) FROM flow "
+        "GROUP BY time(1h), buildingID) GROUP BY buildingID",
+    ).collect()
+    assert sorted(
+        (r["buildingID"], r["max_mean_coldInFlowRate"]) for r in got
+    ) == [("A", 89.5), ("B", 89.5)]
+
+    # outer re-buckets the inner rollup onto a coarser axis
+    got = query_measurement(
+        spark, t,
+        "SELECT sum(count_coldInFlowRate) FROM "
+        "(SELECT count(coldInFlowRate) FROM flow "
+        "GROUP BY time(30m), buildingID) GROUP BY time(1h)",
+    ).collect()
+    assert sorted(
+        (str(r["time_bucket"]), r["sum_count_coldInFlowRate"]) for r in got
+    ) == [
+        ("2021-03-01 00:00:00", 120),
+        ("2021-03-01 01:00:00", 120),
+    ]
+
+    # transforms compose over subqueries too
+    got = query_measurement(
+        spark, t,
+        "SELECT difference(max_coldInFlowRate) FROM "
+        "(SELECT max(coldInFlowRate) FROM flow "
+        "GROUP BY time(30m), buildingID) GROUP BY buildingID",
+    ).collect()
+    # 30m bucket maxima 29,59,89,119 → differences all 30
+    assert len(got) == 6
+    assert all(r["difference"] == 30.0 for r in got)
