@@ -173,3 +173,51 @@ def run_derived_rate_job(
         return n
     finally:
         out.unpersist()
+
+
+def ingest_line_protocol(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    schemas: dict[str, dict[str, str]],
+    table_of: dict[str, str] | None = None,
+) -> dict[str, int]:
+    """Batch-ingest InfluxDB line-protocol files (``*.lp``/``*.txt``)
+    into the partitioned tables — the write path the reference drives
+    through the InfluxDB client (S8), accepted here as plain text.
+
+    ``schemas`` maps measurement → {field: line-protocol type};
+    ``table_of`` maps measurement → sink table name (default: the
+    measurement name, which must then appear in sinks.PARTITIONING to
+    get the tag/date layout). Returns rows-written per measurement
+    plus a ``_malformed`` count (lines with no parseable field set —
+    same quarantine philosophy as the CSV path, they never poison the
+    batch).
+
+    The whole path — parse, type, route — is native column functions
+    on a text scan: no Python in the loop, so a large backfill is
+    scan-bound.
+    """
+    from .plans.line_protocol import parse_lines, typed_fields
+
+    lines = spark.read.text(landing_dir)
+    parsed = parse_lines(lines).localCheckpoint(eager=True)
+    counts: dict[str, int] = {}
+    counts["_malformed"] = parsed.where(F.col("fields").isNull()).count()
+    for measurement, fields in schemas.items():
+        typed = typed_fields(parsed, measurement, fields)
+        # line-protocol tags are a map; project the declared sink
+        # partitioning tag(s) to columns and stamp the time column
+        table = (table_of or {}).get(measurement, measurement)
+        parts = sinks.PARTITIONING.get(table, [])
+        tag_cols = [
+            F.col("tags")[p].alias(p) for p in parts if p != "date"
+        ]
+        out = typed.select(
+            F.col("ts").alias("time"),
+            *tag_cols,
+            *[F.col(f) for f in fields],
+        )
+        sinks.append_points(out, table_dir, table)
+        counts[measurement] = out.count()
+    return counts

@@ -1,0 +1,157 @@
+"""InfluxDB line-protocol parser — the write-path text format the
+reference's tsdb dependency speaks (SURVEY.md §2 S8: the reference
+writes batched line protocol via the client library,
+``transfer_manager.py:123-164``; this module accepts the same format
+as TEXT, so a line-protocol feed can land directly in the engine's
+partitioned tables).
+
+Format (one point per line)::
+
+    measurement[,tag=v[,tag=v...]] field=v[,field=v...] [unix_ns]
+
+Everything is parsed with native column functions — no Python UDF in
+the path, so a 100 TB backfill of .lp files stays whole-stage
+codegen'd end-to-end:
+
+1. escape handling: the three escapable characters in identifiers
+   (``\\,`` ``\\ `` ``\\=``) are swapped to private-use sentinels
+   first, so the structural splits below are plain ``split()`` calls;
+   sentinels are swapped back after splitting
+   (``translate``/``replace`` chains, all codegen'd);
+2. the line splits into measurement+tags / fields / optional
+   timestamp on unescaped spaces;
+3. tags and fields become ``MAP<STRING,STRING>`` via ``str_to_map``;
+4. field VALUES keep line-protocol typing in the raw map;
+   ``typed_fields`` projects one measurement's fields to typed
+   columns: ``123i`` → bigint, ``"quoted"`` → string,
+   ``true/false`` → boolean, bare numbers → double.
+
+Timestamps are nanoseconds since epoch (InfluxDB default); absent
+timestamps stay null (the caller stamps arrival time, as the server
+would). Malformed lines (no field set) yield null maps rather than
+poisoning the batch — route them to quarantine with
+``where(fields IS NULL)``, mirroring the CSV quarantine path.
+
+Documented subset limit: string field values may contain escaped
+quotes (``\\"``) but not literal spaces — the reference's writer
+(numeric sensor fields + string tags) never produces them, and
+supporting them needs a quote-aware lexer pass that would push the
+hot path out of codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Private-use sentinels for the three identifier escapes. Chosen from
+#: U+E000-F8FF so they can never collide with real line content.
+_ESC = [("\\,", ""), ("\\ ", ""), ("\\=", "")]
+
+
+def _mask(col: Column) -> Column:
+    for src, dst in _ESC:
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return col
+
+
+def _unmask(col: Column) -> Column:
+    for src, dst in _ESC:
+        col = F.replace(col, F.lit(dst), F.lit(src[1]))
+    return col
+
+
+def parse_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse a frame of raw line-protocol strings.
+
+    Returns (measurement STRING, tags MAP, fields MAP (raw string
+    values), ts TIMESTAMP) — one row per input line. Comment lines
+    (``#``) and blank lines are dropped.
+    """
+    masked = _mask(F.col("_raw"))
+    parts = F.split(masked, " ")
+    n = F.size(parts)
+    head = F.element_at(parts, 1)  # measurement[,tags]
+    field_str = F.when(n >= 2, F.element_at(parts, 2))
+    # timestamp element is optional; it is digits (possibly negative)
+    ts_str = F.when(
+        (n >= 3) & F.element_at(parts, 3).rlike("^-?\\d+$"),
+        F.element_at(parts, 3),
+    )
+    measurement = _unmask(F.element_at(F.split(head, ","), 1))
+    tag_str = F.when(
+        F.size(F.split(head, ",")) > 1,
+        F.regexp_replace(head, "^[^,]*,", ""),
+    )
+    # str_to_map(pairDelim=',', kvDelim='=') on the masked text, then
+    # unmask keys AND values
+    def to_map(s: Column) -> Column:
+        m = F.str_to_map(s, F.lit(","), F.lit("="))
+        return F.map_from_arrays(
+            F.transform(F.map_keys(m), _unmask),
+            F.transform(F.map_values(m), _unmask),
+        )
+
+    # a valid field set has at least one '=' pair
+    fields = F.when(
+        field_str.isNotNull() & field_str.contains("="), to_map(field_str)
+    )
+    out = (
+        lines.select(F.col(col).alias("_raw"))
+        .where(
+            F.col("_raw").isNotNull()
+            & (F.trim("_raw") != "")
+            & ~F.col("_raw").startswith("#")
+        )
+        .select(
+            measurement.alias("measurement"),
+            F.when(tag_str.isNotNull(), to_map(tag_str)).alias("tags"),
+            fields.alias("fields"),
+            F.timestamp_micros(
+                (ts_str.cast("decimal(38,0)") / 1000).cast("long")
+            ).alias("ts"),
+            F.col("_raw").alias("raw_line"),
+        )
+    )
+    return out
+
+
+def typed_fields(
+    parsed: DataFrame, measurement: str, fields: dict[str, str]
+) -> DataFrame:
+    """Project one measurement's raw field map to typed columns.
+
+    ``fields`` maps field name → line-protocol type (``float`` |
+    ``integer`` | ``string`` | ``boolean``). Uses ``try_``-style
+    conversion throughout (ANSI-safe on malformed values → null).
+    """
+    out = parsed.where(F.col("measurement") == measurement)
+    cols = [F.col("measurement"), F.col("tags"), F.col("ts")]
+    for name, ftype in fields.items():
+        raw = F.col("fields")[name]
+        if ftype == "integer":
+            c = F.when(
+                raw.rlike("^-?\\d+i$"),
+                F.expr(
+                    f"try_cast(rtrim('i', fields['{name}']) AS BIGINT)"
+                ),
+            )
+        elif ftype == "string":
+            c = F.when(
+                raw.rlike('^".*"$'),
+                F.regexp_replace(
+                    F.regexp_extract(raw, '^"(.*)"$', 1), '\\\\"', '"'
+                ),
+            )
+        elif ftype == "boolean":
+            c = F.when(
+                F.lower(raw).isin("t", "true", "f", "false"),
+                F.lower(raw).isin("t", "true"),
+            )
+        else:  # float
+            c = F.when(
+                ~raw.endswith("i"),
+                F.expr(f"try_cast(fields['{name}'] AS DOUBLE)"),
+            )
+        cols.append(c.alias(name))
+    return out.select(*cols)

@@ -1,0 +1,119 @@
+"""InfluxDB line-protocol parser + ingest job (plans/line_protocol.py,
+jobs.ingest_line_protocol) — the reference's S8 write format accepted
+as text (transfer_manager.py:123-164 writes it via the client lib)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ciws_server_spark.plans.line_protocol import parse_lines, typed_fields
+
+
+@pytest.fixture()
+def parsed(spark):
+    lines = spark.createDataFrame(
+        [
+            ("flow,buildingID=A hotOutFlowRate=1.5,count=3i "
+             "1614556800000000000",),
+            ("flow,buildingID=B\\ East hotOutFlowRate=2.5 "
+             "1614556860000000000",),
+            ('temp,room=r1,floor=2 celsius=21.5,ok=true,note="hi"',),
+            ("nofields_here",),
+            ("# a comment",),
+            ("",),
+            ("weird\\,name,tag\\=x=y\\,z v=1 1614556800000000000",),
+        ],
+        "value STRING",
+    )
+    return parse_lines(lines)
+
+
+def test_parse_structure(parsed):
+    rows = {r["raw_line"]: r for r in parsed.collect()}
+    assert len(rows) == 5  # comment + blank dropped
+    a = next(r for r in rows.values() if r["tags"] == {"buildingID": "A"})
+    assert a["measurement"] == "flow"
+    assert a["fields"] == {"hotOutFlowRate": "1.5", "count": "3i"}
+    assert a["ts"] == dt.datetime(2021, 3, 1, 0, 0)  # ns → µs, UTC
+
+    # identifier escapes: \, \= \space in measurement/tag names+values
+    w = next(r for r in rows.values() if r["measurement"] == "weird,name")
+    assert w["tags"] == {"tag=x": "y,z"}
+    b = next(
+        r for r in rows.values() if r["tags"] == {"buildingID": "B East"}
+    )
+    assert b["fields"] == {"hotOutFlowRate": "2.5"}
+
+    # no field set → null maps (quarantine-routable, not poisonous)
+    bad = rows["nofields_here"]
+    assert bad["fields"] is None and bad["ts"] is None
+
+
+def test_typed_projection(parsed):
+    flow = typed_fields(
+        parsed, "flow", {"hotOutFlowRate": "float", "count": "integer"}
+    ).collect()
+    by_tag = {r["tags"]["buildingID"]: r for r in flow}
+    assert by_tag["A"]["hotOutFlowRate"] == 1.5
+    assert by_tag["A"]["count"] == 3  # 3i integer suffix stripped
+    assert by_tag["B East"]["count"] is None  # absent field → null
+
+    temp = typed_fields(
+        parsed,
+        "temp",
+        {"celsius": "float", "ok": "boolean", "note": "string"},
+    ).collect()[0]
+    assert temp["celsius"] == 21.5
+    assert temp["ok"] is True
+    assert temp["note"] == "hi"  # quotes stripped
+    assert temp["ts"] is None  # timestamp omitted on the line
+
+    # type mismatches null out instead of raising (ANSI-safe):
+    # 'true' as float, quoted string as integer
+    mis = typed_fields(
+        parsed, "temp", {"ok": "float", "note": "integer"}
+    ).collect()[0]
+    assert mis["ok"] is None and mis["note"] is None
+
+
+def test_ingest_job_routes_to_partitioned_table(spark, tmp_path):
+    from ciws_server_spark.jobs import ingest_line_protocol
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "batch1.lp").write_text(
+        "campus_flow,buildingID=A hotOutFlowRate=1.5,coldInFlowRate=2.0 "
+        "1614556800000000000\n"
+        "campus_flow,buildingID=B hotOutFlowRate=0.5,coldInFlowRate=1.0 "
+        "1614643260000000000\n"
+        "garbage line without fields\n"
+    )
+    counts = ingest_line_protocol(
+        spark,
+        str(landing),
+        str(tmp_path / "tables"),
+        {"campus_flow": {"hotOutFlowRate": "float",
+                         "coldInFlowRate": "float"}},
+    )
+    assert counts == {"_malformed": 1, "campus_flow": 2}
+    out = spark.read.parquet(str(tmp_path / "tables" / "campus_flow"))
+    rows = {r["buildingID"]: r for r in out.collect()}
+    assert rows["A"]["hotOutFlowRate"] == 1.5
+    assert rows["B"]["date"] == dt.date(2021, 3, 2)  # day partition
+    # tag+date partition directories exist (pruning layout, S8)
+    assert os.path.isdir(
+        str(tmp_path / "tables" / "campus_flow" / "buildingID=A"
+            / "date=2021-03-01")
+    )
+
+
+def test_parser_stays_codegen(spark, parsed):
+    """No Python UDF / BatchEvalPython anywhere in the parse plan."""
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
