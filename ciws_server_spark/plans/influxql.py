@@ -696,6 +696,14 @@ def translate(
                     + bucket_offset
                 ).alias("time_bucket")
                 group_cols.append(bucket)
+            elif g == "*":
+                # GROUP BY *: every tag of the measurement — i.e. all
+                # string-typed columns except the time column (the
+                # line-protocol tag/field distinction)
+                for c, t in df.dtypes:
+                    if t == "string" and c != time_col and c not in tag_cols:
+                        tag_cols.append(c)
+                        group_cols.append(F.col(c))
             else:
                 tag_cols.append(_unquote(g))
                 group_cols.append(F.col(_unquote(g)))

@@ -679,3 +679,23 @@ def test_subquery_nesting(spark, flow):
     # 30m bucket maxima 29,59,89,119 → differences all 30
     assert len(got) == 6
     assert all(r["difference"] == 30.0 for r in got)
+
+
+def test_group_by_star(spark, flow):
+    """GROUP BY * groups by every tag (string column) of the
+    measurement."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT count(hotOutFlowRate) FROM flow GROUP BY time(1h), *",
+    ).collect()
+    assert len(got) == 4  # 2 buckets × 2 buildings
+    assert {r["buildingID"] for r in got} == {"A", "B"}
+    # identical to naming the tag explicitly
+    explicit = query_measurement(
+        spark, {"flow": flow},
+        "SELECT count(hotOutFlowRate) FROM flow "
+        "GROUP BY time(1h), buildingID",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, explicit))
