@@ -585,6 +585,24 @@ def influxql_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("time_bucket", "event_type")
 
 
+def influxql_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``top(field, n)`` selector: the 3 highest-value POINTS
+    per (6h bucket, series), original timestamps preserved — a
+    row_number window over (bucket, tags), ties to the earlier
+    timestamp."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT top(value, 3) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    return translate(ev, q, time_col="ts").orderBy(
+        "ts", "event_type", "top"
+    )
+
+
 def influxql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL subquery (``FROM (SELECT ...)``): peak 6-hourly event
     count per series — the canonical max-of-rollup nested shape,
@@ -735,6 +753,7 @@ QUERIES = {
     "influxql_stats_aggs": influxql_stats_aggs,
     "influxql_integral": influxql_integral,
     "influxql_subquery": influxql_subquery,
+    "influxql_top": influxql_top,
     "ts_sliding_window": ts_sliding_window,
     "ts_funnel": ts_funnel,
     "ts_range_join_buckets": ts_range_join_buckets,
@@ -782,6 +801,7 @@ EXTRA = {
     "influxql_stats_aggs",
     "influxql_integral",
     "influxql_subquery",
+    "influxql_top",
 }
 
 _DSUM_VALUE = (
@@ -969,6 +989,21 @@ ORACLES = {
         WINDOW w AS (PARTITION BY x.event_type ORDER BY x.time_bucket
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY x.time_bucket, x.event_type
+    """,
+    "influxql_top": f"""
+        WITH ranked AS (
+          SELECT ts, event_type, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY CAST(FLOOR(epoch(ts) / 21600) AS BIGINT),
+                                event_type
+                   ORDER BY value DESC, ts ASC) AS rn
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+            AND value IS NOT NULL
+        )
+        SELECT ts, event_type, value AS top
+        FROM ranked WHERE rn <= 3
+        ORDER BY ts, event_type, top
     """,
     "influxql_subquery": f"""
         WITH agg AS (

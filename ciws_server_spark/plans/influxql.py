@@ -42,6 +42,9 @@ Grammar (case-insensitive keywords):
           |  elapsed(col [, <dur>])          -- int Δt in units (dflt ns)
           |  integral(col [, <dur>])         -- trapezoid area per bucket
                                              -- (dflt per-second)
+          |  top(col, <n>) | bottom(col, <n>)-- n extreme POINTS per
+                                             -- bucket/series, original
+                                             -- timestamps kept
     arg   := col | agg(col)                  -- agg form needs time(...)
     bool  := <bool> OR <bool> | <bool> AND <bool> | ( <bool> ) | cond
     cond  := col <op> 'value' | time <op> 'ts' | col =~ /re/ | col !~ /re/
@@ -106,6 +109,9 @@ _TRANSFORM_RE = re.compile(
     r"|non_negative_difference|cumulative_sum|elapsed|integral)"
     r"\s*\(\s*(.+?)\s*\)$",
     re.I,
+)
+_SELECTOR_RE = re.compile(
+    r"""^(top|bottom)\s*\(\s*("[^"]+"|\w+)\s*,\s*(\d+)\s*\)$""", re.I
 )
 _DURATION_RE = re.compile(r"^(\d+)\s*([smhd])$", re.I)
 # rhs regex literal: body allows \-escapes (incl. \/) per InfluxQL
@@ -443,6 +449,52 @@ def _apply_fill(
     )
 
 
+def _apply_selector(
+    out: DataFrame,
+    sel_m,
+    *,
+    time_col: str,
+    tag_cols: list[str],
+    bucket_secs: int | None,
+    bucket_offset: int,
+    fill_mode: str,
+    order_desc: bool,
+) -> tuple[DataFrame, str]:
+    """InfluxQL ``top(col, n)`` / ``bottom(col, n)`` selectors: the n
+    extreme POINTS per bucket/series, original timestamps preserved
+    (unlike max/min, which aggregate). One row_number window over
+    (bucket, tags) — ties resolve to the earlier timestamp, as
+    InfluxQL does."""
+    from pyspark.sql import Window as W
+
+    fn = sel_m.group(1).lower()
+    col = _unquote(sel_m.group(2))
+    n = int(sel_m.group(3))
+    if fill_mode != "none":
+        raise InfluxQLError(f"fill() does not apply to {fn}()")
+    part_cols = list(tag_cols)
+    sel = [F.col(time_col), *[F.col(c) for c in tag_cols], F.col(col)]
+    if bucket_secs is not None:
+        sel.append(
+            F.timestamp_seconds(
+                ((F.unix_timestamp(F.col(time_col)) - bucket_offset)
+                 / bucket_secs).cast("long") * bucket_secs + bucket_offset
+            ).alias("time_bucket")
+        )
+        part_cols.append("time_bucket")
+    pts = out.select(*sel).where(F.col(col).isNotNull())
+    value_key = F.col(col).desc() if fn == "top" else F.col(col).asc()
+    w = W.partitionBy(*part_cols).orderBy(value_key, F.col(time_col).asc())
+    res = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .select(time_col, *tag_cols, F.col(col).alias(fn))
+    )
+    key = F.col(time_col)
+    res = res.orderBy(key.desc() if order_desc else key.asc())
+    return res, time_col
+
+
 def _apply_transform(
     out: DataFrame,
     xform_m,
@@ -713,16 +765,18 @@ def translate(
     agg_items = []  # (fn, col, pct-or-None)
     plain_items = []
     xform_m = None
+    selector_m = None
     for item in select_raw:
         tm = _TRANSFORM_RE.match(item)
+        sm = _SELECTOR_RE.match(item)
         pm = _PERC_RE.match(item)
         am = _AGG_RE.match(item)
-        if tm:
+        if tm or sm:
             if len(select_raw) != 1:
                 raise InfluxQLError(
                     "a transform must be the only select item"
                 )
-            xform_m = tm
+            xform_m, selector_m = tm, sm
         elif pm:
             agg_items.append(
                 ("percentile", _unquote(pm.group(1)), float(pm.group(2)))
@@ -742,7 +796,18 @@ def translate(
     order_desc = (m.group("order") or "ASC").upper() == "DESC"
     has_order = m.group("orderby") is not None
     time_key: str | None = None  # time column present in the output
-    if xform_m is not None:
+    if selector_m is not None:
+        out, time_key = _apply_selector(
+            out,
+            selector_m,
+            time_col=time_col,
+            tag_cols=tag_cols,
+            bucket_secs=bucket_secs,
+            bucket_offset=bucket_offset,
+            fill_mode=fill_mode,
+            order_desc=order_desc,
+        )
+    elif xform_m is not None:
         out, time_key = _apply_transform(
             out,
             xform_m,

@@ -699,3 +699,42 @@ def test_group_by_star(spark, flow):
         "GROUP BY time(1h), buildingID",
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, explicit))
+
+
+def test_top_bottom_selectors(spark, flow):
+    """top/bottom return the n extreme POINTS (original timestamps),
+    per bucket/series; ties resolve to the earlier timestamp."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    t = {"flow": flow}
+    got = query_measurement(
+        spark, t,
+        "SELECT top(coldInFlowRate, 2) FROM flow "
+        "WHERE buildingID = 'A' GROUP BY time(1h)",
+    ).collect()
+    # per hour: the 2 largest values with their own timestamps
+    assert sorted((r["time"].minute, r["top"]) for r in got) == [
+        (58, 58.0), (58, 118.0), (59, 59.0), (59, 119.0),
+    ]
+
+    got = query_measurement(
+        spark, t,
+        "SELECT bottom(coldInFlowRate, 1) FROM flow GROUP BY buildingID",
+    ).collect()
+    assert sorted((r["buildingID"], r["bottom"]) for r in got) == [
+        ("A", 0.0), ("B", 0.0),
+    ]
+
+    # tie-break: equal values → earlier timestamp wins
+    import datetime as dt
+
+    base = dt.datetime(2021, 3, 1)
+    tie = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=i), v)
+         for i, v in enumerate([5.0, 5.0, 1.0])],
+        ["time", "v"],
+    )
+    got = query_measurement(
+        spark, {"flow": tie}, "SELECT top(v, 1) FROM flow"
+    ).collect()
+    assert got[0]["time"].minute == 0
