@@ -66,7 +66,9 @@ def parse_lines(lines: DataFrame, col: str = "value") -> DataFrame:
 
     Returns (measurement STRING, tags MAP, fields MAP (raw string
     values), ts TIMESTAMP) — one row per input line. Comment lines
-    (``#``) and blank lines are dropped.
+    (``#``) and blank lines are dropped. Any other columns of
+    ``lines`` (e.g. a ``src_file`` from ``_metadata``) pass through
+    unchanged.
     """
     masked = _mask(F.col("_raw"))
     parts = F.split(masked, " ")
@@ -96,8 +98,9 @@ def parse_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     fields = F.when(
         field_str.isNotNull() & field_str.contains("="), to_map(field_str)
     )
+    passthrough = [c for c in lines.columns if c != col]
     out = (
-        lines.select(F.col(col).alias("_raw"))
+        lines.select(F.col(col).alias("_raw"), *passthrough)
         .where(
             F.col("_raw").isNotNull()
             & (F.trim("_raw") != "")
@@ -111,6 +114,7 @@ def parse_lines(lines: DataFrame, col: str = "value") -> DataFrame:
                 (ts_str.cast("decimal(38,0)") / 1000).cast("long")
             ).alias("ts"),
             F.col("_raw").alias("raw_line"),
+            *passthrough,
         )
     )
     return out

@@ -234,3 +234,86 @@ def run_derived_pass(
 ) -> None:
     q = stream_derived_rate(spark, table_dir, checkpoint_dir)
     q.awaitTermination()
+
+
+def stream_line_protocol(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    schemas: dict[str, dict[str, str]],
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming ingest of InfluxDB line-protocol files (``*.lp``) —
+    the S8 write format as a continuously-watched landing directory,
+    with the same guarantees as the CSV paths: checkpointed file
+    discovery (each file enters exactly one batch), idempotent
+    overwrite-by-batch table writes, and a quarantine manifest row per
+    malformed line's source file.
+
+    ``schemas`` maps measurement → {field: line-protocol type}; each
+    measurement must appear in sinks.PARTITIONING (or lands
+    unpartitioned). The parse is native column functions end-to-end
+    (plans/line_protocol.py), so the per-batch plan is codegen'd.
+    """
+    from ..plans.line_protocol import parse_lines, typed_fields
+
+    reader = spark.readStream.option("pathGlobFilter", "*.lp")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    lines = reader.text(landing_dir).select(
+        F.col("value"),
+        F.col("_metadata.file_path").alias("src_file"),
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        # src_file rides through the parse as a passthrough column
+        parsed = parse_lines(batch_df).localCheckpoint(eager=True)
+        for measurement, fields in schemas.items():
+            typed = typed_fields(parsed, measurement, fields)
+            parts = sinks.PARTITIONING.get(measurement, [])
+            tag_cols = [
+                F.col("tags")[p].alias(p) for p in parts if p != "date"
+            ]
+            pts = typed.where(F.col("ts").isNotNull()).select(
+                F.col("ts").alias("time"),
+                *tag_cols,
+                *[F.col(f) for f in fields],
+            )
+            sinks.append_points(
+                pts, table_dir, measurement, batch_id=batch_id
+            )
+        manifest = (
+            parsed.where(F.col("fields").isNull())
+            .select(
+                "src_file",
+                F.lit("unparseable line-protocol line").alias(
+                    "quarantine_reason"
+                ),
+            )
+            .dropDuplicates(["src_file"])
+        )
+        sinks.append_quarantine_manifest(manifest, table_dir, batch_id=batch_id)
+
+    return (
+        lines.writeStream.foreachBatch(process_batch)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "line_protocol")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_line_protocol_pass(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    schemas: dict[str, dict[str, str]],
+) -> None:
+    """One complete line-protocol pass: process everything landed."""
+    q = stream_line_protocol(
+        spark, landing_dir, table_dir, checkpoint_dir, schemas
+    )
+    q.awaitTermination()

@@ -117,3 +117,42 @@ def test_parser_stays_codegen(spark, parsed):
     plan = parsed._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_streaming_line_protocol_pass(spark, tmp_path):
+    """Streaming .lp ingest: checkpointed discovery (no double-ingest
+    on replay), idempotent batch writes, malformed lines → quarantine
+    manifest."""
+    from ciws_server_spark.streaming.ingest import run_line_protocol_pass
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    tables = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+    schemas = {"campus_flow": {"hotOutFlowRate": "float"}}
+
+    (landing / "b1.lp").write_text(
+        "campus_flow,buildingID=A hotOutFlowRate=1.5 1614556800000000000\n"
+        "this is not line protocol\n"
+    )
+    run_line_protocol_pass(spark, str(landing), tables, ckpt, schemas)
+    flow = spark.read.parquet(os.path.join(tables, "campus_flow"))
+    assert flow.count() == 1
+    q = spark.read.parquet(os.path.join(tables, "quarantine_files"))
+    assert q.count() == 1
+    assert q.collect()[0]["src_file"].endswith("b1.lp")
+
+    # second file, same checkpoint: only the new points land
+    (landing / "b2.lp").write_text(
+        "campus_flow,buildingID=B hotOutFlowRate=2.5 1614643200000000000\n"
+    )
+    run_line_protocol_pass(spark, str(landing), tables, ckpt, schemas)
+    flow = spark.read.parquet(os.path.join(tables, "campus_flow"))
+    assert flow.count() == 2
+    assert {r["buildingID"] for r in flow.collect()} == {"A", "B"}
+
+    # replay with nothing new: no growth (checkpoint + idempotence)
+    run_line_protocol_pass(spark, str(landing), tables, ckpt, schemas)
+    assert spark.read.parquet(
+        os.path.join(tables, "campus_flow")
+    ).count() == 2
