@@ -149,3 +149,71 @@ def test_influxql_where_matches_python_model(spark, expr):
         if _py_eval(expr, {"time": ts, "buildingID": tag})
     )
     assert got == exp, expr
+
+
+_IDENT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _lp_escape(s: str) -> str:
+    return s.replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _IDENT,  # measurement
+            st.dictionaries(_IDENT, _IDENT, min_size=0, max_size=3),  # tags
+            st.dictionaries(
+                _IDENT,
+                st.floats(
+                    allow_nan=False,
+                    allow_infinity=False,
+                    min_value=-1e6,
+                    max_value=1e6,
+                ),
+                min_size=1,
+                max_size=3,
+            ),  # float fields
+            st.integers(min_value=0, max_value=2**53),  # ts ns
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_line_protocol_roundtrip(spark, points):
+    """Generate line-protocol text from structured points; parsing it
+    back recovers measurement/tags/fields/timestamp exactly (µs
+    truncation of the ns timestamp)."""
+    from ciws_server_spark.plans.line_protocol import parse_lines
+
+    lines = []
+    for meas, tags, fields, ts in points:
+        head = _lp_escape(meas)
+        for k, v in tags.items():
+            head += f",{_lp_escape(k)}={_lp_escape(v)}"
+        body = ",".join(
+            f"{_lp_escape(k)}={repr(v)}" for k, v in fields.items()
+        )
+        lines.append(f"{head} {body} {ts}")
+    df = spark.createDataFrame([(ln,) for ln in lines], "value STRING")
+    got = parse_lines(df).collect()
+    assert len(got) == len(points)
+    for r, (meas, tags, fields, ts) in zip(got, points):
+        assert r["measurement"] == meas
+        assert (r["tags"] or {}) == tags
+        assert set(r["fields"]) == set(fields)
+        for k, v in fields.items():
+            assert float(r["fields"][k]) == v
+        import datetime as dt
+
+        expect = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=ts // 1000
+        )
+        assert r["ts"] == expect
