@@ -25,7 +25,7 @@ Grammar (case-insensitive keywords):
     [ORDER BY time [ASC|DESC]]
     [LIMIT <n>] [SLIMIT <n>]
 
-    item  := "col" | col | agg(col) | agg("col") | * | xform
+    item  := "col" | col | agg(col) | agg("col") | agg(*) | * | xform
     agg   := mean|sum|count|min|max|first|last
           |  spread|stddev|median|mode       -- max−min / sample stddev
                                              -- (rounded 6dp) / middle-
@@ -782,9 +782,19 @@ def translate(
                 ("percentile", _unquote(pm.group(1)), float(pm.group(2)))
             )
         elif am:
-            agg_items.append(
-                (_unquote(am.group(1)), _unquote(am.group(2)), None)
-            )
+            fn_name, target = _unquote(am.group(1)), _unquote(am.group(2))
+            if target == "*":
+                # InfluxQL agg(*): the aggregate applies to every
+                # field (numeric column) of the measurement
+                numeric = {
+                    "double", "float", "bigint", "int", "smallint",
+                    "tinyint",
+                }
+                for cname, ctype in df.dtypes:
+                    if ctype.split("(")[0] in numeric | {"decimal"}:
+                        agg_items.append((fn_name, cname, None))
+            else:
+                agg_items.append((fn_name, target, None))
         elif item == "*":
             plain_items = None  # all columns
         else:

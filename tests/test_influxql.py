@@ -738,3 +738,16 @@ def test_top_bottom_selectors(spark, flow):
         spark, {"flow": tie}, "SELECT top(v, 1) FROM flow"
     ).collect()
     assert got[0]["time"].minute == 0
+
+
+def test_agg_star_applies_to_every_field(spark, flow):
+    """InfluxQL agg(*): the aggregate expands to every numeric field."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT mean(*) FROM flow GROUP BY buildingID",
+    ).collect()
+    r = next(x for x in got if x["buildingID"] == "A")
+    assert r["mean_hotOutFlowRate"] == pytest.approx(2.975)
+    assert r["mean_coldInFlowRate"] == pytest.approx(59.5)
