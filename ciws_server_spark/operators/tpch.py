@@ -524,6 +524,41 @@ def salted_high_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """SALTED fact⋈dim equi-join — the join-side hot-key pattern.
+
+    When one join key carries a disproportionate share of fact rows, a
+    plain shuffle join sends that key's entire fact side to ONE task.
+    Salting splits it: the fact side gets a deterministic per-row salt
+    (so replay/retry is stable), the dim side is replicated ``n_salts``
+    times, and the join runs on (key, salt) — the hot key's rows now
+    spread over ``n_salts`` tasks. Dim replication cost is
+    |dim| × n_salts, the right trade whenever |dim| ≪ |fact| (the same
+    regime where the broadcast join stops fitting memory but skew still
+    bites). Result is row-identical to the plain join (asserted in
+    tests/test_scale_evidence.py). AQE's skew-join split covers many
+    cases at runtime; explicit salting is the static form for when the
+    optimizer can't see the skew (e.g. a first-shuffle straight off a
+    scan).
+    """
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int"),
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
+    )
+
+
 def crypto_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 crypto surface: md5 + sha256 (reference auth plane uses
     sha256 over joined strings, auth.py:71-75; exposed in-engine)."""

@@ -152,3 +152,48 @@ def test_date_partition_pruning(spark, tmp_path):
         for f in glob.glob(f"{root}/*/date={d}/*.parquet")
     ]
     assert n_pruned == len(in_range)
+
+
+def test_salted_join_matches_plain_join(spark, sf_smoke):
+    """Join-side salting: row-identical to the plain join, fact rows
+    of one key spread across n_salts partitions, dim replicated ×n."""
+    from ciws_server_spark.operators.tpch import salted_join
+    from ciws_server_spark.tables import table
+
+    # simulate skew: every lineitem keyed to ONE hot supplier
+    fact = (
+        table(spark, sf_smoke, "lineitem")
+        .select(F.lit(1).alias("skey"), "l_orderkey", "l_quantity")
+    )
+    dim = table(spark, sf_smoke, "supplier").select(
+        F.col("s_suppkey").alias("skey"), "s_name"
+    )
+    plain = fact.join(dim, "skey").groupBy("skey").count().collect()
+    salted = salted_join(fact, dim, "skey", n_salts=8)
+    got = salted.groupBy("skey").count().collect()
+    assert got == plain  # row-identical result
+
+    # salting targets the SHUFFLE-join regime (dim too big to
+    # broadcast): force it and check the hot key's rows really land
+    # in >1 task partition (keyed on (skey, salt), not just skey)
+    old_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_c = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # AQE would re-coalesce these KB-sized test partitions; at
+        # real skew sizes they stay separate — disable for the probe
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        n_parts = (
+            salted_join(fact, dim, "skey", n_salts=8)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_b)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_c
+        )
+    assert n_parts > 1
