@@ -24,6 +24,9 @@ Grammar (case-insensitive keywords):
     [GROUP BY time(<N><u>) [, <tag>...] [fill(<mode>)]]
     [ORDER BY time [ASC|DESC]]
     [LIMIT <n>] [SLIMIT <n>]
+    [tz('<IANA zone>')]                      -- local-time bucket
+                                             -- alignment + local WHERE
+                                             -- literals (not with fill)
 
     item  := "col" | col | agg(col) | agg("col") | agg(*) | * | xform
     agg   := mean|sum|count|min|max|first|last
@@ -92,7 +95,8 @@ _QUERY_RE = re.compile(
     r"(?:\s+fill\s*\(\s*(?P<fill>[^)]*?)\s*\))?"
     r"(?:\s+(?P<orderby>ORDER\s+BY\s+\"?time\"?)(?:\s+(?P<order>ASC|DESC))?)?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
-    r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?\s*;?\s*$",
+    r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?"
+    r"(?:\s+tz\s*\(\s*'(?P<tz>[^']+)'\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -124,6 +128,32 @@ _TIME_BUCKET_RE = re.compile(
 )
 
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _bucket_expr(
+    time_col: str,
+    bucket_secs: int,
+    bucket_offset: int = 0,
+    tz: str | None = None,
+):
+    """Epoch-aligned (± offset) bucket start, like InfluxQL.
+
+    With ``tz('Zone')`` the floor happens in LOCAL wall-clock time
+    (shift in, floor, shift out), so ``time(1d)`` buckets align to
+    local midnight across DST transitions — each instant uses its own
+    zone offset. The output stays a UTC instant.
+    """
+    c = F.col(time_col)
+    if tz:
+        c = F.from_utc_timestamp(c, tz)
+    b = F.timestamp_seconds(
+        ((F.unix_timestamp(c) - bucket_offset) / bucket_secs).cast("long")
+        * bucket_secs
+        + bucket_offset
+    )
+    if tz:
+        b = F.to_utc_timestamp(b, tz)
+    return b.alias("time_bucket")
 
 
 def _split_commas(expr: str) -> list[str]:
@@ -172,7 +202,7 @@ def _split_top(expr: str, keyword: str) -> list[str]:
     return parts
 
 
-def _where_expr(expr: str, time_col: str, bounds: dict):
+def _where_expr(expr: str, time_col: str, bounds: dict, tz: str | None = None):
     """Recursive descent over OR → AND → atom, with parentheses.
 
     Time-range atoms additionally record lo/hi bounds in ``bounds``
@@ -181,15 +211,15 @@ def _where_expr(expr: str, time_col: str, bounds: dict):
     expr = expr.strip()
     ors = _split_top(expr, "OR")
     if len(ors) > 1:
-        col = _where_expr(ors[0], time_col, bounds)
+        col = _where_expr(ors[0], time_col, bounds, tz)
         for part in ors[1:]:
-            col = col | _where_expr(part, time_col, bounds)
+            col = col | _where_expr(part, time_col, bounds, tz)
         return col
     ands = _split_top(expr, "AND")
     if len(ands) > 1:
-        col = _where_expr(ands[0], time_col, bounds)
+        col = _where_expr(ands[0], time_col, bounds, tz)
         for part in ands[1:]:
-            col = col & _where_expr(part, time_col, bounds)
+            col = col & _where_expr(part, time_col, bounds, tz)
         return col
     if expr.startswith("(") and expr.endswith(")"):
         # strip only if the outer parens wrap the WHOLE expression
@@ -203,7 +233,7 @@ def _where_expr(expr: str, time_col: str, bounds: dict):
                     wraps = False
                     break
         if wraps:
-            return _where_expr(expr[1:-1], time_col, bounds)
+            return _where_expr(expr[1:-1], time_col, bounds, tz)
     cm = _COND_RE.match(expr)
     if not cm:
         raise InfluxQLError(f"unsupported condition: {expr!r}")
@@ -230,7 +260,15 @@ def _where_expr(expr: str, time_col: str, bounds: dict):
         matched = F.col(lhs).rlike(pattern.replace("\\/", "/"))
         return matched if op == "=~" else ~matched
     col = F.col(time_col).cast("timestamp") if is_time else F.col(lhs)
-    val = F.lit(rhs).cast("timestamp") if is_time else F.lit(rhs)
+    if is_time:
+        # with tz('Zone') time literals are LOCAL wall-clock in that
+        # zone (InfluxQL); to_utc_timestamp reads the literal's wall
+        # time as zone-local and yields the UTC instant
+        val = F.lit(rhs).cast("timestamp")
+        if tz:
+            val = F.to_utc_timestamp(val, tz)
+    else:
+        val = F.lit(rhs)
     if is_time and op in (">=", ">"):
         bounds["lo"] = min(bounds.get("lo", rhs), rhs)
     if is_time and op in ("<=", "<"):
@@ -459,6 +497,7 @@ def _apply_selector(
     bucket_offset: int,
     fill_mode: str,
     order_desc: bool,
+    tz: str | None = None,
 ) -> tuple[DataFrame, str]:
     """InfluxQL ``top(col, n)`` / ``bottom(col, n)`` selectors: the n
     extreme POINTS per bucket/series, original timestamps preserved
@@ -475,12 +514,7 @@ def _apply_selector(
     part_cols = list(tag_cols)
     sel = [F.col(time_col), *[F.col(c) for c in tag_cols], F.col(col)]
     if bucket_secs is not None:
-        sel.append(
-            F.timestamp_seconds(
-                ((F.unix_timestamp(F.col(time_col)) - bucket_offset)
-                 / bucket_secs).cast("long") * bucket_secs + bucket_offset
-            ).alias("time_bucket")
-        )
+        sel.append(_bucket_expr(time_col, bucket_secs, bucket_offset, tz))
         part_cols.append("time_bucket")
     pts = out.select(*sel).where(F.col(col).isNotNull())
     value_key = F.col(col).desc() if fn == "top" else F.col(col).asc()
@@ -507,6 +541,7 @@ def _apply_transform(
     fill_mode: str,
     time_bounds: dict,
     order_desc: bool,
+    tz: str | None = None,
 ) -> tuple[DataFrame, str]:
     """InfluxQL 1.x transforms: derivative / non_negative_derivative /
     moving_average, over a raw field or an aggregated+bucketed series.
@@ -581,11 +616,9 @@ def _apply_transform(
         sel = [F.col(time_col), *[F.col(c) for c in tag_cols],
                F.col(inner_col)]
         if bucket_secs is not None:
-            bcol = F.timestamp_seconds(
-                ((F.unix_timestamp(F.col(time_col)) - bucket_offset)
-                 / bucket_secs).cast("long") * bucket_secs + bucket_offset
-            ).alias("time_bucket")
-            sel.append(bcol)
+            sel.append(
+                _bucket_expr(time_col, bucket_secs, bucket_offset, tz)
+            )
             part_cols.append("time_bucket")
         pts = out.select(*sel).where(F.col(inner_col).isNotNull())
         wi = W.partitionBy(*part_cols).orderBy(time_col)
@@ -715,10 +748,21 @@ def translate(
         raise InfluxQLError(f"unparseable InfluxQL: {query!r}")
 
     out = df
+    # tz ----------------------------------------------------------
+    tz = m.group("tz")
+    if tz:
+        try:
+            from zoneinfo import ZoneInfo
+
+            ZoneInfo(tz)
+        except Exception:
+            raise InfluxQLError(f"unknown time zone: {tz!r}") from None
     # WHERE --------------------------------------------------------
     time_bounds: dict = {}
     if m.group("where"):
-        out = out.where(_where_expr(m.group("where"), time_col, time_bounds))
+        out = out.where(
+            _where_expr(m.group("where"), time_col, time_bounds, tz)
+        )
 
     # GROUP BY -----------------------------------------------------
     group_cols = []
@@ -738,15 +782,9 @@ def translate(
                     bucket_offset = int(tb.group(3)) * _UNIT_SECONDS[
                         tb.group(4).lower()
                     ]
-                # epoch-aligned (± offset) bucket start, like InfluxQL
-                bucket = F.timestamp_seconds(
-                    (
-                        (F.unix_timestamp(F.col(time_col)) - bucket_offset)
-                        / bucket_secs
-                    ).cast("long")
-                    * bucket_secs
-                    + bucket_offset
-                ).alias("time_bucket")
+                bucket = _bucket_expr(
+                    time_col, bucket_secs, bucket_offset, tz
+                )
                 group_cols.append(bucket)
             elif g == "*":
                 # GROUP BY *: every tag of the measurement — i.e. all
@@ -801,6 +839,11 @@ def translate(
             plain_items.append(_unquote(item)) if plain_items is not None else None
 
     fill_mode = (m.group("fill") or "none").strip().lower()
+    if tz and fill_mode != "none":
+        # the dense fill axis is generated epoch-aligned; composing it
+        # with local-time bucket alignment needs a zone-aware axis —
+        # refuse rather than emit misaligned buckets
+        raise InfluxQLError("tz() does not compose with fill() (yet)")
     # InfluxQL only sorts on time; direction defaults to ASC. The sort
     # key is the raw time column (no GROUP BY) or the bucket column.
     order_desc = (m.group("order") or "ASC").upper() == "DESC"
@@ -816,6 +859,7 @@ def translate(
             bucket_offset=bucket_offset,
             fill_mode=fill_mode,
             order_desc=order_desc,
+            tz=tz,
         )
     elif xform_m is not None:
         out, time_key = _apply_transform(
@@ -829,6 +873,7 @@ def translate(
             fill_mode=fill_mode,
             time_bounds=time_bounds,
             order_desc=order_desc,
+            tz=tz,
         )
     elif agg_items:
         grouped = out.groupBy(*group_cols) if group_cols else out.groupBy()

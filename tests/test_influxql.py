@@ -751,3 +751,53 @@ def test_agg_star_applies_to_every_field(spark, flow):
     r = next(x for x in got if x["buildingID"] == "A")
     assert r["mean_hotOutFlowRate"] == pytest.approx(2.975)
     assert r["mean_coldInFlowRate"] == pytest.approx(59.5)
+
+
+def test_tz_clause(spark):
+    """tz('Zone'): WHERE time literals are zone-local; GROUP BY time
+    buckets align to local wall time, DST-aware per instant."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    # hourly points spanning the US spring-forward (2021-03-14, CST→CDT)
+    base = dt.datetime(2021, 3, 13, 0, 0)  # UTC
+    rows = [
+        (base + dt.timedelta(hours=h), 1.0) for h in range(72)
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    t = {"m": m}
+
+    got = query_measurement(
+        spark, t,
+        "SELECT count(v) FROM m GROUP BY time(1d) tz('America/Chicago')",
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r["count_v"] for r in got}
+    # Chicago midnight = 06:00 UTC under CST, 05:00 UTC under CDT
+    assert by_bucket["2021-03-13 06:00:00"] == 24  # full CST day
+    assert by_bucket["2021-03-14 06:00:00"] == 23  # spring-forward day
+    assert by_bucket["2021-03-15 05:00:00"] == 19  # partial (data ends)
+
+    # WHERE literals are local: 00:00 Chicago == 06:00 UTC (CST)
+    got = query_measurement(
+        spark, t,
+        "SELECT v FROM m WHERE time >= '2021-03-13 00:00:00' "
+        "AND time <= '2021-03-13 01:00:00' tz('America/Chicago')",
+    ).collect()
+    assert [str(r["time"]) for r in got] == [
+        "2021-03-13 06:00:00",
+        "2021-03-13 07:00:00",
+    ]
+
+    with pytest.raises(InfluxQLError, match="unknown time zone"):
+        query_measurement(
+            spark, t, "SELECT count(v) FROM m GROUP BY time(1d) tz('Mars')"
+        )
+    with pytest.raises(InfluxQLError, match="does not compose"):
+        query_measurement(
+            spark, t,
+            "SELECT count(v) FROM m "
+            "WHERE time >= '2021-03-13' AND time <= '2021-03-14' "
+            "GROUP BY time(1h) fill(0) tz('America/Chicago')",
+        )
