@@ -117,6 +117,7 @@ _TRANSFORM_RE = re.compile(
 _SELECTOR_RE = re.compile(
     r"""^(top|bottom)\s*\(\s*("[^"]+"|\w+)\s*,\s*(\d+)\s*\)$""", re.I
 )
+_DISTINCT_RE = re.compile(r"""^distinct\s*\(\s*("[^"]+"|\w+)\s*\)$""", re.I)
 _DURATION_RE = re.compile(r"^(\d+)\s*([smhd])$", re.I)
 # rhs regex literal: body allows \-escapes (incl. \/) per InfluxQL
 _COND_RE = re.compile(
@@ -804,17 +805,19 @@ def translate(
     plain_items = []
     xform_m = None
     selector_m = None
+    distinct_m = None
     for item in select_raw:
         tm = _TRANSFORM_RE.match(item)
         sm = _SELECTOR_RE.match(item)
+        dm = _DISTINCT_RE.match(item)
         pm = _PERC_RE.match(item)
         am = _AGG_RE.match(item)
-        if tm or sm:
+        if tm or sm or dm:
             if len(select_raw) != 1:
                 raise InfluxQLError(
                     "a transform must be the only select item"
                 )
-            xform_m, selector_m = tm, sm
+            xform_m, selector_m, distinct_m = tm, sm, dm
         elif pm:
             agg_items.append(
                 ("percentile", _unquote(pm.group(1)), float(pm.group(2)))
@@ -849,7 +852,24 @@ def translate(
     order_desc = (m.group("order") or "ASC").upper() == "DESC"
     has_order = m.group("orderby") is not None
     time_key: str | None = None  # time column present in the output
-    if selector_m is not None:
+    if distinct_m is not None:
+        # InfluxQL DISTINCT(field): unique field values per
+        # bucket/series (the values become the points; one shuffle on
+        # the distinct key set)
+        dcol = _unquote(distinct_m.group(1))
+        if fill_mode != "none":
+            raise InfluxQLError("fill() does not apply to distinct()")
+        cols = [*[F.col(c) for c in tag_cols], F.col(dcol).alias("distinct")]
+        if bucket_secs is not None:
+            cols.insert(
+                0, _bucket_expr(time_col, bucket_secs, bucket_offset, tz)
+            )
+            time_key = "time_bucket"
+        out = out.select(*cols).where(F.col("distinct").isNotNull()).distinct()
+        if time_key:
+            key = F.col(time_key)
+            out = out.orderBy(key.desc() if order_desc else key.asc())
+    elif selector_m is not None:
         out, time_key = _apply_selector(
             out,
             selector_m,

@@ -801,3 +801,28 @@ def test_tz_clause(spark):
             "WHERE time >= '2021-03-13' AND time <= '2021-03-14' "
             "GROUP BY time(1h) fill(0) tz('America/Chicago')",
         )
+
+
+def test_distinct_function(spark, flow):
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT distinct(hotOutFlowRate) FROM flow GROUP BY buildingID",
+    ).collect()
+    # values cycle 0..6 per building
+    per = {}
+    for r in got:
+        per.setdefault(r["buildingID"], set()).add(r["distinct"])
+    assert per == {
+        "A": set(float(i) for i in range(7)),
+        "B": set(float(i) for i in range(7)),
+    }
+
+    # bucketed: distinct per (bucket, series)
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT distinct(hotOutFlowRate) FROM flow "
+        "GROUP BY time(1h), buildingID",
+    ).collect()
+    assert len(got) == 2 * 2 * 7  # 2 buckets x 2 buildings x 7 values
