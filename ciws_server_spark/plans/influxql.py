@@ -89,7 +89,8 @@ class InfluxQLError(ValueError):
 
 
 _QUERY_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>\S+)"
+    r"^\s*SELECT\s+(?P<select>.+?)"
+    r"(?:\s+INTO\s+(?P<into>\S+))?\s+FROM\s+(?P<from>\S+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+fill\s*\(\s*(?P<fill>[^)]*?)\s*\))?"
@@ -747,6 +748,10 @@ def translate(
     m = _QUERY_RE.match(query)
     if not m:
         raise InfluxQLError(f"unparseable InfluxQL: {query!r}")
+    if m.group("into"):
+        raise InfluxQLError(
+            "INTO is a write statement — run it via execute_into()"
+        )
 
     out = df
     # tz ----------------------------------------------------------
@@ -1037,6 +1042,36 @@ def _split_subquery(query: str) -> tuple[str, str] | None:
                 outer = query[: m.start()] + "FROM __sub__" + query[i + 1 :]
                 return inner, outer
     raise InfluxQLError("unbalanced parentheses in FROM subquery")
+
+
+def execute_into(
+    spark,
+    tables: dict[str, DataFrame],
+    query: str,
+    table_dir: str,
+    time_col: str = "time",
+) -> DataFrame:
+    """Run an InfluxQL ``SELECT ... INTO <target> FROM ...`` statement:
+    evaluate the query and append the result to the ``<target>`` table
+    under ``table_dir`` (the continuous-query / downsampling write-back
+    shape). The bucket column is written as ``time``; targets listed in
+    ``sinks.PARTITIONING`` get their tag+date layout. Returns the
+    target table's frame after the write.
+    """
+    import os
+
+    from ..sources import sinks
+
+    m = _QUERY_RE.match(query)
+    if not m or not m.group("into"):
+        raise InfluxQLError(f"not an INTO statement: {query!r}")
+    target = _unquote(m.group("into"))
+    stripped = re.sub(r"\s+INTO\s+\S+", "", query, count=1, flags=re.I)
+    result = query_measurement(spark, tables, stripped, time_col)
+    if "time_bucket" in result.columns:
+        result = result.withColumnRenamed("time_bucket", "time")
+    sinks.append_points(result, table_dir, target)
+    return spark.read.parquet(os.path.join(table_dir, target))
 
 
 def query_measurement(

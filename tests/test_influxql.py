@@ -826,3 +826,41 @@ def test_distinct_function(spark, flow):
         "GROUP BY time(1h), buildingID",
     ).collect()
     assert len(got) == 2 * 2 * 7  # 2 buckets x 2 buildings x 7 values
+
+
+def test_select_into_writes_target(spark, flow, tmp_path):
+    """SELECT ... INTO: the continuous-query write-back shape — the
+    hourly rollup lands as a partitioned table."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        execute_into,
+        query_measurement,
+    )
+
+    got = execute_into(
+        spark,
+        {"flow": flow},
+        "SELECT mean(coldInFlowRate) INTO campus_flow_hourly FROM flow "
+        "GROUP BY time(1h), buildingID",
+        str(tmp_path),
+    ).collect()
+    assert len(got) == 4  # 2 hours x 2 buildings
+    r = next(
+        x for x in got
+        if x["buildingID"] == "A" and str(x["time"]) == "2021-03-01 00:00:00"
+    )
+    assert r["mean_coldInFlowRate"] == 29.5
+    # campus_flow_hourly is PARTITIONING-listed → buildingID/date dirs
+    import os
+
+    assert os.path.isdir(
+        str(tmp_path / "campus_flow_hourly" / "buildingID=A"
+            / "date=2021-03-01")
+    )
+
+    # translate() refuses write statements
+    with pytest.raises(InfluxQLError, match="INTO is a write"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SELECT mean(coldInFlowRate) INTO x FROM flow GROUP BY time(1h)",
+        )
