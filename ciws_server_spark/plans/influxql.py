@@ -19,6 +19,7 @@ pruning on tag/date columns).
 Grammar (case-insensitive keywords):
 
     SELECT <item> [, <item>...]
+    [INTO <target>]                          -- write-back (execute_into)
     FROM <measurement> | ( <statement> )     -- subqueries nest inside-out
     [WHERE <bool>]
     [GROUP BY time(<N><u>) [, <tag>...] [fill(<mode>)]]
