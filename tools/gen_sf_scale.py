@@ -44,7 +44,14 @@ def main() -> None:
 
     def write(name: str, sql: str) -> None:
         path = os.path.join(out_dir, f"{name}.parquet")
-        con.sql(f"COPY ({sql}) TO '{path}' (FORMAT PARQUET)")
+        # modest row groups: Spark parallelizes a scan at row-group
+        # granularity, and a single-group file would serialize heavy
+        # per-row operators into one task — unlike any real large
+        # table, which has many files/groups
+        con.sql(
+            f"COPY ({sql}) TO '{path}' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 20000)"
+        )
         n = con.sql(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
         print(f"{name}: {n} rows")
 
