@@ -32,11 +32,11 @@ would). Malformed lines (no field set) yield null maps rather than
 poisoning the batch — route them to quarantine with
 ``where(fields IS NULL)``, mirroring the CSV quarantine path.
 
-Documented subset limit: string field values may contain escaped
-quotes (``\\"``) but not literal spaces — the reference's writer
-(numeric sensor fields + string tags) never produces them, and
-supporting them needs a quote-aware lexer pass that would push the
-hot path out of codegen.
+String field values may contain spaces, commas, equals signs, and
+escaped quotes (``\\"``): a quote-aware masking pass (split on the
+quote character; odd slots are in-string) neutralizes structural
+characters inside quoted values before the structural splits — still
+native column functions end-to-end.
 """
 
 from __future__ import annotations
@@ -44,9 +44,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Private-use sentinels for the three identifier escapes. Chosen from
-#: U+E000-F8FF so they can never collide with real line content.
+#: Private-use sentinels (U+E000-F8FF, never real line content): the
+#: three identifier escapes, the escaped double quote, and the
+#: structural characters when they appear INSIDE quoted string values.
 _ESC = [("\\,", ""), ("\\ ", ""), ("\\=", "")]
+_Q_ESC = ""  # \" inside a quoted string value
+_IN = [(" ", ""), (",", ""), ("=", "")]  # inside quotes
 
 
 def _mask(col: Column) -> Column:
@@ -55,10 +58,30 @@ def _mask(col: Column) -> Column:
     return col
 
 
+def _mask_quoted(col: Column) -> Column:
+    """Neutralize structural characters inside double-quoted string
+    field values: swap ``\\"`` to a sentinel, split on ``"`` (odd
+    array slots are inside quotes), mask space/comma/equals there, and
+    rejoin with ``"`` (element count preserves the quote count). All
+    native functions — split + transform + concat_ws."""
+    col = F.replace(col, F.lit('\\"'), F.lit(_Q_ESC))
+    arr = F.split(col, '"', -1)
+
+    def fix(x, i):
+        masked = x
+        for src, dst in _IN:
+            masked = F.replace(masked, F.lit(src), F.lit(dst))
+        return F.when(i % 2 == 1, masked).otherwise(x)
+
+    return F.concat_ws('"', F.transform(arr, fix))
+
+
 def _unmask(col: Column) -> Column:
     for src, dst in _ESC:
         col = F.replace(col, F.lit(dst), F.lit(src[1]))
-    return col
+    for src, dst in _IN:
+        col = F.replace(col, F.lit(dst), F.lit(src))
+    return F.replace(col, F.lit(_Q_ESC), F.lit('"'))
 
 
 def parse_lines(lines: DataFrame, col: str = "value") -> DataFrame:
@@ -70,7 +93,7 @@ def parse_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     ``lines`` (e.g. a ``src_file`` from ``_metadata``) pass through
     unchanged.
     """
-    masked = _mask(F.col("_raw"))
+    masked = _mask(_mask_quoted(F.col("_raw")))
     parts = F.split(masked, " ")
     n = F.size(parts)
     head = F.element_at(parts, 1)  # measurement[,tags]
@@ -118,6 +141,54 @@ def parse_lines(lines: DataFrame, col: str = "value") -> DataFrame:
         )
     )
     return out
+
+
+def render_lines(
+    df: DataFrame,
+    measurement: str,
+    tag_cols: list[str],
+    field_cols: list[str],
+    time_col: str = "time",
+) -> DataFrame:
+    """The REVERSE of ``parse_lines``: render typed rows as
+    line-protocol text (one string column ``line``) — the export
+    format an InfluxDB consumer can ingest directly. Identifier
+    escaping mirrors the parser (``\\,`` ``\\ `` ``\\=``); string
+    field values are double-quoted, bigints get the ``i`` suffix,
+    timestamps are emitted as integer nanoseconds. All native column
+    functions — export is scan-bound.
+    """
+
+    def esc(c: Column) -> Column:
+        for ch in (",", " ", "="):
+            c = F.replace(c, F.lit(ch), F.lit("\\" + ch))
+        return c
+
+    dtypes = dict(df.dtypes)
+    head = F.lit(measurement.replace(",", "\\,").replace(" ", "\\ "))
+    for t in tag_cols:
+        head = F.concat(head, F.lit(","), F.lit(t + "="), esc(F.col(t)))
+    parts = []
+    for fc in field_cols:
+        ftype = dtypes[fc].split("(")[0]
+        if ftype == "string":
+            v = F.concat(
+                F.lit('"'),
+                F.replace(F.col(fc), F.lit('"'), F.lit('\\"')),
+                F.lit('"'),
+            )
+        elif ftype in ("bigint", "int", "smallint", "tinyint"):
+            v = F.concat(F.col(fc).cast("string"), F.lit("i"))
+        elif ftype == "boolean":
+            v = F.when(F.col(fc), F.lit("true")).otherwise(F.lit("false"))
+        else:
+            v = F.col(fc).cast("string")
+        parts.append(F.concat(F.lit(fc + "="), v))
+    body = F.concat_ws(",", *parts)
+    ns = (F.unix_micros(F.col(time_col)) * F.lit(1000)).cast("string")
+    return df.select(
+        F.concat_ws(" ", head, body, ns).alias("line")
+    )
 
 
 def typed_fields(

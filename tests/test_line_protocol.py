@@ -156,3 +156,36 @@ def test_streaming_line_protocol_pass(spark, tmp_path):
     assert spark.read.parquet(
         os.path.join(tables, "campus_flow")
     ).count() == 2
+
+
+def test_render_roundtrip(spark):
+    """render_lines ∘ parse_lines is the identity on typed points."""
+    import datetime as dt
+
+    from ciws_server_spark.plans.line_protocol import render_lines
+
+    rows = [
+        (dt.datetime(2021, 3, 1, 0, 0), "A East", 1.5, 3, True, 'say "hi"'),
+        (dt.datetime(2021, 3, 1, 0, 1), "B,x=y", 2.5, -7, False, "plain"),
+    ]
+    df = spark.createDataFrame(
+        rows, "time TIMESTAMP, b STRING, f DOUBLE, n BIGINT, ok BOOLEAN, s STRING"
+    )
+    lines = render_lines(df, "flow m", ["b"], ["f", "n", "ok", "s"])
+    texts = [r["line"] for r in lines.collect()]
+    assert texts[0].startswith("flow\\ m,b=A\\ East ")
+    assert "n=3i" in texts[0] and 'ok=true' in texts[0]
+
+    back = parse_lines(lines, col="line")
+    got = typed_fields(
+        back, "flow m",
+        {"f": "float", "n": "integer", "ok": "boolean", "s": "string"},
+    ).collect()
+    by_tag = {r["tags"]["b"]: r for r in got}
+    assert by_tag["A East"]["f"] == 1.5
+    assert by_tag["A East"]["n"] == 3
+    assert by_tag["A East"]["ok"] is True
+    assert by_tag["A East"]["ts"] == dt.datetime(2021, 3, 1, 0, 0)
+    assert by_tag["B,x=y"]["n"] == -7
+    assert by_tag["B,x=y"]["ok"] is False
+    assert by_tag["B,x=y"]["s"] == "plain"
