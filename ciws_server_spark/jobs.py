@@ -221,3 +221,29 @@ def ingest_line_protocol(
         sinks.append_points(out, table_dir, table)
         counts[measurement] = out.count()
     return counts
+
+
+def export_line_protocol(
+    spark: SparkSession,
+    table_dir: str,
+    table: str,
+    out_dir: str,
+    tag_cols: list[str],
+    field_cols: list[str],
+    measurement: str | None = None,
+) -> int:
+    """Export a partitioned table as InfluxDB line-protocol text files
+    (the reverse of ``ingest_line_protocol``) — hand a downstream
+    InfluxDB consumer the exact format its client libraries ingest.
+    Render is native column functions (plans/line_protocol.render_lines)
+    over the table scan; one text part-file per partition. Returns the
+    number of exported points.
+    """
+    from .plans.line_protocol import render_lines
+
+    df = spark.read.parquet(os.path.join(table_dir, table))
+    lines = render_lines(
+        df, measurement or table, tag_cols, field_cols
+    )
+    lines.write.mode("overwrite").text(out_dir)
+    return spark.read.text(out_dir).count()

@@ -189,3 +189,45 @@ def test_render_roundtrip(spark):
     assert by_tag["B,x=y"]["n"] == -7
     assert by_tag["B,x=y"]["ok"] is False
     assert by_tag["B,x=y"]["s"] == "plain"
+
+
+def test_export_import_cycle(spark, tmp_path):
+    """ingest .lp → partitioned table → export .lp → re-ingest: the
+    second table equals the first (full format symmetry)."""
+    from ciws_server_spark.jobs import (
+        export_line_protocol,
+        ingest_line_protocol,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.lp").write_text(
+        "campus_flow,buildingID=A hotOutFlowRate=1.5 1614556800000000000\n"
+        "campus_flow,buildingID=B hotOutFlowRate=2.5 1614643260000000000\n"
+    )
+    schemas = {"campus_flow": {"hotOutFlowRate": "float"}}
+    ingest_line_protocol(spark, str(landing), str(tmp_path / "t1"), schemas)
+
+    n = export_line_protocol(
+        spark,
+        str(tmp_path / "t1"),
+        "campus_flow",
+        str(tmp_path / "export"),
+        ["buildingID"],
+        ["hotOutFlowRate"],
+    )
+    assert n == 2
+
+    ingest_line_protocol(
+        spark, str(tmp_path / "export"), str(tmp_path / "t2"), schemas,
+    )
+    k = lambda r: (r["buildingID"], str(r["time"]))  # noqa: E731
+    t1 = sorted(
+        spark.read.parquet(str(tmp_path / "t1" / "campus_flow")).collect(),
+        key=k,
+    )
+    t2 = sorted(
+        spark.read.parquet(str(tmp_path / "t2" / "campus_flow")).collect(),
+        key=k,
+    )
+    assert [tuple(r) for r in t1] == [tuple(r) for r in t2]
