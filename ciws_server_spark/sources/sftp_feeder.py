@@ -56,28 +56,92 @@ class LocalDirTransport:
 
 
 class SFTPTransport:
-    """SFTP transport — STUB: paramiko is not installed here.
+    """SFTP transport over paramiko (reference:
+    ``transfer_manager.py:168-231`` moves bytes the same way).
 
-    A deployment installs paramiko and this class works unchanged; the
-    feeder logic above it is transport-agnostic and fully tested via
-    LocalDirTransport.
+    paramiko is import-gated — it is not installed in this container,
+    so construction raises ``NotImplementedError`` here; the full
+    logic below is nevertheless real and exercised in
+    ``tests/test_ops_and_feeder.py`` through a stand-in paramiko
+    module, and a deployment with the real library uses it unchanged.
+
+    Fetches land ATOMICALLY: download to ``<dest>.part`` then
+    ``os.replace`` — the streaming file source can never observe a
+    half-written landing file, the receive-side complement of the
+    in-flight mtime guard.
+
+    Host keys: known hosts are loaded from the system file; unknown
+    hosts are auto-accepted by default (the datalogger-fleet posture).
+    Pass ``strict_host_key=True`` to reject unknown hosts instead.
     """
 
-    def __init__(self, host: str, username: str, keyfile: str, remote_dir: str):
+    def __init__(
+        self,
+        host: str,
+        username: str,
+        keyfile: str,
+        remote_dir: str,
+        port: int = 22,
+        strict_host_key: bool = False,
+    ):
         try:
-            import paramiko  # noqa: F401
-        except ImportError as e:  # pragma: no cover
+            import paramiko
+        except ImportError as e:
             raise NotImplementedError(
                 "SFTPTransport requires paramiko (not available in this "
                 "environment); use LocalDirTransport or install paramiko"
             ) from e
-        self._args = (host, username, keyfile, remote_dir)  # pragma: no cover
+        self._client = paramiko.SSHClient()
+        try:
+            self._client.load_system_host_keys()
+        except Exception:
+            pass  # no known_hosts file — fall through to the policy
+        policy = (
+            paramiko.RejectPolicy()
+            if strict_host_key
+            else paramiko.AutoAddPolicy()
+        )
+        self._client.set_missing_host_key_policy(policy)
+        self._client.connect(
+            host, port=port, username=username, key_filename=keyfile
+        )
+        self._sftp = self._client.open_sftp()
+        self._remote_dir = remote_dir
 
-    def listdir(self):  # pragma: no cover
-        raise NotImplementedError
+    def listdir(self) -> list[RemoteFile]:
+        import stat as _stat
 
-    def fetch(self, name, dest_path):  # pragma: no cover
-        raise NotImplementedError
+        out = []
+        for a in sorted(
+            self._sftp.listdir_attr(self._remote_dir),
+            key=lambda a: a.filename,
+        ):
+            out.append(
+                RemoteFile(
+                    a.filename,
+                    float(a.st_mtime or 0),
+                    int(a.st_size or 0),
+                    _stat.S_ISDIR(a.st_mode or 0),
+                )
+            )
+        return out
+
+    def fetch(self, name: str, dest_path: str) -> None:
+        import posixpath
+
+        tmp = dest_path + ".part"
+        self._sftp.get(posixpath.join(self._remote_dir, name), tmp)
+        os.replace(tmp, dest_path)
+
+    def close(self) -> None:
+        self._sftp.close()
+        self._client.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def sync_incremental(
