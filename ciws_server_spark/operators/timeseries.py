@@ -284,6 +284,110 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared tagged-union frame for the as-of family: clicks and
+    purchases of the same user interleaved on one time axis."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_purchase"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    return clicks.unionByName(purchases)
+
+
+def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase ↔ its NEXT click (c.ts ≥
+    p.ts), completing the direction family of ``ts_asof_join``. Same
+    tagged-union shape with a following window — one shuffle, no range
+    cross-product. At equal timestamps the click matches (≥), so
+    purchases sort before clicks there. (DuckDB oracle: native ASOF
+    with the inequality flipped.)"""
+    merged = _asof_tagged_union(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_purchase"), "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("is_purchase") == 0, F.col("ts"))
+    return (
+        merged.withColumn(
+            "next_click_ts", F.first(click_ts, ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "next_click_value",
+            F.first(F.col("click_value"), ignorenulls=True).over(w),
+        )
+        .where(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "next_click_ts",
+            "next_click_value",
+        )
+    )
+
+
+def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase ↔ its temporally closest
+    click in either direction (ties → the earlier click, so the
+    choice is deterministic). Both direction passes run over the SAME
+    tagged-union frame — two windows, still one shuffle on user_id."""
+    merged = _asof_tagged_union(spark, sf_dir)
+    click_ts = F.when(F.col("is_purchase") == 0, F.col("ts"))
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_purchase"), "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    both = (
+        merged.withColumn(
+            "prev_ts", F.last(click_ts, ignorenulls=True).over(wb)
+        )
+        .withColumn(
+            "prev_v", F.last(F.col("click_value"), ignorenulls=True).over(wb)
+        )
+        .withColumn(
+            "next_ts", F.first(click_ts, ignorenulls=True).over(wf)
+        )
+        .withColumn(
+            "next_v", F.first(F.col("click_value"), ignorenulls=True).over(wf)
+        )
+        .where(F.col("is_purchase") == 1)
+    )
+    d_prev = epoch_seconds(F.col("ts")) - epoch_seconds(F.col("prev_ts"))
+    d_next = epoch_seconds(F.col("next_ts")) - epoch_seconds(F.col("ts"))
+    use_prev = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull() & (d_prev <= d_next)
+    )
+    return both.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(use_prev, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+        .alias("nearest_click_ts"),
+        F.when(use_prev, F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+        .alias("nearest_click_value"),
+    )
+
+
 def influxql_select_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's exercised InfluxQL shape, THROUGH the text
     front-end (plans/influxql.py): projection + tag equality + closed
@@ -767,6 +871,8 @@ QUERIES = {
     "ts_retention_plan": ts_retention_plan,
     "ts_json_extract": ts_json_extract,
     "ts_asof_join": ts_asof_join,
+    "ts_asof_join_forward": ts_asof_join_forward,
+    "ts_asof_join_nearest": ts_asof_join_nearest,
 }
 
 #: Locally oracle-checked, not driver-registered (50-entry budget):
@@ -778,6 +884,10 @@ EXTRA = {
     "ts_tag_time_range",
     "ts_sliding_window",
     "ts_funnel",
+    # as-of direction variants (backward form is driver-registered;
+    # these share its tagged-union machinery)
+    "ts_asof_join_forward",
+    "ts_asof_join_nearest",
     "influxql_regex_predicate",
     "influxql_order_limit",
     "influxql_fill_linear",
@@ -1381,6 +1491,47 @@ ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY purchase_id
+    """,
+    "ts_asof_join_forward": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               p.ts AS purchase_ts,
+               c.ts AS next_click_ts,
+               c.value AS next_click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts >= p.ts
+        ORDER BY purchase_id
+    """,
+    "ts_asof_join_nearest": """
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        b AS (
+          SELECT p.event_id, p.user_id, p.ts,
+                 c.ts AS prev_ts, c.value AS prev_v
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND c.ts <= p.ts
+        ),
+        f AS (
+          SELECT p.event_id, c.ts AS next_ts, c.value AS next_v
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND c.ts >= p.ts
+        )
+        SELECT b.event_id AS purchase_id, b.user_id,
+               b.ts AS purchase_ts,
+               CASE WHEN f.next_ts IS NULL THEN b.prev_ts
+                    WHEN b.prev_ts IS NULL THEN f.next_ts
+                    WHEN epoch(b.ts) - epoch(b.prev_ts)
+                         <= epoch(f.next_ts) - epoch(b.ts)
+                    THEN b.prev_ts ELSE f.next_ts
+               END AS nearest_click_ts,
+               CASE WHEN f.next_ts IS NULL THEN b.prev_v
+                    WHEN b.prev_ts IS NULL THEN f.next_v
+                    WHEN epoch(b.ts) - epoch(b.prev_ts)
+                         <= epoch(f.next_ts) - epoch(b.ts)
+                    THEN b.prev_v ELSE f.next_v
+               END AS nearest_click_value
+        FROM b JOIN f ON f.event_id = b.event_id
         ORDER BY purchase_id
     """,
 }
