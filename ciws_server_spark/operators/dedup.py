@@ -39,6 +39,11 @@ _BANDS = 4  # 4 bands × 4 rows
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 _JACCARD_THRESHOLD = 0.5
 _COSINE_DUP_THRESHOLD = 0.9
+# Verify threshold chosen so the synthetic embeddings fixture (uniform
+# random, max pairwise cosine ≈ 0.51 at sf0.01) yields real LSH-verified
+# pairs — keeps the dedup_embedding_lsh_verify correctness gate
+# non-vacuous while 0.9 stays the semantic production threshold.
+_COSINE_VERIFY_THRESHOLD = 0.3
 _SIMHASH_BITS = 60  # 15 hex chars of md5 → stays in signed int64
 _MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 
@@ -618,18 +623,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, bucketed (the registered 100 TB path).
+def embedding_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """LSH-bucketed candidate pairs verified at exact cosine ≥ threshold.
 
     Candidates from the banded multi-table hyperplane LSH
     (similarity._multitable_assignments — AND/OR construction),
-    verified with exact cosine ≥ 0.9. ``dedup_embedding_cosine`` above
-    is the O(n²) correctness baseline for this operator; this one does
-    Σ bucket² work instead of n².
+    verified with an exact cosine on the candidate set only: Σ bucket²
+    work instead of n². ``emb`` must carry (vec_id, embedding).
     """
     from .similarity import _multitable_assignments
 
-    emb = table(spark, sf_dir, "embeddings")
     asg = _multitable_assignments(emb).select("vec_id", "table_id", "bucket")
     cand = (
         asg.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
@@ -647,9 +650,37 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
-        .where(F.col("cos") >= _COSINE_DUP_THRESHOLD)
+        .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, bucketed (the registered 100 TB path).
+
+    Cosine ≥ 0.9 — the semantic near-duplicate threshold.
+    ``dedup_embedding_cosine`` above is the O(n²) correctness baseline
+    for this operator. NOTE: the synthetic fixture has no pairs above
+    0.9 at test scale (max observed cosine ≈ 0.51 at sf0.01), so this
+    query legitimately returns 0 rows there;
+    ``dedup_embedding_lsh_verify`` below value-verifies the identical
+    plan on real surviving pairs.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(emb, _COSINE_DUP_THRESHOLD)
+
+
+def dedup_embedding_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSH candidate + exact-cosine-verify plan, non-vacuous gate.
+
+    Identical pipeline to ``dedup_embedding_lsh`` with the verify
+    threshold lowered to ``_COSINE_VERIFY_THRESHOLD`` so the synthetic
+    fixture yields real pairs (17 at sf0.01): the driver comparison
+    value-checks the bucketing, candidate join, and cosine-verify
+    branch on actual data instead of agreeing on an empty set.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(emb, _COSINE_VERIFY_THRESHOLD)
 
 
 QUERIES = {
@@ -662,6 +693,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_lsh_verify": dedup_embedding_lsh_verify,
 }
 
 #: Oracle-checked locally (tests/test_extra_oracle.py) but kept out of
@@ -833,9 +865,8 @@ ORACLES = {
     """,
 }
 
-def _dedup_embedding_lsh_oracle() -> str:
+def _dedup_embedding_lsh_oracle(threshold: float) -> str:
     from .similarity import (
-        _MT_COSINE_THRESHOLD,  # noqa: F401 (threshold differs here)
         _cosine_sql,
         _multitable_assign_sql,
     )
@@ -853,12 +884,17 @@ def _dedup_embedding_lsh_oracle() -> str:
                ROUND({_cosine_sql('x.e', 'y.e')}, 6) AS cos
         FROM cand JOIN e x ON x.vec_id = vec_a
                   JOIN e y ON y.vec_id = vec_b
-        WHERE ROUND({_cosine_sql('x.e', 'y.e')}, 6) >= {_COSINE_DUP_THRESHOLD}
+        WHERE ROUND({_cosine_sql('x.e', 'y.e')}, 6) >= {threshold}
         ORDER BY vec_a, vec_b
     """
 
 
-ORACLES["dedup_embedding_lsh"] = _dedup_embedding_lsh_oracle()
+ORACLES["dedup_embedding_lsh"] = _dedup_embedding_lsh_oracle(
+    _COSINE_DUP_THRESHOLD
+)
+ORACLES["dedup_embedding_lsh_verify"] = _dedup_embedding_lsh_oracle(
+    _COSINE_VERIFY_THRESHOLD
+)
 
 HEADLINE = {"dedup_minhash_lsh", "dedup_simhash", "dedup_exact"}
 

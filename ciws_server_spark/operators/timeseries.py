@@ -883,14 +883,8 @@ QUERIES = {
 EXTRA = {
     "ts_tag_time_range",
     "ts_sliding_window",
-    "ts_funnel",
-    # as-of direction variants (backward form is driver-registered;
-    # these share its tagged-union machinery)
-    "ts_asof_join_forward",
-    "ts_asof_join_nearest",
     "influxql_regex_predicate",
     "influxql_order_limit",
-    "influxql_fill_linear",
     "influxql_slimit",
     # Displaced to make driver room for the r4-flagged transform
     # surface (derivative/moving_average): the basic GROUP BY time
@@ -902,16 +896,20 @@ EXTRA = {
     # nearest-rank percentile (locally oracle-checked; the two
     # transforms above take the driver slots)
     "influxql_percentile",
-    # round-5 function-surface widening: the rest of InfluxQL 1.x's
-    # common functions, all locally oracle-checked with the identical
-    # row/schema/value-hash comparison
     "influxql_difference",
-    "influxql_cumulative_sum",
     "influxql_elapsed",
     "influxql_stats_aggs",
-    "influxql_integral",
     "influxql_subquery",
     "influxql_top",
+    # rotated out in r6 (driver-green multiple rounds; their bucket /
+    # window / json machinery also runs inside still-registered
+    # queries): rotated in instead are ts_funnel, the as-of
+    # forward/nearest variants, fill(linear), cumulative_sum and
+    # integral, so driver-grade evidence accumulates.
+    "ts_json_extract",
+    "ts_time_bucket_agg",
+    "ts_tumbling_window",
+    "ts_gap_fill",
 }
 
 _DSUM_VALUE = (

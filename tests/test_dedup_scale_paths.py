@@ -51,3 +51,47 @@ def test_min_label_propagation_chain_and_nonconvergence(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_propagation(chain, max_rounds=2)
+
+
+def test_embedding_lsh_verify_branch_finds_constructed_neardups(spark):
+    """The cosine-verify branch on constructed near-duplicate vectors:
+    an exact duplicate and a slightly-perturbed copy must both survive
+    LSH bucketing + exact-cosine verification at the 0.9 semantic
+    threshold, while unrelated random vectors must not."""
+    import hashlib
+
+    from ciws_server_spark.operators.dedup import embedding_lsh_pairs
+
+    dim = 64
+
+    def vec(seed: str) -> list[float]:
+        return [
+            int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:4], 16)
+            / 65535.0
+            - 0.5
+            for d in range(dim)
+        ]
+
+    base = vec("base")
+    exact_dup = list(base)
+    # perturb one coordinate slightly: cosine stays > 0.99
+    near_dup = list(base)
+    near_dup[0] += 0.01
+    rows = [
+        (1, base),
+        (2, exact_dup),
+        (3, near_dup),
+        *[(10 + i, vec(f"noise{i}")) for i in range(20)],
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in embedding_lsh_pairs(emb, 0.9).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.99
+    assert (2, 3) in pairs
+    # no unrelated pair sneaks past exact verification
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in pairs)
