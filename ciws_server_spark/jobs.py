@@ -213,8 +213,11 @@ def ingest_line_protocol(
         tag_cols = [
             F.col("tags")[p].alias(p) for p in parts if p != "date"
         ]
+        # missing timestamps are stamped with the ingest arrival time
+        # (InfluxDB server behavior; keeps the streaming and batch
+        # paths consistent and out of a null time/date partition)
         out = typed.select(
-            F.col("ts").alias("time"),
+            F.coalesce(F.col("ts"), F.current_timestamp()).alias("time"),
             *tag_cols,
             *[F.col(f) for f in fields],
         )

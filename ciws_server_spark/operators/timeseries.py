@@ -264,22 +264,24 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_purchase", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    click_ts = F.when(F.col("is_purchase") == 0, F.col("ts"))
+    # ONE struct-valued window, not two independent ones: ts and value
+    # must come from the SAME matched click even when a click carries
+    # a null value (two last(ignorenulls) windows would skip the null
+    # value back to an earlier click and diverge from ASOF semantics)
+    click = F.when(
+        F.col("is_purchase") == 0, F.struct("ts", "click_value")
+    )
     return (
         merged.withColumn(
-            "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
-        )
-        .withColumn(
-            "last_click_value",
-            F.last(F.col("click_value"), ignorenulls=True).over(w),
+            "last_click", F.last(click, ignorenulls=True).over(w)
         )
         .where(F.col("is_purchase") == 1)
         .select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
             F.col("ts").alias("purchase_ts"),
-            "last_click_ts",
-            "last_click_value",
+            F.col("last_click.ts").alias("last_click_ts"),
+            F.col("last_click.click_value").alias("last_click_value"),
         )
     )
 
@@ -318,22 +320,22 @@ def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", F.desc("is_purchase"), "event_id")
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
-    click_ts = F.when(F.col("is_purchase") == 0, F.col("ts"))
+    # single struct window: matched click's ts and value stay paired
+    # even if that click's value is null (see ts_asof_join)
+    click = F.when(
+        F.col("is_purchase") == 0, F.struct("ts", "click_value")
+    )
     return (
         merged.withColumn(
-            "next_click_ts", F.first(click_ts, ignorenulls=True).over(w)
-        )
-        .withColumn(
-            "next_click_value",
-            F.first(F.col("click_value"), ignorenulls=True).over(w),
+            "next_click", F.first(click, ignorenulls=True).over(w)
         )
         .where(F.col("is_purchase") == 1)
         .select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
             F.col("ts").alias("purchase_ts"),
-            "next_click_ts",
-            "next_click_value",
+            F.col("next_click.ts").alias("next_click_ts"),
+            F.col("next_click.click_value").alias("next_click_value"),
         )
     )
 
@@ -344,7 +346,11 @@ def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is deterministic). Both direction passes run over the SAME
     tagged-union frame — two windows, still one shuffle on user_id."""
     merged = _asof_tagged_union(spark, sf_dir)
-    click_ts = F.when(F.col("is_purchase") == 0, F.col("ts"))
+    # one struct per direction, so each matched click's ts and value
+    # stay paired even when that click's value is null
+    click = F.when(
+        F.col("is_purchase") == 0, F.struct("ts", "click_value")
+    )
     wb = (
         W.partitionBy("user_id")
         .orderBy("ts", "is_purchase", "event_id")
@@ -357,18 +363,14 @@ def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = (
         merged.withColumn(
-            "prev_ts", F.last(click_ts, ignorenulls=True).over(wb)
+            "prev_click", F.last(click, ignorenulls=True).over(wb)
         )
         .withColumn(
-            "prev_v", F.last(F.col("click_value"), ignorenulls=True).over(wb)
-        )
-        .withColumn(
-            "next_ts", F.first(click_ts, ignorenulls=True).over(wf)
-        )
-        .withColumn(
-            "next_v", F.first(F.col("click_value"), ignorenulls=True).over(wf)
+            "next_click", F.first(click, ignorenulls=True).over(wf)
         )
         .where(F.col("is_purchase") == 1)
+        .withColumn("prev_ts", F.col("prev_click.ts"))
+        .withColumn("next_ts", F.col("next_click.ts"))
     )
     d_prev = epoch_seconds(F.col("ts")) - epoch_seconds(F.col("prev_ts"))
     d_next = epoch_seconds(F.col("next_ts")) - epoch_seconds(F.col("ts"))
@@ -382,8 +384,8 @@ def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(use_prev, F.col("prev_ts"))
         .otherwise(F.col("next_ts"))
         .alias("nearest_click_ts"),
-        F.when(use_prev, F.col("prev_v"))
-        .otherwise(F.col("next_v"))
+        F.when(use_prev, F.col("prev_click.click_value"))
+        .otherwise(F.col("next_click.click_value"))
         .alias("nearest_click_value"),
     )
 

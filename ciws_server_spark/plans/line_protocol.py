@@ -30,7 +30,10 @@ Timestamps are nanoseconds since epoch (InfluxDB default); absent
 timestamps stay null (the caller stamps arrival time, as the server
 would). Malformed lines (no field set) yield null maps rather than
 poisoning the batch — route them to quarantine with
-``where(fields IS NULL)``, mirroring the CSV quarantine path.
+``where(fields IS NULL)``, mirroring the CSV quarantine path. A
+duplicated tag/field key within one line keeps the LAST value
+(InfluxDB server behavior) instead of tripping Spark's default
+``mapKeyDedupPolicy=EXCEPTION``.
 
 String field values may contain spaces, commas, equals signs, and
 escaped quotes (``\\"``): a quote-aware masking pass (split on the
@@ -108,14 +111,35 @@ def parse_lines(lines: DataFrame, col: str = "value") -> DataFrame:
         F.size(F.split(head, ",")) > 1,
         F.regexp_replace(head, "^[^,]*,", ""),
     )
-    # str_to_map(pairDelim=',', kvDelim='=') on the masked text, then
-    # unmask keys AND values
+    # Pair split on ',' then key/value on the FIRST '=' (str_to_map
+    # semantics), with explicit LAST-WINS dedup of repeated keys: the
+    # InfluxDB server keeps the last field value for a duplicated key,
+    # while Spark's default mapKeyDedupPolicy=EXCEPTION would throw at
+    # runtime on one bad line ('m f=1,f=2') and poison the whole
+    # batch. The per-line exists() scan is O(pairs²) on arrays of a
+    # handful of elements — still native, still codegen'd.
     def to_map(s: Column) -> Column:
-        m = F.str_to_map(s, F.lit(","), F.lit("="))
-        return F.map_from_arrays(
-            F.transform(F.map_keys(m), _unmask),
-            F.transform(F.map_values(m), _unmask),
+        pairs = F.split(s, ",")
+        entries = F.transform(
+            pairs,
+            lambda kv: F.struct(
+                _unmask(F.substring_index(kv, "=", 1)).alias("key"),
+                _unmask(
+                    F.when(
+                        kv.contains("="),
+                        F.regexp_replace(kv, "^[^=]*=", ""),
+                    )
+                ).alias("value"),
+            ),
         )
+        deduped = F.filter(
+            entries,
+            lambda e, i: ~F.exists(
+                F.slice(entries, i + F.lit(2), F.size(entries)),
+                lambda later: later["key"] == e["key"],
+            ),
+        )
+        return F.map_from_entries(deduped)
 
     # a valid field set has at least one '=' pair
     fields = F.when(
@@ -164,10 +188,23 @@ def render_lines(
             c = F.replace(c, F.lit(ch), F.lit("\\" + ch))
         return c
 
+    def esc_name(name: str) -> str:
+        for ch in (",", " ", "="):
+            name = name.replace(ch, "\\" + ch)
+        return name
+
     dtypes = dict(df.dtypes)
     head = F.lit(measurement.replace(",", "\\,").replace(" ", "\\ "))
     for t in tag_cols:
-        head = F.concat(head, F.lit(","), F.lit(t + "="), esc(F.col(t)))
+        # a null tag value must drop just that tag pair, not null the
+        # whole concat'd head (InfluxDB tags are optional per point)
+        head = F.concat(
+            head,
+            F.coalesce(
+                F.concat(F.lit("," + esc_name(t) + "="), esc(F.col(t))),
+                F.lit(""),
+            ),
+        )
     parts = []
     for fc in field_cols:
         ftype = dtypes[fc].split("(")[0]
@@ -183,12 +220,15 @@ def render_lines(
             v = F.when(F.col(fc), F.lit("true")).otherwise(F.lit("false"))
         else:
             v = F.col(fc).cast("string")
-        parts.append(F.concat(F.lit(fc + "="), v))
+        parts.append(F.concat(F.lit(esc_name(fc) + "="), v))
     body = F.concat_ws(",", *parts)
     ns = (F.unix_micros(F.col(time_col)) * F.lit(1000)).cast("string")
+    # a row with every field value null would render an empty body
+    # ('head  ns', unparseable); a point with no field set is invalid
+    # line protocol, so such rows are dropped from the export
     return df.select(
-        F.concat_ws(" ", head, body, ns).alias("line")
-    )
+        F.concat_ws(" ", head, body, ns).alias("line"), body.alias("_body")
+    ).where(F.col("_body") != "").select("line")
 
 
 def typed_fields(

@@ -275,8 +275,12 @@ def stream_line_protocol(
             tag_cols = [
                 F.col("tags")[p].alias(p) for p in parts if p != "date"
             ]
-            pts = typed.where(F.col("ts").isNotNull()).select(
-                F.col("ts").alias("time"),
+            # a well-formed point with no timestamp gets stamped with
+            # the batch arrival time — the InfluxDB server's behavior
+            # — rather than silently dropped or parked in a null
+            # partition (current_timestamp is fixed per batch plan)
+            pts = typed.select(
+                F.coalesce(F.col("ts"), F.current_timestamp()).alias("time"),
                 *tag_cols,
                 *[F.col(f) for f in fields],
             )

@@ -231,3 +231,98 @@ def test_export_import_cycle(spark, tmp_path):
         key=k,
     )
     assert [tuple(r) for r in t1] == [tuple(r) for r in t2]
+
+
+def test_duplicate_keys_last_win_not_exception(spark):
+    """A duplicated tag/field key keeps the LAST value (InfluxDB
+    server behavior) instead of tripping Spark's default
+    mapKeyDedupPolicy=EXCEPTION and failing the whole batch."""
+    lines = spark.createDataFrame(
+        [
+            ("m f=1,f=2 1614556800000000000",),
+            ("m,t=a,t=b f=9",),
+            ("ok f=5",),
+        ],
+        "value STRING",
+    )
+    rows = {r["raw_line"]: r for r in parse_lines(lines).collect()}
+    assert rows["m f=1,f=2 1614556800000000000"]["fields"] == {"f": "2"}
+    assert rows["m,t=a,t=b f=9"]["tags"] == {"t": "b"}
+    assert rows["ok f=5"]["fields"] == {"f": "5"}
+
+
+def test_render_null_tags_and_all_null_fields(spark):
+    """A null tag value drops just that tag pair (not the whole line
+    head); a row whose field values are all null is dropped from the
+    export instead of rendering an unparseable empty-body line."""
+    import datetime as dt
+
+    from ciws_server_spark.plans.line_protocol import render_lines
+
+    rows = [
+        (dt.datetime(2021, 3, 1), None, "r1", 1.5),
+        (dt.datetime(2021, 3, 1, 0, 1), "B", None, 2.5),
+        (dt.datetime(2021, 3, 1, 0, 2), "C", "r2", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "time TIMESTAMP, b STRING, room STRING, f DOUBLE"
+    )
+    texts = [
+        r["line"]
+        for r in render_lines(df, "m", ["b", "room"], ["f"]).collect()
+    ]
+    # all-null-fields row dropped
+    assert len(texts) == 2
+    assert texts[0].startswith("m,room=r1 f=1.5 ")
+    assert texts[1].startswith("m,b=B f=2.5 ")
+    # every emitted line parses back cleanly
+    back = parse_lines(
+        spark.createDataFrame([(t,) for t in texts], "value STRING")
+    ).collect()
+    assert all(r["fields"] == {"f": r["fields"]["f"]} for r in back)
+
+
+def test_missing_timestamp_stamped_with_arrival_time(spark, tmp_path):
+    """A well-formed point with no timestamp is stamped with the
+    ingest arrival time (InfluxDB server behavior) in BOTH the batch
+    and the streaming path — never silently dropped, never written to
+    a null time/date partition."""
+    import datetime as dt
+
+    from ciws_server_spark.jobs import ingest_line_protocol
+    from ciws_server_spark.streaming.ingest import run_line_protocol_pass
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.lp").write_text(
+        "campus_flow,buildingID=A hotOutFlowRate=1.0 1614556800000000000\n"
+        "campus_flow,buildingID=B hotOutFlowRate=2.0\n"  # no timestamp
+    )
+    schemas = {"campus_flow": {"hotOutFlowRate": "float"}}
+
+    before = dt.datetime.now() - dt.timedelta(minutes=5)
+    counts = ingest_line_protocol(
+        spark, str(landing), str(tmp_path / "batch"), schemas
+    )
+    assert counts["campus_flow"] == 2
+    rows = {
+        r["buildingID"]: r
+        for r in spark.read.parquet(
+            str(tmp_path / "batch" / "campus_flow")
+        ).collect()
+    }
+    assert rows["A"]["time"] == dt.datetime(2021, 3, 1, 0, 0)
+    assert rows["B"]["time"] is not None and rows["B"]["time"] > before
+
+    run_line_protocol_pass(
+        spark, str(landing), str(tmp_path / "stream"),
+        str(tmp_path / "ckpt"), schemas,
+    )
+    srows = {
+        r["buildingID"]: r
+        for r in spark.read.parquet(
+            str(tmp_path / "stream" / "campus_flow")
+        ).collect()
+    }
+    assert srows["A"]["time"] == dt.datetime(2021, 3, 1, 0, 0)
+    assert srows["B"]["time"] is not None and srows["B"]["time"] > before
