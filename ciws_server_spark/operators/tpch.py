@@ -530,26 +530,49 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """SALTED fact⋈dim equi-join — the join-side hot-key pattern.
 
     When one join key carries a disproportionate share of fact rows, a
     plain shuffle join sends that key's entire fact side to ONE task.
-    Salting splits it: the fact side gets a deterministic per-row salt
-    (so replay/retry is stable), the dim side is replicated ``n_salts``
-    times, and the join runs on (key, salt) — the hot key's rows now
-    spread over ``n_salts`` tasks. Dim replication cost is
-    |dim| × n_salts, the right trade whenever |dim| ≪ |fact| (the same
-    regime where the broadcast join stops fitting memory but skew still
-    bites). Result is row-identical to the plain join (asserted in
-    tests/test_scale_evidence.py). AQE's skew-join split covers many
-    cases at runtime; explicit salting is the static form for when the
-    optimizer can't see the skew (e.g. a first-shuffle straight off a
-    scan).
+    Salting splits it: each fact row gets a salt, the dim side is
+    replicated ``n_salts`` times, and the join runs on (key, salt) —
+    the hot key's rows now spread over ``n_salts`` tasks. Dim
+    replication cost is |dim| × n_salts, the right trade whenever
+    |dim| ≪ |fact| (the same regime where the broadcast join stops
+    fitting memory but skew still bites). AQE's skew-join split covers
+    many cases at runtime; explicit salting is the static form for
+    when the optimizer can't see the skew (e.g. a first-shuffle
+    straight off a scan).
+
+    Salt source: pass ``salt_cols`` naming uniqueness-bearing columns
+    for a fully deterministic content hash (stable under replay). By
+    default the salt is ``xxhash64(key, monotonically_increasing_id())``
+    — position-seeded, so even a hot key of *byte-identical* rows
+    (null keys, default values — the common real-world skew) spreads
+    across salts; a pure content hash would send all duplicates to ONE
+    salt and leave the hot partition intact. The id is stable per
+    (partition, row-position) of a deterministic scan, so task retries
+    re-derive the same salt.
+
+    Row-identical to the plain join for ``how`` ∈ {'inner', 'left',
+    'left_semi'} only (asserted in tests/test_scale_evidence.py):
+    right/full/anti would see the replicated dim's unmatched copies.
     """
+    allowed = ("inner", "left", "left_semi")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {allowed} (got {how!r}): "
+            "right/full/anti joins would duplicate or wrongly suppress "
+            "unmatched rows of the n_salts-replicated dim side"
+        )
+    if salt_cols:
+        salt_src = F.xxhash64(*salt_cols)
+    else:
+        salt_src = F.xxhash64(F.col(key), F.monotonically_increasing_id())
     salted_fact = fact.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int"),
+        "_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int")
     )
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -197,3 +197,34 @@ def test_salted_join_matches_plain_join(spark, sf_smoke):
             "spark.sql.adaptive.coalescePartitions.enabled", old_c
         )
     assert n_parts > 1
+
+
+def test_salted_join_spreads_identical_hot_rows_and_validates_how(spark):
+    """Content-duplicate skew: a hot key of BYTE-IDENTICAL fact rows
+    (the common real-world case — null keys, default values) must
+    still spread across >1 salt; a content-only hash would send every
+    duplicate to one salt. Unsupported join types raise."""
+    import pytest
+
+    from ciws_server_spark.operators.tpch import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "same")] * 400, "skey BIGINT, payload STRING"
+    ).repartition(4)
+    dim = spark.createDataFrame([(1, "hot")], "skey BIGINT, name STRING")
+
+    salted = fact.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.col("skey"), F.monotonically_increasing_id()),
+            F.lit(8),
+        ).cast("int"),
+    )
+    n_distinct_salts = salted.select("_salt").distinct().count()
+    assert n_distinct_salts > 1
+
+    out = salted_join(fact, dim, "skey", n_salts=8)
+    assert out.count() == 400  # row-identical to the plain join
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(fact, dim, "skey", how="full")
