@@ -250,3 +250,24 @@ def export_line_protocol(
     )
     lines.write.mode("overwrite").text(out_dir)
     return spark.read.text(out_dir).count()
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    table: str,
+    target_files_per_partition: int = 1,
+) -> int:
+    """OPTIMIZE analogue for the partitioned tables — the maintenance
+    job a 100 TB deployment schedules alongside retention.
+
+    Streaming appends accumulate one file per micro-batch per
+    partition; this rewrites each partition directory down to
+    ``target_files_per_partition`` files and swaps the result in via
+    the crash-recoverable rename protocol
+    (``sources.sinks.recover_compaction``). Row content is unchanged —
+    only the file layout. Returns the post-compaction file count.
+    """
+    return sinks.compact_table(
+        spark, table_dir, table, target_files_per_partition
+    )

@@ -148,3 +148,46 @@ def test_compaction_between_ingest_passes_keeps_layout(spark, tmp_path):
     # both dates present and partition-pruned reads still work
     one_day = flow.where(flow.date == "2021-03-02")
     assert one_day.count() == 1
+
+
+def test_compaction_strictly_drops_files_and_preserves_rows(spark, tmp_path):
+    """jobs.compact_table on a table with many small files per
+    partition: the file count strictly drops and the full row multiset
+    (content hash) is byte-identical before and after."""
+    import datetime as dt
+
+    from ciws_server_spark.jobs import compact_table
+    from ciws_server_spark.sources import sinks
+
+    table_dir = str(tmp_path / "tables")
+    # 5 separate appends into the SAME (buildingID, date) partitions →
+    # ≥5 files per partition directory
+    for i in range(5):
+        df = spark.createDataFrame(
+            [
+                (dt.datetime(2021, 3, 1, 0, i), "A", float(i)),
+                (dt.datetime(2021, 3, 1, 0, i), "B", float(10 + i)),
+            ],
+            "time TIMESTAMP, buildingID STRING, hotOutFlowRate DOUBLE",
+        )
+        sinks.append_points(df, table_dir, "campus_flow")
+
+    root = os.path.join(table_dir, "campus_flow")
+    n_before = len(
+        glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    )
+    rows_before = sorted(
+        (str(r["time"]), r["buildingID"], r["hotOutFlowRate"])
+        for r in spark.read.parquet(root).collect()
+    )
+    assert n_before >= 10
+
+    n_after = compact_table(spark, table_dir, "campus_flow")
+    assert n_after < n_before  # strict drop
+    assert n_after == 2  # one file per (buildingID, date) partition
+
+    rows_after = sorted(
+        (str(r["time"]), r["buildingID"], r["hotOutFlowRate"])
+        for r in spark.read.parquet(root).collect()
+    )
+    assert rows_after == rows_before
