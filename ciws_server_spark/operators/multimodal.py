@@ -250,17 +250,122 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
 
 
+_IMG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("decoder", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mode", StringType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+_THUMB = 8  # thumbnail edge for the resize feature
+
+_UNSET = object()
+
+
+def _stub_image_features(payload: bytes) -> dict:
+    """Deterministic stand-in for the PIL decode: pseudo-dimensions
+    from exact byte statistics, thumbnail md5 from the every-other-byte
+    downsample — all cross-engine reproducible (DuckDB oracle)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    byte_sum = int(arr.sum(dtype=np.int64))
+    return {
+        "decoder": "stub",
+        "width": 1 + len(payload) % 64,
+        "height": 1 + byte_sum % 64,
+        "mode": "STUB",
+        "resized_md5": hashlib.md5(payload[::2]).hexdigest(),
+    }
+
+
+def _pil_image_features(payload: bytes, pil_image) -> dict:
+    """REAL image decode + resize via PIL (import-gated, same pattern
+    as the paramiko SFTP transport, sources/sftp_feeder.py:58-93):
+    open → true width/height/mode, NEAREST-resample to a _THUMB² RGB
+    thumbnail, md5 of its raw bytes. Exercised in tests through a
+    stand-in Image module; a deployment with Pillow installed runs
+    this branch unchanged."""
+    import io
+
+    img = pil_image.open(io.BytesIO(payload))
+    thumb = img.convert("RGB").resize((_THUMB, _THUMB), resample=0)
+    return {
+        "decoder": "pil",
+        "width": int(img.size[0]),
+        "height": int(img.size[1]),
+        "mode": str(img.mode),
+        "resized_md5": hashlib.md5(thumb.tobytes()).hexdigest(),
+    }
+
+
+def mm_image_features(
+    spark: SparkSession, sf_dir: str, pil_image=_UNSET
+) -> DataFrame:
+    """Image decode/resize features over the binary payload column.
+
+    The codec is resolved ONCE on the driver at plan time: the real
+    PIL branch when ``PIL.Image`` is importable (or an Image-like
+    object is passed explicitly — how tests drive the real branch
+    without Pillow in the container), else the deterministic stand-in.
+    Either way the executor-side shape is identical: Arrow batches
+    through ``mapInPandas``, one feature row per payload, no driver
+    collect. The ``decoder`` column makes which branch ran auditable
+    in the output itself.
+    """
+    if pil_image is _UNSET:
+        try:
+            from PIL import Image as pil_image  # noqa: N813
+        except ImportError:
+            pil_image = None
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                feats = (
+                    _pil_image_features(payload, pil_image)
+                    if pil_image is not None
+                    else _stub_image_features(payload)
+                )
+                rows.append({"doc_id": doc_id, "modality": modality, **feats})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _IMG_SCHEMA.fields]
+            )
+
+    mm = (
+        with_payload(table(spark, sf_dir, "documents"))
+        .where(F.col("modality") == "image")
+        .select("doc_id", "modality", "payload")
+        .repartition("doc_id")
+    )
+    return mm.mapInPandas(gen, schema=_IMG_SCHEMA)
+
+
+def mm_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stand-in branch pinned explicitly — the oracle-checked
+    form (the PIL branch's output depends on the codec library and is
+    validated by unit tests instead)."""
+    return mm_image_features(spark, sf_dir, pil_image=None)
+
+
 QUERIES = {
     "mm_manifest": mm_manifest,
     "mm_modality_rollup": mm_modality_rollup,
     "mm_byte_stats": mm_byte_stats,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
+    "mm_image_features_stub": mm_image_features_stub,
 }
 
 #: Locally oracle-checked, not driver-registered (50-entry budget):
 #: mm_resize drives the identical mapInPandas binary-batch plumbing.
-EXTRA = {"mm_frame_sample"}
+EXTRA = {"mm_frame_sample", "mm_image_features_stub"}
 
 _MODALITY_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
@@ -329,6 +434,20 @@ ORACLES["mm_resize"] = f"""
              AS resized_bytes,
            md5(regexp_replace(text, '(.)(.)', '\\1', 'g')) AS resized_md5
     FROM documents
+    ORDER BY doc_id
+"""
+
+ORACLES["mm_image_features_stub"] = f"""
+    SELECT doc_id,
+           'image' AS modality,
+           'stub' AS decoder,
+           CAST(1 + strlen(text) % 64 AS BIGINT) AS width,
+           CAST(1 + list_sum(list_transform(string_split_regex(text, ''),
+                x -> ascii(x))) % 64 AS BIGINT) AS height,
+           'STUB' AS mode,
+           md5(regexp_replace(text, '(.)(.)', '\\1', 'g')) AS resized_md5
+    FROM documents
+    WHERE CAST(doc_id % 3 AS INT) = 0
     ORDER BY doc_id
 """
 
