@@ -145,6 +145,20 @@ def append_ingest_manifest(
     _write_manifest(rows, os.path.join(table_dir, "ingest_manifest"), batch_id)
 
 
+def _move_one(
+    src_file: str, quarantine_reason, archive_dir: str, quarantine_dir: str
+) -> str:
+    """Move one landed file; returns the outcome bucket. A missing
+    source means an earlier pass already moved it → ``skipped``."""
+    # _metadata.file_path is a URI: file:/x, file:///x both occur
+    src = re.sub(r"^file:(//)?", "", src_file)
+    if not os.path.exists(src):
+        return "skipped"
+    dest = quarantine_dir if quarantine_reason else archive_dir
+    shutil.move(src, os.path.join(dest, os.path.basename(src)))
+    return "quarantine" if quarantine_reason else "archive"
+
+
 def apply_pending_moves(
     spark, table_dir: str, archive_dir: str, quarantine_dir: str
 ) -> dict:
@@ -153,42 +167,78 @@ def apply_pending_moves(
     uncommitted batch replays from its original landing paths, so
     in-batch moves would break crash recovery (files gone on replay).
     Idempotent — already-moved files are skipped; a crash mid-moves is
-    healed by the next call. At 100 TB scale the manifest read prunes
-    to recent ``batch_id`` partitions; file counts (not bytes) bound
-    the work — it is rename metadata, not data motion.
+    healed by the next call.
+
+    Moves run EXECUTOR-SIDE (``mapInPandas`` over the manifest, one
+    task per partition): at 100 TB ingest cadence the manifest is
+    millions of file names per day, and a driver collect+loop would
+    serialize every rename through one process. Each file appears in
+    exactly one task (the manifest is deduped on ``src_file``
+    first), so no two executors race on one rename; only the 3-number
+    per-partition tally is collected. Requires the landing/archive
+    paths be visible from executors — true in local mode and on any
+    shared-fs/object-store deployment, the same assumption the scan
+    itself makes. It is rename metadata, not data motion.
     """
     path = os.path.join(table_dir, "ingest_manifest")
     if not os.path.isdir(path):
         return {"archive": 0, "quarantine": 0, "skipped": 0}
-    return move_files(
+    manifest = (
         spark.read.parquet(path)
-        .select("src_file", "quarantine_reason")
-        .collect(),
-        archive_dir,
-        quarantine_dir,
+        .groupBy("src_file")
+        .agg(F.max("quarantine_reason").alias("quarantine_reason"))
     )
+    a_dir, q_dir = archive_dir, quarantine_dir
+
+    def mover(batches):
+        import pandas as pd
+
+        counts = {"archive": 0, "quarantine": 0, "skipped": 0}
+        os.makedirs(a_dir, exist_ok=True)
+        os.makedirs(q_dir, exist_ok=True)
+        for pdf in batches:
+            for src_file, reason in zip(
+                pdf["src_file"], pdf["quarantine_reason"]
+            ):
+                counts[_move_one(src_file, reason, a_dir, q_dir)] += 1
+        yield pd.DataFrame([counts])
+
+    totals = (
+        manifest.mapInPandas(
+            mover, "archive BIGINT, quarantine BIGINT, skipped BIGINT"
+        )
+        .groupBy()
+        .sum("archive", "quarantine", "skipped")
+        .collect()[0]
+    )
+    return {
+        "archive": int(totals[0] or 0),
+        "quarantine": int(totals[1] or 0),
+        "skipped": int(totals[2] or 0),
+    }
 
 
 def move_files(manifest_rows: list, archive_dir: str, quarantine_dir: str) -> dict:
-    """Move each landed file to archive or quarantine.
+    """Move each landed (already-collected) manifest row's file.
 
-    Driver-side file plumbing (same as the reference's shutil moves).
-    Missing sources are counted as ``skipped`` (already moved by an
-    earlier pass), making re-runs idempotent. On a cluster this is an
-    fs rename job, not data motion.
+    Driver-side form for the single-shot batch jobs whose manifests
+    are small and already on the driver; the streaming path
+    (``apply_pending_moves``) distributes the same per-file logic to
+    executors. Missing sources count as ``skipped`` (already moved by
+    an earlier pass), making re-runs idempotent.
     """
     os.makedirs(archive_dir, exist_ok=True)
     os.makedirs(quarantine_dir, exist_ok=True)
     moved = {"archive": 0, "quarantine": 0, "skipped": 0}
     for row in manifest_rows:
-        # _metadata.file_path is a URI: file:/x, file:///x both occur
-        src = re.sub(r"^file:(//)?", "", row["src_file"])
-        if not os.path.exists(src):
-            moved["skipped"] += 1
-            continue
-        dest = quarantine_dir if row["quarantine_reason"] else archive_dir
-        shutil.move(src, os.path.join(dest, os.path.basename(src)))
-        moved["quarantine" if row["quarantine_reason"] else "archive"] += 1
+        moved[
+            _move_one(
+                row["src_file"],
+                row["quarantine_reason"],
+                archive_dir,
+                quarantine_dir,
+            )
+        ] += 1
     return moved
 
 
