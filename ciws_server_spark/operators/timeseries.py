@@ -591,6 +591,30 @@ def influxql_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
 
 
+def influxql_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``exponential_moving_average(agg, n)`` through the
+    text front-end: α = 2/(n+1), recursion seeded with each series'
+    first bucket and emitted from the n-th (the warmup convention
+    moving_average uses). The per-series fold runs in one Arrow
+    applyInPandas pass over buckets × series rows — never event count;
+    the oracle reproduces the identical recursion as a recursive CTE
+    whose depth is the bucket count, not the point count."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT exponential_moving_average(count(value), 4) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    out = translate(ev, q, time_col="ts")
+    return out.select(
+        "time_bucket",
+        "event_type",
+        F.round("exponential_moving_average", 6).alias("ema"),
+    ).orderBy("time_bucket", "event_type")
+
+
 def influxql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``percentile(field, p)`` (nearest-rank) through the
     text front-end. The aggregate selects a stored value — no
@@ -850,6 +874,7 @@ QUERIES = {
     "influxql_derivative": influxql_derivative,
     "influxql_moving_average": influxql_moving_average,
     "influxql_percentile": influxql_percentile,
+    "influxql_ema": influxql_ema,
     "influxql_order_limit": influxql_order_limit,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
@@ -903,6 +928,7 @@ EXTRA = {
     "influxql_stats_aggs",
     "influxql_subquery",
     "influxql_top",
+    "influxql_ema",
     # rotated out in r6 (driver-green multiple rounds; their bucket /
     # window / json machinery also runs inside still-registered
     # queries): rotated in instead are ts_funnel, the as-of
@@ -1266,6 +1292,36 @@ ORACLES = {
                (v - pv) / dt * 3600.0 AS derivative
         FROM lagged
         WHERE pv IS NOT NULL AND dt > 0
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_ema": f"""
+        WITH RECURSIVE agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS BIGINT) AS count_value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        pts AS (
+          SELECT time_bucket, event_type,
+                 CAST(count_value AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY time_bucket) AS rn
+          FROM agg
+        ),
+        rec AS (
+          SELECT time_bucket, event_type, v, rn, v AS ema
+          FROM pts WHERE rn = 1
+          UNION ALL
+          SELECT p.time_bucket, p.event_type, p.v, p.rn,
+                 (2.0/5) * p.v + (1.0 - 2.0/5) * r.ema
+          FROM pts p JOIN rec r
+            ON p.event_type = r.event_type AND p.rn = r.rn + 1
+        )
+        SELECT time_bucket, event_type, ROUND(ema, 6) AS ema
+        FROM rec WHERE rn >= 4
         ORDER BY time_bucket, event_type
     """,
     "influxql_moving_average": f"""

@@ -49,6 +49,10 @@ Grammar (case-insensitive keywords):
           |  top(col, <n>) | bottom(col, <n>)-- n extreme POINTS per
                                              -- bucket/series, original
                                              -- timestamps kept
+          |  exponential_moving_average(arg, <n>)
+                                             -- α=2/(n+1), seeded at the
+                                             -- first point, emitted
+                                             -- from the n-th
     arg   := col | agg(col)                  -- agg form needs time(...)
     bool  := <bool> OR <bool> | <bool> AND <bool> | ( <bool> ) | cond
     cond  := col <op> 'value' | time <op> 'ts' | col =~ /re/ | col !~ /re/
@@ -75,6 +79,19 @@ schema introspection over the measurement registry, no scan.
 per (series, bucket), and fills empty buckets with null / the
 previous value (LOCF) / a constant. ``fill(none)`` is the default
 drop-empty-buckets behavior.
+
+OUT OF SURFACE (explicitly unsupported; parsing raises rather than
+silently mis-reading): the InfluxQL 1.x predictive / technical-
+analysis tail — ``holt_winters``, ``holt_winters_with_fit``,
+``chande_momentum_oscillator``, ``kaufmans_efficiency_ratio``,
+``kaufmans_adaptive_moving_average``, ``double_exponential_moving_
+average``, ``triple_exponential_moving_average``, ``triple_
+exponential_derivative``, ``relative_strength_index``, and
+``sample``/``histogram``. These are charting/forecast conveniences
+with no reference usage; ``exponential_moving_average`` (the common
+one) IS supported above. Also unsupported: ``GROUP BY time`` with
+irregular calendar units (week/month/year) and ``OFFSET``/``SOFFSET``
+pagination.
 """
 
 from __future__ import annotations
@@ -112,7 +129,8 @@ _PERC_RE = re.compile(
 )
 _TRANSFORM_RE = re.compile(
     r"^(derivative|non_negative_derivative|moving_average|difference"
-    r"|non_negative_difference|cumulative_sum|elapsed|integral)"
+    r"|non_negative_difference|cumulative_sum|elapsed|integral"
+    r"|exponential_moving_average)"
     r"\s*\(\s*(.+?)\s*\)$",
     re.I,
 )
@@ -573,10 +591,10 @@ def _apply_transform(
     # Per-transform parameter parsing -----------------------------
     n_points = None
     unit_secs: float = 1.0
-    if fn == "moving_average":
+    if fn in ("moving_average", "exponential_moving_average"):
         if len(args) != 2 or not args[1].isdigit() or int(args[1]) < 1:
             raise InfluxQLError(
-                "moving_average requires a positive integer point count"
+                f"{fn} requires a positive integer point count"
             )
         n_points = int(args[1])
     elif fn in ("difference", "non_negative_difference", "cumulative_sum"):
@@ -671,6 +689,47 @@ def _apply_transform(
     base = base.where(F.col(vname).isNotNull())
     w = W.partitionBy(*tag_cols).orderBy(tkey)
     v = F.col(vname).cast("double")
+
+    if fn == "exponential_moving_average":
+        # EMA_t = α·v_t + (1−α)·EMA_{t−1}, α = 2/(n+1), seeded with the
+        # first point (InfluxQL's default exponential warmup) and
+        # emitted from the n-th point on (same warmup emission as
+        # moving_average). The recursion has no windowed closed form
+        # that is numerically safe on long series, so each series folds
+        # in ONE Arrow-batched applyInPandas pass — O(points) per
+        # series, grouped on the series key (for the aggregated form
+        # the input is buckets × series rows, never event count). The
+        # explicit per-step expression mirrors the documented DuckDB
+        # oracle CTE term-for-term, so doubles stay bit-comparable.
+        import numpy as np
+
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        alpha = 2.0 / (n_points + 1)
+        out_schema = StructType(
+            [base.schema[tkey]]
+            + [base.schema[t] for t in tag_cols]
+            + [StructField("exponential_moving_average", DoubleType())]
+        )
+        npts = n_points
+        vcol = vname
+
+        def ema_group(pdf):
+            pdf = pdf.sort_values(tkey)
+            vals = pdf[vcol].astype(float).to_numpy()
+            emas = np.empty(len(vals))
+            e = 0.0
+            for i, x in enumerate(vals):
+                e = x if i == 0 else alpha * x + (1.0 - alpha) * e
+                emas[i] = e
+            pdf = pdf.assign(exponential_moving_average=emas)
+            return pdf.iloc[npts - 1 :][
+                [tkey, *tag_cols, "exponential_moving_average"]
+            ]
+
+        res = base.groupBy(*tag_cols).applyInPandas(ema_group, out_schema)
+        key = F.col(tkey)
+        return res.orderBy(key.desc() if order_desc else key.asc()), tkey
 
     if fn == "moving_average":
         # trailing n-point mean, emitted from the n-th point on

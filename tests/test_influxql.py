@@ -864,3 +864,41 @@ def test_select_into_writes_target(spark, flow, tmp_path):
             spark, {"flow": flow},
             "SELECT mean(coldInFlowRate) INTO x FROM flow GROUP BY time(1h)",
         )
+
+
+def test_exponential_moving_average(spark, flow):
+    """EMA: α=2/(n+1) recursion seeded with the first point, emitted
+    from the n-th — raw-field form, per-series."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    got = query_measurement(
+        spark,
+        {"flow": flow},
+        "SELECT exponential_moving_average(coldInFlowRate, 3) FROM flow "
+        "GROUP BY buildingID",
+    )
+    # per-series: 120 points per building, emitted from the 3rd
+    by_b = {}
+    for r in got.collect():
+        by_b.setdefault(r["buildingID"], []).append(r)
+    assert {len(v) for v in by_b.values()} == {118}
+    # hand-rolled recursion on series A: v = 0,1,2,..., α = 0.5
+    a = 0.5
+    e = 0.0
+    vals = [float(i) for i in range(120)]
+    emas = []
+    for i, x in enumerate(vals):
+        e = x if i == 0 else a * x + (1 - a) * e
+        emas.append(e)
+    got_a = sorted(by_b["A"], key=lambda r: r["time"])
+    assert [r["exponential_moving_average"] for r in got_a[:4]] == emas[2:6]
+
+    with pytest.raises(InfluxQLError, match="positive integer"):
+        query_measurement(
+            spark,
+            {"flow": flow},
+            "SELECT exponential_moving_average(coldInFlowRate, 0) FROM flow",
+        )
