@@ -21,14 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def headline_queries() -> dict:
+    # Pull from each module's full QUERIES catalog (registered + extra)
+    # so the headline set stays stable across driver-registry rotations:
+    # a query rotated out of the ≤50 driver slots must keep benching.
     from ciws_server_spark import operators
 
     names: set[str] = set()
+    qs: dict = {}
     for mod in operators.ALL_MODULES:
         names |= getattr(mod, "HEADLINE", set())
-    import __spark_entry__ as entrymod
-
-    qs = entrymod.queries()
+        qs.update(mod.QUERIES)
     return {n: qs[n] for n in sorted(names)}
 
 
