@@ -313,11 +313,26 @@ def compact_table(
     if "batch_id" in df.columns and "batch_id" not in parts:
         parts.append("batch_id")
     tmp, new, old = (root + s for s in (".compact.tmp", ".compact.new", ".compact.old"))
-    writer = df.coalesce(
-        max(target_files_per_partition, 1)
-    ) if not parts else df.repartition(
-        target_files_per_partition, *parts
-    )
+    n_files = max(target_files_per_partition, 1)
+    if not parts:
+        writer = df.coalesce(n_files)
+    else:
+        # Repartition on (partition cols + content-hash salt), NOT
+        # (n, *parts): hashing only the partition columns sends every
+        # row of a directory to ONE task, serializing the rewrite
+        # through #distinct-partition-values tasks (one task when the
+        # table is small) and making >1 file per directory impossible.
+        # The salt splits each directory across up to n_files shuffle
+        # partitions, so the rewrite parallelizes across
+        # #dirs × n_files tasks and each directory lands in ≤ n_files
+        # files. Content-hash (deterministic) rather than rand() so a
+        # retried task re-produces the same layout.
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
+        writer = (
+            df.withColumn("__compact_salt", salt)
+            .repartition(*parts, F.col("__compact_salt"))
+            .drop("__compact_salt")
+        )
     (
         writer.write.mode("overwrite")
         .partitionBy(*parts)

@@ -191,3 +191,47 @@ def test_compaction_strictly_drops_files_and_preserves_rows(spark, tmp_path):
         for r in spark.read.parquet(root).collect()
     )
     assert rows_after == rows_before
+
+
+def test_compaction_splits_partition_across_target_files(spark, tmp_path):
+    """target_files_per_partition > 1 must actually split a partition
+    directory's rows across that many files — the property that lets
+    the rewrite parallelize across #dirs x target tasks at 100 TB
+    (hashing only the partition columns would serialize each directory
+    into one task and one file)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from ciws_server_spark.sources import sinks
+
+    table_dir = str(tmp_path / "tables")
+    df = spark.range(2000).select(
+        F.lit("E").alias("buildingID"),
+        (F.expr("timestamp '2021-03-01 00:00:00'")
+         + F.make_interval(secs=F.col("id"))).alias("time"),
+        F.rand(7).alias("coldInFlowRate"),
+    )
+    sinks.append_points(df, table_dir, "campus_flow")
+
+    # tiny partitions coalesce under AQE; pin it off so the salt's
+    # partition split is observable at test scale
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sinks.compact_table(
+            spark, table_dir, "campus_flow", target_files_per_partition=4
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    files = _glob.glob(
+        os.path.join(table_dir, "campus_flow", "**", "*.parquet"),
+        recursive=True,
+    )
+    # one (buildingID, date) directory, content-hash salt mod 4:
+    # rows spread across >1 and <= 4 files
+    assert 1 < len(files) <= 4
+    assert spark.read.parquet(
+        os.path.join(table_dir, "campus_flow")
+    ).count() == 2000
