@@ -701,7 +701,16 @@ QUERIES = {
 #: these are the O(n²)/inverted-index ORACLE BASELINES whose scale
 #: paths (prefix filter, embedding LSH) are registered and
 #: equality-tested against them.
-EXTRA = {"dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters"}
+#: r7 rotation: dedup_clusters (connected components — never
+#: driver-verified) rotates in; exact/normalized/prefix dedup
+#: (driver-green r1-r6) yield slots.
+EXTRA = {
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_ngram_prefix",
+}
 
 # --- DuckDB oracle SQL ------------------------------------------------
 

@@ -365,7 +365,10 @@ QUERIES = {
 
 #: Locally oracle-checked, not driver-registered (50-entry budget):
 #: mm_resize drives the identical mapInPandas binary-batch plumbing.
-EXTRA = {"mm_frame_sample", "mm_image_features_stub"}
+#: r7 rotation: mm_image_features_stub (never driver-verified — pins
+#: the deterministic codec branch under its own oracle) rotates in;
+#: manifest + modality rollup (driver-green r1-r6) yield slots.
+EXTRA = {"mm_frame_sample", "mm_manifest", "mm_modality_rollup"}
 
 _MODALITY_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"

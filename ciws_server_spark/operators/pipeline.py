@@ -194,6 +194,8 @@ ORACLES = {
     """,
 }
 
-EXTRA = {"pipeline_train_split", "pipeline_source_quota"}
+#: r7 rotation: train_split + source_quota (never driver-verified)
+#: rotate in; all three pipeline queries are now driver-registered.
+EXTRA: set[str] = set()
 
 HEADLINE = {"pipeline_curated_corpus"}

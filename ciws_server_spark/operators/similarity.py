@@ -640,11 +640,15 @@ EXTRA = {
     "sim_lsh_pairs",
     "sim_lsh_multitable_buckets",
     "sim_ivf_cells",
-    "sim_ivf_kmeans",
     # nprobe=1 pseudo-centroid form: superseded in the driver registry
     # by sim_ivf_trained_topk (trained centroids, nprobe=2); kept as a
     # locally-verified baseline of the same layout.
     "sim_ivf_topk",
+    # r7 rotation: sim_ivf_kmeans (never driver-verified) rotates in;
+    # brute-force topk + single-table buckets (driver-green r1-r6)
+    # yield slots.
+    "sim_brute_topk",
+    "sim_lsh_buckets",
 }
 
 

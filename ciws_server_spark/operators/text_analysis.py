@@ -401,12 +401,16 @@ QUERIES = {
 #: Locally oracle-checked, not driver-registered (50-entry budget):
 #: ws token counting is subsumed by the BPE-ish tokenizer query and
 #: md5 content fingerprinting by dedup_exact's fingerprint column.
+#: r7 rotation: source_rollup/pii_redact/repetition (never
+#: driver-verified) rotate in; quality/lang-id/tokenizer/rolling
+#: fingerprint (driver-green r1-r6) yield slots.
 EXTRA = {
     "text_token_count",
     "text_fingerprint",
-    "text_source_rollup",
-    "text_pii_redact",
-    "text_repetition",
+    "text_quality_score",
+    "text_lang_id",
+    "text_tokenize_bpeish",
+    "text_rolling_fingerprint",
 }
 
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"

@@ -902,17 +902,16 @@ QUERIES = {
     "ts_asof_join_nearest": ts_asof_join_nearest,
 }
 
-#: Locally oracle-checked, not driver-registered (50-entry budget):
-#: ts_tag_time_range's S10/P9 predicate shape is driver-verified
-#: through the InfluxQL text front-end (influxql_select_range), and
-#: the sliding window composes the driver-verified tumbling-window
-#: machinery with an overlap factor.
+#: Locally oracle-checked, not driver-registered (50-entry budget).
+#: Round-7 rotation: the entire remaining never-driver-verified
+#: InfluxQL tail (regex predicate, order/limit, slimit, percentile,
+#: difference, elapsed, stats aggs, subquery, top, EMA) plus
+#: ts_sliding_window rotate IN; queries driver-green for 5 straight
+#: rounds (select_range, range-join, sessionize, latest-per-user,
+#: stale-users, retention, as-of backward) yield their slots and stay
+#: oracle-checked here by tests/test_extra_oracle.py.
 EXTRA = {
     "ts_tag_time_range",
-    "ts_sliding_window",
-    "influxql_regex_predicate",
-    "influxql_order_limit",
-    "influxql_slimit",
     # Displaced to make driver room for the r4-flagged transform
     # surface (derivative/moving_average): the basic GROUP BY time
     # rollup and fill(previous) machinery both still run inside the
@@ -920,24 +919,21 @@ EXTRA = {
     # oracle-checked here.
     "influxql_group_by_time",
     "influxql_group_by_time_fill",
-    # nearest-rank percentile (locally oracle-checked; the two
-    # transforms above take the driver slots)
-    "influxql_percentile",
-    "influxql_difference",
-    "influxql_elapsed",
-    "influxql_stats_aggs",
-    "influxql_subquery",
-    "influxql_top",
-    "influxql_ema",
     # rotated out in r6 (driver-green multiple rounds; their bucket /
     # window / json machinery also runs inside still-registered
-    # queries): rotated in instead are ts_funnel, the as-of
-    # forward/nearest variants, fill(linear), cumulative_sum and
-    # integral, so driver-grade evidence accumulates.
+    # queries):
     "ts_json_extract",
     "ts_time_bucket_agg",
     "ts_tumbling_window",
     "ts_gap_fill",
+    # rotated out in r7 (driver-green r1-r6):
+    "influxql_select_range",
+    "ts_range_join_buckets",
+    "ts_sessionize",
+    "ts_latest_event_per_user",
+    "ts_stale_users",
+    "ts_retention_plan",
+    "ts_asof_join",
 }
 
 _DSUM_VALUE = (

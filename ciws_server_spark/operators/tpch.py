@@ -187,6 +187,30 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def join_anti_customers_no_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join against a date-restricted order subset.
+
+    ``join_anti_customers_without_orders`` is vacuous on the fixture
+    (every customer has >=1 order, so Spark and the oracle agree on the
+    empty set and the anti-join's row-production path is never value
+    verified). This variant restricts the right side to orders placed
+    on/after 1998-01-01, so a known customer cohort (8 at sf0.01)
+    survives the anti-join and the driver hash-verifies real rows.
+    Scale note: the filter lands on the orders scan (pushed down), and
+    the anti-join itself stays a hash shuffle on the customer key —
+    the same plan shape as the unrestricted form.
+    """
+    cust = table(spark, sf_dir, "customer")
+    recent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
 def join_outer_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join where the right side is sparse (10 suppliers)."""
     nation = table(spark, sf_dir, "nation")
@@ -622,6 +646,7 @@ QUERIES = {
     "distinct_agg_customers": distinct_agg_customers,
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
+    "join_anti_customers_no_recent_orders": join_anti_customers_no_recent_orders,
     "join_outer_supplier_coverage": join_outer_supplier_coverage,
     "setop_nations_without_suppliers": setop_nations_without_suppliers,
     "setop_nations_with_both": setop_nations_with_both,
@@ -641,19 +666,15 @@ QUERIES = {
 }
 
 #: Locally oracle-checked, not driver-registered: the driver verifies
-#: at most 50 queries. Round-6 rotation: long-stable registered
-#: queries (driver-green since r1-r3 — crypto/scalar/date functions,
-#: pivot, percentile, distinct-agg, one setop, cube) yield their
-#: slots to previously-local-only queries (anti/outer joins, the
-#: subquery family) so driver-grade evidence accumulates across the
-#: whole surface over rounds. Everything here stays oracle-checked
-#: locally by tests/test_extra_oracle.py with the identical
+#: at most 50 queries. Round-7 rotation: every remaining
+#: never-driver-verified query rotates IN (window_rank,
+#: conditional_agg, union_all, salted_agg, plus the new non-vacuous
+#: anti-join) and the longest-stable queries (driver-green 5 rounds:
+#: q1/q3/q5, grouping sets, topk, the vacuous anti-join) yield their
+#: slots. Everything here stays oracle-checked locally by
+#: tests/test_extra_oracle.py with the identical
 #: row/schema/value-hash comparison.
 EXTRA = {
-    "window_rank_customers",
-    "conditional_agg_order_mix",
-    "union_all_keys",
-    "salted_high_cardinality_agg",
     "rollup_pricing",
     # rotated out in r6 (driver-green r1-r5):
     "crypto_hashes",
@@ -664,6 +685,16 @@ EXTRA = {
     "distinct_agg_customers",
     "setop_nations_with_both",
     "cube_order_stats",
+    # rotated out in r7 (driver-green r1-r6; the anti-join variant
+    # without the date restriction is vacuous on this fixture — its
+    # non-vacuous replacement join_anti_customers_no_recent_orders
+    # is registered instead):
+    "q1_pricing_summary",
+    "grouping_sets_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_orders_per_segment",
+    "join_anti_customers_without_orders",
 }
 
 _DEC1 = "CAST(1 AS DECIMAL(30,6))"
@@ -752,6 +783,16 @@ ORACLES = {
         SELECT c_custkey, c_nationkey, c_mktsegment
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "join_anti_customers_no_recent_orders": """
+        SELECT c_custkey, c_nationkey, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1998-01-01'
+        )
         ORDER BY c_custkey
     """,
     "join_outer_supplier_coverage": """
