@@ -30,8 +30,114 @@ def headline_queries() -> dict:
     qs: dict = {}
     for mod in operators.ALL_MODULES:
         names |= getattr(mod, "HEADLINE", set())
+        overlap = qs.keys() & mod.QUERIES.keys()
+        if overlap:  # a silent shadow would bench the wrong callable
+            raise ValueError(f"duplicate query names: {sorted(overlap)}")
         qs.update(mod.QUERIES)
     return {n: qs[n] for n in sorted(names)}
+
+
+# --- ingest-path benchmark -------------------------------------------
+#
+# The reference's actual workload is the loader cron pass
+# (loader.py:22-86): landed CSV files → metadata parse → Raw/QC route
+# → DB append → archive/quarantine move. bench.py's query section
+# never touched that surface; this section lands N synthetic
+# residential files and drives BOTH ingest modes end-to-end
+# (parse → route → append → apply_pending_moves), reporting files/sec
+# and rows/sec for each.
+
+_INGEST_FILES = 200
+_INGEST_ROWS = 400
+_INGEST_BAD_EVERY = 25  # every 25th file is malformed → quarantine
+
+
+def _gen_landing(landing: str, n_files: int, rows_per_file: int) -> dict:
+    """Deterministic residential-format landing dir (no RNG): 37
+    sites, 1-in-5 QC-flagged, 1-in-25 malformed (quarantine path)."""
+    from datetime import datetime, timedelta
+
+    os.makedirs(landing, exist_ok=True)
+    t0 = datetime(2021, 3, 1)
+    good = bad = rows = 0
+    for i in range(n_files):
+        path = os.path.join(landing, f"f{i:05d}.csv")
+        if _INGEST_BAD_EVERY and i % _INGEST_BAD_EVERY == _INGEST_BAD_EVERY - 1:
+            with open(path, "w") as f:
+                f.write("not,a,residential\nheader,file,at all\n")
+            bad += 1
+            continue
+        site = 1000 + (i % 37)
+        qc = "QC" if i % 5 == 0 else ""
+        out = [
+            f"Site #: {site:04d}{qc}",
+            f"Datalogger #: {i % 11:04d}",
+            "Meter #: 0001",
+            "Time,Pulses",
+        ]
+        base = t0 + timedelta(hours=i)
+        out.extend(
+            f"{base + timedelta(seconds=4 * r):%Y-%m-%d %H:%M:%S},{r % 7}"
+            for r in range(rows_per_file)
+        )
+        with open(path, "w") as f:
+            f.write("\n".join(out) + "\n")
+        good += 1
+        rows += rows_per_file
+    return {"files": n_files, "good_files": good, "bad_files": bad, "rows": rows}
+
+
+def bench_ingest(
+    spark, workdir: str, n_files: int = _INGEST_FILES,
+    rows_per_file: int = _INGEST_ROWS,
+) -> dict:
+    """Time one cron-equivalent ingest pass in batch form and one in
+    availableNow-streaming form over identical landing dirs. Each mode
+    covers the full reference lifecycle: parse → Raw/QC route →
+    partitioned append (+ quarantine/ingest manifests) →
+    executor-side archive/quarantine moves."""
+    from ciws_server_spark.sources import residential, sinks
+    from ciws_server_spark.streaming.ingest import run_ingest_pass
+
+    out: dict = {}
+    for mode in ("batch", "stream"):
+        root = os.path.join(workdir, mode)
+        landing = os.path.join(root, "landing")
+        tables = os.path.join(root, "tables")
+        stats = _gen_landing(landing, n_files, rows_per_file)
+        archive, quar = os.path.join(root, "archive"), os.path.join(root, "quar")
+
+        t0 = time.perf_counter()
+        if mode == "batch":
+            points, manifest = residential.parse(spark, landing)
+            sinks.route_residential(points, manifest, tables, batch_id=0)
+            sinks.apply_pending_moves(spark, tables, archive, quar)
+        else:
+            run_ingest_pass(
+                spark, landing, tables, os.path.join(root, "ckpt"),
+                archive_dir=archive, quarantine_dir=quar,
+            )
+        elapsed = time.perf_counter() - t0
+
+        n_arch, n_quar = len(os.listdir(archive)), len(os.listdir(quar))
+        if n_arch != stats["good_files"] or n_quar != stats["bad_files"]:
+            raise AssertionError(
+                f"ingest {mode}: archived {n_arch}/{stats['good_files']}, "
+                f"quarantined {n_quar}/{stats['bad_files']}"
+            )
+        out[mode] = {
+            "sec": round(elapsed, 3),
+            "files_per_sec": round(stats["files"] / elapsed, 1),
+            "rows_per_sec": round(stats["rows"] / elapsed, 1),
+        }
+        print(
+            f"# ingest/{mode}: {elapsed:.3f}s "
+            f"({out[mode]['files_per_sec']} files/s, "
+            f"{out[mode]['rows_per_sec']} rows/s)",
+            file=sys.stderr,
+        )
+    out.update(files=n_files, rows_per_file=rows_per_file)
+    return out
 
 
 def main() -> None:
@@ -43,6 +149,12 @@ def main() -> None:
     # best-of-2 by default: the first execution of a query pays
     # one-time codegen/JIT compilation that is not the query's cost
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--no-ingest", action="store_true",
+        help="skip the ingest-path benchmark section",
+    )
+    ap.add_argument("--ingest-files", type=int, default=_INGEST_FILES)
+    ap.add_argument("--ingest-rows", type=int, default=_INGEST_ROWS)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -94,19 +206,25 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": sf,
+    }
+    # explicitly-named queries = a focused query rerun; the ingest
+    # section only runs on the full default sweep (or alone, below)
+    if not args.no_ingest and not args.queries:
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="ciws-ingest-bench-") as wd:
+            result["ingest"] = bench_ingest(
+                spark, wd, args.ingest_files, args.ingest_rows
+            )
+    print(json.dumps(result))
 
 
 def _sf_of(sf_dir: str) -> float:

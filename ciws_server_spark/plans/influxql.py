@@ -106,6 +106,16 @@ class InfluxQLError(ValueError):
     pass
 
 
+#: Per-series point cap for exponential_moving_average over a RAW
+#: (non-aggregated) field. The raw form folds an entire series through
+#: one Python worker (see the EMA branch in _apply_transform); 5M
+#: points ≈ 120 MB of Arrow batches per group — comfortably inside an
+#: executor's Python worker, while anything hotter must be bucketed
+#: with GROUP BY time(...) first. The aggregated form
+#: ema(mean(f), n) is bounded at buckets × series and is exempt.
+EMA_RAW_MAX_SERIES_ROWS = 5_000_000
+
+
 _QUERY_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)"
     r"(?:\s+INTO\s+(?P<into>\S+))?\s+FROM\s+(?P<from>\S+)"
@@ -701,6 +711,33 @@ def _apply_transform(
         # the input is buckets × series rows, never event count). The
         # explicit per-step expression mirrors the documented DuckDB
         # oracle CTE term-for-term, so doubles stay bit-comparable.
+        #
+        # SCALE BOUND (raw form): ema(raw_field, n) with no
+        # GROUP BY time() puts ALL of one series' points in a single
+        # Python worker — at 100 TB a hot series is an OOM/straggler.
+        # The raw form is therefore capped at EMA_RAW_MAX_SERIES_ROWS
+        # points per series, checked with one cheap partial-aggregated
+        # count pass before the fold; an over-cap series raises a
+        # named error telling the user to bucket first
+        # (ema(mean(f), n) + GROUP BY time(...) — bounded at buckets ×
+        # series, the production shape). The aggregated form is exempt.
+        if inner_fn is None:
+            oversized = (
+                base.groupBy(*tag_cols)
+                .count()
+                .where(F.col("count") > EMA_RAW_MAX_SERIES_ROWS)
+                .limit(1)
+                .collect()
+            )
+            if oversized:
+                raise InfluxQLError(
+                    "exponential_moving_average over a raw field is "
+                    f"capped at {EMA_RAW_MAX_SERIES_ROWS} points per "
+                    "series (a longer series cannot fold in one "
+                    "worker); aggregate first, e.g. "
+                    "exponential_moving_average(mean(f), n) with "
+                    "GROUP BY time(...)"
+                )
         import numpy as np
 
         from pyspark.sql.types import DoubleType, StructField, StructType

@@ -242,6 +242,20 @@ def move_files(manifest_rows: list, archive_dir: str, quarantine_dir: str) -> di
     return moved
 
 
+def _hashable_type(dt) -> bool:
+    """Whether ``xxhash64`` accepts this type — MapType is forbidden
+    at any nesting depth (HashExpression's TypeCheckFailure)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def recover_compaction(table_dir: str, table: str) -> str | None:
     """Heal any state a crashed ``compact_table`` left behind.
 
@@ -297,6 +311,19 @@ def compact_table(
     after the next call. Single-writer; the brief no-live-dir window
     between the two swap renames is the plain-parquet cost of not
     having a transaction log — Delta's ``OPTIMIZE`` removes it.
+
+    READER-VISIBLE SEMANTICS during a concurrent swap (tested in
+    test_campus_streaming_and_compaction.py):
+
+    * a reader that resolved its file listing BEFORE the swap fails
+      loudly at scan time (missing input files — the compacted copy
+      has fresh file names), never silently returns partial or mixed
+      data; keep ``spark.sql.files.ignoreMissingFiles`` at its
+      ``false`` default, which is what makes this loud;
+    * a reader that starts INSIDE the no-live-dir window gets
+      PATH_NOT_FOUND (a retriable, unambiguous error);
+    * a reader that starts after the swap sees the fully compacted
+      table. There is no torn state in any interleaving.
     Streaming-ingested tables keep their ``batch_id`` leaf partitions
     so replay idempotence survives compaction (files merge WITHIN a
     batch partition; cross-batch merging is safe only with a log).
@@ -326,8 +353,18 @@ def compact_table(
         # partitions, so the rewrite parallelizes across
         # #dirs × n_files tasks and each directory lands in ≤ n_files
         # files. Content-hash (deterministic) rather than rand() so a
-        # retried task re-produces the same layout.
-        salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
+        # retried task re-produces the same layout. Spark forbids
+        # hashing MapType (anywhere in a column's type), so the salt
+        # hashes only the hashable columns; a hypothetical all-map
+        # table degrades to one file per directory rather than failing.
+        hashable = [
+            f.name for f in df.schema.fields if _hashable_type(f.dataType)
+        ]
+        salt = (
+            F.pmod(F.xxhash64(*hashable), F.lit(n_files))
+            if hashable
+            else F.lit(0)
+        )
         writer = (
             df.withColumn("__compact_salt", salt)
             .repartition(*parts, F.col("__compact_salt"))

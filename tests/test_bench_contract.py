@@ -37,3 +37,17 @@ def test_bench_emits_contract_json():
     assert all(v > 0 for v in d["queries"].values())
     assert d["value"] >= max(d["queries"].values())
     assert set(d["cold"]) == set(d["queries"])
+
+
+def test_bench_ingest_section(spark, tmp_path):
+    """The ingest benchmark drives both modes end-to-end (parse →
+    route → append → moves) and self-checks archive/quarantine file
+    counts before reporting throughput."""
+    import bench
+
+    out = bench.bench_ingest(spark, str(tmp_path), n_files=12, rows_per_file=20)
+    for mode in ("batch", "stream"):
+        assert out[mode]["sec"] > 0
+        assert out[mode]["files_per_sec"] > 0
+        assert out[mode]["rows_per_sec"] > 0
+    assert out["files"] == 12

@@ -235,3 +235,61 @@ def test_compaction_splits_partition_across_target_files(spark, tmp_path):
     assert spark.read.parquet(
         os.path.join(table_dir, "campus_flow")
     ).count() == 2000
+
+
+def test_compaction_reader_visible_semantics(spark, tmp_path):
+    """A reader concurrent with compact_table's directory swap never
+    sees torn data — each interleaving is loud and unambiguous
+    (compact_table docstring):
+
+    1. listing resolved pre-swap → missing-files error at scan time
+       (compacted copy has fresh file names), never partial rows;
+    2. started inside the no-live-dir window → PATH_NOT_FOUND;
+    3. started post-swap (or post-recovery) → the compacted table.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    from ciws_server_spark.sources import sinks
+    from ciws_server_spark.streaming.ingest import run_campus_pass
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_dir = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+    (landing / "a.csv").write_text(CSV_A)
+    run_campus_pass(spark, str(landing), table_dir, ckpt, building="e")
+    (landing / "b.csv").write_text(CSV_B)
+    run_campus_pass(spark, str(landing), table_dir, ckpt, building="e")
+    root = _os.path.join(table_dir, "campus_flow")
+
+    # (1) a pre-swap reader: file listing resolves against the old
+    # files, then the swap replaces them — the scan must FAIL (files
+    # gone), not return a partial/mixed result
+    stale = spark.read.parquet(root)
+    assert stale.count() == 2  # listing + a full read pre-swap
+    sinks.compact_table(spark, table_dir, "campus_flow")
+    spark.catalog.clearCache()
+    with pytest.raises((Py4JJavaError, AnalysisException, Exception)):
+        # fresh scan over the stale listing: compacted file names differ
+        stale.selectExpr("sum(hash(time))").collect()
+
+    # (3) a fresh post-swap reader sees the complete compacted table
+    assert spark.read.parquet(root).count() == 2
+
+    # (2) the mid-swap window: live dir renamed away, new not yet in
+    # place — a fresh reader errors fast with path-not-found
+    _os.rename(root, root + ".compact.old")
+    _shutil.copytree(root + ".compact.old", root + ".compact.new")
+    with pytest.raises(AnalysisException):
+        spark.read.parquet(root).count()
+
+    # recovery completes the swap; readers see the full table again
+    assert sinks.recover_compaction(table_dir, "campus_flow") == (
+        "completed interrupted swap"
+    )
+    assert spark.read.parquet(root).count() == 2

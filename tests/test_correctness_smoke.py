@@ -49,8 +49,12 @@ def oracle(sf_smoke):
 def test_oracle_match(spark, sf_smoke, oracle, name):
     import __spark_entry__ as entrymod
 
-    got = _canon(entrymod.queries()[name](spark, sf_smoke).toPandas())
-    exp = _canon(oracle.execute(entrymod.oracle_sql()[name]).df())
+    # full catalog: a smoke query may rotate between the registered
+    # and extra halves of the registry across rounds
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+    got = _canon(qs[name](spark, sf_smoke).toPandas())
+    exp = _canon(oracle.execute(oracles[name]).df())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 

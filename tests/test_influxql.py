@@ -902,3 +902,34 @@ def test_exponential_moving_average(spark, flow):
             {"flow": flow},
             "SELECT exponential_moving_average(coldInFlowRate, 0) FROM flow",
         )
+
+
+def test_ema_raw_series_cap(spark, flow, monkeypatch):
+    """The raw (non-aggregated) EMA form folds a whole series through
+    one Python worker, so it enforces a per-series point cap with a
+    named error; the aggregated form (buckets × series input) is
+    exempt from the cap."""
+    from ciws_server_spark.plans import influxql
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    monkeypatch.setattr(influxql, "EMA_RAW_MAX_SERIES_ROWS", 100)
+    with pytest.raises(InfluxQLError, match="capped at 100 points"):
+        query_measurement(
+            spark,
+            {"flow": flow},
+            "SELECT exponential_moving_average(coldInFlowRate, 3) "
+            "FROM flow GROUP BY buildingID",
+        ).collect()
+
+    # aggregated form over the same data: bounded input, no cap
+    got = query_measurement(
+        spark,
+        {"flow": flow},
+        "SELECT exponential_moving_average(mean(coldInFlowRate), 3) "
+        "FROM flow WHERE time >= '2021-03-01' AND time < '2021-03-02' "
+        "GROUP BY time(10m), buildingID",
+    )
+    assert got.count() > 0
