@@ -20,10 +20,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def headline_queries() -> dict:
-    # Pull from each module's full QUERIES catalog (registered + extra)
-    # so the headline set stays stable across driver-registry rotations:
-    # a query rotated out of the ≤50 driver slots must keep benching.
+def catalog_queries() -> dict:
+    """The full query catalog (registered + extra), with the headline
+    names under ``"__headline__"``. Explicit CLI query names may name
+    ANY catalog query (scale runs bench non-headline families too)."""
     from ciws_server_spark import operators
 
     names: set[str] = set()
@@ -34,6 +34,16 @@ def headline_queries() -> dict:
         if overlap:  # a silent shadow would bench the wrong callable
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         qs.update(mod.QUERIES)
+    qs["__headline__"] = names
+    return qs
+
+
+def headline_queries() -> dict:
+    # Pull from each module's full QUERIES catalog (registered + extra)
+    # so the headline set stays stable across driver-registry rotations:
+    # a query rotated out of the ≤50 driver slots must keep benching.
+    qs = catalog_queries()
+    names = qs.pop("__headline__")
     return {n: qs[n] for n in sorted(names)}
 
 
@@ -161,9 +171,11 @@ def main() -> None:
     from ciws_server_spark.session import get_spark
 
     spark = get_spark("ciws-bench")
-    qs = headline_queries()
     if args.queries:
-        qs = {n: qs[n] for n in args.queries}
+        cat = catalog_queries()
+        qs = {n: cat[n] for n in args.queries}
+    else:
+        qs = headline_queries()
 
     # Warm the JVM (codegen, parquet reader, Arrow path), the Python
     # worker pool (pandas stages reuse workers), and the file listing

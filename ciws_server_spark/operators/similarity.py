@@ -43,13 +43,36 @@ _LSH_COSINE_THRESHOLD = 0.5
 # AND/OR construction (banded multi-table LSH): within one table a
 # candidate must match on ALL planes (AND → precision grows with
 # planes/table); across tables ANY table may produce the match
-# (OR → recall grows with tables). 4×12 ⇒ 4096 buckets per table:
-# collision probability for unrelated vectors ~(1/2)^12 per table, so
-# Σ bucket² stays near-linear even at 100 TB vector counts, while a
-# genuinely-similar pair (cosine ≥ ~0.8, angle ≤ 37°) hits some table
-# with probability 1-(1-(1-θ/π)^12)^4.
+# (OR → recall grows with tables). A genuinely-similar pair (angle θ)
+# hits some table with probability 1-(1-(1-θ/π)^P)^4.
+#
+# The planes-per-table P ADAPTS to corpus size: P = log2(n / B) for a
+# target bucket occupancy B, so bucket count scales with n and mean
+# bucket size stays ~B. A FIXED P is a scale bug this round caught
+# empirically: with 4×12 (4096 buckets/table) the candidate stage is
+# Σ bucket² ≈ n²/4096 per table — quadratic once n outgrows the
+# bucket count (sf10's 200k vectors → ~49/bucket → 100× the sf1
+# candidate volume for 10× data). With P = log2(n/B), Σ bucket² ≈
+# n·B — linear at any n, the shape you want at 100 TB vector counts
+# (n=1e9 → P=27, still an int32-safe bucket id at the P≤30 clamp).
 _N_TABLES = 4
-_PLANES_PER_TABLE = 12
+_TARGET_BUCKET_ROWS = 8
+
+#: P at the correctness-gate fixtures: the clamp floor (n=500 at
+#: sf0.001/sf0.01 → log2(500/8)≈6 → floor 8). The static DuckDB
+#: oracle SQL inlines the planes for THIS P; it is valid for any
+#: fixture with n ≤ 2896 (where round(log2(n/8)) ≤ 8), which covers
+#: every oracle-gate scale factor.
+_GATE_N_PLANES = 8
+
+
+def _mt_n_planes(n_rows: int) -> int:
+    """Adaptive planes/table: round(log2(n/target)), clamped to
+    [8, 30] (floor: gate-fixture stability + minimum precision;
+    ceiling: int32 bucket ids)."""
+    import math
+
+    return min(30, max(8, round(math.log2(max(n_rows, 1) / _TARGET_BUCKET_ROWS))))
 
 
 def hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM, seed: str = "hp") -> list[list[float]]:
@@ -81,8 +104,8 @@ def _bucket_col(emb_col, planes: list[list[float]] | None = None) -> F.Column:
     return bucket.cast("int")
 
 
-def _table_planes(t: int) -> list[list[float]]:
-    return hyperplanes(_PLANES_PER_TABLE, _DIM, seed=f"mt{t}")
+def _table_planes(t: int, n_planes: int) -> list[list[float]]:
+    return hyperplanes(n_planes, _DIM, seed=f"mt{t}")
 
 
 def _fold_buckets(m: "np.ndarray", planes: "np.ndarray") -> "np.ndarray":
@@ -102,17 +125,24 @@ def _fold_buckets(m: "np.ndarray", planes: "np.ndarray") -> "np.ndarray":
 # DataType object, not a DDL string: string return types are parsed at
 # decoration time and require a live SparkContext, which would break
 # importing this module before a session exists (driver contract).
-@pandas_udf(ArrayType(IntegerType()))
-def _mt_buckets_udf(emb: pd.Series) -> pd.Series:
-    """All T×P plane dots for a batch of vectors, Arrow-vectorized."""
-    if not len(emb):
-        return pd.Series([], dtype=object)
-    m = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
-    buckets = [
-        _fold_buckets(m, np.asarray(_table_planes(t), dtype=np.float64))
-        for t in range(_N_TABLES)
-    ]
-    return pd.Series(np.stack(buckets, axis=1).tolist())
+def _mt_buckets_udf(n_planes: int):
+    """Arrow-vectorized T×P plane dots, closed over the (adaptive)
+    plane count so executors never re-derive it from data."""
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def udf(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        m = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        buckets = [
+            _fold_buckets(
+                m, np.asarray(_table_planes(t, n_planes), dtype=np.float64)
+            )
+            for t in range(_N_TABLES)
+        ]
+        return pd.Series(np.stack(buckets, axis=1).tolist())
+
+    return udf
 
 
 @pandas_udf(IntegerType())
@@ -126,7 +156,9 @@ def _single_bucket_udf(emb: pd.Series) -> pd.Series:
     )
 
 
-def _multitable_assignments(emb: DataFrame) -> DataFrame:
+def _multitable_assignments(
+    emb: DataFrame, n_planes: int | None = None
+) -> DataFrame:
     """(vec_id, embedding, table_id, bucket) — one row per table.
 
     All T×P plane dot products run in one Arrow-batched pandas stage
@@ -134,11 +166,18 @@ def _multitable_assignments(emb: DataFrame) -> DataFrame:
     interpreted per element); posexplode emits the T per-table rows.
     At 100 TB (table_id, bucket) doubles as the physical partition key
     of the ANN index table.
+
+    ``n_planes`` defaults to the corpus-size-adaptive count
+    (``_mt_n_planes``) — one cheap count() job, paid once per build of
+    the index, keeps mean bucket occupancy at ``_TARGET_BUCKET_ROWS``
+    at every scale.
     """
+    if n_planes is None:
+        n_planes = _mt_n_planes(emb.count())
     return emb.repartition("vec_id").select(
         "vec_id",
         "embedding",
-        _mt_buckets_udf(F.col("embedding")).alias("bks"),
+        _mt_buckets_udf(n_planes)(F.col("embedding")).alias("bks"),
     ).select(
         "vec_id",
         "embedding",
@@ -187,9 +226,9 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN candidate pairs: same bucket, verified cosine ≥ threshold.
 
     Single-table 8-plane form — kept as the simple baseline; the
-    honest scale path is ``sim_lsh_multitable_pairs`` (4×12 AND/OR:
-    smaller buckets ⇒ Σ bucket² stays near-linear, with recall
-    recovered across tables)."""
+    honest scale path is ``sim_lsh_multitable_pairs`` (4-table AND/OR
+    with size-adaptive planes: bounded buckets ⇒ Σ bucket² stays
+    near-linear, with recall recovered across tables)."""
     emb = table(spark, sf_dir, "embeddings").repartition("vec_id").withColumn(
         "bucket", _single_bucket_udf(F.col("embedding"))
     )
@@ -216,8 +255,9 @@ _MT_COSINE_THRESHOLD = 0.3
 
 def sim_lsh_multitable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index layout of the banded multi-table LSH: per-table bucket
-    occupancy. This is the honest-ANN path: 4 tables × 12 planes
-    (AND/OR construction) instead of one 8-plane table."""
+    occupancy. This is the honest-ANN path: 4 tables ×
+    size-adaptive planes (AND/OR construction) instead of one fixed
+    8-plane table."""
     emb = table(spark, sf_dir, "embeddings")
     asg = _multitable_assignments(emb)
     return (
@@ -236,9 +276,10 @@ def sim_lsh_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (OR), verified with exact cosine.
 
     The candidate join is per (table_id, bucket) — Σ bucket² per
-    table, with the 12-plane AND keeping buckets small; the distinct
-    collapses cross-table duplicates before the (cheap, broadcastable)
-    embedding re-join for verification.
+    table, with the size-adaptive plane count (``_mt_n_planes``)
+    holding mean bucket occupancy constant so Σ bucket² stays ~n·B at
+    every scale; the distinct collapses cross-table duplicates before
+    the (cheap, broadcastable) embedding re-join for verification.
     """
     emb = table(spark, sf_dir, "embeddings")
     asg = _multitable_assignments(emb).select("vec_id", "table_id", "bucket")
@@ -780,10 +821,12 @@ def _ivf_assign_sql() -> str:
 
 def _multitable_assign_sql() -> str:
     """UNION ALL of per-table bucket assignments (matches
-    _multitable_assignments)."""
+    _multitable_assignments at the gate fixtures: static SQL must pin
+    a plane count, and every oracle-gate SF resolves to the
+    ``_GATE_N_PLANES`` clamp floor — see the constant's docstring)."""
     parts = [
         f"SELECT vec_id, e, {t} AS table_id,"
-        f" {_bucket_sql('e', _table_planes(t))} AS bucket FROM e"
+        f" {_bucket_sql('e', _table_planes(t, _GATE_N_PLANES))} AS bucket FROM e"
         for t in range(_N_TABLES)
     ]
     return " UNION ALL ".join(parts)

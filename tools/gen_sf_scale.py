@@ -15,9 +15,21 @@ it artificially:
   structure is replicated ×N, NOT turned into one giant cross-replica
   clique (exact copies would quadratically inflate LSH candidate
   counts and measure a different workload).
-* ``embeddings``: vectors perturbed per replica by a deterministic
-  per-dimension nudge (cosine-distinct, no exact-duplicate top-k
-  degeneracy), vec_id offset.
+* ``embeddings``: replica *i* applies a deterministic per-replica
+  SIGN PATTERN to the vector's dimensions (element j multiplied by
+  ±1 from ``hash(rep*1024+j)``), plus a tiny nudge. Same-replica
+  cosines are preserved EXACTLY (both vectors flip the same signs),
+  so each replica carries the original near-dup/ANN cluster
+  structure; cross-replica cosines decorrelate to ≈0 (half the
+  terms flip sign), so replicas do NOT form giant near-dup cliques.
+  The first version used only the nudge: 100 replicas of a vector
+  stayed mutually near-identical, every LSH bucket grew 100×, and
+  any pair-enumeration query's TRUE output grew quadratically in
+  the factor — measuring workload explosion, not engine scaling
+  (caught by the round-7 sf10 run: sim_lsh_multitable_pairs went
+  8.2s at sf1 → >20 min at sf10 on that degenerate fixture). The
+  sign construction replicates cluster structure ×N instead, the
+  same philosophy as the documents rule above.
 
 Usage: python tools/gen_sf_scale.py [factor] [out_dir]
        (defaults: 10 → ./tmp/sf1)
@@ -118,7 +130,10 @@ def main() -> None:
         f"""
         SELECT vec_id + rep * {vkey} AS vec_id,
                list_transform(embedding,
-                   (x, j) -> CAST(x + 0.003 * rep * sin(j * 1.7) AS FLOAT)
+                   (x, j) -> CAST(
+                       (CASE WHEN rep = 0 OR hash(rep * 1024 + j) % 2 = 0
+                             THEN x ELSE -x END)
+                       + 0.003 * rep * sin(j * 1.7) AS FLOAT)
                ) AS embedding,
                * EXCLUDE (vec_id, embedding, rep)
         FROM read_parquet('{SRC}/embeddings.parquet'), {reps}
