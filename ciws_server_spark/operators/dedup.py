@@ -30,8 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized, tokens, word_shingles
-from ..functions.vectors import cosine
+from ..functions.text import md5_normalized, tokens, word_shingles
+from ..functions.vectors import pair_cosine
 from ..tables import table
 
 _NUM_HASHES = 16
@@ -67,7 +67,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup after canonicalization (lowercase/strip/collapse)."""
     docs = table(spark, sf_dir, "documents")
-    return _with_fingerprint(docs, F.md5(normalized("text")))
+    return _with_fingerprint(docs, md5_normalized("text"))
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,7 +616,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     return (
         pairs.withColumn(
-            "cos", F.round(cosine(F.col("ea"), F.col("eb")), 6)
+            "cos", F.round(pair_cosine(F.col("ea"), F.col("eb")), 6)
         )
         .where(F.col("cos") >= _COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cos")
@@ -649,7 +649,7 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .withColumn("cos", F.round(pair_cosine(F.col("ea"), F.col("eb")), 6))
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized
+from ..functions.text import md5_normalized
 from ..tables import table
 from .dedup import ORACLES as DEDUP_ORACLES
 from .text_analysis import ORACLES as TEXT_ORACLES
@@ -42,7 +42,7 @@ def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["n_tokens"].alias("n_tokens"),
         q["quality_score"].alias("quality_score"),
         predicted_lang_expr("text").alias("predicted_lang"),
-        F.md5(normalized("text")).alias("fingerprint"),
+        md5_normalized("text").alias("fingerprint"),
     )
     is_kept = F.col("doc_id") == F.min("doc_id").over(
         W.partitionBy("fingerprint")

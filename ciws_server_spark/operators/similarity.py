@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import dot, pair_cosine
 from ..tables import table
 
 _N_QUERIES = 10  # vec_id < 10 are the demo query vectors
@@ -196,7 +196,7 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
         .join(queries, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+        .withColumn("cos", F.round(pair_cosine(F.col("qe"), F.col("ne")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -244,7 +244,7 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .withColumn("cos", F.round(pair_cosine(F.col("ea"), F.col("eb")), 6))
         .where(F.col("cos") >= _LSH_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.col("ba").alias("bucket"), "cos")
     )
@@ -300,7 +300,7 @@ def sim_lsh_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .withColumn("cos", F.round(pair_cosine(F.col("ea"), F.col("eb")), 6))
         .where(F.col("cos") >= _MT_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", "cos")
     )
@@ -380,7 +380,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(queries, F.col("cell") == F.col("qcell"))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+        .withColumn("cos", F.round(pair_cosine(F.col("qe"), F.col("ne")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -397,21 +397,29 @@ _NPROBE = 2
 
 def _cell_for_centroids(emb_col, cents: list[tuple[int, list[float]]]) -> F.Column:
     """argmin-distance cell id over explicit (cell_id, centroid)
-    pairs; first-min tiebreak lands on the smallest id because the
-    pairs are evaluated in ascending id order. Same left-fold double
-    arithmetic as the oracle's explicit `+` chains."""
-    dists = []
-    for _, cent in cents:
-        c = F.array(*[F.lit(x) for x in cent])
-        diffs = F.zip_with(
-            F.transform(emb_col, lambda x: x.cast("double")),
-            c,
-            lambda x, y: (x - y) * (x - y),
-        )
-        dists.append(F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x))
-    darr = F.array(*dists)
-    ids = F.array(*[F.lit(i) for i, _ in cents])
-    return F.element_at(ids, F.array_position(darr, F.array_min(darr)).cast("int"))
+    pairs, Arrow-vectorized (the earlier per-centroid HOF fold chain
+    evaluated k×dim interpreted ops per row — the dominant cost of
+    k-means training at sf1). First-min tiebreak lands on the
+    smallest id: centroids are laid out in ascending id order and
+    ``argmin`` returns the first minimal index, matching the oracle's
+    ascending evaluation. The per-dimension accumulation loop keeps
+    every partial sum the same IEEE double as the oracle's explicit
+    `+` chains (the _fold_buckets contract)."""
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)  # (k, dim)
+
+    @pandas_udf(IntegerType())
+    def _udf(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype="int32")
+        m = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((m.shape[0], cmat.shape[0]))
+        for d in range(m.shape[1]):
+            diff = m[:, [d]] - cmat[:, d]
+            acc += diff * diff
+        return pd.Series(ids[np.argmin(acc, axis=1)].astype(np.int32))
+
+    return _udf(emb_col)
 
 
 def kmeans_train(
@@ -515,7 +523,7 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         assigned.join(queries, F.col("cell") == F.col("qcell"))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+        .withColumn("cos", F.round(pair_cosine(F.col("qe"), F.col("ne")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -614,7 +622,7 @@ def ivf_search_saved(
         corpus.join(probed, F.col("cell") == F.col("qcell"))
         .where(F.col("query_id") != F.col("vec_id"))
         .withColumn(
-            "cos", F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+            "cos", F.round(pair_cosine(F.col("qe"), F.col("embedding")), 6)
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))

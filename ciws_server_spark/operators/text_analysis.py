@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
+    md5_normalized,
     normalized,
     stopword_count,
     token_count,
@@ -263,7 +264,7 @@ def text_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_exprs("text")
     per_doc = docs.select(
         "source",
-        F.md5(normalized("text")).alias("fp"),
+        md5_normalized("text").alias("fp"),
         q["n_tokens"].alias("n_tokens"),
         q["quality_score"].cast("decimal(20,6)").alias("q_dec"),
     )

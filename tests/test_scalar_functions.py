@@ -53,3 +53,59 @@ def test_word_shingles_short_docs(spark):
     assert got[0] == ["a b c", "b c d"]
     assert got[1] == []  # shorter than n → empty, not descending sequence
     assert got[2] == []
+
+
+def test_md5_normalized_matches_expression_form(spark):
+    """The Arrow/RE2 fingerprint fast path is bit-identical to the
+    JVM expression form md5(normalized(text)) — the contract that
+    lets the DuckDB oracle keep validating the operators that use it
+    (the expression form measured 23.6s of regex replacement over
+    sf10's 500k docs; the Arrow path ~20x faster)."""
+    from pyspark.sql import functions as F
+
+    from ciws_server_spark.functions.text import md5_normalized, normalized
+
+    rows = [
+        ("Hello, World!  42x",),
+        ("  A  b  ",),
+        ("ALL CAPS AND   spaces",),
+        ("unicode: café ñ 北京",),
+        ("",),
+        (None,),
+        ("a" * 5000 + "!?" + "B" * 100,),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = df.select(
+        md5_normalized("text").alias("fast"),
+        F.md5(normalized("text")).alias("expr"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["expr"], (r["fast"], r["expr"])
+
+
+def test_pair_cosine_matches_hof_form(spark):
+    """pair_cosine (Arrow per-dimension fold) is bit-identical to the
+    interpreted zip_with/aggregate HOF cosine, including on vectors
+    whose pairwise sums would round differently under numpy's default
+    pairwise summation."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ciws_server_spark.functions.vectors import cosine, pair_cosine
+
+    rng = random.Random(7)
+    rows = [
+        (
+            [rng.uniform(-10, 10) for _ in range(64)],
+            [rng.uniform(-10, 10) for _ in range(64)],
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select(
+        pair_cosine(F.col("a"), F.col("b")).alias("fast"),
+        cosine(F.col("a"), F.col("b")).alias("hof"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["hof"], (r["fast"], r["hof"])

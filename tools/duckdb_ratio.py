@@ -44,6 +44,10 @@ def main() -> None:
     from ciws_server_spark import operators
 
     names = sorted(benchmod.headline_queries())
+    if bench_json:
+        # compare exactly the set the Spark bench ran (decade runs
+        # bench a 7-query subset; default runs the 25 headliners)
+        names = sorted(json.load(open(bench_json))["queries"])
     oracles = operators.all_oracles()
 
     con = duckdb.connect()
