@@ -186,17 +186,60 @@ def _multitable_assignments(
 
 
 def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k for each query vector (broadcast queries)."""
+    """Exact cosine top-k for each query vector.
+
+    The query side (≤ ``_N_QUERIES`` vectors — bounded model-side
+    state, same class as the k-means centroids) is collected and
+    closed over by one ``mapInPandas`` scorer: the corpus streams
+    through ONCE and only (neighbor_id, query_id, cos) triples come
+    back — never embedding pairs. The earlier broadcast-join form
+    materialized corpus×queries rows each carrying BOTH 64-float
+    embeddings through Arrow (~1 GB at sf1 for 5 MB of input); this
+    shape ships 5 MB in and 200k skinny rows out. Per-dimension fold
+    accumulation keeps every cosine bit-identical to the HOF/oracle
+    form (the _fold_buckets contract).
+    """
     emb = table(spark, sf_dir, "embeddings")
-    queries = F.broadcast(
-        emb.where(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-        )
+    qrows = sorted(
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    q_mat = [[float(x) for x in r["embedding"]] for r in qrows]
+
+    def score(batches):
+        qm = np.asarray(q_mat, dtype=np.float64)
+        qn_acc = np.zeros(len(qm))
+        for d in range(qm.shape[1]):
+            qn_acc += qm[:, d] * qm[:, d]
+        qn = np.sqrt(qn_acc)
+        qi = np.asarray(q_ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((m.shape[0], qm.shape[0]))
+            nacc = np.zeros(m.shape[0])
+            for d in range(m.shape[1]):
+                acc += m[:, [d]] * qm[:, d]
+                nacc += m[:, d] * m[:, d]
+            cos = acc / (np.sqrt(nacc)[:, None] * qn[None, :])
+            nid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(nid, len(qi)),
+                    "query_id": np.tile(qi, len(nid)),
+                    "cos": cos.ravel(),
+                }
+            )
+
     scored = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-        .join(queries, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(pair_cosine(F.col("qe"), F.col("ne")), 6))
+        emb.select("vec_id", "embedding")
+        .mapInPandas(score, "neighbor_id BIGINT, query_id BIGINT, cos DOUBLE")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(F.col("cos"), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
