@@ -770,6 +770,60 @@ def influxql_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts")
 
 
+def influxql_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``ORDER BY time DESC LIMIT n OFFSET o`` — page 2 of
+    the dashboard's latest-points query. offset+limit stays
+    TakeOrderedAndProject-shaped (o+n rows fetched, o dropped at the
+    driver edge), never a global sort."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        'SELECT "value", "user_id" FROM "events" '
+        "WHERE \"event_type\" = 'purchase' "
+        f"AND time >= '{_START}' AND time <= '{_END}' "
+        "ORDER BY time DESC LIMIT 100 OFFSET 50"
+    )
+    return translate(ev, q, time_col="ts")
+
+
+def influxql_soffset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL series + point pagination combined:
+    ``LIMIT 10 OFFSET 2 SLIMIT 2 SOFFSET 1`` — skip the first series,
+    keep the next two, and within each keep points 3..12 in bucket
+    order. Series set is distinct-sort-paginated and broadcast
+    semi-joined; the per-series page is one row_number window."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT count(value) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type "
+        "LIMIT 10 OFFSET 2 SLIMIT 2 SOFFSET 1"
+    )
+    return translate(ev, q, time_col="ts").orderBy("event_type", "time_bucket")
+
+
+def influxql_week_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``GROUP BY time(1w)`` — weeks are fixed 604800s
+    epoch-aligned spans in InfluxQL (not calendar weeks), so the
+    standard epoch-floor bucket expression applies unchanged."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT count(value), mean(value) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(1w)"
+    )
+    return translate(ev, q, time_col="ts").select(
+        "time_bucket",
+        "count_value",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
 _RANGE_SEC = 1800  # ±30 min
 
 
@@ -876,6 +930,9 @@ QUERIES = {
     "influxql_percentile": influxql_percentile,
     "influxql_ema": influxql_ema,
     "influxql_order_limit": influxql_order_limit,
+    "influxql_offset": influxql_offset,
+    "influxql_soffset": influxql_soffset,
+    "influxql_week_bucket": influxql_week_bucket,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
     "influxql_difference": influxql_difference,
@@ -926,6 +983,11 @@ EXTRA = {
     "ts_time_bucket_agg",
     "ts_tumbling_window",
     "ts_gap_fill",
+    # new in r7 (pagination + week buckets — local-oracle first, a
+    # future rotation can register them):
+    "influxql_offset",
+    "influxql_soffset",
+    "influxql_week_bucket",
     # rotated out in r7 (driver-green r1-r6):
     "influxql_select_range",
     "ts_range_join_buckets",
@@ -960,6 +1022,47 @@ ORACLES = {
         WHERE event_type = 'purchase'
           AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
         ORDER BY ts DESC LIMIT 100
+    """,
+    "influxql_offset": f"""
+        SELECT ts, value, user_id
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+        ORDER BY ts DESC LIMIT 100 OFFSET 50
+    """,
+    "influxql_soffset": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS BIGINT) AS count_value
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        kept AS (
+          SELECT DISTINCT event_type FROM agg
+          ORDER BY event_type LIMIT 2 OFFSET 1
+        ),
+        ranked AS (
+          SELECT a.*, ROW_NUMBER() OVER (PARTITION BY a.event_type
+                                         ORDER BY a.time_bucket) AS rn
+          FROM agg a JOIN kept k USING (event_type)
+        )
+        SELECT time_bucket, event_type, count_value
+        FROM ranked WHERE rn > 2 AND rn <= 12
+        ORDER BY event_type, time_bucket
+    """,
+    "influxql_week_bucket": f"""
+        SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 604800) AS BIGINT)
+                     * 604800) AS TIMESTAMP) AS time_bucket,
+               CAST(COUNT(value) AS BIGINT) AS count_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(COUNT(value) AS DOUBLE), 6) AS mean_value
+        FROM events
+        WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+        GROUP BY 1
+        ORDER BY time_bucket
     """,
     "influxql_slimit": f"""
         WITH agg AS (

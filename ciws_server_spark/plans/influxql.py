@@ -24,7 +24,12 @@ Grammar (case-insensitive keywords):
     [WHERE <bool>]
     [GROUP BY time(<N><u>) [, <tag>...] [fill(<mode>)]]
     [ORDER BY time [ASC|DESC]]
-    [LIMIT <n>] [SLIMIT <n>]
+    [LIMIT <n>] [OFFSET <n>] [SLIMIT <n>] [SOFFSET <n>]
+                                             -- point + series pagination
+                                             -- (OFFSET skips points,
+                                             -- SOFFSET skips series;
+                                             -- per-series when LIMIT
+                                             -- combines with SLIMIT)
     [tz('<IANA zone>')]                      -- local-time bucket
                                              -- alignment + local WHERE
                                              -- literals (not with fill)
@@ -58,7 +63,7 @@ Grammar (case-insensitive keywords):
     cond  := col <op> 'value' | time <op> 'ts' | col =~ /re/ | col !~ /re/
     op    := = | != | <> | >= | <= | > | <
     mode  := none | null | previous | linear | <number>
-    unit  := s|m|h|d (time(1h), time(30m), ...)
+    unit  := s|m|h|d|w (time(1h), time(30m), time(1w), ...)
 
 Transforms follow InfluxQL 1.x semantics: ``derivative`` emits one row
 per point after the first of each series ((v−prev)/(Δt seconds) ×
@@ -90,8 +95,9 @@ exponential_derivative``, ``relative_strength_index``, and
 ``sample``/``histogram``. These are charting/forecast conveniences
 with no reference usage; ``exponential_moving_average`` (the common
 one) IS supported above. Also unsupported: ``GROUP BY time`` with
-irregular calendar units (week/month/year) and ``OFFSET``/``SOFFSET``
-pagination.
+irregular calendar units (month/year — weeks ARE supported: 1w is a
+fixed 604800s epoch-aligned span in InfluxQL, unlike calendar
+months).
 """
 
 from __future__ import annotations
@@ -124,7 +130,9 @@ _QUERY_RE = re.compile(
     r"(?:\s+fill\s*\(\s*(?P<fill>[^)]*?)\s*\))?"
     r"(?:\s+(?P<orderby>ORDER\s+BY\s+\"?time\"?)(?:\s+(?P<order>ASC|DESC))?)?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"(?:\s+OFFSET\s+(?P<offset>\d+))?"
     r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?"
+    r"(?:\s+SOFFSET\s+(?P<soffset>\d+))?"
     r"(?:\s+tz\s*\(\s*'(?P<tz>[^']+)'\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -148,17 +156,21 @@ _SELECTOR_RE = re.compile(
     r"""^(top|bottom)\s*\(\s*("[^"]+"|\w+)\s*,\s*(\d+)\s*\)$""", re.I
 )
 _DISTINCT_RE = re.compile(r"""^distinct\s*\(\s*("[^"]+"|\w+)\s*\)$""", re.I)
-_DURATION_RE = re.compile(r"^(\d+)\s*([smhd])$", re.I)
+_DURATION_RE = re.compile(r"^(\d+)\s*([smhdw])$", re.I)
 # rhs regex literal: body allows \-escapes (incl. \/) per InfluxQL
 _COND_RE = re.compile(
     r"""^(?P<lhs>"[^"]+"|\w+)\s*(?P<op>>=|<=|!=|<>|=~|!~|>|<|=)\s*"""
     r"""(?P<rhs>'[^']*'|/(?:[^/\\]|\\.)*/|\S+)$"""
 )
 _TIME_BUCKET_RE = re.compile(
-    r"^time\s*\(\s*(\d+)\s*([smhd])\s*(?:,\s*(\d+)\s*([smhd])\s*)?\)$", re.I
+    r"^time\s*\(\s*(\d+)\s*([smhdw])\s*(?:,\s*(\d+)\s*([smhdw])\s*)?\)$", re.I
 )
 
-_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+# 1w = 604800s, epoch-aligned: InfluxQL weeks are fixed 7-day spans
+# whose boundaries fall on the epoch grid (1970-01-01, a Thursday) —
+# the same floor the other units use; month/year stay out of surface
+# (irregular calendar arithmetic).
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 
 
 def _bucket_expr(
@@ -1028,27 +1040,36 @@ def translate(
             # global sort of the scan
             out = out.orderBy(key.desc() if order_desc else key.asc())
 
-    # SLIMIT -------------------------------------------------------
+    # SLIMIT / SOFFSET ---------------------------------------------
+    if m.group("soffset") and not m.group("slimit"):
+        raise InfluxQLError("SOFFSET requires SLIMIT")
     if m.group("slimit"):
         if not tag_cols:
             raise InfluxQLError("SLIMIT requires GROUP BY on ≥1 tag")
-        # InfluxQL keeps the first n series in tag order. Series
-        # cardinality is bounded (it's a GROUP BY key), so the kept
-        # set is a broadcastable dimension: distinct-sort-limit it and
-        # semi-join — no window over the full result.
+        # InfluxQL keeps the first n series in tag order, skipping the
+        # first SOFFSET series. Series cardinality is bounded (it's a
+        # GROUP BY key), so the kept set is a broadcastable dimension:
+        # distinct-sort-paginate it and semi-join — no window over the
+        # full result.
         n = int(m.group("slimit"))
-        kept = out.select(*tag_cols).distinct().orderBy(*tag_cols).limit(n)
+        so = int(m.group("soffset") or 0)
+        kept = out.select(*tag_cols).distinct().orderBy(*tag_cols)
+        if so:
+            kept = kept.offset(so)
+        kept = kept.limit(n)
         out = out.join(F.broadcast(kept), tag_cols, "left_semi")
 
-    # LIMIT --------------------------------------------------------
-    if m.group("limit"):
-        n = int(m.group("limit"))
+    # LIMIT / OFFSET -----------------------------------------------
+    if m.group("limit") or m.group("offset"):
+        n = int(m.group("limit")) if m.group("limit") else None
+        o = int(m.group("offset") or 0)
         if m.group("slimit"):
-            # InfluxQL: combined with SLIMIT, LIMIT caps points PER
-            # SERIES (first n points in time order per kept series).
-            # Without a time column in the output (tag-only GROUP BY:
-            # exactly one row per series) any per-series order gives
-            # the same result; tag columns are a deterministic stand-in.
+            # InfluxQL: combined with SLIMIT, LIMIT/OFFSET page points
+            # PER SERIES (skip the first OFFSET points of each kept
+            # series in time order, keep the next LIMIT). Without a
+            # time column in the output (tag-only GROUP BY: exactly
+            # one row per series) any per-series order gives the same
+            # result; tag columns are a deterministic stand-in.
             from pyspark.sql import Window as W
 
             if time_key is not None:
@@ -1062,13 +1083,23 @@ def translate(
                 w = W.partitionBy(*tag_cols).orderBy(
                     *[F.col(c) for c in tag_cols]
                 )
+            cond = F.col("_rn") > o
+            if n is not None:
+                cond = cond & (F.col("_rn") <= o + n)
             out = (
                 out.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") <= n)
+                .where(cond)
                 .drop("_rn")
             )
         else:
-            out = out.limit(n)
+            # global pagination: skip o points, keep n. Deterministic
+            # only after ORDER BY time (same contract as bare LIMIT);
+            # with a LIMIT this stays TakeOrderedAndProject-shaped —
+            # offset+limit rows fetched, o dropped at the driver edge.
+            if o:
+                out = out.offset(o)
+            if n is not None:
+                out = out.limit(n)
     return out
 
 

@@ -933,3 +933,51 @@ def test_ema_raw_series_cap(spark, flow, monkeypatch):
         "GROUP BY time(10m), buildingID",
     )
     assert got.count() > 0
+
+
+def test_offset_soffset_pagination(spark, flow):
+    """OFFSET pages points, SOFFSET pages series; SOFFSET without
+    SLIMIT raises; 1w buckets are fixed epoch-aligned spans."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    base = query_measurement(
+        spark, {"flow": flow},
+        "SELECT \"coldInFlowRate\" FROM flow WHERE \"buildingID\" = 'A' "
+        "ORDER BY time ASC LIMIT 10",
+    ).collect()
+    page2 = query_measurement(
+        spark, {"flow": flow},
+        "SELECT \"coldInFlowRate\" FROM flow WHERE \"buildingID\" = 'A' "
+        "ORDER BY time ASC LIMIT 5 OFFSET 5",
+    ).collect()
+    assert [r["time"] for r in page2] == [r["time"] for r in base[5:]]
+
+    # series pagination: skip series A, keep B
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SELECT count(coldInFlowRate) FROM flow "
+        "WHERE time >= '2021-03-01' AND time < '2021-03-02' "
+        "GROUP BY time(1h), buildingID SLIMIT 1 SOFFSET 1",
+    ).collect()
+    assert {r["buildingID"] for r in got} == {"B"}
+
+    with pytest.raises(InfluxQLError, match="SOFFSET requires SLIMIT"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SELECT count(coldInFlowRate) FROM flow "
+            "GROUP BY buildingID SOFFSET 1",
+        )
+
+    # 1w bucket: the 2021-03-01 fixture falls entirely in the epoch
+    # week starting Thursday 2021-02-25
+    wk = query_measurement(
+        spark, {"flow": flow},
+        "SELECT count(coldInFlowRate) FROM flow "
+        "WHERE time >= '2021-03-01' AND time < '2021-03-08' "
+        "GROUP BY time(1w)",
+    ).collect()
+    assert len(wk) == 1
+    assert str(wk[0]["time_bucket"]).startswith("2021-02-25")
