@@ -20,10 +20,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def catalog_queries() -> dict:
-    """The full query catalog (registered + extra), with the headline
-    names under ``"__headline__"``. Explicit CLI query names may name
-    ANY catalog query (scale runs bench non-headline families too)."""
+def catalog_queries() -> tuple[dict, set]:
+    """(full name→callable catalog, headline names). Explicit CLI
+    query names may name ANY catalog query (scale runs bench
+    non-headline families too)."""
     from ciws_server_spark import operators
 
     names: set[str] = set()
@@ -34,16 +34,14 @@ def catalog_queries() -> dict:
         if overlap:  # a silent shadow would bench the wrong callable
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         qs.update(mod.QUERIES)
-    qs["__headline__"] = names
-    return qs
+    return qs, names
 
 
 def headline_queries() -> dict:
     # Pull from each module's full QUERIES catalog (registered + extra)
     # so the headline set stays stable across driver-registry rotations:
     # a query rotated out of the ≤50 driver slots must keep benching.
-    qs = catalog_queries()
-    names = qs.pop("__headline__")
+    qs, names = catalog_queries()
     return {n: qs[n] for n in sorted(names)}
 
 
@@ -172,7 +170,7 @@ def main() -> None:
 
     spark = get_spark("ciws-bench")
     if args.queries:
-        cat = catalog_queries()
+        cat, _ = catalog_queries()
         qs = {n: cat[n] for n in args.queries}
     else:
         qs = headline_queries()
@@ -228,14 +226,21 @@ def main() -> None:
         "sf": sf,
     }
     # explicitly-named queries = a focused query rerun; the ingest
-    # section only runs on the full default sweep (or alone, below)
+    # section only runs on the full default sweep (or alone, below).
+    # An ingest failure must NOT discard the already-measured query
+    # timings — the contract is one parseable JSON line regardless.
     if not args.no_ingest and not args.queries:
         import tempfile
+        import traceback
 
-        with tempfile.TemporaryDirectory(prefix="ciws-ingest-bench-") as wd:
-            result["ingest"] = bench_ingest(
-                spark, wd, args.ingest_files, args.ingest_rows
-            )
+        try:
+            with tempfile.TemporaryDirectory(prefix="ciws-ingest-bench-") as wd:
+                result["ingest"] = bench_ingest(
+                    spark, wd, args.ingest_files, args.ingest_rows
+                )
+        except Exception as exc:  # noqa: BLE001 — reported, not hidden
+            traceback.print_exc(file=sys.stderr)
+            result["ingest"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(result))
 
 

@@ -61,9 +61,7 @@ def _pair_cosine_batch(pa, pb):
         dot_acc += ma[:, d] * mb[:, d]
         na_acc += ma[:, d] * ma[:, d]
         nb_acc += mb[:, d] * mb[:, d]
-    import numpy as _np
-
-    return dot_acc / (_np.sqrt(na_acc) * _np.sqrt(nb_acc))
+    return dot_acc / (np.sqrt(na_acc) * np.sqrt(nb_acc))
 
 
 def _make_pair_cosine_udf():

@@ -870,17 +870,40 @@ def _ivf_assign_sql() -> str:
     )
 
 
-def _multitable_assign_sql() -> str:
+def _multitable_assign_sql(n_planes: int = _GATE_N_PLANES) -> str:
     """UNION ALL of per-table bucket assignments (matches
-    _multitable_assignments at the gate fixtures: static SQL must pin
-    a plane count, and every oracle-gate SF resolves to the
-    ``_GATE_N_PLANES`` clamp floor — see the constant's docstring)."""
+    _multitable_assignments). The registry's static SQL pins the
+    gate-fixture plane count (every oracle-gate SF resolves to the
+    ``_GATE_N_PLANES`` clamp floor — see the constant's docstring);
+    callers comparing at LARGER corpora must pass the adaptive count
+    (``scale_oracles`` below does)."""
     parts = [
         f"SELECT vec_id, e, {t} AS table_id,"
-        f" {_bucket_sql('e', _table_planes(t, _GATE_N_PLANES))} AS bucket FROM e"
+        f" {_bucket_sql('e', _table_planes(t, n_planes))} AS bucket FROM e"
         for t in range(_N_TABLES)
     ]
     return " UNION ALL ".join(parts)
+
+
+def scale_oracles(n_rows: int) -> dict:
+    """Oracle SQL overrides for corpora OUTSIDE the gate fixtures.
+
+    The static ``ORACLES`` inline ``_GATE_N_PLANES`` hyperplanes —
+    valid only while ``_mt_n_planes(n) == _GATE_N_PLANES`` (n ≤ 2896).
+    At larger n the Spark side adapts its plane count, so a fair
+    engine-vs-oracle wall comparison (tools/duckdb_ratio.py) must
+    regenerate the bucket SQL with the same adaptive count or the two
+    engines compute different workloads/answers."""
+    n_planes = _mt_n_planes(n_rows)
+    if n_planes == _GATE_N_PLANES:
+        return {}
+    assign = _multitable_assign_sql(n_planes)
+    out = {}
+    for name in ("sim_lsh_multitable_buckets", "sim_lsh_multitable_pairs"):
+        out[name] = ORACLES[name].replace(
+            _multitable_assign_sql(_GATE_N_PLANES), assign
+        )
+    return out
 
 
 ORACLES = {

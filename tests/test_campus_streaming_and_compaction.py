@@ -251,7 +251,6 @@ def test_compaction_reader_visible_semantics(spark, tmp_path):
     import shutil as _shutil
 
     import pytest
-    from py4j.protocol import Py4JJavaError
     from pyspark.errors import AnalysisException
 
     from ciws_server_spark.sources import sinks
@@ -274,9 +273,14 @@ def test_compaction_reader_visible_semantics(spark, tmp_path):
     assert stale.count() == 2  # listing + a full read pre-swap
     sinks.compact_table(spark, table_dir, "campus_flow")
     spark.catalog.clearCache()
-    with pytest.raises((Py4JJavaError, AnalysisException, Exception)):
+    with pytest.raises(Exception) as exc_info:
         # fresh scan over the stale listing: compacted file names differ
         stale.selectExpr("sum(hash(time))").collect()
+    # the failure must be the documented missing-input-files error,
+    # not some unrelated crash
+    assert "FileNotFound" in str(exc_info.value) or "does not exist" in str(
+        exc_info.value
+    ), str(exc_info.value)[:500]
 
     # (3) a fresh post-swap reader sees the complete compacted table
     assert spark.read.parquet(root).count() == 2

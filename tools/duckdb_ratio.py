@@ -22,10 +22,11 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
@@ -49,6 +50,24 @@ def main() -> None:
         # bench a 7-query subset; default runs the 25 headliners)
         names = sorted(json.load(open(bench_json))["queries"])
     oracles = operators.all_oracles()
+
+    # The registry's static multitable-LSH SQL pins the gate-fixture
+    # plane count; beyond the gate sizes Spark adapts its plane count,
+    # so regenerate that SQL for the actual corpus size — otherwise
+    # the two engines compute different workloads AND answers.
+    from ciws_server_spark.operators.similarity import scale_oracles
+
+    n_emb = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    overrides = scale_oracles(n_emb)
+    if overrides:
+        print(
+            f"# adaptive-plane oracle override for n={n_emb}: "
+            f"{sorted(overrides)}",
+            file=sys.stderr,
+        )
+        oracles = {**oracles, **overrides}
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {32}")
