@@ -10,6 +10,8 @@ scale.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -17,7 +19,6 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     STOPWORDS,
     md5_normalized,
-    normalized,
     stopword_count,
     token_count,
     tokens,
@@ -37,13 +38,26 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan repartitioned by doc_id before the per-row text
+    work. Same rationale as dedup._shingle_sets: regex/tokenization
+    cost dominates these operators, and when the corpus arrives as
+    few parquet files the scan yields fewer partitions than cores
+    (measured: 2 partitions at sf1 → the projection ran on 2 of 32
+    cores; repartitioning halved wall time). At cluster scale a real
+    corpus has many files and AQE sizes the exchange to a no-op-ish
+    shuffle of one text pass — negligible next to the per-row work it
+    parallelizes."""
+    return table(spark, sf_dir, "documents").repartition("doc_id")
+
+
 def _marker_score(col, markers: tuple[str, ...]):
     return F.array_size(F.filter(tokens(col), lambda w: w.isin(*markers)))
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + char stats per document."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
@@ -102,7 +116,7 @@ def predicted_lang_expr(col: str = "text"):
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics: alpha ratio, stopword ratio, mean token len
     (formula in ``quality_exprs``)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     q = quality_exprs("text")
     return docs.select(
         "doc_id", *[c.alias(name) for name, c in q.items()]
@@ -111,7 +125,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID with deterministic argmax tiebreak."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     scores = {
         lang: _marker_score(F.col("text"), mk) for lang, mk in LANG_MARKERS.items()
     }
@@ -129,14 +143,49 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: content hash over canonical text."""
-    docs = table(spark, sf_dir, "documents")
-    norm = normalized("text")
-    return docs.select(
-        "doc_id",
-        F.md5(norm).alias("fingerprint"),
-        F.length(norm).cast("long").alias("n_chars_norm"),
-        token_count("text").cast("long").alias("n_tokens"),
+    """Document fingerprint: content hash over canonical text.
+
+    One Arrow stage computes the RE2 normalization once and emits
+    hash + length + token count together — the expression form ran
+    the JVM-regex normalization twice (once under md5, once under
+    length), the same java.util.regex hot spot md5_normalized
+    documents. Identical normalization semantics, same md5, so the
+    output is bit-identical to the expression form and the oracle.
+    """
+    docs = _docs(spark, sf_dir)
+
+    def fp_batches(batches):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            arr = pa.Array.from_pandas(pdf["text"])
+            x = pc.utf8_lower(arr)
+            x = pc.replace_substring_regex(
+                x, pattern="[^a-z0-9 ]", replacement=""
+            )
+            x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+            x = pc.utf8_trim(x, " ")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fingerprint": [
+                        None if t is None else hashlib.md5(t.encode()).hexdigest()
+                        for t in x.to_pylist()
+                    ],
+                    "n_chars_norm": pc.utf8_length(x).to_pandas(),
+                    "n_tokens": pc.add(
+                        pc.count_substring(arr, " "), 1
+                    ).to_pandas(),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fp_batches,
+        "doc_id BIGINT, fingerprint STRING, n_chars_norm BIGINT,"
+        " n_tokens BIGINT",
     )
 
 
@@ -154,19 +203,54 @@ _RH_MOD = 1_000_000_007
 
 def text_tokenize_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-pre-tokenizer style (brief: "whitespace + a
-    BPE-ish regex"): per-class token counts from one regex pass."""
-    docs = table(spark, sf_dir, "documents")
-    all_toks = F.regexp_extract_all("text", F.lit(BPEISH_PATTERN), 0)
-    alpha = F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0)
-    nums = F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)
-    punct = F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]+"), 0)
-    return docs.select(
-        "doc_id",
-        token_count("text").cast("long").alias("n_ws_tokens"),
-        F.array_size(all_toks).cast("long").alias("n_bpeish_tokens"),
-        F.array_size(alpha).cast("long").alias("n_alpha_runs"),
-        F.array_size(nums).cast("long").alias("n_digit_runs"),
-        F.array_size(punct).cast("long").alias("n_punct_runs"),
+    BPE-ish regex"): per-class token counts.
+
+    Counts run through pyarrow's RE2-backed ``count_substring_regex``
+    in one Arrow stage — the JVM form (4× ``regexp_extract_all`` +
+    ``array_size``) was measured 28.7s at sf10 against ~3s here:
+    java.util.regex is the cost (the same finding as md5_normalized;
+    a plain-JVM regexp_count variant measured no faster than
+    extract_all). The patterns use only constructs with identical
+    semantics in Java regex, RE2, and DuckDB (character classes and
+    alternation — no lookaround, no backrefs), so counts are exactly
+    the oracle's. Whitespace token count = spaces + 1, the
+    split-on-single-space convention (bit-equal to
+    ``array_size(split(text, ' '))``, property-tested for the
+    split-count identity in functions.text callers).
+    """
+    docs = _docs(spark, sf_dir)
+
+    def count_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            arr = pa.Array.from_pandas(pdf["text"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_ws_tokens": pc.add(
+                        pc.count_substring(arr, " "), 1
+                    ).to_pandas(),
+                    "n_bpeish_tokens": pc.count_substring_regex(
+                        arr, BPEISH_PATTERN
+                    ).to_pandas(),
+                    "n_alpha_runs": pc.count_substring_regex(
+                        arr, "[A-Za-z]+"
+                    ).to_pandas(),
+                    "n_digit_runs": pc.count_substring_regex(
+                        arr, "[0-9]+"
+                    ).to_pandas(),
+                    "n_punct_runs": pc.count_substring_regex(
+                        arr, r"[^A-Za-z0-9\s]+"
+                    ).to_pandas(),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        count_batches,
+        "doc_id BIGINT, n_ws_tokens BIGINT, n_bpeish_tokens BIGINT,"
+        " n_alpha_runs BIGINT, n_digit_runs BIGINT, n_punct_runs BIGINT",
     )
 
 
@@ -175,7 +259,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes: h ← (h·B + code) mod M, exact int64 — the incremental-hash
     form used for chunk-level dedup, cross-engine reproducible (unlike
     md5-of-whole-text it extends to streaming chunks)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     codes = F.transform(F.split(F.col("text"), ""), lambda ch: F.ascii(ch))
     rh = F.aggregate(
         codes,
@@ -215,7 +299,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.text import word_shingles
 
-    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
@@ -260,7 +344,7 @@ def text_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-stable across engines); one shuffle on the low-cardinality
     source key with partial aggregation.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     q = quality_exprs("text")
     per_doc = docs.select(
         "source",
@@ -329,7 +413,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine. ``redacted_fp`` is md5 of the scrubbed text, proving
     byte-identical redaction against the oracle.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     itext = _inject_pii(docs)
     redacted = F.regexp_replace(
         F.regexp_replace(
@@ -359,7 +443,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle, codegen'd end to end; the natural long-document
     repetition filter for a training-data pipeline.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = tokens("text")
     n_tok = F.array_size(t)
 
