@@ -77,7 +77,10 @@ series key, no self-joins.
 
 Metadata statements: ``SHOW MEASUREMENTS``, ``SHOW TAG KEYS FROM m``
 (string columns), ``SHOW FIELD KEYS FROM m`` (typed value columns) —
-schema introspection over the measurement registry, no scan.
+schema introspection over the measurement registry, no scan — and
+``SHOW TAG VALUES FROM m WITH KEY = "k"`` (distinct values of one
+tag: the one metadata statement that scans, a partial-agg'd distinct
+over the pruned single-column projection).
 
 ``fill()`` follows InfluxQL: it requires a closed time range in WHERE
 (the dense bucket axis is generated from those bounds), emits one row
@@ -1104,8 +1107,9 @@ def translate(
 
 
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+(MEASUREMENTS|TAG\s+KEYS|FIELD\s+KEYS)"
-    r"(?:\s+FROM\s+(\S+))?\s*;?\s*$",
+    r"^\s*SHOW\s+(MEASUREMENTS|TAG\s+KEYS|FIELD\s+KEYS|TAG\s+VALUES)"
+    r"(?:\s+FROM\s+(\S+))?"
+    r"(?:\s+WITH\s+KEY\s*=\s*(\"[^\"]+\"|\w+))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _SUBQUERY_RE = re.compile(r"\bFROM\s*\(", re.IGNORECASE)
@@ -1137,6 +1141,26 @@ def _show(spark, tables: dict[str, DataFrame], m: re.Match) -> DataFrame:
     if name not in tables:
         raise InfluxQLError(f"unknown measurement: {name!r}")
     dtypes = tables[name].dtypes
+    if kind == "TAG VALUES":
+        # SHOW TAG VALUES FROM m WITH KEY = "k" — the one metadata
+        # statement that scans: distinct values of one tag column.
+        # distinct on a low-cardinality tag = one partial-agg'd
+        # shuffle of the pruned single-column projection.
+        if not m.group(3):
+            raise InfluxQLError("SHOW TAG VALUES requires WITH KEY = \"k\"")
+        key = _unquote(m.group(3))
+        tag_cols = {
+            c for c, t in dtypes if t == "string" and c.lower() != "time"
+        }
+        if key not in tag_cols:
+            raise InfluxQLError(f"not a tag key of {name!r}: {key!r}")
+        return (
+            tables[name]
+            .select(F.lit(key).alias("key"), F.col(key).alias("value"))
+            .where(F.col("value").isNotNull())
+            .distinct()
+            .orderBy("value")
+        )
     if kind == "TAG KEYS":
         rows = [
             (c,)

@@ -981,3 +981,29 @@ def test_offset_soffset_pagination(spark, flow):
     ).collect()
     assert len(wk) == 1
     assert str(wk[0]["time_bucket"]).startswith("2021-02-25")
+
+
+def test_show_tag_values(spark, flow):
+    """SHOW TAG VALUES FROM m WITH KEY = "k" — distinct tag values,
+    the one metadata statement that scans."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    got = query_measurement(
+        spark, {"flow": flow},
+        'SHOW TAG VALUES FROM flow WITH KEY = "buildingID"',
+    ).collect()
+    assert [(r["key"], r["value"]) for r in got] == [
+        ("buildingID", "A"),
+        ("buildingID", "B"),
+    ]
+
+    with pytest.raises(InfluxQLError, match="requires WITH KEY"):
+        query_measurement(spark, {"flow": flow}, "SHOW TAG VALUES FROM flow")
+    with pytest.raises(InfluxQLError, match="not a tag key"):
+        query_measurement(
+            spark, {"flow": flow},
+            'SHOW TAG VALUES FROM flow WITH KEY = "hotOutFlowRate"',
+        )
