@@ -496,6 +496,9 @@ EXTRA = {
     "text_lang_id",
     "text_tokenize_bpeish",
     "text_rolling_fingerprint",
+    # driver-green r1,r3-r6; slot yielded so influxql_week_bucket
+    # (new this round) registers within the 50 budget
+    "text_decontaminate",
 }
 
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"

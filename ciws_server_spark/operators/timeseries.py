@@ -983,11 +983,13 @@ EXTRA = {
     "ts_time_bucket_agg",
     "ts_tumbling_window",
     "ts_gap_fill",
-    # new in r7 (pagination + week buckets — local-oracle first, a
-    # future rotation can register them):
-    "influxql_offset",
-    "influxql_soffset",
-    "influxql_week_bucket",
+    # rotated out in r7 to register the three queries NEW this round
+    # (offset/soffset pagination, week buckets) — derivative and
+    # moving_average are driver-green r5-r6 and their window/bucket
+    # machinery still runs inside the registered difference /
+    # cumulative_sum / EMA queries:
+    "influxql_derivative",
+    "influxql_moving_average",
     # rotated out in r7 (driver-green r1-r6):
     "influxql_select_range",
     "ts_range_join_buckets",
