@@ -91,28 +91,41 @@ def md5_normalized(col: Column | str) -> Column:
     return _md5_normalized_udf(c)
 
 
-def _make_md5_normalized_udf():
+def arrow_normalized(arr):
+    """The ``normalized`` pipeline (lower → strip non-[a-z0-9 ] →
+    collapse spaces → trim) over a pyarrow string array — THE single
+    copy of the cross-engine normalization contract on the Arrow
+    path; every consumer (md5_normalized, text_fingerprint) must call
+    this so the regexes can never silently diverge between them, the
+    JVM expression form, and the DuckDB oracle."""
+    import pyarrow.compute as pc
+
+    x = pc.utf8_lower(arr)
+    x = pc.replace_substring_regex(x, pattern="[^a-z0-9 ]", replacement="")
+    x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+    return pc.utf8_trim(x, " ")
+
+
+def md5_hex_list(str_array) -> list:
+    """md5 hex digests (None-preserving) of a pyarrow string array."""
     import hashlib
 
+    return [
+        None if t is None else hashlib.md5(t.encode()).hexdigest()
+        for t in str_array.to_pylist()
+    ]
+
+
+def _make_md5_normalized_udf():
     import pandas as pd
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
     def core(s):
         arr = pa.Array.from_pandas(s)
-        x = pc.utf8_lower(arr)
-        x = pc.replace_substring_regex(x, pattern="[^a-z0-9 ]", replacement="")
-        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
-        x = pc.utf8_trim(x, " ")
-        return pd.Series(
-            [
-                None if t is None else hashlib.md5(t.encode()).hexdigest()
-                for t in x.to_pylist()
-            ]
-        )
+        return pd.Series(md5_hex_list(arrow_normalized(arr)))
 
     return pandas_udf(core, StringType())
 

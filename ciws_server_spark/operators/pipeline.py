@@ -26,7 +26,7 @@ from ..functions.text import md5_normalized
 from ..tables import table
 from .dedup import ORACLES as DEDUP_ORACLES
 from .text_analysis import ORACLES as TEXT_ORACLES
-from .text_analysis import _docs, predicted_lang_expr, quality_exprs
+from .text_analysis import docs_scan, predicted_lang_expr, quality_exprs
 
 _MIN_QUALITY = 0.5
 _LANG = "en"
@@ -35,7 +35,7 @@ _LANG = "en"
 def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → curated (doc_id, n_tokens, quality_score,
     predicted_lang) after quality/language/dedup gating."""
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     q = quality_exprs("text")
     scored = docs.select(
         "doc_id",
@@ -76,7 +76,7 @@ def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical md5 arithmetic). The salt prefix decouples
     this hash from the dedup/fingerprint hashes of the same key.
     """
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     bucket = (
         F.conv(
             F.substring(
@@ -113,7 +113,7 @@ def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. Skewed sources (one domain = half the corpus) stream
     through row_number without materializing the group.
     """
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     q = quality_exprs("text")
     scored = docs.select(
         "doc_id", "source", q["quality_score"].alias("quality_score")

@@ -64,10 +64,12 @@ _N_TABLES = 4
 _TARGET_BUCKET_ROWS = 4
 
 #: P at the correctness-gate fixtures: the clamp floor (n=500 at
-#: sf0.001/sf0.01 → log2(500/8)≈6 → floor 8). The static DuckDB
-#: oracle SQL inlines the planes for THIS P; it is valid for any
-#: fixture with n ≤ 2896 (where round(log2(n/8)) ≤ 8), which covers
-#: every oracle-gate scale factor.
+#: sf0.001/sf0.01 → log2(500/4)≈7 → floor 8). The static DuckDB
+#: oracle SQL inlines the planes for THIS P; with B=4 it is valid
+#: only while round(log2(n/4)) ≤ 8, i.e. n ≤ 1448 — which covers the
+#: driver's oracle-gate fixtures (n=500) but NOT sf0.1's n=2000.
+#: Comparisons at any other corpus size must use ``scale_oracles``
+#: (tools/check_correctness.py and tools/duckdb_ratio.py both do).
 _GATE_N_PLANES = 8
 
 
@@ -902,12 +904,16 @@ def scale_oracles(n_rows: int) -> dict:
     n_planes = _mt_n_planes(n_rows)
     if n_planes == _GATE_N_PLANES:
         return {}
+    from .dedup import ORACLES as DEDUP_ORACLES
+
+    gate_sql = _multitable_assign_sql(_GATE_N_PLANES)
     assign = _multitable_assign_sql(n_planes)
     out = {}
     for name in ("sim_lsh_multitable_buckets", "sim_lsh_multitable_pairs"):
-        out[name] = ORACLES[name].replace(
-            _multitable_assign_sql(_GATE_N_PLANES), assign
-        )
+        out[name] = ORACLES[name].replace(gate_sql, assign)
+    for name in ("dedup_embedding_lsh", "dedup_embedding_lsh_verify"):
+        if gate_sql in DEDUP_ORACLES.get(name, ""):
+            out[name] = DEDUP_ORACLES[name].replace(gate_sql, assign)
     return out
 
 

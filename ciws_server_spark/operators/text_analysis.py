@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
+    arrow_normalized,
+    md5_hex_list,
     md5_normalized,
     stopword_count,
     token_count,
@@ -38,7 +40,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan repartitioned by doc_id before the per-row text
     work. Same rationale as dedup._shingle_sets: regex/tokenization
     cost dominates these operators, and when the corpus arrives as
@@ -57,7 +59,7 @@ def _marker_score(col, markers: tuple[str, ...]):
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + char stats per document."""
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
@@ -116,7 +118,7 @@ def predicted_lang_expr(col: str = "text"):
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics: alpha ratio, stopword ratio, mean token len
     (formula in ``quality_exprs``)."""
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     q = quality_exprs("text")
     return docs.select(
         "doc_id", *[c.alias(name) for name, c in q.items()]
@@ -125,7 +127,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID with deterministic argmax tiebreak."""
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     scores = {
         lang: _marker_score(F.col("text"), mk) for lang, mk in LANG_MARKERS.items()
     }
@@ -152,29 +154,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents. Identical normalization semantics, same md5, so the
     output is bit-identical to the expression form and the oracle.
     """
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
 
     def fp_batches(batches):
-        import hashlib
-
         import pyarrow as pa
         import pyarrow.compute as pc
 
         for pdf in batches:
             arr = pa.Array.from_pandas(pdf["text"])
-            x = pc.utf8_lower(arr)
-            x = pc.replace_substring_regex(
-                x, pattern="[^a-z0-9 ]", replacement=""
-            )
-            x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
-            x = pc.utf8_trim(x, " ")
+            x = arrow_normalized(arr)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "fingerprint": [
-                        None if t is None else hashlib.md5(t.encode()).hexdigest()
-                        for t in x.to_pylist()
-                    ],
+                    "fingerprint": md5_hex_list(x),
                     "n_chars_norm": pc.utf8_length(x).to_pandas(),
                     "n_tokens": pc.add(
                         pc.count_substring(arr, " "), 1
@@ -218,7 +210,7 @@ def text_tokenize_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_size(split(text, ' '))``, property-tested for the
     split-count identity in functions.text callers).
     """
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
 
     def count_batches(batches):
         import pyarrow as pa
@@ -259,7 +251,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes: h ← (h·B + code) mod M, exact int64 — the incremental-hash
     form used for chunk-level dedup, cross-engine reproducible (unlike
     md5-of-whole-text it extends to streaming chunks)."""
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     codes = F.transform(F.split(F.col("text"), ""), lambda ch: F.ascii(ch))
     rh = F.aggregate(
         codes,
@@ -299,7 +291,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.text import word_shingles
 
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
@@ -344,7 +336,7 @@ def text_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-stable across engines); one shuffle on the low-cardinality
     source key with partial aggregation.
     """
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     q = quality_exprs("text")
     per_doc = docs.select(
         "source",
@@ -413,7 +405,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine. ``redacted_fp`` is md5 of the scrubbed text, proving
     byte-identical redaction against the oracle.
     """
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     itext = _inject_pii(docs)
     redacted = F.regexp_replace(
         F.regexp_replace(
@@ -443,7 +435,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle, codegen'd end to end; the natural long-document
     repetition filter for a training-data pipeline.
     """
-    docs = _docs(spark, sf_dir)
+    docs = docs_scan(spark, sf_dir)
     t = tokens("text")
     n_tok = F.array_size(t)
 

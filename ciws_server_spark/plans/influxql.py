@@ -737,10 +737,12 @@ def _apply_transform(
         # (ema(mean(f), n) + GROUP BY time(...) — bounded at buckets ×
         # series, the production shape). The aggregated form is exempt.
         if inner_fn is None:
+            # explicit alias, NOT .count(): a tag column literally
+            # named "count" would make F.col("count") ambiguous
             oversized = (
                 base.groupBy(*tag_cols)
-                .count()
-                .where(F.col("count") > EMA_RAW_MAX_SERIES_ROWS)
+                .agg(F.count(F.lit(1)).alias("__ema_series_rows"))
+                .where(F.col("__ema_series_rows") > EMA_RAW_MAX_SERIES_ROWS)
                 .limit(1)
                 .collect()
             )

@@ -42,12 +42,22 @@ def test_bench_emits_contract_json():
 def test_bench_ingest_section(spark, tmp_path):
     """The ingest benchmark drives both modes end-to-end (parse →
     route → append → moves) and self-checks archive/quarantine file
-    counts before reporting throughput."""
+    counts before reporting throughput. n_files must exceed the
+    malformed-file cadence (every 25th) so the quarantine route is
+    actually exercised, not vacuously 0 == 0."""
     import bench
 
-    out = bench.bench_ingest(spark, str(tmp_path), n_files=12, rows_per_file=20)
+    n = bench._INGEST_BAD_EVERY + 5  # ≥ 1 malformed file per mode
+    out = bench.bench_ingest(spark, str(tmp_path), n_files=n, rows_per_file=20)
     for mode in ("batch", "stream"):
         assert out[mode]["sec"] > 0
         assert out[mode]["files_per_sec"] > 0
         assert out[mode]["rows_per_sec"] > 0
-    assert out["files"] == 12
+    assert out["files"] == n
+    # the generator produced ≥1 quarantine file and bench_ingest's own
+    # count assertion verified it landed in the quarantine dir
+    import os
+
+    for mode in ("batch", "stream"):
+        quar = os.path.join(str(tmp_path), mode, "quar")
+        assert len(os.listdir(quar)) == 1

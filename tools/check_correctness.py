@@ -57,6 +57,20 @@ def main() -> int:
     # the replica sweeps both so nothing is ever oracle-unchecked
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
     oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+
+    # The static multitable-LSH oracle SQL pins the gate-fixture plane
+    # count; at corpora past the clamp-floor size (n > 1448) Spark's
+    # adaptive plane count differs, so regenerate that SQL for the
+    # actual corpus — otherwise this tool falsely fails those queries
+    # on non-gate fixtures (e.g. sf0.1).
+    from ciws_server_spark.operators.similarity import scale_oracles
+
+    n_emb = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    overrides = scale_oracles(n_emb)
+    if overrides:
+        print(f"== adaptive-plane oracle override (n={n_emb}): "
+              f"{sorted(overrides)}")
+        oracles = {**oracles, **overrides}
     results: dict[str, str] = {}
     for name, fn in sorted(qs.items()):
         if ONLY and name not in ONLY:

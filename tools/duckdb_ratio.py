@@ -104,12 +104,18 @@ def main() -> None:
             for n in duck
             if n in spark and duck[n] > 0
         }
+        duck_sum = sum(duck[n] for n in ratios)
         out.update(
             spark={n: spark[n] for n in duck if n in spark},
             spark_total=round(sum(spark[n] for n in duck if n in spark), 3),
             ratio=ratios,
-            ratio_total=round(
-                sum(spark[n] for n in ratios) / sum(duck[n] for n in ratios), 2
+            # duck_sum can be 0 when every overlapping oracle rounds
+            # to 0.000s (tiny SFs) — emit null rather than crash after
+            # the measurements completed
+            ratio_total=(
+                round(sum(spark[n] for n in ratios) / duck_sum, 2)
+                if duck_sum > 0
+                else None
             ),
         )
     print(json.dumps(out))
