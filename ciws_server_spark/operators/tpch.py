@@ -24,7 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.scalar import MONEY, davg, dsum, dsum_raw, money
+from ..functions.scalar import (
+    MONEY,
+    davg,
+    dsum,
+    dsum_raw,
+    fixed_point,
+    money,
+    unscale,
+)
 from ..tables import table
 
 # Exact-decimal revenue expression used across Q3/Q5/window queries.
@@ -44,9 +52,85 @@ _REVENUE_SQL = (
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: big scan → groupBy(2 low-card keys) → 8 aggs.
 
-    Partial (map-side) aggregation collapses the input before the
-    shuffle; the shuffle itself carries ≤ |RF×LS| groups per partition.
+    Hot loop runs on LONG fixed-point, not DECIMAL: the money columns
+    have fixed ≤2dp scale, so ``fixed_point`` converts each to an exact
+    long (cents / e4 / e6) and the per-row aggregation is primitive
+    long arithmetic inside whole-stage codegen. Spark's DECIMAL sum
+    allocates a Decimal object per row and q1 was the one
+    compute-dominated query >2× the DuckDB oracle at sf10 (5.79×,
+    round-7 RATIO_SF10.json); this form is bit-identical (pinned by
+    tests/test_q1_fixed_point.py) and measured 4.99s → 1.43s at 60M
+    rows — at the parquet-scan floor.
+
+    Scale-safety (the reason for the two-stage agg): a single global
+    long sum of ``charge_e6`` (≤ ~1.1e11/row) would overflow int64 past
+    ~8e7 max-value rows per group. Stage 1 groups by
+    (keys, spark_partition_id): each partial covers one input partition
+    (a 128 MB parquet split ≈ 2e6 rows — ×40 headroom), and partial
+    aggregation means the shuffle carries ≤ |groups|×|partitions| tiny
+    rows. Stage 2 sums the partials as DECIMAL(38,0) — exact at any
+    scale, cost proportional to partition count, not data.
+
+    disc = ep(2dp)·(1-d)(2dp) is exactly 4dp; charge = disc·(1+tax)(2dp)
+    exactly 6dp — so e4/e6 fixed-point is exact, and ``unscale`` emits
+    the same nearest-double the DECIMAL reference produces.
     """
+    l = table(spark, sf_dir, "lineitem")
+    qty = fixed_point("l_quantity", 0)
+    ep_c = fixed_point("l_extendedprice", 2)
+    d_c = fixed_point("l_discount", 2)
+    dm = F.lit(100) - d_c
+    tp = F.lit(100) + fixed_point("l_tax", 2)
+    disc_e4 = ep_c * dm
+    charge_e6 = disc_e4 * tp
+    partial = (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy(
+            "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p")
+        )
+        .agg(
+            F.sum(qty).alias("s_qty"),
+            F.sum(ep_c).alias("s_ep"),
+            F.sum(disc_e4).alias("s_disc"),
+            F.sum(charge_e6).alias("s_charge"),
+            F.sum(d_c).alias("s_d"),
+            F.count(F.lit(1)).alias("s_n"),
+        )
+    )
+
+    def dec(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(38,0)"))
+
+    n = F.sum("s_n")
+
+    def emit(sum_col: F.Column, scale: int) -> F.Column:
+        return F.round(unscale(sum_col, scale), 2)
+
+    def avg(sum_col: F.Column, scale: int) -> F.Column:
+        return F.round(unscale(sum_col, scale) / n.cast("double"), 6)
+
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            emit(dec("s_qty"), 0).alias("sum_qty"),
+            emit(dec("s_ep"), 2).alias("sum_base_price"),
+            emit(dec("s_disc"), 4).alias("sum_disc_price"),
+            emit(dec("s_charge"), 6).alias("sum_charge"),
+            avg(dec("s_qty"), 0).alias("avg_qty"),
+            avg(dec("s_ep"), 2).alias("avg_price"),
+            avg(dec("s_d"), 2).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q1_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference DECIMAL form of q1 — the exactness spec the fast
+    fixed-point form above is pinned against (tests/test_q1_fixed_point
+    asserts bit-identity at sf0.01 and sf0.1). Not registered; kept as
+    the readable semantic definition and the fallback for data whose
+    money columns exceed the fixed-scale contract."""
     l = table(spark, sf_dir, "lineitem")
     disc = _revenue()
     charge = disc * (F.lit(1).cast(MONEY) + money("l_tax"))

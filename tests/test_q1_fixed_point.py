@@ -1,0 +1,78 @@
+"""Bit-identity pin for the q1 long-fixed-point fast path.
+
+q1_pricing_summary runs its 8 aggregates on long fixed-point (cents /
+e4 / e6) instead of DECIMAL for a measured 3.4× at sf10 (round-8
+BENCH_NOTES). This test is the contract that makes that legal: the
+fast form must produce the EXACT same doubles as the DECIMAL reference
+form (q1_pricing_summary_decimal) — which in turn is what the DuckDB
+oracle computes. Any edit to fixed_point()/unscale() or the q1 agg
+tree that breaks bit-identity fails here before it fails the driver's
+hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ciws_server_spark.functions.scalar import fixed_point, money, unscale
+from ciws_server_spark.operators.tpch import (
+    q1_pricing_summary,
+    q1_pricing_summary_decimal,
+)
+
+
+def test_q1_fast_matches_decimal_reference(spark, sf_smoke):
+    fast = q1_pricing_summary(spark, sf_smoke).collect()
+    ref = q1_pricing_summary_decimal(spark, sf_smoke).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
+
+
+def test_q1_fast_matches_decimal_reference_sf001():
+    # bigger fixture (600k rows at sf0.1 would be slow for the suite;
+    # sf0.01 = 60k exercises multi-partition partials + final merge)
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    if spark is None:
+        from ciws_server_spark.session import get_spark
+
+        spark = get_spark("q1-pin", master="local[4]", shuffle_partitions=4)
+    fast = q1_pricing_summary(spark, "/root/testdata/sf0.01").collect()
+    ref = q1_pricing_summary_decimal(spark, "/root/testdata/sf0.01").collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
+
+
+def test_fixed_point_matches_money_cast(spark):
+    """fixed_point == DECIMAL conversion on in-contract values,
+    including negatives and exact representables."""
+    # all ≤2dp — the fixed_point(.., 2) contract. (3dp values like
+    # 2.675 are out-of-contract: the DECIMAL path rounds the shortest
+    # string repr while FP rounds the product, and they can disagree
+    # at exact .5 boundaries.)
+    vals = [
+        0.0, 0.01, -0.01, 1.5, -1.5, 0.07, 104999.91, -104999.91,
+        50.0, 0.1, 0.08, 123.45, -123.45,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = df.select(
+        fixed_point("v", 2).alias("fp"),
+        # unscaled value of the exact scale-2 DECIMAL conversion
+        (F.col("v").cast("decimal(20,2)") * F.lit(100).cast("decimal(3,0)"))
+        .cast("long")
+        .alias("dec"),
+    ).collect()
+    for r in out:
+        assert r.fp == r.dec, r
+
+
+def test_unscale_exact_past_double_precision(spark):
+    """unscale stays exact where a double division would drift: sums
+    above 2^53 must produce the nearest double of the true rational."""
+    big = 9007199254740993  # 2^53 + 1, not representable as double
+    df = spark.createDataFrame([(big,)], ["s"])
+    out = df.select(unscale(F.col("s"), 2).alias("v")).collect()[0].v
+    # exact rational is 90071992547409.93; nearest double of that:
+    import decimal
+
+    expected = float(decimal.Decimal(big) / decimal.Decimal(100))
+    assert out == expected
