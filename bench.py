@@ -45,6 +45,72 @@ def headline_queries() -> dict:
     return {n: qs[n] for n in sorted(names)}
 
 
+# --- machine-load guard ----------------------------------------------
+#
+# Round-7 lesson: the driver's BENCH_r07 headline read 41% slower than
+# a controlled re-run because the box was loaded during the sweep —
+# every independent plan inflated uniformly, which a reader can't
+# distinguish from a real regression. Guard: a fixed-cost pure-CPU
+# canary (400M xxhash64 folds across all cores, no I/O, no data
+# dependence) timed before AND after the sweep against a ratcheted
+# floor recorded in tools/canary_floor.json. If either reading exceeds
+# floor×1.3 the artifact is stamped "load_suspect": true — numbers are
+# still reported, but flagged as not comparable round-over-round.
+
+_CANARY_FLOOR_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "canary_floor.json"
+)
+_CANARY_ROWS = 400_000_000
+_CANARY_THRESHOLD = 1.3
+
+
+def _canary_time(spark, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(0, _CANARY_ROWS, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS h"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _canary_floor() -> float | None:
+    try:
+        with open(_CANARY_FLOOR_FILE) as f:
+            return float(json.load(f)["floor_sec"])
+    except Exception:
+        return None
+
+
+def _ratchet_floor(measured: float) -> None:
+    """Record the fastest canary ever seen (a quiet-box lower bound).
+    A first run on a loaded box records an inflated floor; any later
+    quieter run ratchets it down."""
+    floor = _canary_floor()
+    if floor is None or measured < floor:
+        try:
+            with open(_CANARY_FLOOR_FILE, "w") as f:
+                json.dump({"floor_sec": measured, "rows": _CANARY_ROWS}, f)
+        except OSError:
+            pass  # read-only checkout: guard degrades to no-op
+
+
+def canary_guard(spark) -> tuple[dict, float]:
+    """Measure the canary; returns (report-fragment, best_sec)."""
+    best = _canary_time(spark)
+    _ratchet_floor(best)
+    floor = _canary_floor() or best
+    return (
+        {
+            "sec": best,
+            "floor_sec": floor,
+            "loaded": bool(best > floor * _CANARY_THRESHOLD),
+        },
+        best,
+    )
+
+
 # --- ingest-path benchmark -------------------------------------------
 #
 # The reference's actual workload is the loader cron pass
@@ -189,6 +255,14 @@ def main() -> None:
     for t in TABLE_NAMES:
         table(spark, args.sf_dir, t).count()
 
+    canary_pre, _ = canary_guard(spark)
+    print(
+        f"# canary(pre): {canary_pre['sec']:.3f}s "
+        f"(floor {canary_pre['floor_sec']:.3f}s"
+        f"{', LOADED BOX' if canary_pre['loaded'] else ''})",
+        file=sys.stderr,
+    )
+
     sf = _sf_of(args.sf_dir)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -215,6 +289,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    canary_post, _ = canary_guard(spark)
+    load_suspect = canary_pre["loaded"] or canary_post["loaded"]
+    print(
+        f"# canary(post): {canary_post['sec']:.3f}s"
+        f"{' — artifact stamped load_suspect' if load_suspect else ''}",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_total_wall",
@@ -224,6 +306,13 @@ def main() -> None:
         "cold": cold,
         "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
+        "canary": {
+            "pre_sec": canary_pre["sec"],
+            "post_sec": canary_post["sec"],
+            "floor_sec": canary_post["floor_sec"],
+            "threshold": _CANARY_THRESHOLD,
+        },
+        "load_suspect": load_suspect,
     }
     # explicitly-named queries = a focused query rerun; the ingest
     # section only runs on the full default sweep (or alone, below).

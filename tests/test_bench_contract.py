@@ -37,6 +37,11 @@ def test_bench_emits_contract_json():
     assert all(v > 0 for v in d["queries"].values())
     assert d["value"] >= max(d["queries"].values())
     assert set(d["cold"]) == set(d["queries"])
+    # load-guard contract: canary readings + explicit suspect stamp,
+    # so a loaded box can't silently fake a regression (round-7 lesson)
+    assert {"pre_sec", "post_sec", "floor_sec", "threshold"} <= set(d["canary"])
+    assert d["canary"]["pre_sec"] > 0
+    assert isinstance(d["load_suspect"], bool)
 
 
 def test_bench_ingest_section(spark, tmp_path):
