@@ -627,7 +627,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+def embedding_lsh_pairs(
+    emb: DataFrame, threshold: float, n_planes: int | None = None
+) -> DataFrame:
     """LSH-bucketed candidate pairs verified at exact cosine ≥ threshold.
 
     Candidates from the banded multi-table hyperplane LSH
@@ -637,7 +639,9 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """
     from .similarity import _multitable_assignments
 
-    asg = _multitable_assignments(emb).select("vec_id", "table_id", "bucket")
+    asg = _multitable_assignments(emb, n_planes).select(
+        "vec_id", "table_id", "bucket"
+    )
     cand = (
         asg.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
         .join(
@@ -670,8 +674,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_embedding_lsh_verify`` below value-verifies the identical
     plan on real surviving pairs.
     """
+    from .similarity import corpus_n_planes
+
     emb = table(spark, sf_dir, "embeddings")
-    return embedding_lsh_pairs(emb, _COSINE_DUP_THRESHOLD)
+    return embedding_lsh_pairs(
+        emb, _COSINE_DUP_THRESHOLD, corpus_n_planes(spark, sf_dir)
+    )
 
 
 def dedup_embedding_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,8 +691,12 @@ def dedup_embedding_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checks the bucketing, candidate join, and cosine-verify
     branch on actual data instead of agreeing on an empty set.
     """
+    from .similarity import corpus_n_planes
+
     emb = table(spark, sf_dir, "embeddings")
-    return embedding_lsh_pairs(emb, _COSINE_VERIFY_THRESHOLD)
+    return embedding_lsh_pairs(
+        emb, _COSINE_VERIFY_THRESHOLD, corpus_n_planes(spark, sf_dir)
+    )
 
 
 QUERIES = {

@@ -163,6 +163,35 @@ def _single_bucket_udf(emb: pd.Series) -> pd.Series:
     )
 
 
+#: corpus row count per sf_dir — the adaptive plane count needs |corpus|
+#: and every index build (buckets/pairs/dedup-LSH × Spark run + oracle
+#: regen) was paying a separate count job for the same table.
+_CORPUS_ROWS_CACHE: dict[str, int] = {}
+
+
+def corpus_n_planes(spark: SparkSession, sf_dir: str) -> int:
+    """Adaptive multitable plane count for an sf_dir's embeddings
+    corpus, with the row count cached per sf_dir. Local single-file
+    parquet resolves from footer metadata (no job at all); anything
+    else pays one count job, once."""
+    if sf_dir not in _CORPUS_ROWS_CACHE:
+        import os
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        n = None
+        if os.path.isfile(path):
+            try:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(path).metadata.num_rows
+            except Exception:
+                n = None
+        if n is None:
+            n = table(spark, sf_dir, "embeddings").count()
+        _CORPUS_ROWS_CACHE[sf_dir] = int(n)
+    return _mt_n_planes(_CORPUS_ROWS_CACHE[sf_dir])
+
+
 def _multitable_assignments(
     emb: DataFrame, n_planes: int | None = None
 ) -> DataFrame:
@@ -309,7 +338,7 @@ def sim_lsh_multitable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-adaptive planes (AND/OR construction) instead of one fixed
     8-plane table."""
     emb = table(spark, sf_dir, "embeddings")
-    asg = _multitable_assignments(emb)
+    asg = _multitable_assignments(emb, corpus_n_planes(spark, sf_dir))
     return (
         asg.groupBy("table_id", "bucket")
         .agg(
@@ -332,7 +361,9 @@ def sim_lsh_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (cheap, broadcastable) embedding re-join for verification.
     """
     emb = table(spark, sf_dir, "embeddings")
-    asg = _multitable_assignments(emb).select("vec_id", "table_id", "bucket")
+    asg = _multitable_assignments(
+        emb, corpus_n_planes(spark, sf_dir)
+    ).select("vec_id", "table_id", "bucket")
     a = asg.select(
         F.col("vec_id").alias("vec_a"), "table_id", "bucket"
     )
@@ -896,7 +927,9 @@ def scale_oracles(n_rows: int) -> dict:
     """Oracle SQL overrides for corpora OUTSIDE the gate fixtures.
 
     The static ``ORACLES`` inline ``_GATE_N_PLANES`` hyperplanes —
-    valid only while ``_mt_n_planes(n) == _GATE_N_PLANES`` (n ≤ 2896).
+    valid only while ``_mt_n_planes(n) == _GATE_N_PLANES`` (n ≤ 1448,
+    the banker's-rounding cutover at log2(n/4) = 8.5 — see the
+    ``_GATE_N_PLANES`` docstring).
     At larger n the Spark side adapts its plane count, so a fair
     engine-vs-oracle wall comparison (tools/duckdb_ratio.py) must
     regenerate the bucket SQL with the same adaptive count or the two
@@ -910,6 +943,13 @@ def scale_oracles(n_rows: int) -> dict:
     assign = _multitable_assign_sql(n_planes)
     out = {}
     for name in ("sim_lsh_multitable_buckets", "sim_lsh_multitable_pairs"):
+        # a reformatted ORACLES string would make the replace a silent
+        # no-op and the oracle run the wrong plane count — fail loudly
+        assert gate_sql in ORACLES[name], (
+            f"scale_oracles: gate assignment SQL drifted out of "
+            f"ORACLES[{name!r}]; regenerate both from "
+            f"_multitable_assign_sql"
+        )
         out[name] = ORACLES[name].replace(gate_sql, assign)
     for name in ("dedup_embedding_lsh", "dedup_embedding_lsh_verify"):
         if gate_sql in DEDUP_ORACLES.get(name, ""):

@@ -774,7 +774,18 @@ def influxql_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``ORDER BY time DESC LIMIT n OFFSET o`` — page 2 of
     the dashboard's latest-points query. offset+limit stays
     TakeOrderedAndProject-shaped (o+n rows fetched, o dropped at the
-    driver edge), never a global sort."""
+    driver edge), never a global sort.
+
+    Determinism contract: InfluxQL orders by time ONLY, and real
+    InfluxDB cannot hold two points at one (time, series) — so a
+    tiebreak is undefined by the language and unnecessary on real
+    data. The driver fixtures honor this (purchase timestamps are
+    unique at sf0.01), but tools/gen_sf_scale.py REPLICATES events
+    with identical ts (10 rows/ts at sf1): this query and
+    influxql_order_limit must not be value-compared on those scaled
+    fixtures — the LIMIT/OFFSET cut through tied groups is
+    engine-dependent there. (Wall-clock benching is fine;
+    tools/duckdb_ratio.py times without comparing.)"""
     from ..plans.influxql import translate
 
     ev = table(spark, sf_dir, "events")

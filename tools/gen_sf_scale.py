@@ -9,7 +9,13 @@ it artificially:
   and foreign line/order/event/user keys past the original key space,
   so join fan-in per key and group sizes stay constant while row count
   scales. Dimension tables (customer/supplier/part/nation/region) stay
-  fixed, like TPC-H's fixed small dims.
+  fixed, like TPC-H's fixed small dims. CAVEAT: event timestamps are
+  NOT shifted, so a factor-N fixture holds N events per ts — queries
+  whose result depends on cutting through time ties
+  (influxql_order_limit / influxql_offset: InfluxQL orders by time
+  only) are bench-only on these fixtures, never value-compared
+  (real InfluxDB can't hold two points at one (time, series), so the
+  tie case doesn't exist on honest data).
 * ``documents``: every token in replica *i* is prefixed ``r{i}``, so
   shingle sets across replicas are disjoint — the near-dup cluster
   structure is replicated ×N, NOT turned into one giant cross-replica
