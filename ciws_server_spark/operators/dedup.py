@@ -721,11 +721,16 @@ QUERIES = {
 #: driver-verified) rotates in; exact/normalized/prefix dedup
 #: (driver-green r1-r6) yield slots.
 EXTRA = {
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    # r8 rotation: the two O(n²) oracle baselines (stale since r2)
+    # rotate IN — at the driver's sf0.01 they are cheap, and they are
+    # the semantic ground truth of the LSH paths; dedup_embedding_lsh
+    # (vacuous 0 rows at sf0.01 — its non-vacuous _verify twin stays
+    # registered) and dedup_simhash (green r2-r7) yield slots.
     "dedup_exact",
     "dedup_normalized",
     "dedup_ngram_prefix",
+    "dedup_embedding_lsh",
+    "dedup_simhash",
 }
 
 # --- DuckDB oracle SQL ------------------------------------------------

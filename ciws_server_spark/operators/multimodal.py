@@ -368,7 +368,9 @@ QUERIES = {
 #: r7 rotation: mm_image_features_stub (never driver-verified — pins
 #: the deterministic codec branch under its own oracle) rotates in;
 #: manifest + modality rollup (driver-green r1-r6) yield slots.
-EXTRA = {"mm_frame_sample", "mm_manifest", "mm_modality_rollup"}
+# r8 rotation: mm_frame_sample (stale since r2) rotates IN;
+# mm_byte_stats and mm_resize (driver-green r2-r7) yield slots.
+EXTRA = {"mm_byte_stats", "mm_resize", "mm_manifest", "mm_modality_rollup"}
 
 _MODALITY_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"

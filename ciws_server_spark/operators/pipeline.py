@@ -196,6 +196,10 @@ ORACLES = {
 
 #: r7 rotation: train_split + source_quota (never driver-verified)
 #: rotate in; all three pipeline queries are now driver-registered.
-EXTRA: set[str] = set()
+# r8 rotation: pipeline_curated_corpus (driver-green r2-r7, deepest
+# history in this module) yields its slot to the stale-extras cohort;
+# train_split and source_quota keep the module's curation machinery
+# under driver-grade checks.
+EXTRA: set[str] = {"pipeline_curated_corpus"}
 
 HEADLINE = {"pipeline_curated_corpus"}

@@ -767,16 +767,14 @@ QUERIES = {
 #: (buckets→pairs, cells→topk) so the machinery is still driver-
 #: verified through its consumer.
 EXTRA = {
-    "sim_lsh_pairs",
-    "sim_lsh_multitable_buckets",
-    "sim_ivf_cells",
-    # nprobe=1 pseudo-centroid form: superseded in the driver registry
-    # by sim_ivf_trained_topk (trained centroids, nprobe=2); kept as a
-    # locally-verified baseline of the same layout.
-    "sim_ivf_topk",
-    # r7 rotation: sim_ivf_kmeans (never driver-verified) rotates in;
-    # brute-force topk + single-table buckets (driver-green r1-r6)
-    # yield slots.
+    # r8 rotation: the four extras stale since r2/r3 (sim_lsh_pairs,
+    # multitable_buckets, ivf_cells, ivf_topk) rotate IN;
+    # sim_lsh_multitable_pairs (green r2-r7) and sim_ivf_trained_topk
+    # (green r4-r7) yield slots — multitable_buckets covers the
+    # adaptive-plane + cached-count path they share.
+    "sim_lsh_multitable_pairs",
+    "sim_ivf_trained_topk",
+    # rotated out in r7 (driver-green r1-r6):
     "sim_brute_topk",
     "sim_lsh_buckets",
 }

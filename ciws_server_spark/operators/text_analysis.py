@@ -482,14 +482,15 @@ QUERIES = {
 #: driver-verified) rotate in; quality/lang-id/tokenizer/rolling
 #: fingerprint (driver-green r1-r6) yield slots.
 EXTRA = {
-    "text_token_count",
-    "text_fingerprint",
+    # r8 rotation: text_token_count and text_fingerprint (stale since
+    # r2) rotate IN; the module's registered count grows by two, paid
+    # for by slots yielded in tpch/similarity.
     "text_quality_score",
     "text_lang_id",
     "text_tokenize_bpeish",
     "text_rolling_fingerprint",
     # driver-green r1,r3-r6; slot yielded so influxql_week_bucket
-    # (new this round) registers within the 50 budget
+    # (new in r7) registers within the 50 budget
     "text_decontaminate",
 }
 

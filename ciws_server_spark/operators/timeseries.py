@@ -835,6 +835,35 @@ def influxql_week_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def influxql_month_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup — ``GROUP BY time(1mo), event_type``.
+
+    The documented EXTENSION beyond InfluxQL 1.x (which has no
+    calendar units — see plans/influxql.py module docstring): months
+    don't tile on the epoch grid, so the front-end lowers ``1mo`` to
+    ``date_trunc('month', ts)`` instead of epoch-floor arithmetic.
+    The monthly dashboard rollup is the most-asked query real InfluxQL
+    can't express. The fixture spans one calendar month, so the
+    bucket column is single-valued here; cross-month and tz-local
+    truncation are pinned by tests/test_influxql.py (the driver's
+    DuckDB session timezone is not guaranteed, so the REGISTERED
+    oracle stays timezone-free)."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT count(value), mean(value) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(1mo), event_type"
+    )
+    return translate(ev, q, time_col="ts").select(
+        "time_bucket",
+        "event_type",
+        "count_value",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
 _RANGE_SEC = 1800  # ±30 min
 
 
@@ -944,6 +973,7 @@ QUERIES = {
     "influxql_offset": influxql_offset,
     "influxql_soffset": influxql_soffset,
     "influxql_week_bucket": influxql_week_bucket,
+    "influxql_month_bucket": influxql_month_bucket,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
     "influxql_difference": influxql_difference,
@@ -979,14 +1009,12 @@ QUERIES = {
 #: stale-users, retention, as-of backward) yield their slots and stay
 #: oracle-checked here by tests/test_extra_oracle.py.
 EXTRA = {
-    "ts_tag_time_range",
-    # Displaced to make driver room for the r4-flagged transform
-    # surface (derivative/moving_average): the basic GROUP BY time
-    # rollup and fill(previous) machinery both still run inside the
-    # registered derivative/moving_average queries, and stay
-    # oracle-checked here.
-    "influxql_group_by_time",
-    "influxql_group_by_time_fill",
+    # r8 rotation: ts_tag_time_range, influxql_group_by_time and
+    # influxql_group_by_time_fill (stale since r2/r4) rotate back IN;
+    # ts_derived_rate (driver-green r2-r7, the deepest history in
+    # this module) yields its slot — its pulse-pair machinery still
+    # runs inside the registered streaming equivalence tests.
+    "ts_derived_rate",
     # rotated out in r6 (driver-green multiple rounds; their bucket /
     # window / json machinery also runs inside still-registered
     # queries):
@@ -1076,6 +1104,17 @@ ORACLES = {
         WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
         GROUP BY 1
         ORDER BY time_bucket
+    """,
+    "influxql_month_bucket": f"""
+        SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS time_bucket,
+               event_type,
+               CAST(COUNT(value) AS BIGINT) AS count_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(COUNT(value) AS DOUBLE), 6) AS mean_value
+        FROM events
+        WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+        GROUP BY 1, 2
+        ORDER BY time_bucket, event_type
     """,
     "influxql_slimit": f"""
         WITH agg AS (

@@ -759,7 +759,11 @@ QUERIES = {
 #: tests/test_extra_oracle.py with the identical
 #: row/schema/value-hash comparison.
 EXTRA = {
-    "rollup_pricing",
+    # r8 rotation: every extra last driver-verified in r4 or earlier
+    # rotates IN (rollup_pricing among them); q1_pricing_summary also
+    # re-registers because r8 rewrote its aggregation (long
+    # fixed-point) and changed code should carry driver-grade
+    # evidence. Slots come from the deepest-history r7 greens below.
     # rotated out in r6 (driver-green r1-r5):
     "crypto_hashes",
     "scalar_string_functions",
@@ -773,12 +777,20 @@ EXTRA = {
     # without the date restriction is vacuous on this fixture — its
     # non-vacuous replacement join_anti_customers_no_recent_orders
     # is registered instead):
-    "q1_pricing_summary",
     "grouping_sets_orders",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "topk_orders_per_segment",
     "join_anti_customers_without_orders",
+    # rotated out in r8 (driver-green through r7; machinery still
+    # exercised by registered joins/windows/subqueries elsewhere):
+    "join_semi_customers_with_orders",
+    "join_outer_supplier_coverage",
+    "setop_nations_without_suppliers",
+    "window_running_revenue",
+    "subquery_above_avg_balance",
+    "subquery_exists_late_ship",
+    "subquery_scalar_brand_premium",
 }
 
 _DEC1 = "CAST(1 AS DECIMAL(30,6))"

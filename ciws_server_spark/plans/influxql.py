@@ -97,10 +97,17 @@ average``, ``triple_exponential_moving_average``, ``triple_
 exponential_derivative``, ``relative_strength_index``, and
 ``sample``/``histogram``. These are charting/forecast conveniences
 with no reference usage; ``exponential_moving_average`` (the common
-one) IS supported above. Also unsupported: ``GROUP BY time`` with
-irregular calendar units (month/year — weeks ARE supported: 1w is a
-fixed 604800s epoch-aligned span in InfluxQL, unlike calendar
-months).
+one) IS supported above.
+
+EXTENSION (beyond InfluxQL 1.x, explicitly flagged): ``GROUP BY
+time(1mo)`` / ``time(1y)`` — calendar month/year buckets via
+``date_trunc``. InfluxQL 1.x itself has no calendar units (its ``w``
+is a fixed 604800 s epoch-aligned span), but monthly rollups are the
+single most common dashboard ask, so the front-end accepts exactly
+``1mo``/``1y`` (multiples and offsets raise — calendar spans do not
+tile on a fixed grid) and documents the divergence here. With
+``tz()``, truncation happens in local wall-clock time like the
+fixed-span units.
 """
 
 from __future__ import annotations
@@ -166,7 +173,9 @@ _COND_RE = re.compile(
     r"""(?P<rhs>'[^']*'|/(?:[^/\\]|\\.)*/|\S+)$"""
 )
 _TIME_BUCKET_RE = re.compile(
-    r"^time\s*\(\s*(\d+)\s*([smhdw])\s*(?:,\s*(\d+)\s*([smhdw])\s*)?\)$", re.I
+    r"^time\s*\(\s*(\d+)\s*(mo|y|[smhdw])\s*"
+    r"(?:,\s*(\d+)\s*([smhdw])\s*)?\)$",
+    re.I,
 )
 
 # 1w = 604800s, epoch-aligned: InfluxQL weeks are fixed 7-day spans
@@ -178,7 +187,7 @@ _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 
 def _bucket_expr(
     time_col: str,
-    bucket_secs: int,
+    bucket_secs: int | str,
     bucket_offset: int = 0,
     tz: str | None = None,
 ):
@@ -192,11 +201,17 @@ def _bucket_expr(
     c = F.col(time_col)
     if tz:
         c = F.from_utc_timestamp(c, tz)
-    b = F.timestamp_seconds(
-        ((F.unix_timestamp(c) - bucket_offset) / bucket_secs).cast("long")
-        * bucket_secs
-        + bucket_offset
-    )
+    if isinstance(bucket_secs, str):
+        # calendar extension: bucket_secs is "month"/"year" (see module
+        # docstring) — irregular spans, so floor by date_trunc instead
+        # of epoch arithmetic
+        b = F.date_trunc(bucket_secs, c)
+    else:
+        b = F.timestamp_seconds(
+            ((F.unix_timestamp(c) - bucket_offset) / bucket_secs).cast("long")
+            * bucket_secs
+            + bucket_offset
+        )
     if tz:
         b = F.to_utc_timestamp(b, tz)
     return b.alias("time_bucket")
@@ -425,7 +440,7 @@ def _agg_column(fn: str, col: str, time_col: str, pct: float | None = None):
 def _apply_fill(
     agg_df: DataFrame,
     mode: str,
-    bucket_secs: int | None,
+    bucket_secs: int | str | None,
     tag_cols: list[str],
     time_bounds: dict,
     bucket_offset: int = 0,
@@ -449,19 +464,26 @@ def _apply_fill(
             "fill() requires a closed time range in WHERE (InfluxQL rule)"
         )
     lo, hi = time_bounds["lo"], time_bounds["hi"]
-    floor = lambda ts: F.timestamp_seconds(  # noqa: E731
-        (
-            (F.unix_timestamp(F.lit(ts).cast("timestamp")) - bucket_offset)
-            / bucket_secs
-        ).cast("long")
-        * bucket_secs
-        + bucket_offset
-    )
-    axis_col = F.explode(
-        F.sequence(
-            floor(lo), floor(hi), F.expr(f"INTERVAL {bucket_secs} SECOND")
+    if isinstance(bucket_secs, str):
+        # calendar extension: month/year axis steps by calendar
+        # interval (sequence supports calendar-interval steps)
+        floor = lambda ts: F.date_trunc(  # noqa: E731
+            bucket_secs, F.lit(ts).cast("timestamp")
         )
-    ).alias("time_bucket")
+        step = F.expr(f"INTERVAL 1 {bucket_secs.upper()}")
+    else:
+        floor = lambda ts: F.timestamp_seconds(  # noqa: E731
+            (
+                (F.unix_timestamp(F.lit(ts).cast("timestamp")) - bucket_offset)
+                / bucket_secs
+            ).cast("long")
+            * bucket_secs
+            + bucket_offset
+        )
+        step = F.expr(f"INTERVAL {bucket_secs} SECOND")
+    axis_col = F.explode(F.sequence(floor(lo), floor(hi), step)).alias(
+        "time_bucket"
+    )
     spark = agg_df.sparkSession
     if tag_cols:
         axis = agg_df.select(*tag_cols).distinct().select(
@@ -539,7 +561,7 @@ def _apply_selector(
     *,
     time_col: str,
     tag_cols: list[str],
-    bucket_secs: int | None,
+    bucket_secs: int | str | None,
     bucket_offset: int,
     fill_mode: str,
     order_desc: bool,
@@ -582,7 +604,7 @@ def _apply_transform(
     time_col: str,
     group_cols: list,
     tag_cols: list[str],
-    bucket_secs: int | None,
+    bucket_secs: int | str | None,
     bucket_offset: int,
     fill_mode: str,
     time_bounds: dict,
@@ -641,6 +663,11 @@ def _apply_transform(
                 if bucket_secs is None:
                     raise InfluxQLError(
                         f"{fn}({inner_fn}(...)) requires GROUP BY time(...)"
+                    )
+                if isinstance(bucket_secs, str):
+                    raise InfluxQLError(
+                        f"{fn} default unit is undefined for calendar "
+                        f"buckets (irregular span); pass an explicit unit"
                     )
                 unit_secs = float(bucket_secs)
             else:
@@ -896,12 +923,28 @@ def translate(
             tb = _TIME_BUCKET_RE.match(g)
             if tb:
                 n, unit = int(tb.group(1)), tb.group(2).lower()
-                bucket_secs = n * _UNIT_SECONDS[unit]
-                if tb.group(3):
-                    # time(n, offset): shift bucket boundaries
-                    bucket_offset = int(tb.group(3)) * _UNIT_SECONDS[
-                        tb.group(4).lower()
-                    ]
+                if unit in ("mo", "y"):
+                    # calendar extension (module docstring): only the
+                    # unit span itself — calendar months/years do not
+                    # tile on a fixed grid, so multiples/offsets have
+                    # no epoch-aligned meaning
+                    if n != 1:
+                        raise InfluxQLError(
+                            f"calendar bucket supports only "
+                            f"time(1{unit}), got time({n}{unit})"
+                        )
+                    if tb.group(3):
+                        raise InfluxQLError(
+                            "calendar bucket takes no offset"
+                        )
+                    bucket_secs = "month" if unit == "mo" else "year"
+                else:
+                    bucket_secs = n * _UNIT_SECONDS[unit]
+                    if tb.group(3):
+                        # time(n, offset): shift bucket boundaries
+                        bucket_offset = int(tb.group(3)) * _UNIT_SECONDS[
+                            tb.group(4).lower()
+                        ]
                 bucket = _bucket_expr(
                     time_col, bucket_secs, bucket_offset, tz
                 )

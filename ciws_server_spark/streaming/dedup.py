@@ -137,6 +137,20 @@ def within_batch_near_dups(
     return verify_pairs_cross(batch_docs, batch_docs, candidates, threshold)
 
 
+def _overwrite_by_batch(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch write: dynamic partition overwrite of the
+    batch's own ``batch_id=N`` partition — a replayed batch rewrites
+    itself instead of appending (module-level so the chaos test can
+    inject a kill between the pairs and index writes)."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def _has_parquet(path: str) -> bool:
     """True if any parquet part file exists under ``path`` (local FS,
     like the rest of the sink file-management; an all-duplicate batch
@@ -178,15 +192,6 @@ def stream_near_dups(
     )
     out_path = os.path.join(table_dir, NEAR_DUP_TABLE)
     index_path = os.path.join(table_dir, INDEX_TABLE)
-
-    def _overwrite_by_batch(df: DataFrame, path: str, batch_id: int) -> None:
-        (
-            df.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(path)
-        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # a multi-consumer micro-batch frame: signatures + verify both

@@ -1007,3 +1007,109 @@ def test_show_tag_values(spark, flow):
             spark, {"flow": flow},
             'SHOW TAG VALUES FROM flow WITH KEY = "hotOutFlowRate"',
         )
+
+
+def test_calendar_month_bucket(spark):
+    """EXTENSION time(1mo): calendar truncation across month/year
+    boundaries (InfluxQL 1.x has no calendar units — documented
+    divergence in plans/influxql.py)."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    rows = [
+        (dt.datetime(2023, 12, 30, 23, 0), 1.0),
+        (dt.datetime(2023, 12, 31, 5, 0), 2.0),
+        (dt.datetime(2024, 1, 1, 0, 0), 3.0),
+        (dt.datetime(2024, 1, 31, 23, 59), 4.0),
+        (dt.datetime(2024, 2, 29, 12, 0), 5.0),  # leap February
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    got = query_measurement(
+        spark, {"m": m}, "SELECT count(v), mean(v) FROM m GROUP BY time(1mo)"
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r for r in got}
+    assert set(by_bucket) == {
+        "2023-12-01 00:00:00", "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    }
+    assert by_bucket["2023-12-01 00:00:00"]["count_v"] == 2
+    assert by_bucket["2024-01-01 00:00:00"]["mean_v"] == 3.5
+    assert by_bucket["2024-02-01 00:00:00"]["count_v"] == 1
+
+    # time(1y) folds all of 2023-12 vs 2024-*
+    got = query_measurement(
+        spark, {"m": m}, "SELECT count(v) FROM m GROUP BY time(1y)"
+    ).collect()
+    by_year = {str(r["time_bucket"]): r["count_v"] for r in got}
+    assert by_year == {"2023-01-01 00:00:00": 2, "2024-01-01 00:00:00": 3}
+
+
+def test_calendar_month_tz_local_truncation(spark):
+    """time(1mo) with tz(): truncation in LOCAL wall time — a UTC
+    instant late on Jan 31 local-west lands in the local January
+    bucket even when its UTC date is Feb 1."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    rows = [
+        # 2024-02-01 03:00 UTC == 2024-01-31 19:00 America/Los_Angeles
+        (dt.datetime(2024, 2, 1, 3, 0), 1.0),
+        # 2024-02-01 12:00 UTC == 2024-02-01 04:00 local
+        (dt.datetime(2024, 2, 1, 12, 0), 2.0),
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    got = query_measurement(
+        spark, {"m": m},
+        "SELECT count(v) FROM m GROUP BY time(1mo) tz('America/Los_Angeles')",
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r["count_v"] for r in got}
+    # local month starts mapped back to UTC instants (PST = UTC-8)
+    assert by_bucket == {
+        "2024-01-01 08:00:00": 1,
+        "2024-02-01 08:00:00": 1,
+    }
+
+
+def test_calendar_month_fill_axis(spark):
+    """fill(0) with time(1mo): the dense axis steps by calendar month
+    (28/29/30/31-day spans), so an empty month materializes."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    rows = [
+        (dt.datetime(2024, 1, 15), 1.0),
+        # February absent entirely
+        (dt.datetime(2024, 3, 20), 3.0),
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    got = query_measurement(
+        spark, {"m": m},
+        "SELECT count(v) FROM m "
+        "WHERE time >= '2024-01-01' AND time <= '2024-03-31' "
+        "GROUP BY time(1mo) fill(0)",
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r["count_v"] for r in got}
+    assert by_bucket == {
+        "2024-01-01 00:00:00": 1,
+        "2024-02-01 00:00:00": 0,
+        "2024-03-01 00:00:00": 1,
+    }
+
+
+def test_calendar_bucket_rejects_untileable_forms(spark):
+    """Multiples, offsets, and derivative default units are undefined
+    for calendar spans — all raise instead of mis-reading."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    m = spark.createDataFrame([(dt.datetime(2024, 1, 1), 1.0)], ["time", "v"])
+    t = {"m": m}
+    with pytest.raises(InfluxQLError, match="only"):
+        query_measurement(spark, t, "SELECT count(v) FROM m GROUP BY time(2mo)")
+    with pytest.raises(InfluxQLError, match="offset"):
+        query_measurement(
+            spark, t, "SELECT count(v) FROM m GROUP BY time(1mo, 1d)"
+        )
+    with pytest.raises(InfluxQLError, match="calendar"):
+        query_measurement(
+            spark, t,
+            "SELECT derivative(mean(v)) FROM m GROUP BY time(1mo)",
+        )
