@@ -61,7 +61,11 @@ _CANARY_FLOOR_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "tools", "canary_floor.json"
 )
 _CANARY_ROWS = 400_000_000
-_CANARY_THRESHOLD = 1.3
+#: Calibrated on this box (round 8): idle fresh-JVM min-of-3 canary
+#: readings span 0.14-0.22s (~1.55× — JIT/GC state, not load), while
+#: the r7-style genuine-load incident read 0.60s (4.2×). 1.75 sits
+#: between the two regimes; 1.3 over-flagged 12/21 idle protocol runs.
+_CANARY_THRESHOLD = 1.75
 
 
 def _canary_time(spark, reps: int = 3) -> float:

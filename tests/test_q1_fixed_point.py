@@ -76,3 +76,22 @@ def test_unscale_exact_past_double_precision(spark):
 
     expected = float(decimal.Decimal(big) / decimal.Decimal(100))
     assert out == expected
+
+
+def test_window_running_revenue_fast_matches_decimal(spark):
+    """Same fixed-point contract for the running-sum window (60M-row
+    full-column-hash identity measured at sf10; pinned here at
+    sf0.01 where every row is compared exactly)."""
+    from ciws_server_spark.operators.tpch import (
+        window_running_revenue,
+        window_running_revenue_decimal,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    fast = sorted(
+        tuple(r) for r in window_running_revenue(spark, sf).collect()
+    )
+    ref = sorted(
+        tuple(r) for r in window_running_revenue_decimal(spark, sf).collect()
+    )
+    assert fast == ref
