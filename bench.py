@@ -79,36 +79,53 @@ def _canary_time(spark, reps: int = 3) -> float:
     return round(best, 3)
 
 
-def _canary_floor() -> float | None:
+_CANARY_HISTORY_MAX = 20
+
+
+def _canary_history() -> list[float]:
     try:
         with open(_CANARY_FLOOR_FILE) as f:
-            return float(json.load(f)["floor_sec"])
+            d = json.load(f)
+        hist = d.get("history") or []
+        # migrate the round-8 min-ratchet format
+        if not hist and "floor_sec" in d:
+            hist = [float(d["floor_sec"])]
+        return [float(x) for x in hist]
     except Exception:
-        return None
+        return []
 
 
-def _ratchet_floor(measured: float) -> None:
-    """Record the fastest canary ever seen (a quiet-box lower bound).
-    A first run on a loaded box records an inflated floor; any later
-    quieter run ratchets it down."""
-    floor = _canary_floor()
-    if floor is None or measured < floor:
-        try:
-            with open(_CANARY_FLOOR_FILE, "w") as f:
-                json.dump({"floor_sec": measured, "rows": _CANARY_ROWS}, f)
-        except OSError:
-            pass  # read-only checkout: guard degrades to no-op
+def _record_canary(measured: float) -> list[float]:
+    """Append to the rolling canary history (last N min-of-3 readings).
+
+    A pure min-ratchet floor proved self-poisoning: one freak 0.095s
+    reading dragged the floor under the box's ordinary idle band
+    (0.19-0.22s) and every honest run after it flagged as loaded. The
+    floor is instead the 25th percentile of recent history — robust to
+    lucky outliers below AND to loaded readings above."""
+    hist = (_canary_history() + [measured])[-_CANARY_HISTORY_MAX:]
+    try:
+        with open(_CANARY_FLOOR_FILE, "w") as f:
+            json.dump({"history": hist, "rows": _CANARY_ROWS}, f)
+    except OSError:
+        pass  # read-only checkout: guard degrades to session-local
+    return hist
+
+
+def _floor_of(hist: list[float]) -> float:
+    s = sorted(hist)
+    return s[max(0, (len(s) - 1) // 4)]  # 25th percentile
 
 
 def canary_guard(spark) -> tuple[dict, float]:
     """Measure the canary; returns (report-fragment, best_sec)."""
     best = _canary_time(spark)
-    _ratchet_floor(best)
-    floor = _canary_floor() or best
+    hist = _record_canary(best)
+    floor = _floor_of(hist)
     return (
         {
             "sec": best,
-            "floor_sec": floor,
+            "floor_sec": round(floor, 3),
             "loaded": bool(best > floor * _CANARY_THRESHOLD),
         },
         best,

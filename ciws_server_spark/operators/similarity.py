@@ -204,9 +204,10 @@ def _multitable_assignments(
     of the ANN index table.
 
     ``n_planes`` defaults to the corpus-size-adaptive count
-    (``_mt_n_planes``) — one cheap count() job, paid once per build of
-    the index, keeps mean bucket occupancy at ``_TARGET_BUCKET_ROWS``
-    at every scale.
+    (``_mt_n_planes`` over a count() job) — sf_dir-level callers pass
+    ``corpus_n_planes(spark, sf_dir)`` instead, which caches the
+    corpus row count per sf_dir (parquet footer metadata locally), so
+    repeated index builds never re-scan just to size the planes.
     """
     if n_planes is None:
         n_planes = _mt_n_planes(emb.count())
