@@ -256,45 +256,114 @@ def _hashable_type(dt) -> bool:
     return True
 
 
+def _version_dirs(root: str) -> list[str]:
+    """Existing ``root.vNNNNNN`` snapshot directories, sorted ascending."""
+    import glob as _glob
+
+    out = [
+        d
+        for d in _glob.glob(root + ".v*")
+        if re.fullmatch(r"\.v\d{6}", d[len(root):]) and os.path.isdir(d)
+    ]
+    return sorted(out)
+
+
+def _vacuum_versions(root: str) -> int:
+    """Delete every snapshot dir except the one ``root`` points to."""
+    cur = os.path.realpath(root)
+    n = 0
+    for d in _version_dirs(root):
+        if os.path.realpath(d) != cur:
+            shutil.rmtree(d)
+            n += 1
+    return n
+
+
 def recover_compaction(table_dir: str, table: str) -> str | None:
     """Heal any state a crashed ``compact_table`` left behind.
 
-    The swap protocol is: (1) rewrite → ``.compact.tmp``; (2) rename
-    tmp → ``.compact.new`` (completion marker); (3) rename the live
-    table → ``.compact.old``; (4) rename new → live; (5) delete old.
-    A crash after any step is recoverable here because each state is
+    Steady-state swap protocol (SNAPSHOT layout — ``root`` is a
+    symlink to a ``root.vNNNNNN`` version dir): (1) rewrite →
+    ``.compact.tmp``; (2) rename tmp → next version dir (durable
+    completion marker); (3) build a ``.swap`` symlink to it;
+    (4) ``os.rename(swap, root)`` — POSIX-atomic symlink replacement,
+    so there is NO instant at which the table path is missing;
+    (5) vacuum all non-current version dirs. Every crash state is
     distinguishable:
 
-    * tmp present → incomplete rewrite, live table intact: drop tmp.
-    * new present AND live present → rewrite finished but swap never
-      started: drop new (stale — data may have grown since).
-    * live missing, new present → crash mid-swap: finish it
-      (new → live, drop old). The table is the compacted copy.
-    * live present, old present → crash before cleanup: drop old.
+    * ``.compact.tmp`` present → incomplete rewrite: drop tmp.
+    * ``root`` present + unreferenced version dirs → rewrite finished
+      but the repoint never happened: drop them (stale — data may
+      have grown since) along with any ``.swap`` link.
+    * ``root`` missing + ``.swap`` present → crash inside the
+      ONE-TIME legacy migration window (real dir renamed away, swap
+      not yet renamed in): finish the repoint. Steady-state swaps
+      have no such window.
+    * ``root`` missing + version dirs present (no swap) → repoint
+      root at the newest version.
 
-    Returns a short description of the action taken, or None.
+    The pre-snapshot protocol's ``.compact.new`` / ``.compact.old``
+    states (an r7-era crash) heal with the original rules. Returns a
+    short description of the action taken, or None.
     """
     root = os.path.join(table_dir, table)
     tmp, new, old = (root + s for s in (".compact.tmp", ".compact.new", ".compact.old"))
+    swap = root + ".swap"
     action = None
-    if os.path.isdir(tmp):
+    if os.path.isdir(tmp) and not os.path.islink(tmp):
         shutil.rmtree(tmp)
         action = "dropped stale tmp"
+    # isdir() FOLLOWS symlinks: a dangling root symlink (its target
+    # lost out-of-band) must take the root-missing branch below — the
+    # first draft classified it as "root exists" and vacuumed every
+    # intact version relative to the dead target (caught by
+    # test_snapshot_recovery_every_crash_state before it shipped)
     if os.path.isdir(root):
+        if os.path.lexists(swap):
+            os.remove(swap)
+            action = "dropped stale swap link"
+        if os.path.islink(root):
+            if _vacuum_versions(root):
+                action = action or "dropped stale/unvacuumed versions"
+        elif _version_dirs(root):
+            # real dir + version dirs = migration died before the
+            # rename-away; the live dir is authoritative
+            for d in _version_dirs(root):
+                shutil.rmtree(d)
+            action = "dropped stale migration versions"
+        # legacy (pre-snapshot) protocol leftovers
         if os.path.isdir(new):
             shutil.rmtree(new)
             action = "dropped stale new"
         if os.path.isdir(old):
             shutil.rmtree(old)
             action = "dropped leftover old"
-    elif os.path.isdir(new):
-        os.rename(new, root)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        action = "completed interrupted swap"
-    elif os.path.isdir(old):
-        os.rename(old, root)
-        action = "restored from old"
+    else:
+        if os.path.lexists(root):
+            os.remove(root)  # broken symlink (its target was lost)
+            action = "dropped broken table link"
+        if os.path.lexists(swap):
+            target = os.path.join(os.path.dirname(swap), os.readlink(swap))
+            if os.path.isdir(target):
+                os.rename(swap, root)
+                _vacuum_versions(root)
+                action = "completed interrupted repoint"
+            else:
+                os.remove(swap)
+                action = "dropped broken swap link"
+        elif _version_dirs(root):
+            newest = _version_dirs(root)[-1]
+            os.symlink(os.path.basename(newest), root)
+            _vacuum_versions(root)
+            action = "repointed at newest version"
+        elif os.path.isdir(new):
+            os.rename(new, root)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            action = "completed interrupted swap"
+        elif os.path.isdir(old):
+            os.rename(old, root)
+            action = "restored from old"
     return action
 
 
@@ -305,12 +374,10 @@ def compact_table(
 
     Per-file streaming appends accumulate one file per micro-batch per
     partition (SURVEY.md §7.4.5's small-file hazard). Rewrites the
-    table with coalesced files per partition directory and swaps it in
-    via the recoverable rename protocol (``recover_compaction``): a
-    crash at any step leaves the table either fully old or fully new
-    after the next call. Single-writer; the brief no-live-dir window
-    between the two swap renames is the plain-parquet cost of not
-    having a transaction log — Delta's ``OPTIMIZE`` removes it.
+    table into a fresh ``root.vNNNNNN`` snapshot directory and
+    repoints the ``root`` SYMLINK at it with one atomic
+    ``rename(symlink)`` — the snapshot protocol (round 8; see
+    ``recover_compaction`` for crash states). Single-writer.
 
     READER-VISIBLE SEMANTICS during a concurrent swap (tested in
     test_campus_streaming_and_compaction.py):
@@ -320,14 +387,21 @@ def compact_table(
       has fresh file names), never silently returns partial or mixed
       data; keep ``spark.sql.files.ignoreMissingFiles`` at its
       ``false`` default, which is what makes this loud;
-    * a reader that starts INSIDE the no-live-dir window gets
-      PATH_NOT_FOUND (a retriable, unambiguous error);
-    * a reader that starts after the swap sees the fully compacted
-      table. There is no torn state in any interleaving.
+    * a reader that starts at ANY instant sees a complete table —
+      the symlink repoint is atomic, so the previous protocol's
+      no-live-dir PATH_NOT_FOUND window NO LONGER EXISTS in steady
+      state (this was the round-1..7 documented gap vs a
+      transaction-log format). The one exception is the one-time
+      MIGRATION of a legacy real-directory table into the snapshot
+      layout (a dir cannot be atomically replaced by a symlink),
+      which retains a microsecond-scale window once per table,
+      healed by ``recover_compaction``;
+    * there is no torn state in any interleaving.
     Streaming-ingested tables keep their ``batch_id`` leaf partitions
     so replay idempotence survives compaction (files merge WITHIN a
-    batch partition; cross-batch merging is safe only with a log).
-    Returns the file count after compaction.
+    batch partition; cross-batch merging is safe only with a log);
+    post-swap appends write THROUGH the symlink into the current
+    snapshot. Returns the file count after compaction.
     """
     import glob
 
@@ -339,7 +413,7 @@ def compact_table(
     df = spark.read.parquet(root)
     if "batch_id" in df.columns and "batch_id" not in parts:
         parts.append("batch_id")
-    tmp, new, old = (root + s for s in (".compact.tmp", ".compact.new", ".compact.old"))
+    tmp = root + ".compact.tmp"
     n_files = max(target_files_per_partition, 1)
     if not parts:
         writer = df.coalesce(n_files)
@@ -375,10 +449,25 @@ def compact_table(
         .partitionBy(*parts)
         .parquet(tmp)
     )
-    os.rename(tmp, new)  # completion marker: tmp is fully written
-    os.rename(root, old)
-    os.rename(new, root)
-    shutil.rmtree(old)
+    versions = _version_dirs(root)
+    nv = (int(versions[-1][-6:]) + 1) if versions else 1
+    vnext = f"{root}.v{nv:06d}"
+    os.rename(tmp, vnext)  # durable completion marker
+    swap = root + ".swap"
+    if os.path.lexists(swap):
+        os.remove(swap)
+    os.symlink(os.path.basename(vnext), swap)
+    if os.path.islink(root):
+        # steady state: atomic symlink replacement — no window
+        os.rename(swap, root)
+    else:
+        # one-time migration of a legacy real-dir table (rename(2)
+        # cannot atomically replace a directory with a symlink):
+        # microsecond window between the two renames, healed by
+        # recover_compaction if a crash lands inside it
+        os.rename(root, f"{root}.v{0:06d}")
+        os.rename(swap, root)
+    _vacuum_versions(root)
     return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
 
 

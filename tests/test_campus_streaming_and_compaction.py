@@ -285,15 +285,119 @@ def test_compaction_reader_visible_semantics(spark, tmp_path):
     # (3) a fresh post-swap reader sees the complete compacted table
     assert spark.read.parquet(root).count() == 2
 
-    # (2) the mid-swap window: live dir renamed away, new not yet in
-    # place — a fresh reader errors fast with path-not-found
-    _os.rename(root, root + ".compact.old")
-    _shutil.copytree(root + ".compact.old", root + ".compact.new")
-    with pytest.raises(AnalysisException):
-        spark.read.parquet(root).count()
+    # (2) SNAPSHOT protocol: after compaction the table path is a
+    # symlink into a version dir and the repoint is one atomic
+    # rename(symlink) — the pre-round-8 no-live-dir PATH_NOT_FOUND
+    # window does not exist in steady state. A second compaction
+    # must leave the path continuously resolvable and vacuum the
+    # superseded version.
+    assert _os.path.islink(root)
+    v_before = _os.path.realpath(root)
+    sinks.compact_table(spark, table_dir, "campus_flow")
+    assert _os.path.islink(root)
+    assert _os.path.realpath(root) != v_before
+    assert not _os.path.isdir(v_before)  # vacuumed
+    assert spark.read.parquet(root).count() == 2
 
-    # recovery completes the swap; readers see the full table again
+    # (2b) the ONE-TIME migration window (legacy real dir → symlink):
+    # simulate a crash between its two renames — root missing, .swap
+    # pointing at the new version — and assert recovery completes the
+    # repoint so readers see the full table again
+    cur = _os.path.basename(_os.path.realpath(root))
+    _os.remove(root)  # drop the symlink (the mid-migration state)
+    _os.symlink(cur, root + ".swap")
+    with pytest.raises(AnalysisException):
+        spark.read.parquet(root).count()  # loud, unambiguous
     assert sinks.recover_compaction(table_dir, "campus_flow") == (
-        "completed interrupted swap"
+        "completed interrupted repoint"
     )
     assert spark.read.parquet(root).count() == 2
+
+
+def test_snapshot_recovery_every_crash_state(spark, tmp_path):
+    """Each distinguishable crash state of the round-8 snapshot swap
+    protocol heals (recover_compaction docstring), including the
+    legacy r7-era .compact.new/.old states."""
+    import os as _os
+    import shutil as _shutil
+
+    from ciws_server_spark.sources import sinks
+    from ciws_server_spark.streaming.ingest import run_campus_pass
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_dir = str(tmp_path / "tables")
+    (landing / "a.csv").write_text(CSV_A)
+    run_campus_pass(spark, str(landing), table_dir, str(tmp_path / "ckpt"),
+                    building="e")
+    root = _os.path.join(table_dir, "campus_flow")
+    n = spark.read.parquet(root).count()
+    sinks.compact_table(spark, table_dir, "campus_flow")  # → snapshot layout
+    assert _os.path.islink(root)
+    cur = _os.path.realpath(root)
+
+    # state: stale tmp (crash mid-rewrite)
+    _os.makedirs(root + ".compact.tmp")
+    assert sinks.recover_compaction(table_dir, "campus_flow") == (
+        "dropped stale tmp"
+    )
+    assert spark.read.parquet(root).count() == n
+
+    # state: rewrite finished into a version dir, repoint never ran —
+    # the unreferenced (stale) version must be dropped, live untouched
+    _shutil.copytree(cur, root + ".v000999")
+    assert sinks.recover_compaction(table_dir, "campus_flow") == (
+        "dropped stale/unvacuumed versions"
+    )
+    assert not _os.path.isdir(root + ".v000999")
+    assert spark.read.parquet(root).count() == n
+
+    # state: same, plus the .swap link already built
+    _shutil.copytree(cur, root + ".v000999")
+    _os.symlink(_os.path.basename(root + ".v000999"), root + ".swap")
+    act = sinks.recover_compaction(table_dir, "campus_flow")
+    assert act in ("dropped stale swap link", "dropped stale/unvacuumed versions")
+    assert not _os.path.lexists(root + ".swap")
+    assert not _os.path.isdir(root + ".v000999")
+    assert spark.read.parquet(root).count() == n
+
+    # state: crash inside the migration window (root gone, swap built)
+    cur_name = _os.path.basename(_os.path.realpath(root))
+    _os.remove(root)
+    _os.symlink(cur_name, root + ".swap")
+    assert sinks.recover_compaction(table_dir, "campus_flow") == (
+        "completed interrupted repoint"
+    )
+    assert _os.path.islink(root)
+    assert spark.read.parquet(root).count() == n
+
+    # state: root symlink lost entirely, versions remain
+    _os.remove(root)
+    assert sinks.recover_compaction(table_dir, "campus_flow") == (
+        "repointed at newest version"
+    )
+    assert spark.read.parquet(root).count() == n
+
+    # state: broken symlink (version dir lost out-of-band) + an older
+    # intact version to fall back to
+    good = _os.path.realpath(root)
+    backup = root + ".v000001"
+    if _os.path.realpath(root) != _os.path.realpath(backup):
+        pass
+    _shutil.copytree(good, root + ".v900000")  # newer intact copy
+    _os.remove(root)
+    _os.symlink("campus_flow.v-gone", root)  # dangling
+    act = sinks.recover_compaction(table_dir, "campus_flow")
+    assert act == "repointed at newest version"
+    assert spark.read.parquet(root).count() == n
+
+    # legacy r7 state: .compact.new + .compact.old, nothing live
+    # (simulated on a scratch table name)
+    legacy = _os.path.join(table_dir, "legacy_t")
+    _shutil.copytree(_os.path.realpath(root), legacy + ".compact.new")
+    _shutil.copytree(_os.path.realpath(root), legacy + ".compact.old")
+    assert sinks.recover_compaction(table_dir, "legacy_t") == (
+        "completed interrupted swap"
+    )
+    assert spark.read.parquet(legacy).count() == n
+    assert not _os.path.isdir(legacy + ".compact.old")

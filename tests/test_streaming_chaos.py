@@ -121,15 +121,17 @@ def test_cron_crash_cron_across_all_three_surfaces(spark, tmp_path):
         .drop("batch_id").collect()
     }
 
-    # ---- phase 2: compaction killed between the two swap renames ---
+    # ---- phase 2: compaction killed inside the one-time migration
+    # ---- window (legacy real dir renamed away, repoint pending) ----
     real_rename = os.rename
     state = {"renames": 0}
 
     def rename_then_die(src, dst):
         real_rename(src, dst)
         state["renames"] += 1
-        if state["renames"] == 2:  # old moved aside; die before new→root
+        if state["renames"] == 2:  # old dir moved aside; die before
             raise RuntimeError("injected mid-swap kill (compaction)")
+            # the swap-symlink rename-in
 
     sinks.os.rename = rename_then_die
     try:
@@ -138,17 +140,20 @@ def test_cron_crash_cron_across_all_three_surfaces(spark, tmp_path):
     finally:
         sinks.os.rename = real_rename
 
-    # nastiest state: NO live raw_data dir — only .compact.new/.old
+    # nastiest state: nothing at the table path — old data in
+    # .v000000, compacted copy in .v000001, .swap pointing at it
     root = os.path.join(table_dir, "raw_data")
-    assert not os.path.isdir(root)
-    assert os.path.isdir(root + ".compact.new")
-    assert os.path.isdir(root + ".compact.old")
+    assert not os.path.lexists(root)
+    assert os.path.isdir(root + ".v000000")
+    assert os.path.isdir(root + ".v000001")
+    assert os.path.islink(root + ".swap")
 
-    # next compaction run recovers, then compacts cleanly
+    # next compaction run recovers (completes the repoint), then
+    # compacts cleanly through the now-atomic symlink protocol
     n_files = sinks.compact_table(spark, table_dir, "raw_data")
     assert n_files > 0
-    assert not os.path.isdir(root + ".compact.new")
-    assert not os.path.isdir(root + ".compact.old")
+    assert os.path.islink(root)
+    assert not os.path.lexists(root + ".swap")
     after = {
         tuple(r)
         for r in spark.read.parquet(root).drop("batch_id").collect()
