@@ -504,42 +504,87 @@ def _cell_for_centroids(emb_col, cents: list[tuple[int, list[float]]]) -> F.Colu
     return _udf(emb_col)
 
 
+#: Power-of-two fixed-point scale for the k-means update sums.
+#: ``floor(v * 2^40)`` is EXACT and engine-independent: multiplying a
+#: double by a power of two never rounds, floor of the identical
+#: double is the identical integer in numpy and SQL, and integer sums
+#: are order-free — so the oracle replays the update bit-for-bit with
+#: plain BIGINT arithmetic. (A 10^-12 decimal grid would NOT be safe
+#: here: embedding floats aren't decimal-aligned, and the FP product
+#: v·10¹² rounds differently than exact decimal conversion near grid
+#: midpoints — measured ~1 in 10⁴ elements.)
+_KMEANS_SCALE = float(2**40)
+_KMEANS_SCALE_INV = 2.0**-40
+
+
+def _round_partials_fn(cents: list[tuple[int, list[float]]]):
+    """mapInPandas body for ONE Lloyd round: per Arrow batch, assign
+    each vector to its argmin cell (identical fold/tiebreak contract
+    as ``_cell_for_centroids``) and emit per-(cell, dim) partial sums
+    of ``floor(v·2^40)`` longs plus member counts — at most k×dim
+    rows per batch, regardless of batch size."""
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((m.shape[0], cmat.shape[0]))
+            for d in range(m.shape[1]):
+                diff = m[:, [d]] - cmat[:, d]
+                acc += diff * diff
+            cells = ids[np.argmin(acc, axis=1)]
+            scaled = np.floor(m * _KMEANS_SCALE).astype(np.int64)
+            out_cell, out_pos, out_s, out_n = [], [], [], []
+            for cid in np.unique(cells):
+                sel = scaled[cells == cid]
+                sums = sel.sum(axis=0, dtype=np.int64)
+                out_cell.extend([int(cid)] * sel.shape[1])
+                out_pos.extend(range(sel.shape[1]))
+                out_s.extend(int(x) for x in sums)
+                out_n.extend([sel.shape[0]] * sel.shape[1])
+            yield pd.DataFrame(
+                {"cell": out_cell, "pos": out_pos, "s": out_s, "n": out_n}
+            )
+
+    return fn
+
+
 def kmeans_train(
     spark: SparkSession, sf_dir: str, rounds: int = _KMEANS_ROUNDS
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means over the embedding corpus, Spark-first.
 
-    Per round: (1) assignment is a codegen'd argmin projection over
-    the full corpus — centroids enter the plan as literals, the exact
-    mechanism MLlib's KMeans uses (driver-held centers broadcast to
-    executors); (2) the update is one shuffle keyed by (cell, dim)
-    with EXACT decimal sums cast to double over counts, so the new
-    centroids are bit-identical regardless of partitioning/order —
-    which is what lets a SQL oracle replay the same iterations.
-    Only k×dim aggregated means ever reach the driver (16×64 rows
-    here), never corpus rows: rounds scan the data, the driver holds
-    centers. Cells that lose all members drop out (ids stay stable).
+    Per round, ONE fused Arrow stage (``_round_partials_fn``) does
+    assignment AND per-batch partial aggregation: each batch emits at
+    most k×dim (cell, dim, Σfloor(v·2^40), n) rows, so the shuffle
+    carries ~#batches×k×dim tiny rows instead of the corpus×dim
+    explode the earlier form shuffled (12.8M rows/round at sf10 —
+    that plus its DECIMAL(38,12) per-element sums dominated training).
+    The tiny final aggregate sums partials as DECIMAL(38,0) — exact at
+    any corpus size (per-batch long partials are bounded by
+    batch×2^40 ≈ 1e16) — and the mean (sum·2^-40)/n is bit-identical
+    in any engine: see ``_KMEANS_SCALE``. Only k×dim aggregated means
+    ever reach the driver (16×64 here), never corpus rows: rounds
+    scan the data, the driver holds centers. Cells that lose all
+    members drop out (ids stay stable). This is MLlib KMeans'
+    aggregateByKey shape with a cross-engine-exact accumulator.
     """
     emb = table(spark, sf_dir, "embeddings")
     cents = list(enumerate(ivf_centroids(), start=1))
     for _ in range(rounds):
-        assigned = emb.withColumn(
-            "cell", _cell_for_centroids(F.col("embedding"), cents)
+        partials = emb.select("embedding").mapInPandas(
+            _round_partials_fn(cents),
+            schema="cell int, pos int, s long, n long",
         )
-        means = (
-            assigned.select(
-                "cell",
-                F.posexplode(
-                    F.transform("embedding", lambda x: x.cast("double"))
-                ).alias("pos", "val"),
-            )
-            .groupBy("cell", "pos")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-                    / F.count(F.lit(1)).cast("double")
-                ).alias("m")
-            )
+        means = partials.groupBy("cell", "pos").agg(
+            (
+                F.sum(F.col("s").cast("decimal(38,0)")).cast("double")
+                * F.lit(_KMEANS_SCALE_INV)
+                / F.sum("n").cast("double")
+            ).alias("m")
         )
         by_cell: dict[int, dict[int, float]] = {}
         for r in means.collect():  # ≤ k×dim rows — model state, not data
@@ -814,8 +859,13 @@ def _kmeans_ctes(rounds: int = _KMEANS_ROUNDS) -> tuple[list[str], str, str]:
     distance chains (no SQL SUM over dims — FP addition order must
     match the Spark fold), same (dist, cell) tiebreak."""
     dims = range(1, _DIM + 1)
+    # replays kmeans_train's update exactly: floor(v·2^40) longs
+    # (power-of-two products never round; identical floor in every
+    # engine), exact integer SUM, then (sum·2^-40)/count in the same
+    # left-to-right double expression order — see _KMEANS_SCALE
     mean_cols = ", ".join(
-        f"CAST(SUM(CAST(e[{d}] AS DECIMAL(38,12))) AS DOUBLE)"
+        f"CAST(SUM(CAST(FLOOR(e[{d}] * {_KMEANS_SCALE!r}) AS BIGINT))"
+        f" AS DOUBLE) * {_KMEANS_SCALE_INV!r}"
         f" / CAST(COUNT(*) AS DOUBLE) AS m{d}"
         for d in dims
     )
