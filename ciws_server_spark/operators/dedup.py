@@ -5,10 +5,15 @@ normalized dedup, n-gram Jaccard near-dup, MinHash+LSH (the scale
 path: shingle → minhash signature → band → bucket join), SimHash
 fingerprinting, and embedding-cosine near-dup.
 
-All hashing is md5-based so every operator is *cross-engine
-deterministic* — the DuckDB oracle computes the identical signatures
-and pairs. Everything is built-in expressions (split / transform /
-explode / groupBy / window): JVM-side, shuffle only on the keys each
+All VALUE-BEARING hashing (fingerprints, minhash signatures, simhash
+bits) is md5-based so every operator is *cross-engine deterministic*
+— the DuckDB oracle computes the identical signatures and pairs.
+Internal join/shuffle KEYS whose identity never reaches a result may
+use cheaper engine hashes (the LSH band key is xxhash64 over the
+band's signature longs; the oracle groups on an md5 view of the same
+segment — identical candidate sets either way). Everything is
+built-in expressions (split / transform / explode / groupBy /
+window / array_intersect): JVM-side, shuffle only on the keys each
 stage groups by.
 
 Scale notes (the whole point of MinHash-LSH):
