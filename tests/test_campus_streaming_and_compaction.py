@@ -401,3 +401,60 @@ def test_snapshot_recovery_every_crash_state(spark, tmp_path):
     )
     assert spark.read.parquet(legacy).count() == n
     assert not _os.path.isdir(legacy + ".compact.old")
+
+
+def test_snapshot_swap_live_concurrent_readers(spark, tmp_path):
+    """LIVE race, not simulated states: a reader thread hammers the
+    table path while the writer thread compacts it repeatedly. Under
+    the round-8 atomic symlink repoint, every read must either return
+    the complete row count or fail with the documented loud
+    missing-input error (stale listing) — NEVER a partial/mixed count
+    and NEVER path-not-found (the pre-round-8 window)."""
+    import os as _os
+    import threading
+
+    from ciws_server_spark.sources import sinks
+    from ciws_server_spark.streaming.ingest import run_campus_pass
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_dir = str(tmp_path / "tables")
+    (landing / "a.csv").write_text(CSV_A)
+    run_campus_pass(spark, str(landing), table_dir, str(tmp_path / "ckpt"),
+                    building="e")
+    root = _os.path.join(table_dir, "campus_flow")
+    sinks.compact_table(spark, table_dir, "campus_flow")  # snapshot layout
+    expected = spark.read.parquet(root).count()
+
+    stop = threading.Event()
+    bad: list[str] = []
+    counts = {"ok": 0, "stale_loud": 0}
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = spark.read.parquet(root).count()
+            except Exception as exc:  # noqa: BLE001 — classifying
+                msg = str(exc)
+                if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                    bad.append(f"window observed: {msg[:200]}")
+                elif "FileNotFound" in msg or "does not exist" in msg:
+                    counts["stale_loud"] += 1  # documented loud mode
+                else:
+                    bad.append(f"unexpected: {msg[:200]}")
+                continue
+            if n != expected:
+                bad.append(f"partial read: {n} != {expected}")
+            else:
+                counts["ok"] += 1
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for _ in range(8):
+            sinks.compact_table(spark, table_dir, "campus_flow")
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not bad, bad[:5]
+    assert counts["ok"] > 0  # the reader actually raced the swaps

@@ -217,3 +217,52 @@ def test_line_protocol_roundtrip(spark, points):
             microseconds=ts // 1000
         )
         assert r["ts"] == expect
+
+
+# --- fixed-point exactness contract (q1 / window fast paths) ---------
+
+_MONEY_2DP = st.integers(min_value=-(10**13), max_value=10**13).map(
+    lambda cents: cents / 100.0
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_MONEY_2DP, min_size=1, max_size=64))
+def test_fixed_point_exact_on_2dp_money(spark, vals):
+    """fixed_point(v, 2) == the unscaled DECIMAL(·,2) conversion for
+    ANY ≤2dp value in the documented magnitude range (|v·100| < 2^53)
+    — the contract that makes the q1/window long-fixed-point paths
+    legal (functions/scalar.py)."""
+    from ciws_server_spark.functions.scalar import fixed_point
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    rows = df.select(
+        fixed_point("v", 2).alias("fp"),
+        (F.col("v").cast("decimal(20,2)") * F.lit(100).cast("decimal(3,0)"))
+        .cast("long")
+        .alias("dec"),
+    ).collect()
+    for v, r in zip(vals, rows):
+        assert r.fp == r.dec == round(v * 100), (v, r.fp, r.dec)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_unscale_matches_exact_rational(spark, sums):
+    """unscale(s, scale) == nearest double of the exact rational
+    s/10^scale — including past 2^53 where a double division would
+    drift (functions/scalar.py)."""
+    import decimal as _dec
+
+    from ciws_server_spark.functions.scalar import unscale
+
+    df = spark.createDataFrame([(s,) for s in sums], ["s"])
+    rows = df.select(unscale(F.col("s"), 4).alias("v")).collect()
+    for s, r in zip(sums, rows):
+        assert r.v == float(_dec.Decimal(s) / _dec.Decimal(10**4)), (s, r.v)
