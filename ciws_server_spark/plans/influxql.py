@@ -75,7 +75,11 @@ with ``fill()`` (fill runs first, as InfluxQL does). All are window
 expressions over the bucket/series machinery — one shuffle on the
 series key, no self-joins.
 
-Metadata statements: ``SHOW MEASUREMENTS``, ``SHOW TAG KEYS FROM m``
+Metadata statements: ``SHOW DATABASES``, ``SHOW RETENTION POLICIES
+[ON db]`` (the single logical database + the InfluxDB 1.x default
+``autogen`` policy row — retention here is an explicit partition-drop
+job, not a store-enforced policy), ``SHOW MEASUREMENTS``,
+``SHOW TAG KEYS FROM m``
 (string columns), ``SHOW FIELD KEYS FROM m`` (typed value columns) —
 schema introspection over the measurement registry, no scan — and
 ``SHOW TAG VALUES FROM m WITH KEY = "k"`` (distinct values of one
@@ -1152,11 +1156,19 @@ def translate(
 
 
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+(MEASUREMENTS|TAG\s+KEYS|FIELD\s+KEYS|TAG\s+VALUES)"
+    r"^\s*SHOW\s+(MEASUREMENTS|TAG\s+KEYS|FIELD\s+KEYS|TAG\s+VALUES"
+    r"|DATABASES|RETENTION\s+POLICIES)"
+    r"(?:\s+ON\s+(\"[^\"]+\"|\w+))?"
     r"(?:\s+FROM\s+(\S+))?"
     r"(?:\s+WITH\s+KEY\s*=\s*(\"[^\"]+\"|\w+))?\s*;?\s*$",
     re.IGNORECASE,
 )
+
+#: Logical database name the registry presents. The reference reads
+#: its database name from config (get_hot_intake_interval.py:108-113);
+#: pass a different name through ``query_measurement(database=...)``
+#: to mirror a deployment's config value.
+DEFAULT_DATABASE = "ciws"
 _SUBQUERY_RE = re.compile(r"\bFROM\s*\(", re.IGNORECASE)
 
 #: Spark dtypes InfluxQL reports as field (value) types; everything
@@ -1173,16 +1185,40 @@ _FIELD_TYPES = {
 }
 
 
-def _show(spark, tables: dict[str, DataFrame], m: re.Match) -> DataFrame:
+def _show(
+    spark,
+    tables: dict[str, DataFrame],
+    m: re.Match,
+    database: str = None,
+) -> DataFrame:
     """InfluxQL metadata statements (SHOW MEASUREMENTS / TAG KEYS /
-    FIELD KEYS) over the measurement registry — schema introspection,
-    driver-side only, no scan."""
+    FIELD KEYS / DATABASES / RETENTION POLICIES) over the measurement
+    registry — schema introspection, driver-side only, no scan (except
+    TAG VALUES)."""
     kind = re.sub(r"\s+", " ", m.group(1).upper())
+    db = database or DEFAULT_DATABASE
+    if kind == "DATABASES":
+        # one logical database per registry (the reference's client
+        # connects to a single config-named database)
+        return spark.createDataFrame([(db,)], "name STRING")
+    if kind == "RETENTION POLICIES":
+        on = _unquote(m.group(2)) if m.group(2) else db
+        if on != db:
+            raise InfluxQLError(f"unknown database: {on!r}")
+        # InfluxDB 1.x default policy row. duration "0s" = keep
+        # forever — matching this engine's model, where retention is
+        # an explicit partition-drop job (sinks.retention_delete /
+        # A3), not a policy the store enforces continuously.
+        return spark.createDataFrame(
+            [("autogen", "0s", "168h0m0s", 1, True)],
+            "name STRING, duration STRING, shardGroupDuration STRING, "
+            "replicaN INT, `default` BOOLEAN",
+        )
     if kind == "MEASUREMENTS":
         return spark.createDataFrame(
             [(n,) for n in sorted(tables)], "name STRING"
         )
-    name = _unquote(m.group(2) or "")
+    name = _unquote(m.group(3) or "")
     if name not in tables:
         raise InfluxQLError(f"unknown measurement: {name!r}")
     dtypes = tables[name].dtypes
@@ -1191,9 +1227,9 @@ def _show(spark, tables: dict[str, DataFrame], m: re.Match) -> DataFrame:
         # statement that scans: distinct values of one tag column.
         # distinct on a low-cardinality tag = one partial-agg'd
         # shuffle of the pruned single-column projection.
-        if not m.group(3):
+        if not m.group(4):
             raise InfluxQLError("SHOW TAG VALUES requires WITH KEY = \"k\"")
-        key = _unquote(m.group(3))
+        key = _unquote(m.group(4))
         tag_cols = {
             c for c, t in dtypes if t == "string" and c.lower() != "time"
         }
@@ -1272,7 +1308,11 @@ def execute_into(
 
 
 def query_measurement(
-    spark, tables: dict[str, DataFrame], query: str, time_col: str = "time"
+    spark,
+    tables: dict[str, DataFrame],
+    query: str,
+    time_col: str = "time",
+    database: str = None,
 ) -> DataFrame:
     """Resolve FROM against a measurement registry and translate.
 
@@ -1283,7 +1323,7 @@ def query_measurement(
     """
     sm = _SHOW_RE.match(query)
     if sm:
-        return _show(spark, tables, sm)
+        return _show(spark, tables, sm, database=database)
     sub = _split_subquery(query)
     if sub is not None:
         inner_q, outer_q = sub

@@ -1113,3 +1113,35 @@ def test_calendar_bucket_rejects_untileable_forms(spark):
             spark, t,
             "SELECT derivative(mean(v)) FROM m GROUP BY time(1mo)",
         )
+
+
+def test_show_databases_and_retention_policies(spark):
+    """Admin metadata statements: one logical database + the 1.x
+    default autogen policy row (retention in this engine is the
+    explicit partition-drop job, so duration reports 0s=infinite)."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    t = {"m": spark.createDataFrame([(dt.datetime(2024, 1, 1), 1.0)],
+                                    ["time", "v"])}
+    rows = query_measurement(spark, t, "SHOW DATABASES").collect()
+    assert [r["name"] for r in rows] == ["ciws"]
+
+    rows = query_measurement(
+        spark, t, "SHOW DATABASES", database="prod_metering"
+    ).collect()
+    assert [r["name"] for r in rows] == ["prod_metering"]
+
+    rp = query_measurement(spark, t, "SHOW RETENTION POLICIES").collect()
+    assert len(rp) == 1 and rp[0]["name"] == "autogen"
+    assert rp[0]["duration"] == "0s" and rp[0]["default"] is True
+
+    rp = query_measurement(
+        spark, t, 'SHOW RETENTION POLICIES ON "ciws"'
+    ).collect()
+    assert rp[0]["name"] == "autogen"
+
+    with pytest.raises(InfluxQLError, match="unknown database"):
+        query_measurement(spark, t, "SHOW RETENTION POLICIES ON nope")
