@@ -94,11 +94,22 @@ def route_residential(
     """
     points = points.cache()
     try:
+        # ONE aggregation job yields both route counts (the earlier
+        # per-target count() pair paid two scheduler round-trips per
+        # ingest pass — measurable at the cron pass's job-count floor)
+        by_route = {
+            bool(r["is_qc"]): r["n"]
+            for r in points.groupBy("is_qc").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
         counts = {}
         for target, flag in (("raw_data", False), ("qc_data", True)):
-            sub = points.where(F.col("is_qc") == flag).drop("is_qc", "src_file")
-            counts[target] = sub.count()
+            counts[target] = int(by_route.get(flag, 0))
             if counts[target]:  # empty write would leave a schemaless dir
+                sub = points.where(F.col("is_qc") == flag).drop(
+                    "is_qc", "src_file"
+                )
                 append_points(sub, table_dir, target, batch_id=batch_id)
         append_quarantine_manifest(manifest, table_dir, batch_id=batch_id)
         if batch_id is not None:
