@@ -1145,3 +1145,30 @@ def test_show_databases_and_retention_policies(spark):
 
     with pytest.raises(InfluxQLError, match="unknown database"):
         query_measurement(spark, t, "SHOW RETENTION POLICIES ON nope")
+
+
+def test_calendar_month_into_writeback(spark, tmp_path):
+    """Composition: the calendar-month extension through the
+    SELECT ... INTO write-back path — the 'monthly rollup continuous
+    query' a dashboard schedules. The bucket lands as the target's
+    time column at month starts."""
+    from ciws_server_spark.plans.influxql import execute_into
+
+    rows = [
+        (dt.datetime(2023, 12, 31, 23, 0), 2.0),
+        (dt.datetime(2024, 1, 10), 4.0),
+        (dt.datetime(2024, 1, 20), 6.0),
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    got = execute_into(
+        spark,
+        {"m": m},
+        "SELECT mean(v), count(v) INTO monthly_rollup FROM m "
+        "GROUP BY time(1mo)",
+        str(tmp_path),
+    ).collect()
+    by_month = {str(r["time"]): (r["mean_v"], r["count_v"]) for r in got}
+    assert by_month == {
+        "2023-12-01 00:00:00": (2.0, 1),
+        "2024-01-01 00:00:00": (5.0, 2),
+    }
