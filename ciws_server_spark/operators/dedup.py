@@ -602,13 +602,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tally.select("doc_id", fingerprint.alias("simhash"))
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float | None = None
+) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ 0.9 — ORACLE BASELINE.
 
     O(n²) cross join: correctness ground truth only. The registered
     scale path is ``dedup_embedding_lsh`` below (banded multi-table
     hyperplane LSH candidates, exact cosine verification).
     """
+    if threshold is None:
+        threshold = _COSINE_DUP_THRESHOLD
     emb = table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
@@ -621,7 +625,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn(
             "cos", F.round(pair_cosine(F.col("ea"), F.col("eb")), 6)
         )
-        .where(F.col("cos") >= _COSINE_DUP_THRESHOLD)
+        .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
 
@@ -660,6 +664,20 @@ def embedding_lsh_pairs(
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def dedup_embedding_cosine_verify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The brute-force baseline at the VERIFY threshold (0.3) — the
+    non-vacuous registered form: the production 0.9 threshold has no
+    pairs in the synthetic fixture (max observed cosine ≈ 0.51 at
+    sf0.01), so registering the 0.9 form would value-verify an empty
+    set. At 0.3 this is the exact ground truth the LSH verify twin
+    (``dedup_embedding_lsh_verify``) approximates — together the two
+    registered rows give the driver a brute-vs-LSH recall cross-check
+    on real pairs every round."""
+    return dedup_embedding_cosine(spark, sf_dir, _COSINE_VERIFY_THRESHOLD)
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +725,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_cosine_verify": dedup_embedding_cosine_verify,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_lsh_verify": dedup_embedding_lsh_verify,
 }
@@ -730,6 +749,10 @@ EXTRA = {
     "dedup_ngram_prefix",
     "dedup_embedding_lsh",
     "dedup_simhash",
+    # vacuous at the driver fixture (0 rows at the 0.9 production
+    # threshold): the registered form is dedup_embedding_cosine_verify
+    # (same plan, verify threshold, real rows)
+    "dedup_embedding_cosine",
 }
 
 # --- DuckDB oracle SQL ------------------------------------------------
@@ -890,6 +913,20 @@ ORACLES = {
                     (SQRT(list_dot_product(a.e, a.e)) *
                      SQRT(list_dot_product(b.e, b.e))), 6)
               >= {_COSINE_DUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+    "dedup_embedding_cosine_verify": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.e, b.e) /
+                     (SQRT(list_dot_product(a.e, a.e)) *
+                      SQRT(list_dot_product(b.e, b.e))), 6) AS cos
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+          ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.e, b.e) /
+                    (SQRT(list_dot_product(a.e, a.e)) *
+                     SQRT(list_dot_product(b.e, b.e))), 6)
+              >= {_COSINE_VERIFY_THRESHOLD}
         ORDER BY vec_a, vec_b
     """,
 }

@@ -302,13 +302,17 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float | None = None
+) -> DataFrame:
     """ANN candidate pairs: same bucket, verified cosine ≥ threshold.
 
     Single-table 8-plane form — kept as the simple baseline; the
     honest scale path is ``sim_lsh_multitable_pairs`` (4-table AND/OR
     with size-adaptive planes: bounded buckets ⇒ Σ bucket² stays
     near-linear, with recall recovered across tables)."""
+    if threshold is None:
+        threshold = _LSH_COSINE_THRESHOLD
     emb = table(spark, sf_dir, "embeddings").repartition("vec_id").withColumn(
         "bucket", _single_bucket_udf(F.col("embedding"))
     )
@@ -325,9 +329,18 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cos", F.round(pair_cosine(F.col("ea"), F.col("eb")), 6))
-        .where(F.col("cos") >= _LSH_COSINE_THRESHOLD)
+        .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.col("ba").alias("bucket"), "cos")
     )
+
+
+def sim_lsh_pairs_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table LSH pairs at the 0.3 verify threshold — the
+    non-vacuous registered form: the 0.5 production threshold has no
+    qualifying pairs in the synthetic fixture at gate scale, so
+    registering it would value-verify an empty set. Same plan,
+    real rows."""
+    return sim_lsh_pairs(spark, sf_dir, _MT_COSINE_THRESHOLD)
 
 
 _MT_COSINE_THRESHOLD = 0.3
@@ -804,6 +817,7 @@ QUERIES = {
     "sim_ivf_trained_topk": sim_ivf_trained_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
+    "sim_lsh_pairs_verify": sim_lsh_pairs_verify,
     "sim_lsh_multitable_buckets": sim_lsh_multitable_buckets,
     "sim_lsh_multitable_pairs": sim_lsh_multitable_pairs,
 }
@@ -823,6 +837,10 @@ EXTRA = {
     # rotated out in r7 (driver-green r1-r6):
     "sim_brute_topk",
     "sim_lsh_buckets",
+    # vacuous at the driver fixture (0 rows at the 0.5 production
+    # threshold): the registered form is sim_lsh_pairs_verify (same
+    # plan, 0.3 verify threshold, real rows)
+    "sim_lsh_pairs",
 }
 
 
@@ -1040,6 +1058,16 @@ ORACLES = {
         FROM assigned a JOIN assigned b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ROUND({_cosine_sql('a.e', 'b.e')}, 6) >= {_LSH_COSINE_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+    "sim_lsh_pairs_verify": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        assigned AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM e)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+               ROUND({_cosine_sql('a.e', 'b.e')}, 6) AS cos
+        FROM assigned a JOIN assigned b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND({_cosine_sql('a.e', 'b.e')}, 6) >= {_MT_COSINE_THRESHOLD}
         ORDER BY vec_a, vec_b
     """,
     "sim_ivf_kmeans": _kmeans_oracle_sql(),
