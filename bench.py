@@ -102,11 +102,22 @@ def _record_canary(measured: float) -> list[float]:
     reading dragged the floor under the box's ordinary idle band
     (0.19-0.22s) and every honest run after it flagged as loaded. The
     floor is instead the 25th percentile of recent history — robust to
-    lucky outliers below AND to loaded readings above."""
-    hist = (_canary_history() + [measured])[-_CANARY_HISTORY_MAX:]
+    lucky outliers below AND to loaded readings above.
+
+    Readings that the CURRENT floor already flags as loaded are kept
+    out of the history: appending them would ratchet the percentile
+    floor upward during a run of loaded sweeps, and the guard would
+    stop flagging sustained load (the inverse failure mode of the
+    min-ratchet). The returned history still includes the reading so
+    the caller's floor for THIS run reflects it being measured."""
+    prior = _canary_history()
+    hist = (prior + [measured])[-_CANARY_HISTORY_MAX:]
+    persist = hist
+    if prior and measured > _floor_of(prior) * _CANARY_THRESHOLD:
+        persist = prior  # loaded reading: report it, don't let it move the floor
     try:
         with open(_CANARY_FLOOR_FILE, "w") as f:
-            json.dump({"history": hist, "rows": _CANARY_ROWS}, f)
+            json.dump({"history": persist, "rows": _CANARY_ROWS}, f)
     except OSError:
         pass  # read-only checkout: guard degrades to session-local
     return hist

@@ -275,9 +275,15 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     # dedup family, and no per-band string concat). The oracle SQL
     # keeps md5(string_agg(...)) for ITS candidate generation — both
     # keys are injective views of the same signature segment, so the
-    # candidate SETS are identical; a (≈2^-64) xxhash64 collision
-    # could only add a spurious candidate, which the exact-Jaccard
-    # verify stage then rejects — never a wrong final row.
+    # candidate SETS are identical up to hash collisions. A (≈2^-64
+    # per pair) xxhash64 collision adds a spurious candidate; if that
+    # pair's TRUE Jaccard is below threshold the exact verify stage
+    # rejects it, but a colliding pair that is genuinely similar PASSES
+    # verify and is emitted here while the md5-banded oracle never saw
+    # it — an astronomically rare cross-engine SUPERSET of extra
+    # true-positive rows, not a wrong similarity value. If a
+    # hash_match failure ever appears at scale, check for this case
+    # before suspecting the verify math.
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -165,19 +165,34 @@ def _single_bucket_udf(emb: pd.Series) -> pd.Series:
 
 #: corpus row count per sf_dir — the adaptive plane count needs |corpus|
 #: and every index build (buckets/pairs/dedup-LSH × Spark run + oracle
-#: regen) was paying a separate count job for the same table.
-_CORPUS_ROWS_CACHE: dict[str, int] = {}
+#: regen) was paying a separate count job for the same table. Keyed by
+#: (path, size, mtime) so a fixture regenerated at the SAME path within
+#: one process (tests, notebooks, tools rewriting tmp dirs) invalidates
+#: naturally instead of sizing the plane count from a stale total.
+_CORPUS_ROWS_CACHE: dict[tuple, int] = {}
+
+
+def clear_corpus_cache() -> None:
+    """Drop all cached corpus row counts (for fixture-regenerating
+    tools whose rewrite may not change size/mtime granularity)."""
+    _CORPUS_ROWS_CACHE.clear()
 
 
 def corpus_n_planes(spark: SparkSession, sf_dir: str) -> int:
     """Adaptive multitable plane count for an sf_dir's embeddings
-    corpus, with the row count cached per sf_dir. Local single-file
-    parquet resolves from footer metadata (no job at all); anything
-    else pays one count job, once."""
-    if sf_dir not in _CORPUS_ROWS_CACHE:
-        import os
+    corpus, with the row count cached per (path, stat signature).
+    Local single-file parquet resolves from footer metadata (no job at
+    all); anything else pays one count job, once per distinct file
+    version."""
+    import os
 
-        path = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = (path, None, None)
+    if key not in _CORPUS_ROWS_CACHE:
         n = None
         if os.path.isfile(path):
             try:
@@ -188,8 +203,8 @@ def corpus_n_planes(spark: SparkSession, sf_dir: str) -> int:
                 n = None
         if n is None:
             n = table(spark, sf_dir, "embeddings").count()
-        _CORPUS_ROWS_CACHE[sf_dir] = int(n)
-    return _mt_n_planes(_CORPUS_ROWS_CACHE[sf_dir])
+        _CORPUS_ROWS_CACHE[key] = int(n)
+    return _mt_n_planes(_CORPUS_ROWS_CACHE[key])
 
 
 def _multitable_assignments(

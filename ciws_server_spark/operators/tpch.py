@@ -49,6 +49,36 @@ _REVENUE_SQL = (
 )
 
 
+#: Overflow-safety bound for q1's long fast path. Stage-1 partials sum
+#: charge_e6 (≤ ~1.1e11/row) per (group, input partition); int64 wraps
+#: past ~8e7 max-value rows in ONE partition. A 128 MB parquet split of
+#: this table is ~2e6 rows (×40 headroom); 2 GiB splits still leave
+#: ×2.5. Beyond that — someone raised spark.sql.files.maxPartitionBytes
+#: for a fat-scan workload — the non-ANSI long sum would wrap SILENTLY,
+#: so q1 falls back to the exact DECIMAL form instead of guessing.
+_Q1_LONG_SAFE_PARTITION_BYTES = 2 << 30
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark size conf ('134217728', '128m', '1g') to bytes."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: big scan → groupBy(2 low-card keys) → 8 aggs.
 
@@ -74,7 +104,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = ep(2dp)·(1-d)(2dp) is exactly 4dp; charge = disc·(1+tax)(2dp)
     exactly 6dp — so e4/e6 fixed-point is exact, and ``unscale`` emits
     the same nearest-double the DECIMAL reference produces.
+
+    Runtime guard: the per-partition row bound above assumes parquet
+    splits sized by spark.sql.files.maxPartitionBytes. If the session
+    raised it past ``_Q1_LONG_SAFE_PARTITION_BYTES`` the long partials
+    could wrap silently (non-ANSI mode), so this falls back to the
+    bit-identical DECIMAL form — correct at any split size, just
+    slower. (A cached/coalesced upstream could also fatten partitions,
+    but this operator scans parquet directly, so the conf governs.)
     """
+    if (
+        _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+        > _Q1_LONG_SAFE_PARTITION_BYTES
+    ):
+        return q1_pricing_summary_decimal(spark, sf_dir)
     l = table(spark, sf_dir, "lineitem")
     qty = fixed_point("l_quantity", 0)
     ep_c = fixed_point("l_extendedprice", 2)

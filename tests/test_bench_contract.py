@@ -66,3 +66,32 @@ def test_bench_ingest_section(spark, tmp_path):
     for mode in ("batch", "stream"):
         quar = os.path.join(str(tmp_path), mode, "quar")
         assert len(os.listdir(quar)) == 1
+
+
+def test_canary_history_rejects_loaded_readings(tmp_path, monkeypatch):
+    """ADVICE r8: appending loaded readings to the rolling history
+    ratchets the 25th-pct floor upward during sustained load, silently
+    weakening the guard. Loaded readings must be REPORTED (this run's
+    floor computation sees them) but not PERSISTED (the stored floor
+    stays put)."""
+    import bench
+
+    f = tmp_path / "canary_floor.json"
+    monkeypatch.setattr(bench, "_CANARY_FLOOR_FILE", str(f))
+
+    # seed an idle history around 0.2s
+    for v in [0.20, 0.19, 0.21, 0.20, 0.22]:
+        bench._record_canary(v)
+    floor0 = bench._floor_of(bench._canary_history())
+
+    # sustained load: many readings far above floor*threshold
+    for _ in range(20):
+        bench._record_canary(floor0 * bench._CANARY_THRESHOLD * 3)
+    floor1 = bench._floor_of(bench._canary_history())
+    assert floor1 == floor0, "loaded readings moved the persisted floor"
+    # and the guard still flags the next loaded reading
+    assert floor0 * bench._CANARY_THRESHOLD * 3 > floor1 * bench._CANARY_THRESHOLD
+
+    # plausible-idle readings (under threshold) still roll the window
+    bench._record_canary(0.23)
+    assert 0.23 in bench._canary_history()

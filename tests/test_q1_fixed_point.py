@@ -95,3 +95,62 @@ def test_window_running_revenue_fast_matches_decimal(spark):
         tuple(r) for r in window_running_revenue_decimal(spark, sf).collect()
     )
     assert fast == ref
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_plan_shape_guard(spark, sf_smoke):
+    """Pin q1's accepted plan shape (round-8 adjudication: the residual
+    2.0-2.2× vs DuckDB at sf10 is the parquet-scan floor, BENCH_NOTES
+    §6 — no further rewrites). This guard makes that durable: a future
+    edit must not silently regress to the 5.79× DECIMAL path or grow an
+    extra exchange.
+
+    Expected physical shape (verified round 9):
+      scan → partial/final HashAggregate on (rf, ls, partition_id)
+      [long sums inside codegen] → Exchange(3 keys) → HashAggregate on
+      (rf, ls) [decimal(38,0) exact sums of partials] → Exchange(2
+      keys) → rangepartitioning Exchange for the final sort. Three
+      exchanges total, each carrying ≤ |groups|×|partitions| rows
+      until the last.
+    """
+    plan = _formatted_plan(spark, q1_pricing_summary(spark, sf_smoke))
+    # long fast path, not DECIMAL money arithmetic in the hot loop
+    assert "decimal(30,6)" not in plan, "q1 regressed to the DECIMAL path"
+    assert "as bigint)" in plan, "stage-1 partials are not long sums"
+    # stage-2 exact merge of partials
+    assert "decimal(38,0)" in plan, "stage-2 exact DECIMAL merge missing"
+    # two-stage agg: stage-1 keys include spark_partition_id (rendered
+    # as _nondeterministic in the physical plan)
+    assert "_nondeterministic" in plan, "partition-id stage-1 key missing"
+    # exactly 3 exchanges: stage-1 hash, stage-2 hash, final sort range
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 3, f"expected 3 exchanges, got {n_exchanges}"
+    assert "rangepartitioning" in plan
+
+
+def test_q1_overflow_guard_falls_back_to_decimal(spark, sf_smoke):
+    """ADVICE r8: q1's long partials wrap silently if an input
+    partition is far larger than the assumed parquet split. The guard
+    must route to the exact DECIMAL form when
+    spark.sql.files.maxPartitionBytes exceeds the safe bound — and the
+    two forms stay bit-identical on in-contract data either way."""
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(4 << 30))  # 4 GiB > 2 GiB bound
+        guarded = q1_pricing_summary(spark, sf_smoke)
+        plan = _formatted_plan(spark, guarded)
+        assert "decimal(30,6)" in plan, "guard did not take DECIMAL path"
+        assert "_nondeterministic" not in plan
+        rows_guarded = [tuple(r) for r in guarded.collect()]
+    finally:
+        spark.conf.set(key, old)
+    fast = [tuple(r) for r in q1_pricing_summary(spark, sf_smoke).collect()]
+    assert rows_guarded == fast
