@@ -745,20 +745,18 @@ QUERIES = {
 #: driver-verified) rotates in; exact/normalized/prefix dedup
 #: (driver-green r1-r6) yield slots.
 EXTRA = {
-    # r8 rotation: the two O(n²) oracle baselines (stale since r2)
-    # rotate IN — at the driver's sf0.01 they are cheap, and they are
-    # the semantic ground truth of the LSH paths; dedup_embedding_lsh
-    # (vacuous 0 rows at sf0.01 — its non-vacuous _verify twin stays
-    # registered) and dedup_simhash (green r2-r7) yield slots.
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_ngram_prefix",
-    "dedup_embedding_lsh",
-    "dedup_simhash",
-    # vacuous at the driver fixture (0 rows at the 0.9 production
-    # threshold): the registered form is dedup_embedding_cosine_verify
-    # (same plan, verify threshold, real rows)
+    # r9 rotation (see tpch.EXTRA for the policy): the r8-green rows
+    # rotate OUT; dedup_exact/normalized/ngram_prefix/simhash (stale
+    # since r6/r7) rotate IN.
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine_verify",
+    "dedup_embedding_lsh_verify",
+    # vacuous at the driver fixture (0 rows at the 0.9/production
+    # thresholds): the *_verify twins above are the non-vacuous forms
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
 }
 
 # --- DuckDB oracle SQL ------------------------------------------------

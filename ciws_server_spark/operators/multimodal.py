@@ -370,7 +370,10 @@ QUERIES = {
 #: manifest + modality rollup (driver-green r1-r6) yield slots.
 # r8 rotation: mm_frame_sample (stale since r2) rotates IN;
 # mm_byte_stats and mm_resize (driver-green r2-r7) yield slots.
-EXTRA = {"mm_byte_stats", "mm_resize", "mm_manifest", "mm_modality_rollup"}
+# r9 rotation (see tpch.EXTRA for the policy): the r8-green pair
+# rotates OUT; byte_stats / resize / manifest / modality_rollup
+# (stale since r6/r7) rotate IN.
+EXTRA = {"mm_frame_sample", "mm_image_features_stub"}
 
 _MODALITY_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"

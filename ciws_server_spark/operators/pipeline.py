@@ -200,6 +200,8 @@ ORACLES = {
 # history in this module) yields its slot to the stale-extras cohort;
 # train_split and source_quota keep the module's curation machinery
 # under driver-grade checks.
-EXTRA: set[str] = {"pipeline_curated_corpus"}
+# r9 rotation (see tpch.EXTRA for the policy): the r8-green pair
+# rotates OUT; pipeline_curated_corpus (stale since r7) rotates IN.
+EXTRA: set[str] = {"pipeline_source_quota", "pipeline_train_split"}
 
 HEADLINE = {"pipeline_curated_corpus"}

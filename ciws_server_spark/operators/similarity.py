@@ -842,19 +842,17 @@ QUERIES = {
 #: (buckets→pairs, cells→topk) so the machinery is still driver-
 #: verified through its consumer.
 EXTRA = {
-    # r8 rotation: the four extras stale since r2/r3 (sim_lsh_pairs,
-    # multitable_buckets, ivf_cells, ivf_topk) rotate IN;
-    # sim_lsh_multitable_pairs (green r2-r7) and sim_ivf_trained_topk
-    # (green r4-r7) yield slots — multitable_buckets covers the
-    # adaptive-plane + cached-count path they share.
-    "sim_lsh_multitable_pairs",
-    "sim_ivf_trained_topk",
-    # rotated out in r7 (driver-green r1-r6):
-    "sim_brute_topk",
-    "sim_lsh_buckets",
+    # r9 rotation (see tpch.EXTRA for the policy): r8-green rows
+    # rotate OUT; brute_topk / lsh_buckets / multitable_pairs /
+    # ivf_trained_topk (stale since r6/r7) rotate IN.
+    "sim_ivf_cells",
+    "sim_ivf_kmeans",
+    "sim_ivf_topk",
+    "sim_lsh_multitable_buckets",
+    "sim_lsh_pairs_verify",
     # vacuous at the driver fixture (0 rows at the 0.5 production
-    # threshold): the registered form is sim_lsh_pairs_verify (same
-    # plan, 0.3 verify threshold, real rows)
+    # threshold): sim_lsh_pairs_verify (0.3 threshold) is the
+    # non-vacuous form
     "sim_lsh_pairs",
 }
 

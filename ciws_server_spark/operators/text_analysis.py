@@ -482,16 +482,14 @@ QUERIES = {
 #: driver-verified) rotate in; quality/lang-id/tokenizer/rolling
 #: fingerprint (driver-green r1-r6) yield slots.
 EXTRA = {
-    # r8 rotation: text_token_count and text_fingerprint (stale since
-    # r2) rotate IN; the module's registered count grows by two, paid
-    # for by slots yielded in tpch/similarity.
-    "text_quality_score",
-    "text_lang_id",
-    "text_tokenize_bpeish",
-    "text_rolling_fingerprint",
-    # driver-green r1,r3-r6; slot yielded so influxql_week_bucket
-    # (new in r7) registers within the 50 budget
-    "text_decontaminate",
+    # r9 rotation (see tpch.EXTRA for the policy): the r8-green rows
+    # rotate OUT; quality_score / lang_id / tokenize_bpeish /
+    # rolling_fingerprint / decontaminate (stale since r6) rotate IN.
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_repetition",
+    "text_source_rollup",
 }
 
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"

@@ -864,6 +864,34 @@ def influxql_month_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def influxql_quarter_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly rollup — ``GROUP BY time(3mo), event_type``.
+
+    Round-9 extension of the calendar-bucket axis: ``time(Nmo)`` tiles
+    the epoch-anchored month axis in N-month groups, so ``time(3mo)``
+    is calendar quarters (Jan/Apr/Jul/Oct) — exactly DuckDB's
+    ``date_trunc('quarter', ...)``, which the oracle uses. Month-
+    aligned offsets (fiscal quarters/years, ``time(3mo, 1mo)``) are
+    part of the same axis and pinned by tests/test_influxql.py; the
+    registered form stays offset-free because date_trunc is the only
+    offset-free quarter spelling DuckDB shares. Fixture spans one
+    month, so cross-quarter tiling is pinned by the unit tests too."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT count(value), mean(value) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(3mo), event_type"
+    )
+    return translate(ev, q, time_col="ts").select(
+        "time_bucket",
+        "event_type",
+        "count_value",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
 _RANGE_SEC = 1800  # ±30 min
 
 
@@ -974,6 +1002,7 @@ QUERIES = {
     "influxql_soffset": influxql_soffset,
     "influxql_week_bucket": influxql_week_bucket,
     "influxql_month_bucket": influxql_month_bucket,
+    "influxql_quarter_bucket": influxql_quarter_bucket,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
     "influxql_difference": influxql_difference,
@@ -1009,34 +1038,38 @@ QUERIES = {
 #: stale-users, retention, as-of backward) yield their slots and stay
 #: oracle-checked here by tests/test_extra_oracle.py.
 EXTRA = {
-    # r8 rotation: ts_tag_time_range, influxql_group_by_time and
-    # influxql_group_by_time_fill (stale since r2/r4) rotate back IN;
-    # ts_derived_rate (driver-green r2-r7, the deepest history in
-    # this module) yields its slot — its pulse-pair machinery still
-    # runs inside the registered streaming equivalence tests.
+    # r9 rotation (see tpch.EXTRA for the policy): everything r8-green
+    # rotates OUT to extras — the r5/r6 stale records rotate IN, plus
+    # influxql_quarter_bucket (new this round, needs driver-grade
+    # evidence). ts_derived_rate (r7-green) stays out one more round:
+    # its pulse-pair machinery runs inside the registered streaming
+    # equivalence tests.
     "ts_derived_rate",
-    # rotated out in r6 (driver-green multiple rounds; their bucket /
-    # window / json machinery also runs inside still-registered
-    # queries):
-    "ts_json_extract",
-    "ts_time_bucket_agg",
-    "ts_tumbling_window",
-    "ts_gap_fill",
-    # rotated out in r7 to register the three queries NEW this round
-    # (offset/soffset pagination, week buckets) — derivative and
-    # moving_average are driver-green r5-r6 and their window/bucket
-    # machinery still runs inside the registered difference /
-    # cumulative_sum / EMA queries:
-    "influxql_derivative",
-    "influxql_moving_average",
-    # rotated out in r7 (driver-green r1-r6):
-    "influxql_select_range",
-    "ts_range_join_buckets",
-    "ts_sessionize",
-    "ts_latest_event_per_user",
-    "ts_stale_users",
-    "ts_retention_plan",
-    "ts_asof_join",
+    # rotated out in r9 (driver-green r8):
+    "ts_tag_time_range",
+    "ts_sliding_window",
+    "ts_funnel",
+    "ts_asof_join_forward",
+    "ts_asof_join_nearest",
+    "influxql_group_by_time",
+    "influxql_group_by_time_fill",
+    "influxql_regex_predicate",
+    "influxql_fill_linear",
+    "influxql_percentile",
+    "influxql_ema",
+    "influxql_order_limit",
+    "influxql_offset",
+    "influxql_soffset",
+    "influxql_slimit",
+    "influxql_week_bucket",
+    "influxql_month_bucket",
+    "influxql_difference",
+    "influxql_cumulative_sum",
+    "influxql_elapsed",
+    "influxql_stats_aggs",
+    "influxql_integral",
+    "influxql_subquery",
+    "influxql_top",
 }
 
 _DSUM_VALUE = (
@@ -1107,6 +1140,17 @@ ORACLES = {
     """,
     "influxql_month_bucket": f"""
         SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS time_bucket,
+               event_type,
+               CAST(COUNT(value) AS BIGINT) AS count_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(COUNT(value) AS DOUBLE), 6) AS mean_value
+        FROM events
+        WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+        GROUP BY 1, 2
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_quarter_bucket": f"""
+        SELECT CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS time_bucket,
                event_type,
                CAST(COUNT(value) AS BIGINT) AS count_value,
                ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)

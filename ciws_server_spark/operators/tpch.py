@@ -847,38 +847,26 @@ QUERIES = {
 #: tests/test_extra_oracle.py with the identical
 #: row/schema/value-hash comparison.
 EXTRA = {
-    # r8 rotation: every extra last driver-verified in r4 or earlier
-    # rotates IN (rollup_pricing among them); q1_pricing_summary also
-    # re-registers because r8 rewrote its aggregation (long
-    # fixed-point) and changed code should carry driver-grade
-    # evidence. Slots come from the deepest-history r7 greens below.
-    # rotated out in r6 (driver-green r1-r5):
-    "crypto_hashes",
-    "scalar_string_functions",
-    "date_functions_orders",
-    "pivot_order_priority",
-    "percentile_prices",
-    "distinct_agg_customers",
-    "setop_nations_with_both",
-    "cube_order_stats",
-    # rotated out in r7 (driver-green r1-r6; the anti-join variant
-    # without the date restriction is vacuous on this fixture — its
-    # non-vacuous replacement join_anti_customers_no_recent_orders
-    # is registered instead):
-    "grouping_sets_orders",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "topk_orders_per_segment",
-    "join_anti_customers_without_orders",
-    # rotated out in r8 (driver-green through r7; machinery still
-    # exercised by registered joins/windows/subqueries elsewhere):
-    "join_semi_customers_with_orders",
-    "join_outer_supplier_coverage",
-    "setop_nations_without_suppliers",
+    # r9 rotation: the driver budget (≤50) registers the 50 STALEST
+    # driver-grade records each round, so the whole 106-query catalog
+    # re-earns driver-green every ~2 rounds. This round that means
+    # everything green in CORRECTNESS_r08 rotates OUT (still
+    # oracle-checked locally every test run by
+    # tests/test_extra_oracle.py — the identical comparison) and the
+    # r5/r6/r7-green extras rotate IN.
+    # rotated out in r9 (driver-green r8):
+    "q1_pricing_summary",
+    "rollup_pricing",
+    "conditional_agg_order_mix",
+    "union_all_keys",
+    "salted_high_cardinality_agg",
+    "window_rank_customers",
+    "join_anti_customers_no_recent_orders",
+    # driver-green r7; slots yielded to ts_derived_rate-class rotations
     "window_running_revenue",
-    "subquery_above_avg_balance",
-    "subquery_exists_late_ship",
-    "subquery_scalar_brand_premium",
+    # vacuous on this fixture (0 rows — the date-restricted
+    # join_anti_customers_no_recent_orders is the non-vacuous form):
+    "join_anti_customers_without_orders",
 }
 
 _DEC1 = "CAST(1 AS DECIMAL(30,6))"

@@ -104,19 +104,29 @@ with no reference usage; ``exponential_moving_average`` (the common
 one) IS supported above.
 
 EXTENSION (beyond InfluxQL 1.x, explicitly flagged): ``GROUP BY
-time(1mo)`` / ``time(1y)`` — calendar month/year buckets via
-``date_trunc``. InfluxQL 1.x itself has no calendar units (its ``w``
-is a fixed 604800 s epoch-aligned span), but monthly rollups are the
-single most common dashboard ask, so the front-end accepts exactly
-``1mo``/``1y`` (multiples and offsets raise — calendar spans do not
-tile on a fixed grid) and documents the divergence here. With
-``tz()``, truncation happens in local wall-clock time like the
-fixed-span units.
+time(Nmo)`` / ``time(Ny)`` — calendar month/year buckets. InfluxQL
+1.x itself has no calendar units (its ``w`` is a fixed 604800 s
+epoch-aligned span), but monthly/quarterly rollups are the single
+most common dashboard ask, so the front-end accepts calendar buckets
+and documents the divergence here. Semantics: the month axis is
+anchored at the epoch (1970-01), and ``time(Nmo)`` tiles it in
+N-month groups — so ``time(3mo)`` is calendar quarters
+(Jan/Apr/Jul/Oct) and ``time(1y)`` ≡ ``time(12mo)`` is calendar
+years. A month-aligned offset shifts the grid: ``time(3mo, 1mo)``
+= Feb/May/Aug/Nov fiscal quarters, ``time(1y, 6mo)`` = July-June
+fiscal years. Offsets on calendar buckets must themselves be
+month-aligned (``mo``/``y``) — a sub-month offset has no calendar
+meaning and raises. ``time(1mo)``/``time(1y)`` with no offset lower
+to plain ``date_trunc``. With ``tz()``, truncation happens in local
+wall-clock time like the fixed-span units. ``derivative`` defaults
+remain undefined over calendar buckets (irregular span — pass an
+explicit unit).
 """
 
 from __future__ import annotations
 
 import re
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -178,20 +188,56 @@ _COND_RE = re.compile(
 )
 _TIME_BUCKET_RE = re.compile(
     r"^time\s*\(\s*(\d+)\s*(mo|y|[smhdw])\s*"
-    r"(?:,\s*(\d+)\s*([smhdw])\s*)?\)$",
+    r"(?:,\s*(\d+)\s*(mo|y|[smhdw])\s*)?\)$",
     re.I,
 )
 
 # 1w = 604800s, epoch-aligned: InfluxQL weeks are fixed 7-day spans
 # whose boundaries fall on the epoch grid (1970-01-01, a Thursday) —
-# the same floor the other units use; month/year stay out of surface
-# (irregular calendar arithmetic).
+# the same floor the other units use; month/year buckets use the
+# calendar month axis below instead (irregular spans).
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+class _CalendarBucket(NamedTuple):
+    """A calendar bucket: N months wide, grid shifted by ``offset``
+    months, both on the epoch-anchored month axis (1970-01 = month 0).
+    ``time(1y)`` is months=12; ``time(3mo, 1mo)`` is (3, 1). Fixed
+    (seconds-denominated) buckets stay plain ints — every consumer
+    branches on isinstance."""
+
+    months: int
+    offset: int = 0
+
+
+def _calendar_floor(c, months: int, offset: int):
+    """Floor a timestamp column to its calendar-bucket start.
+
+    months-since-epoch arithmetic: ms = 12·(year−1970) + (month−1);
+    bucket = floor((ms − offset) / months)·months + offset; back to a
+    timestamp via make_date on the (year, month) split. floor-division
+    (not %) so pre-1970 instants and offset > months both land on the
+    correct grid cell. (1, 0) and (12, 0) take the cheaper date_trunc
+    path — identical results, simpler plan."""
+    if offset % months == 0:
+        if months == 1:
+            return F.date_trunc("month", c)
+        if months == 12:
+            return F.date_trunc("year", c)
+    ms = (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+    bm = (
+        F.floor((ms - F.lit(offset)) / F.lit(months)).cast("long")
+        * F.lit(months)
+        + F.lit(offset)
+    )
+    y = (F.lit(1970) + F.floor(bm / F.lit(12))).cast("int")
+    mth = (F.pmod(bm, F.lit(12)) + F.lit(1)).cast("int")
+    return F.to_timestamp(F.make_date(y, mth, F.lit(1)))
 
 
 def _bucket_expr(
     time_col: str,
-    bucket_secs: int | str,
+    bucket_secs: int | _CalendarBucket,
     bucket_offset: int = 0,
     tz: str | None = None,
 ):
@@ -205,11 +251,10 @@ def _bucket_expr(
     c = F.col(time_col)
     if tz:
         c = F.from_utc_timestamp(c, tz)
-    if isinstance(bucket_secs, str):
-        # calendar extension: bucket_secs is "month"/"year" (see module
-        # docstring) — irregular spans, so floor by date_trunc instead
-        # of epoch arithmetic
-        b = F.date_trunc(bucket_secs, c)
+    if isinstance(bucket_secs, _CalendarBucket):
+        # calendar extension (see module docstring) — irregular spans,
+        # so floor on the month axis instead of epoch arithmetic
+        b = _calendar_floor(c, bucket_secs.months, bucket_secs.offset)
     else:
         b = F.timestamp_seconds(
             ((F.unix_timestamp(c) - bucket_offset) / bucket_secs).cast("long")
@@ -444,7 +489,7 @@ def _agg_column(fn: str, col: str, time_col: str, pct: float | None = None):
 def _apply_fill(
     agg_df: DataFrame,
     mode: str,
-    bucket_secs: int | str | None,
+    bucket_secs: int | _CalendarBucket | None,
     tag_cols: list[str],
     time_bounds: dict,
     bucket_offset: int = 0,
@@ -468,13 +513,15 @@ def _apply_fill(
             "fill() requires a closed time range in WHERE (InfluxQL rule)"
         )
     lo, hi = time_bounds["lo"], time_bounds["hi"]
-    if isinstance(bucket_secs, str):
-        # calendar extension: month/year axis steps by calendar
-        # interval (sequence supports calendar-interval steps)
-        floor = lambda ts: F.date_trunc(  # noqa: E731
-            bucket_secs, F.lit(ts).cast("timestamp")
+    if isinstance(bucket_secs, _CalendarBucket):
+        # calendar extension: axis steps by N calendar months
+        # (sequence supports calendar-interval steps; stepping from a
+        # month start by whole months stays on month starts)
+        cal = bucket_secs
+        floor = lambda ts: _calendar_floor(  # noqa: E731
+            F.lit(ts).cast("timestamp"), cal.months, cal.offset
         )
-        step = F.expr(f"INTERVAL 1 {bucket_secs.upper()}")
+        step = F.expr(f"INTERVAL {cal.months} MONTH")
     else:
         floor = lambda ts: F.timestamp_seconds(  # noqa: E731
             (
@@ -565,7 +612,7 @@ def _apply_selector(
     *,
     time_col: str,
     tag_cols: list[str],
-    bucket_secs: int | str | None,
+    bucket_secs: int | _CalendarBucket | None,
     bucket_offset: int,
     fill_mode: str,
     order_desc: bool,
@@ -608,7 +655,7 @@ def _apply_transform(
     time_col: str,
     group_cols: list,
     tag_cols: list[str],
-    bucket_secs: int | str | None,
+    bucket_secs: int | _CalendarBucket | None,
     bucket_offset: int,
     fill_mode: str,
     time_bounds: dict,
@@ -668,7 +715,7 @@ def _apply_transform(
                     raise InfluxQLError(
                         f"{fn}({inner_fn}(...)) requires GROUP BY time(...)"
                     )
-                if isinstance(bucket_secs, str):
+                if isinstance(bucket_secs, _CalendarBucket):
                     raise InfluxQLError(
                         f"{fn} default unit is undefined for calendar "
                         f"buckets (irregular span); pass an explicit unit"
@@ -927,28 +974,37 @@ def translate(
             tb = _TIME_BUCKET_RE.match(g)
             if tb:
                 n, unit = int(tb.group(1)), tb.group(2).lower()
+                if n == 0:
+                    raise InfluxQLError("time() interval must be > 0")
                 if unit in ("mo", "y"):
-                    # calendar extension (module docstring): only the
-                    # unit span itself — calendar months/years do not
-                    # tile on a fixed grid, so multiples/offsets have
-                    # no epoch-aligned meaning
-                    if n != 1:
-                        raise InfluxQLError(
-                            f"calendar bucket supports only "
-                            f"time(1{unit}), got time({n}{unit})"
-                        )
+                    # calendar extension (module docstring): N-month
+                    # tiling of the epoch-anchored month axis; offsets
+                    # must be month-aligned
+                    months = n * (12 if unit == "y" else 1)
+                    off_months = 0
                     if tb.group(3):
-                        raise InfluxQLError(
-                            "calendar bucket takes no offset"
+                        ou = tb.group(4).lower()
+                        if ou not in ("mo", "y"):
+                            raise InfluxQLError(
+                                "calendar bucket offset must be "
+                                "month-aligned (mo/y); a sub-month "
+                                "offset has no calendar meaning"
+                            )
+                        off_months = int(tb.group(3)) * (
+                            12 if ou == "y" else 1
                         )
-                    bucket_secs = "month" if unit == "mo" else "year"
+                    bucket_secs = _CalendarBucket(months, off_months)
                 else:
                     bucket_secs = n * _UNIT_SECONDS[unit]
                     if tb.group(3):
+                        ou = tb.group(4).lower()
+                        if ou in ("mo", "y"):
+                            raise InfluxQLError(
+                                "fixed-span bucket cannot take a "
+                                "calendar (mo/y) offset"
+                            )
                         # time(n, offset): shift bucket boundaries
-                        bucket_offset = int(tb.group(3)) * _UNIT_SECONDS[
-                            tb.group(4).lower()
-                        ]
+                        bucket_offset = int(tb.group(3)) * _UNIT_SECONDS[ou]
                 bucket = _bucket_expr(
                     time_col, bucket_secs, bucket_offset, tz
                 )

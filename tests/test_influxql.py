@@ -1093,8 +1093,11 @@ def test_calendar_month_fill_axis(spark):
 
 
 def test_calendar_bucket_rejects_untileable_forms(spark):
-    """Multiples, offsets, and derivative default units are undefined
-    for calendar spans — all raise instead of mis-reading."""
+    """Forms with no calendar meaning raise instead of mis-reading:
+    sub-month offsets on calendar buckets, calendar offsets on
+    fixed-span buckets, and derivative default units over irregular
+    spans (r9 extended multiples/month-aligned offsets — those are
+    now legal, tested below)."""
     from ciws_server_spark.plans.influxql import (
         InfluxQLError,
         query_measurement,
@@ -1102,17 +1105,110 @@ def test_calendar_bucket_rejects_untileable_forms(spark):
 
     m = spark.createDataFrame([(dt.datetime(2024, 1, 1), 1.0)], ["time", "v"])
     t = {"m": m}
-    with pytest.raises(InfluxQLError, match="only"):
-        query_measurement(spark, t, "SELECT count(v) FROM m GROUP BY time(2mo)")
-    with pytest.raises(InfluxQLError, match="offset"):
+    with pytest.raises(InfluxQLError, match="month-aligned"):
         query_measurement(
             spark, t, "SELECT count(v) FROM m GROUP BY time(1mo, 1d)"
         )
     with pytest.raises(InfluxQLError, match="calendar"):
         query_measurement(
-            spark, t,
-            "SELECT derivative(mean(v)) FROM m GROUP BY time(1mo)",
+            spark, t, "SELECT count(v) FROM m GROUP BY time(1h, 1mo)"
         )
+    with pytest.raises(InfluxQLError, match="> 0"):
+        query_measurement(spark, t, "SELECT count(v) FROM m GROUP BY time(0mo)")
+    with pytest.raises(InfluxQLError, match="calendar"):
+        query_measurement(
+            spark, t,
+            "SELECT derivative(mean(v)) FROM m GROUP BY time(3mo)",
+        )
+
+
+def test_calendar_quarter_bucket_tiling(spark):
+    """r9 EXTENSION time(3mo): quarters tile the epoch-anchored month
+    axis (Jan/Apr/Jul/Oct — DuckDB date_trunc('quarter') semantics),
+    across year boundaries."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    rows = [
+        (dt.datetime(2023, 12, 31, 23, 0), 1.0),  # Q4-2023
+        (dt.datetime(2024, 1, 1, 0, 0), 2.0),     # Q1-2024
+        (dt.datetime(2024, 3, 31, 23, 59), 3.0),  # Q1-2024
+        (dt.datetime(2024, 4, 1, 0, 0), 4.0),     # Q2-2024
+        (dt.datetime(2024, 11, 5), 5.0),          # Q4-2024
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    got = query_measurement(
+        spark, {"m": m}, "SELECT count(v), mean(v) FROM m GROUP BY time(3mo)"
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r["count_v"] for r in got}
+    assert by_bucket == {
+        "2023-10-01 00:00:00": 1,
+        "2024-01-01 00:00:00": 2,
+        "2024-04-01 00:00:00": 1,
+        "2024-10-01 00:00:00": 1,
+    }
+
+
+def test_calendar_bucket_month_aligned_offsets(spark):
+    """Month-aligned offsets shift the calendar grid: time(3mo, 1mo)
+    = Feb/May/Aug/Nov fiscal quarters; time(1y, 6mo) = July-June
+    fiscal years. offset > span lands on the same grid mod span."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    rows = [
+        (dt.datetime(2024, 1, 31), 1.0),   # fiscal Q starting 2023-11
+        (dt.datetime(2024, 2, 1), 2.0),    # fiscal Q starting 2024-02
+        (dt.datetime(2024, 6, 30), 3.0),   # FY starting 2023-07
+        (dt.datetime(2024, 7, 1), 4.0),    # FY starting 2024-07
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    t = {"m": m}
+    got = query_measurement(
+        spark, t, "SELECT count(v) FROM m GROUP BY time(3mo, 1mo)"
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r["count_v"] for r in got}
+    assert by_bucket == {
+        "2023-11-01 00:00:00": 1,
+        "2024-02-01 00:00:00": 1,
+        "2024-05-01 00:00:00": 2,
+    }
+    got = query_measurement(
+        spark, t, "SELECT count(v) FROM m GROUP BY time(1y, 6mo)"
+    ).collect()
+    by_fy = {str(r["time_bucket"]): r["count_v"] for r in got}
+    assert by_fy == {
+        "2023-07-01 00:00:00": 3,
+        "2024-07-01 00:00:00": 1,
+    }
+    # offset 4mo on a 3mo span ≡ offset 1mo (floor-division grid)
+    got = query_measurement(
+        spark, t, "SELECT count(v) FROM m GROUP BY time(3mo, 4mo)"
+    ).collect()
+    assert {str(r["time_bucket"]): r["count_v"] for r in got} == by_bucket
+
+
+def test_calendar_quarter_fill_axis(spark):
+    """fill(0) with time(3mo): the dense axis steps by 3 calendar
+    months, so an empty quarter materializes on the quarter grid."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    rows = [
+        (dt.datetime(2024, 2, 15), 1.0),   # Q1
+        # Q2 absent entirely
+        (dt.datetime(2024, 8, 20), 3.0),   # Q3
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    got = query_measurement(
+        spark, {"m": m},
+        "SELECT count(v) FROM m "
+        "WHERE time >= '2024-01-01' AND time <= '2024-09-30' "
+        "GROUP BY time(3mo) fill(0)",
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r["count_v"] for r in got}
+    assert by_bucket == {
+        "2024-01-01 00:00:00": 1,
+        "2024-04-01 00:00:00": 0,
+        "2024-07-01 00:00:00": 1,
+    }
 
 
 def test_show_databases_and_retention_policies(spark):
