@@ -29,12 +29,98 @@ equivalent of this, not available in this container).
 
 from __future__ import annotations
 
+import fcntl
 import os
 import re
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class CompactorBusy(RuntimeError):
+    """Another compactor holds this table's compaction lock."""
+
+
+class ConcurrentAppendDetected(RuntimeError):
+    """The table's file set changed during the compaction rewrite —
+    the swap was aborted and the rewritten snapshot dropped. Retry
+    the compaction; no data was lost or made visible."""
+
+
+def _lock_file(root: str, kind: str) -> str:
+    # lock files live NEXT to the table root (never inside — they must
+    # survive snapshot swaps and stay out of _version_dirs globs)
+    return f"{root}.{kind}.lock"
+
+
+@contextmanager
+def _flock(path: str, exclusive: bool, blocking: bool = True):
+    """Advisory flock on a sidecar lock file.
+
+    flock (not O_EXCL sentinel files) because the kernel releases it
+    when the holder dies — there is no stale-lock state to detect or
+    TTL to tune, which is exactly the failure mode an O_EXCL pidfile
+    protocol has to hand-solve. Scope: coordinates writers on ONE
+    shared filesystem (the single-node layout this repo targets;
+    flock also propagates on NFSv4). A multi-host object-store
+    deployment needs a transaction log (Delta/Iceberg) instead —
+    see README's multi-writer contract."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        flags = fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH
+        if not blocking:
+            flags |= fcntl.LOCK_NB
+        try:
+            fcntl.flock(fd, flags)
+        except BlockingIOError:
+            raise CompactorBusy(
+                f"lock {path} is held by another process"
+            ) from None
+        if exclusive:
+            # debuggability only — liveness comes from flock itself
+            os.write(fd, f"pid={os.getpid()}\n".encode())
+        yield
+    finally:
+        os.close(fd)  # closing the fd releases the flock
+
+
+@contextmanager
+def table_write_lock(table_dir: str, table: str):
+    """Shared writer lock for one table — every cooperative mutator
+    (append, retention delete) holds this across its whole operation.
+    Writers never block each other; the compactor takes the same lock
+    EXCLUSIVELY only around its validate+swap instants, so appends
+    stall for microseconds, not for the rewrite."""
+    with _flock(
+        _lock_file(os.path.join(table_dir, table), "write"), exclusive=False
+    ):
+        yield
+
+
+def _visible_file_set(root: str) -> set[tuple[str, int]]:
+    """(relative path, size) of every Spark-visible data file under
+    the CURRENT snapshot. Mirrors Spark's listing rule: path
+    components starting with ``_`` or ``.`` (e.g. in-flight
+    ``_temporary`` commit dirs, ``_SUCCESS``) are invisible. Part
+    file names embed task UUIDs, so any committed append / overwrite
+    / delete between two captures makes the sets differ — equality
+    of two captures proves the visible set was unchanged in between."""
+    real = os.path.realpath(root)
+    out: set[tuple[str, int]] = set()
+    for dirpath, dirnames, files in os.walk(real):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            try:
+                out.add((os.path.relpath(p, real), os.path.getsize(p)))
+            except OSError:
+                out.add((os.path.relpath(p, real), -1))
+    return out
 
 #: Tag + date partitioning per table (SURVEY.md §1.6 mapping).
 PARTITIONING = {
@@ -67,16 +153,17 @@ def append_points(
     if "date" in parts:
         out = out.withColumn("date", F.to_date("time"))
     path = os.path.join(table_dir, table)
-    if batch_id is None:
-        out.write.mode("append").partitionBy(*parts).parquet(path)
-    else:
-        (
-            out.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*parts, "batch_id")
-            .parquet(path)
-        )
+    with table_write_lock(table_dir, table):
+        if batch_id is None:
+            out.write.mode("append").partitionBy(*parts).parquet(path)
+        else:
+            (
+                out.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*parts, "batch_id")
+                .parquet(path)
+            )
 
 
 def route_residential(
@@ -122,16 +209,17 @@ def route_residential(
 def _write_manifest(
     rows: DataFrame, path: str, batch_id: int | None
 ) -> None:
-    if batch_id is None:
-        rows.write.mode("append").parquet(path)
-    else:
-        (
-            rows.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(path)
-        )
+    with table_write_lock(os.path.dirname(path), os.path.basename(path)):
+        if batch_id is None:
+            rows.write.mode("append").parquet(path)
+        else:
+            (
+                rows.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
 
 
 def append_quarantine_manifest(
@@ -388,7 +476,8 @@ def compact_table(
     table into a fresh ``root.vNNNNNN`` snapshot directory and
     repoints the ``root`` SYMLINK at it with one atomic
     ``rename(symlink)`` — the snapshot protocol (round 8; see
-    ``recover_compaction`` for crash states). Single-writer.
+    ``recover_compaction`` for crash states). Concurrency is defined
+    by the MULTI-WRITER CONTRACT below (round 9).
 
     READER-VISIBLE SEMANTICS during a concurrent swap (tested in
     test_campus_streaming_and_compaction.py):
@@ -413,13 +502,53 @@ def compact_table(
     batch partition; cross-batch merging is safe only with a log);
     post-swap appends write THROUGH the symlink into the current
     snapshot. Returns the file count after compaction.
+
+    MULTI-WRITER CONTRACT (round 9; README 'Transactional tables'):
+
+    * compactor vs compactor — the whole run holds this table's
+      ``.compact.lock`` via non-blocking flock; a second concurrent
+      ``compact_table`` raises :class:`CompactorBusy` immediately.
+      flock dies with its holder, so a crashed compactor leaves no
+      stale lock (and its tmp/version debris heals via
+      ``recover_compaction`` on the next run).
+    * writer vs compactor — cooperative mutators (``append_points``,
+      ``_write_manifest``, ``retention_delete``) hold the table's
+      ``.write.lock`` SHARED across each operation; the compactor
+      takes it EXCLUSIVELY only around the two cheap instants: the
+      initial file-set capture and the validate+swap. Appends never
+      wait on the minutes-long rewrite, and the rewrite never
+      publishes over rows it didn't read: before the swap the
+      compactor re-captures the visible file set and, if it differs
+      from the pre-rewrite capture (a writer appended, a replay
+      overwrote a batch partition, retention dropped a date), DROPS
+      the rewritten snapshot and raises
+      :class:`ConcurrentAppendDetected` — optimistic concurrency,
+      the same commit-time conflict check a Delta/Iceberg log does,
+      minus the multi-host story. Part-file names embed task UUIDs,
+      so set equality proves no committed change happened in between
+      (deletes can't be masked by re-adds with identical names), and
+      uncooperative out-of-band writers are caught by the same check.
     """
+    root = os.path.join(table_dir, table)
+    with _flock(
+        _lock_file(root, "compact"), exclusive=True, blocking=False
+    ):
+        return _compact_locked(spark, table_dir, table,
+                               target_files_per_partition, root)
+
+
+def _compact_locked(
+    spark, table_dir, table, target_files_per_partition, root
+) -> int:
     import glob
 
     recover_compaction(table_dir, table)
-    root = os.path.join(table_dir, table)
     if not os.path.isdir(root):
         return 0
+    with _flock(_lock_file(root, "write"), exclusive=True):
+        # no append in flight; the set stays valid until a writer
+        # commits, which the pre-swap re-capture detects
+        before = _visible_file_set(root)
     parts = list(PARTITIONING.get(table, []))
     df = spark.read.parquet(root)
     if "batch_id" in df.columns and "batch_id" not in parts:
@@ -464,20 +593,31 @@ def compact_table(
     nv = (int(versions[-1][-6:]) + 1) if versions else 1
     vnext = f"{root}.v{nv:06d}"
     os.rename(tmp, vnext)  # durable completion marker
-    swap = root + ".swap"
-    if os.path.lexists(swap):
-        os.remove(swap)
-    os.symlink(os.path.basename(vnext), swap)
-    if os.path.islink(root):
-        # steady state: atomic symlink replacement — no window
-        os.rename(swap, root)
-    else:
-        # one-time migration of a legacy real-dir table (rename(2)
-        # cannot atomically replace a directory with a symlink):
-        # microsecond window between the two renames, healed by
-        # recover_compaction if a crash lands inside it
-        os.rename(root, f"{root}.v{0:06d}")
-        os.rename(swap, root)
+    with _flock(_lock_file(root, "write"), exclusive=True):
+        if _visible_file_set(root) != before:
+            # a writer committed during the rewrite: the snapshot in
+            # vnext is missing those rows — publishing it would lose
+            # them. Abort (drop vnext), leave the live table as-is.
+            shutil.rmtree(vnext)
+            raise ConcurrentAppendDetected(
+                f"{root}: file set changed during compaction; "
+                f"rewritten snapshot dropped — retry"
+            )
+        swap = root + ".swap"
+        if os.path.lexists(swap):
+            os.remove(swap)
+        os.symlink(os.path.basename(vnext), swap)
+        if os.path.islink(root):
+            # steady state: atomic symlink replacement — no window
+            os.rename(swap, root)
+        else:
+            # one-time migration of a legacy real-dir table (rename(2)
+            # cannot atomically replace a directory with a symlink):
+            # microsecond window between the two renames, healed by
+            # recover_compaction if a crash lands inside it — and
+            # writers are excluded from it by the held write lock
+            os.rename(root, f"{root}.v{0:06d}")
+            os.rename(swap, root)
     _vacuum_versions(root)
     return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
 
@@ -498,12 +638,17 @@ def retention_delete(
     deleted = 0
     if not os.path.isdir(root):
         return 0
-    for site in os.listdir(root):
-        site_dir = os.path.join(root, site)
-        if not os.path.isdir(site_dir):
-            continue
-        for part in os.listdir(site_dir):
-            if part.startswith("date=") and part[5:] < horizon_date:
-                shutil.rmtree(os.path.join(site_dir, part))
-                deleted += 1
+    # shared write lock: retention is a cooperative mutator under the
+    # multi-writer contract (see compact_table) — a concurrent
+    # compactor must not publish a snapshot that resurrects the
+    # partitions dropped here
+    with table_write_lock(table_dir, table):
+        for site in os.listdir(root):
+            site_dir = os.path.join(root, site)
+            if not os.path.isdir(site_dir):
+                continue
+            for part in os.listdir(site_dir):
+                if part.startswith("date=") and part[5:] < horizon_date:
+                    shutil.rmtree(os.path.join(site_dir, part))
+                    deleted += 1
     return deleted
