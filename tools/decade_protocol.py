@@ -14,7 +14,12 @@ Protocol (pinned, identical for every query and every scale):
   * carry bench.py's canary readings through, so a loaded box is
     visible per-invocation instead of silently skewing the table.
 
-Usage: python tools/decade_protocol.py [sf_dir] [out_json] [n_invocations]
+Usage: python tools/decade_protocol.py [sf_dir] [out_json] [n_inv] [q...]
+
+With explicit query names, only those run, and the out_json MERGES:
+existing per-query rows for other families are kept (each row is
+stamped with the git HEAD it was measured at), so anchors accumulate
+across sessions instead of overwriting.
 """
 
 from __future__ import annotations
@@ -28,6 +33,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: The scale-decade families (one per operator family; BENCH_NOTES §2).
+#: r9 extends the original 7 with the headline families the r8 verdict
+#: flagged as uncovered — a super-linear stage in sessionize / as-of /
+#: BPE-ish tokenize / cube / top-k would have been invisible to the
+#: protocol (the r7 LSH quadratic was caught exactly by this run).
 FAMILIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -36,6 +45,12 @@ FAMILIES = [
     "pipeline_curated_corpus",
     "window_running_revenue",
     "q1_pricing_summary",
+    # r9 additions
+    "ts_sessionize",
+    "ts_asof_join",
+    "text_tokenize_bpeish",
+    "cube_order_stats",
+    "topk_orders_per_segment",
 ]
 
 
@@ -58,16 +73,34 @@ def one_invocation(sf_dir: str, query: str) -> dict:
     }
 
 
+def _git_head() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "tmp", "sf10")
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_SF10.json")
     n_inv = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    subset = sys.argv[4:] or FAMILIES
 
     queries: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, dict] = {}
+    if subset != FAMILIES and os.path.isfile(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        queries = dict(prev.get("queries", {}))
+        cold = dict(prev.get("cold", {}))
+        spread = dict(prev.get("spread", {}))
+    head = _git_head()
     any_suspect = False
-    for q in FAMILIES:
+    for q in subset:
         runs = []
         for i in range(n_inv):
             r = one_invocation(sf_dir, q)
@@ -90,6 +123,7 @@ def main() -> None:
             "cold_max": colds[-1],
             "n_invocations": n_inv,
             "load_suspect_runs": sum(x["load_suspect"] for x in runs),
+            "code": head,
         }
         any_suspect = any_suspect or any(x["load_suspect"] for x in runs)
 
