@@ -259,6 +259,11 @@ def main() -> None:
         "--no-ingest", action="store_true",
         help="skip the ingest-path benchmark section",
     )
+    ap.add_argument(
+        "--ingest-only", action="store_true",
+        help="run ONLY the ingest-path benchmark (fresh-JVM ingest "
+        "decade protocol; query timings omitted)",
+    )
     ap.add_argument("--ingest-files", type=int, default=_INGEST_FILES)
     ap.add_argument("--ingest-rows", type=int, default=_INGEST_ROWS)
     ap.add_argument("queries", nargs="*")
@@ -298,6 +303,8 @@ def main() -> None:
     sf = _sf_of(args.sf_dir)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    if args.ingest_only:
+        qs = {}
     for name, fn in qs.items():
         best = float("inf")
         for i in range(args.repeat):
@@ -350,7 +357,7 @@ def main() -> None:
     # section only runs on the full default sweep (or alone, below).
     # An ingest failure must NOT discard the already-measured query
     # timings — the contract is one parseable JSON line regardless.
-    if not args.no_ingest and not args.queries:
+    if not args.no_ingest and (args.ingest_only or not args.queries):
         import tempfile
         import traceback
 
