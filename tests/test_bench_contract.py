@@ -95,3 +95,37 @@ def test_canary_history_rejects_loaded_readings(tmp_path, monkeypatch):
     # plausible-idle readings (under threshold) still roll the window
     bench._record_canary(0.23)
     assert 0.23 in bench._canary_history()
+
+
+def test_decade_protocol_subset_merges(tmp_path, monkeypatch):
+    """tools/decade_protocol.py subset runs must MERGE into an
+    existing artifact (anchors accumulate across sessions) and stamp
+    each re-measured row with the code rev, leaving other rows
+    untouched."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import decade_protocol as dp
+
+    out = tmp_path / "DECADE.json"
+    out.write_text(json.dumps({
+        "queries": {"old_family": 1.5},
+        "cold": {"old_family": 3.0},
+        "spread": {"old_family": {"warm_min": 1.4, "warm_max": 1.6}},
+    }))
+
+    monkeypatch.setattr(dp, "one_invocation", lambda sf, q: {
+        "warm": 2.0, "cold": 4.0, "load_suspect": False, "canary": {},
+    })
+    monkeypatch.setattr(
+        sys, "argv",
+        ["decade_protocol.py", str(tmp_path / "sfX"), str(out), "3",
+         "new_family"],
+    )
+    dp.main()
+    d = json.loads(out.read_text())
+    assert d["queries"] == {"old_family": 1.5, "new_family": 2.0}
+    assert d["cold"]["old_family"] == 3.0
+    assert d["spread"]["old_family"] == {"warm_min": 1.4, "warm_max": 1.6}
+    assert d["spread"]["new_family"]["code"]  # stamped with git HEAD
+    assert d["spread"]["new_family"]["n_invocations"] == 3
