@@ -46,23 +46,32 @@ def main() -> None:
     )
     base = tempfile.mkdtemp()
 
+    # corpus 10x ⊇ corpus 1x (sf0.1 docs id-offset to avoid clashes):
+    # the probe's TRUE matches all live in the shared 1x subset, so
+    # verify work is held constant across sides and the A/B isolates
+    # the index-size term (scan + incidental bucket collisions)
+    docs_1x = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs_10x = docs_1x.unionByName(
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
     corpora = {}
-    for label, sf in (("1x", "sf0.01"), ("10x", "sf0.1")):
-        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+    for label, docs in (("1x", docs_1x), ("10x", docs_10x)):
+        docs = docs.select("doc_id", "text").localCheckpoint(eager=True)
         idx_path = os.path.join(base, f"idx_{label}")
         band_signatures(docs).write.parquet(idx_path)
         corpora[label] = (docs, idx_path)
         n = spark.read.parquet(idx_path).count()
         print(f"# index {label}: {n} rows at {idx_path}", flush=True)
 
-    # probe batch: 500 docs from the 10x corpus re-labeled far outside
-    # both id spaces — same text distribution as real arrivals, and
-    # guaranteed near-dups to exercise the verify stage
+    # probe batch: 500 docs from the SHARED 1x subset re-labeled far
+    # outside both id spaces — guaranteed near-dups on both sides
     batch = (
-        corpora["10x"][0]
-        .orderBy("doc_id")
+        docs_1x.orderBy("doc_id")
         .limit(500)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        .select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        )
         .localCheckpoint(eager=True)
     )
     print(f"# probe batch: {batch.count()} docs", flush=True)
@@ -74,9 +83,9 @@ def main() -> None:
             docs, idx_path = corpora[label]
             idx = spark.read.parquet(idx_path)
             t0 = time.perf_counter()
-            out = near_dups_against_corpus(batch, docs, idx).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("doc_a", "doc_b")).alias("fold"),
+            out = near_dups_against_corpus(batch, docs, idx).selectExpr(
+                "count(*) AS n",
+                "bit_xor(xxhash64(doc_a, doc_b)) AS fold",
             ).collect()[0]
             dt = time.perf_counter() - t0
             times[label].append(dt)
