@@ -266,7 +266,52 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation (grand total + per-flag + per-flag/status)."""
+    """ROLLUP aggregation (grand total + per-flag + per-flag/status).
+
+    Two-stage like cube_order_stats: a raw ``rollup()`` feeds every
+    lineitem row through a 3-way Expand (180M expanded rows at sf10
+    through a per-row DECIMAL sum — measured 4.13s). Stage 1 is a
+    fine-grained groupBy (flag, status, partition id) LONG partial
+    sum; stage 2 rollups the ≤ |flags|×|statuses|×|partitions| tiny
+    partials with an exact DECIMAL(38,0) re-sum. Bit-identity vs the
+    single-stage DECIMAL form pinned in tests/test_q1_fixed_point.py.
+    l_quantity is scale-0 (≤50/row): a 2 GiB split holds ~4e7 rows →
+    partials ≤ 2e9, ×4e9 int64 headroom; guard kept for symmetry.
+    """
+    if (
+        _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+        > _Q1_LONG_SAFE_PARTITION_BYTES
+    ):
+        return rollup_pricing_decimal(spark, sf_dir)
+    l = table(spark, sf_dir, "lineitem")
+    partial = (
+        l.groupBy(
+            "l_returnflag", "l_linestatus",
+            F.spark_partition_id().alias("_p"),
+        )
+        .agg(
+            F.sum(fixed_point("l_quantity", 0)).alias("s_qty"),
+            F.count(F.lit(1)).alias("s_n"),
+        )
+    )
+    return (
+        partial.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                unscale(F.sum(F.col("s_qty").cast("decimal(38,0)")), 0), 2
+            ).alias("sum_qty"),
+            F.sum("s_n").alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def rollup_pricing_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference DECIMAL form of rollup_pricing — exactness spec and
+    oversized-split fallback. Not registered."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.rollup("l_returnflag", "l_linestatus")
@@ -575,7 +620,65 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE aggregation over status × priority (all 4 grouping sets)."""
+    """CUBE aggregation over status × priority (all 4 grouping sets).
+
+    Two-stage: the CUBE runs over pre-grouped partials, not raw rows.
+    A raw ``cube()`` feeds every input row through a 4-way Expand, so
+    at sf10 the DECIMAL sum sees 60M expanded rows (measured 2.33s,
+    18× the DuckDB oracle — the same per-row Decimal trap as q1).
+    Stage 1 is a plain fine-grained groupBy (status, priority,
+    partition id) summing LONG cents inside whole-stage codegen — the
+    shuffle carries ≤ |status|×|priority|×|partitions| tiny rows
+    (~480 at sf10). Stage 2 cubes THOSE: the Expand multiplies
+    hundreds of rows, and the exact DECIMAL(38,0) re-sum costs
+    proportional to partition count, not data.
+
+    Equivalence: SUM and COUNT decompose over any partition of the
+    input, and a data-NULL group key groups identically in stage 1 and
+    in a raw CUBE (both engines merge data-nulls with subtotal rows
+    the same way — no GROUPING() disambiguation in this query's
+    contract). Bit-identity vs the single-stage DECIMAL form is pinned
+    by tests/test_bench_contract.py.
+
+    Overflow guard (same bound as q1): cents/row ≤ ~6e7; a 2 GiB
+    orders split is ~2e7 rows → partials ≤ ~1.2e15, ×7600 headroom.
+    Past the guarded split size, fall back to the DECIMAL form.
+    """
+    if (
+        _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+        > _Q1_LONG_SAFE_PARTITION_BYTES
+    ):
+        return cube_order_stats_decimal(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    partial = (
+        orders.groupBy(
+            "o_orderstatus", "o_orderpriority",
+            F.spark_partition_id().alias("_p"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("s_n"),
+            F.sum(fixed_point("o_totalprice", 2)).alias("s_total"),
+        )
+    )
+    return (
+        partial.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("s_n").alias("n"),
+            F.round(
+                unscale(F.sum(F.col("s_total").cast("decimal(38,0)")), 2), 2
+            ).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def cube_order_stats_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference DECIMAL form of cube_order_stats — the exactness spec
+    the two-stage form is pinned against, and its fallback for
+    oversized splits. Not registered."""
     orders = table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")

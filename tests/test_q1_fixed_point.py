@@ -154,3 +154,53 @@ def test_q1_overflow_guard_falls_back_to_decimal(spark, sf_smoke):
         spark.conf.set(key, old)
     fast = [tuple(r) for r in q1_pricing_summary(spark, sf_smoke).collect()]
     assert rows_guarded == fast
+
+
+def test_cube_two_stage_matches_decimal_reference(spark, sf_smoke):
+    """Same contract for cube_order_stats: the CUBE-over-partials
+    long-cents form must emit the exact rows of the raw-cube DECIMAL
+    reference (all 4 grouping sets, including the data-null merge
+    behavior and the NULLS FIRST ordering)."""
+    from ciws_server_spark.operators.tpch import (
+        cube_order_stats,
+        cube_order_stats_decimal,
+    )
+
+    fast = cube_order_stats(spark, sf_smoke).collect()
+    ref = cube_order_stats_decimal(spark, sf_smoke).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
+
+
+def test_cube_two_stage_matches_decimal_reference_sf001(spark):
+    from ciws_server_spark.operators.tpch import (
+        cube_order_stats,
+        cube_order_stats_decimal,
+    )
+
+    fast = cube_order_stats(spark, "/root/testdata/sf0.01").collect()
+    ref = cube_order_stats_decimal(spark, "/root/testdata/sf0.01").collect()
+    assert len(fast) > 4  # all grouping sets present, not vacuous
+    assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
+
+
+def test_rollup_two_stage_matches_decimal_reference(spark, sf_smoke):
+    from ciws_server_spark.operators.tpch import (
+        rollup_pricing,
+        rollup_pricing_decimal,
+    )
+
+    fast = rollup_pricing(spark, sf_smoke).collect()
+    ref = rollup_pricing_decimal(spark, sf_smoke).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
+
+
+def test_rollup_two_stage_matches_decimal_reference_sf001(spark):
+    from ciws_server_spark.operators.tpch import (
+        rollup_pricing,
+        rollup_pricing_decimal,
+    )
+
+    fast = rollup_pricing(spark, "/root/testdata/sf0.01").collect()
+    ref = rollup_pricing_decimal(spark, "/root/testdata/sf0.01").collect()
+    assert len(fast) > 4
+    assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
