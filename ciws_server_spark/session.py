@@ -30,6 +30,10 @@ RUNTIME_CONF = {
     # to parquet row-group stats. tables.table() keeps a cast branch
     # as a safety net for sessions where this conf cannot apply.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Let Python Data Sources (sources/datasource.py) receive pushed
+    # filters — filename predicates prune whole remote files at
+    # planning time instead of scanning-then-filtering.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 # Note: earlier testdata generations stored events.ts as parquet
 # TIMESTAMP(NANOS), which required spark.sql.legacy.parquet.nanosAsLong

@@ -1,0 +1,290 @@
+"""PySpark Python Data Source for the remote CSV feed (S5 as a
+first-class ``spark.read.format(...)`` source).
+
+The reference's transfer manager (``transfer_manager.py:168-231``)
+pulls datalogger CSVs over SFTP on a cron, landing them for the
+loader. ``sftp_feeder.py`` reproduces that as an out-of-engine feeder;
+this module additionally exposes the SAME feed through Spark 4's
+Python Data Source API so it composes with the engine natively:
+
+* batch — ``spark.read.format("ciws_feed").option("root", dir)``:
+  the driver only LISTS the remote directory (names/sizes/mtimes);
+  each file becomes one ``InputPartition`` and the byte transfer runs
+  on the EXECUTORS, one connection per task. At 100 TB of landed CSV
+  the fetch is therefore cluster-parallel, not a driver bottleneck —
+  the thing the cron feeder fundamentally cannot do.
+* filter pushdown (Spark 4.1 ``pushFilters``) — equality / prefix /
+  suffix / contains predicates on ``src_file`` prune whole files at
+  PLANNING time (the reference's filename-prefix predicate P11 —
+  ``transfer_manager.py:118-125`` — becomes partition pruning instead
+  of a post-scan filter).
+* streaming — ``spark.readStream.format("ciws_feed")``: an
+  offset-tracked incremental source with the reference's P12/P13
+  guards (skip in-flight files whose mtime is newer than the pass
+  start; re-read files whose size changed). The offset is the
+  {name: size} map of files fully ingested — a restart from a
+  checkpoint resumes exactly where the feed left off, replacing the
+  feeder's "diff the landing dir" heuristic with Spark's own
+  exactly-once offset log.
+
+Rows are ``(src_file, line)`` — the same shape ``residential.
+read_lines`` produces — so the whole distributed parse
+(``parse_lines``: classify → per-file metadata aggregate → broadcast
+join) runs unchanged downstream of either front door.
+
+The transport is the pluggable pair from ``sftp_feeder``
+(``LocalDirTransport`` everywhere, ``SFTPTransport`` where paramiko
+exists). Transports hold live connections, so the *options* are what
+crosses the driver/executor boundary and each task builds its own.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import TYPE_CHECKING, Iterator, List, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+from .sftp_feeder import LocalDirTransport, RemoteFile, SFTPTransport
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+#: Column the batch reader accepts pushed filters on.
+_FILTERABLE = ("src_file",)
+
+
+def _make_transport(options) -> object:
+    """Build a transport from reader options (executor- or driver-side).
+
+    ``transport=local`` (default) reads a mounted/local directory via
+    ``root``; ``transport=sftp`` uses paramiko with host/username/
+    keyfile/remote_dir/port options (raises where paramiko is absent —
+    same import gate as the feeder).
+    """
+    kind = (options.get("transport") or "local").lower()
+    if kind == "local":
+        root = options.get("root") or options.get("path")
+        if not root:
+            raise ValueError("ciws_feed: option 'root' (or 'path') required")
+        return LocalDirTransport(root)
+    if kind == "sftp":
+        return SFTPTransport(
+            host=options.get("host"),
+            username=options.get("username"),
+            keyfile=options.get("keyfile"),
+            remote_dir=options.get("remote_dir") or options.get("root"),
+            port=int(options.get("port") or 22),
+            strict_host_key=str(
+                options.get("strict_host_key") or "false"
+            ).lower()
+            == "true",
+        )
+    raise ValueError(f"ciws_feed: unknown transport {kind!r}")
+
+
+def _eligible(
+    rf: RemoteFile, suffix: str, job_start: float | None
+) -> bool:
+    """Reference guards: skip dirs, wrong suffix, in-flight files
+    (mtime newer than the listing pass start — P12)."""
+    if rf.is_dir or not rf.name.lower().endswith(suffix):
+        return False
+    if job_start is not None and rf.mtime > job_start:
+        return False
+    return True
+
+
+def _fetch_lines(transport, name: str) -> List[str]:
+    """Fetch one remote file and split to lines (executor-side).
+
+    Uses the transport's atomic fetch into a task-local temp file, so
+    an SFTP transport reuses the exact byte-moving code the feeder
+    runs. Decoding is utf-8 with replacement — a junk byte must reach
+    the parser (which quarantines the file), not kill the task.
+    """
+    fd, tmp = tempfile.mkstemp(prefix="ciws_feed_")
+    os.close(fd)
+    try:
+        transport.fetch(name, tmp)
+        with open(tmp, encoding="utf-8", errors="replace") as fh:
+            return fh.read().splitlines()
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+class _FilePartition(InputPartition):
+    """One remote file = one input partition (parallel executor fetch)."""
+
+    def __init__(self, name: str, size: int):
+        self.name = name
+        self.size = size
+
+
+class CiwsFeedBatchReader(DataSourceReader):
+    """Backfill reader: list driver-side, fetch executor-side."""
+
+    def __init__(self, schema: StructType, options):
+        self.options = dict(options)
+        self.suffix = (self.options.get("suffix") or ".csv").lower()
+        # Planning time is the P12 in-flight cutoff for this scan.
+        import time as _time
+
+        self.job_start = _time.time()
+        self._name_filters: list[Filter] = []
+
+    # -- planning-time filter pushdown ------------------------------
+    def pushFilters(self, filters: List[Filter]):
+        """Accept src_file name predicates; everything else stays with
+        Spark. Accepted filters prune whole files before any fetch."""
+        for f in filters:
+            if (
+                isinstance(
+                    f, (EqualTo, StringStartsWith, StringEndsWith, StringContains)
+                )
+                and tuple(f.attribute) == _FILTERABLE
+                and isinstance(f.value, str)
+            ):
+                self._name_filters.append(f)
+            else:
+                yield f
+
+    def _name_ok(self, name: str) -> bool:
+        for f in self._name_filters:
+            if isinstance(f, EqualTo) and name != f.value:
+                return False
+            if isinstance(f, StringStartsWith) and not name.startswith(f.value):
+                return False
+            if isinstance(f, StringEndsWith) and not name.endswith(f.value):
+                return False
+            if isinstance(f, StringContains) and f.value not in name:
+                return False
+        return True
+
+    def partitions(self):
+        transport = _make_transport(self.options)
+        parts = [
+            _FilePartition(rf.name, rf.size)
+            for rf in transport.listdir()
+            if _eligible(rf, self.suffix, self.job_start)
+            and self._name_ok(rf.name)
+        ]
+        # Zero matching files must still be a valid (empty) scan.
+        return parts or [_FilePartition("", 0)]
+
+    def read(self, partition: _FilePartition) -> Iterator[Tuple]:
+        if not partition.name:
+            return
+        transport = _make_transport(self.options)
+        try:
+            for line in _fetch_lines(transport, partition.name):
+                yield (partition.name, line)
+        finally:
+            close = getattr(transport, "close", None)
+            if close:
+                close()
+
+
+class CiwsFeedStreamReader(SimpleDataSourceStreamReader):
+    """Incremental feed: offset = {name: size} of fully-ingested files.
+
+    Each micro-batch ingests files that are new or whose size changed
+    since the last offset (P13), skipping in-flight files (P12). The
+    offset map lives in Spark's checkpoint offset log, so restart
+    resumes exactly; ``readBetweenOffsets`` replays a committed batch
+    by re-fetching the files that entered the offset in that step
+    (sound because a landed datalogger file is immutable once its
+    mtime stops moving — the same assumption the reference's loader
+    makes when it archives after load).
+    """
+
+    def __init__(self, schema: StructType, options):
+        self.options = dict(options)
+        self.suffix = (self.options.get("suffix") or ".csv").lower()
+        self._transport = None
+
+    def _get_transport(self):
+        if self._transport is None:
+            self._transport = _make_transport(self.options)
+        return self._transport
+
+    def initialOffset(self) -> dict:
+        return {"seen": {}}
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        import time as _time
+
+        job_start = _time.time()
+        seen = dict(start.get("seen", {}))
+        transport = self._get_transport()
+        todo = [
+            rf
+            for rf in transport.listdir()
+            if _eligible(rf, self.suffix, job_start)
+            and seen.get(rf.name) != rf.size
+        ]
+        rows: list[Tuple] = []
+        for rf in todo:
+            for line in _fetch_lines(transport, rf.name):
+                rows.append((rf.name, line))
+            seen[rf.name] = rf.size
+        return iter(rows), {"seen": seen}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        before = start.get("seen", {})
+        after = end.get("seen", {})
+        transport = self._get_transport()
+        for name, size in after.items():
+            if before.get(name) != size:
+                for line in _fetch_lines(transport, name):
+                    yield (name, line)
+
+    def commit(self, end: dict) -> None:
+        # Nothing to clean up source-side: files are archived by the
+        # downstream sink (S11), not the reader.
+        pass
+
+
+class CiwsFeedDataSource(DataSource):
+    """``spark.read.format("ciws_feed")`` / ``readStream`` front door."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ciws_feed"
+
+    def schema(self) -> str:
+        return "src_file string, line string"
+
+    def reader(self, schema: StructType) -> CiwsFeedBatchReader:
+        return CiwsFeedBatchReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> CiwsFeedStreamReader:
+        return CiwsFeedStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the data source on a session.
+
+    Also enables Python-data-source filter pushdown (runtime-settable;
+    Spark 4.1 default is off): with the conf off, Spark REFUSES any
+    filtered scan over a reader that implements ``pushFilters`` rather
+    than silently skipping pushdown, so registration without the conf
+    would hand out a source that throws on its headline feature.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CiwsFeedDataSource)
