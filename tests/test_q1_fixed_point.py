@@ -204,3 +204,32 @@ def test_rollup_two_stage_matches_decimal_reference_sf001(spark):
     ref = rollup_pricing_decimal(spark, "/root/testdata/sf0.01").collect()
     assert len(fast) > 4
     assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
+
+def test_grouping_sets_two_stage_matches_decimal_reference(spark):
+    """grouping_sets_orders stays a spark.sql() front-door query; its
+    two-stage SQL (partials in LONG cents, Expand over partials) must
+    emit the exact rows of the single-stage DECIMAL SQL — both grouping
+    sets, data-null merges, NULLS FIRST ordering — at two SFs."""
+    from ciws_server_spark.operators.tpch import (
+        grouping_sets_orders,
+        grouping_sets_orders_decimal,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        fast = grouping_sets_orders(spark, sf_dir).collect()
+        ref = grouping_sets_orders_decimal(spark, sf_dir).collect()
+        assert len(fast) > 4
+        assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
+
+
+def test_grouping_sets_overflow_guard_falls_back(spark, sf_smoke):
+    from ciws_server_spark.operators.tpch import grouping_sets_orders
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(4 << 30))
+        plan = _formatted_plan(spark, grouping_sets_orders(spark, sf_smoke))
+        assert "spark_partition_id" not in plan, "guard did not take DECIMAL path"
+    finally:
+        spark.conf.set(key, old)
