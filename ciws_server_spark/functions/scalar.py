@@ -90,6 +90,37 @@ def unscale(sum_col: Column, scale: int) -> Column:
     return d.cast("double")
 
 
+def lsum(col: Column | str, scale: int = 2, round_to: int = 2) -> Column:
+    """``dsum``-identical SUM on the long fixed-point fast path.
+
+    Per-row cost is a primitive long add inside whole-stage codegen
+    (``dsum``'s DECIMAL(30,6) sum allocates a BigDecimal per row); the
+    emitted double is identical because the summed cents are exact for
+    ≤``scale``-dp data and ``unscale`` performs the same exact decimal
+    downshift the DECIMAL sum's final cast does.
+
+    Overflow contract: the long sum buffer (partial AND final — Spark's
+    two-phase hash aggregate keeps both as long) bounds
+    Σ|v|·10^scale < 2^63 per group. For 2-dp money/value columns
+    bounded by ~1e6 that is ≥1.5e11 rows per group (≳100 TB in one
+    group); columns with larger products belong on the q1-style
+    two-stage partials or ``dsum``. ANSI mode (the Spark 4 default)
+    makes a violated bound THROW rather than wrap.
+    """
+    return F.round(unscale(F.sum(fixed_point(col, scale)), scale), round_to)
+
+
+def lavg(col: Column | str, scale: int = 2, round_to: int = 6) -> Column:
+    """``davg``-identical AVG on the long fixed-point fast path (same
+    exactness and overflow contract as ``lsum``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        unscale(F.sum(fixed_point(c, scale)), scale)
+        / F.count(c).cast("double"),
+        round_to,
+    )
+
+
 def epoch_seconds(col: Column | str) -> Column:
     """Timestamp → epoch seconds as double (microsecond-exact).
 

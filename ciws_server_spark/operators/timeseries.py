@@ -26,7 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.scalar import MONEY, davg, dsum, epoch_seconds, money
+from ..functions.scalar import (
+    MONEY,
+    davg,
+    dsum,
+    epoch_seconds,
+    lavg,
+    lsum,
+    money,
+)
 from ..tables import table
 
 _START = "2024-01-10"
@@ -66,8 +74,12 @@ def ts_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            dsum("value").alias("sum_value"),
-            davg("value").alias("avg_value"),
+            # value is 2-dp bounded (~5e4 cents/row): the long
+            # fixed-point sum is dsum/davg-identical and stays a
+            # primitive add in codegen; overflow bound ≥1.9e14
+            # rows/group — see functions.scalar.lsum.
+            lsum("value").alias("sum_value"),
+            lavg("value").alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.min_by("value", "ts").alias("first_value"),
@@ -82,7 +94,7 @@ def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), lsum("value").alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -142,7 +154,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            dsum("value").alias("sum_value"),
+            lsum("value").alias("sum_value"),
         )
         .withColumn(
             "duration_sec",

@@ -598,7 +598,52 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time surface: year/month/trunc/epoch arithmetic."""
+    """Date/time surface: year/month/trunc/epoch arithmetic.
+
+    Money sum runs on the q1-style two-stage long partials: a month of
+    orders at 100 TB approaches the single-long-sum overflow bound for
+    o_totalprice cents (~1.5e11 max-value rows), so stage 1 sums cents
+    per (month, input partition) — codegen'd, ×40 headroom per 128 MB
+    split, same oversized-split guard → DECIMAL fallback — and stage 2
+    re-sums exactly as DECIMAL(38,0). COUNT and MAX decompose
+    trivially. Emitted doubles are dsum-identical (exact decimal
+    downshift; pinned by tests/test_q1_fixed_point.py)."""
+    if (
+        _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+        > _Q1_LONG_SAFE_PARTITION_BYTES
+    ):
+        return date_functions_orders_decimal(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    partial = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.spark_partition_id().alias("_p"),
+    ).agg(
+        F.count(F.lit(1)).alias("s_n"),
+        F.sum(fixed_point("o_totalprice", 2)).alias("s_total"),
+        F.max(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+        ).alias("s_maxep"),
+    )
+    return (
+        partial.groupBy("y", "m", "month_start")
+        .agg(
+            F.sum("s_n").alias("n"),
+            F.round(
+                unscale(F.sum(F.col("s_total").cast("decimal(38,0)")), 2), 2
+            ).alias("total"),
+            F.max("s_maxep").alias("max_epoch"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+def date_functions_orders_decimal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-stage DECIMAL reference form of date_functions_orders —
+    exactness spec + oversized-split fallback."""
     orders = table(spark, sf_dir, "orders")
     return (
         orders.groupBy(

@@ -233,3 +233,38 @@ def test_grouping_sets_overflow_guard_falls_back(spark, sf_smoke):
         assert "spark_partition_id" not in plan, "guard did not take DECIMAL path"
     finally:
         spark.conf.set(key, old)
+
+def test_lsum_lavg_match_dsum_davg(spark):
+    """lsum/lavg (long fixed-point) must emit bit-identical doubles to
+    dsum/davg (DECIMAL) on in-contract 2-dp data, including negatives
+    and sums past 2^53 cents."""
+    from ciws_server_spark.functions.scalar import davg, dsum, lavg, lsum
+
+    rows = [(i % 3, round((-1) ** i * (i * 97.13 % 491), 2)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k int, value double")
+    a = (
+        df.groupBy("k")
+        .agg(dsum("value").alias("s"), davg("value").alias("a"))
+        .orderBy("k")
+        .collect()
+    )
+    b = (
+        df.groupBy("k")
+        .agg(lsum("value").alias("s"), lavg("value").alias("a"))
+        .orderBy("k")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_date_functions_two_stage_matches_decimal_reference(spark):
+    from ciws_server_spark.operators.tpch import (
+        date_functions_orders,
+        date_functions_orders_decimal,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        fast = date_functions_orders(spark, sf_dir).collect()
+        ref = date_functions_orders_decimal(spark, sf_dir).collect()
+        assert len(fast) > 12
+        assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
