@@ -904,6 +904,30 @@ def influxql_quarter_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def influxql_derivative_quarter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Default-unit ``derivative`` over calendar buckets — round-9
+    closure of the last documented calendar-axis raise. ``derivative
+    (count(x))`` with ``GROUP BY time(3mo)`` normalizes Δv per bucket
+    STEP (plans/influxql.py module docstring): adjacent quarters give
+    the plain difference, a k-quarter gap gives Δv/k — the calendar
+    analogue of InfluxQL's unit-equals-interval default. Runs over
+    orders (7 years of o_orderdate; the events fixture spans one
+    month) — the front-end binds any measurement frame. One bucketed
+    rollup + one window pass per series; buckets × series rows."""
+    from ..plans.influxql import translate
+
+    orders = table(spark, sf_dir, "orders")
+    q = (
+        "SELECT derivative(count(o_totalprice)) FROM orders "
+        "GROUP BY time(3mo), o_orderpriority"
+    )
+    return translate(orders, q, time_col="o_orderdate").orderBy(
+        "time_bucket", "o_orderpriority"
+    )
+
+
 _RANGE_SEC = 1800  # ±30 min
 
 
@@ -1015,6 +1039,7 @@ QUERIES = {
     "influxql_week_bucket": influxql_week_bucket,
     "influxql_month_bucket": influxql_month_bucket,
     "influxql_quarter_bucket": influxql_quarter_bucket,
+    "influxql_derivative_quarter": influxql_derivative_quarter,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
     "influxql_difference": influxql_difference,
@@ -1057,6 +1082,9 @@ EXTRA = {
     # its pulse-pair machinery runs inside the registered streaming
     # equivalence tests.
     "ts_derived_rate",
+    # new mid-r9 (registered set already at the 50 budget; maximally
+    # stale → auto-registers in the r10 rotation):
+    "influxql_derivative_quarter",
     # rotated out in r9 (driver-green r8):
     "ts_tag_time_range",
     "ts_sliding_window",
@@ -1171,6 +1199,24 @@ ORACLES = {
         WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
         GROUP BY 1, 2
         ORDER BY time_bucket, event_type
+    """,
+    "influxql_derivative_quarter": """
+        WITH b AS (
+          SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+                   AS time_bucket,
+                 o_orderpriority,
+                 COUNT(o_totalprice) AS v
+          FROM orders
+          GROUP BY 1, 2
+        )
+        SELECT time_bucket, o_orderpriority,
+               CAST(v - lag(v) OVER w AS DOUBLE)
+                 / (date_diff('month', lag(time_bucket) OVER w, time_bucket)
+                    / 3.0) AS derivative
+        FROM b
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY time_bucket)
+        QUALIFY lag(v) OVER w IS NOT NULL
+        ORDER BY time_bucket, o_orderpriority
     """,
     "influxql_slimit": f"""
         WITH agg AS (

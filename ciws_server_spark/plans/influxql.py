@@ -118,9 +118,13 @@ fiscal years. Offsets on calendar buckets must themselves be
 month-aligned (``mo``/``y``) — a sub-month offset has no calendar
 meaning and raises. ``time(1mo)``/``time(1y)`` with no offset lower
 to plain ``date_trunc``. With ``tz()``, truncation happens in local
-wall-clock time like the fixed-span units. ``derivative`` defaults
-remain undefined over calendar buckets (irregular span — pass an
-explicit unit).
+wall-clock time like the fixed-span units. ``derivative``/``non_
+negative_derivative`` with the DEFAULT unit over calendar buckets
+normalize per bucket STEP (Δv divided by the exact number of N-month
+grid steps between the two buckets — adjacent buckets give a plain
+difference, a k-bucket gap gives Δv/k), the calendar analogue of
+InfluxQL's unit-equals-interval default; an explicit fixed-span unit
+still works and rates against wall-clock Δt.
 """
 
 from __future__ import annotations
@@ -689,6 +693,7 @@ def _apply_transform(
     # Per-transform parameter parsing -----------------------------
     n_points = None
     unit_secs: float = 1.0
+    calendar_step_months: int | None = None
     if fn in ("moving_average", "exponential_moving_average"):
         if len(args) != 2 or not args[1].isdigit() or int(args[1]) < 1:
             raise InfluxQLError(
@@ -716,11 +721,18 @@ def _apply_transform(
                         f"{fn}({inner_fn}(...)) requires GROUP BY time(...)"
                     )
                 if isinstance(bucket_secs, _CalendarBucket):
-                    raise InfluxQLError(
-                        f"{fn} default unit is undefined for calendar "
-                        f"buckets (irregular span); pass an explicit unit"
-                    )
-                unit_secs = float(bucket_secs)
+                    # calendar extension: "per interval" over an
+                    # irregular-span axis means per BUCKET STEP — Δv
+                    # normalized by how many N-month grid steps the two
+                    # buckets are apart (exact: months_between of two
+                    # bucket starts is an integer). Adjacent buckets →
+                    # plain difference, a gap of k buckets → Δv/k: the
+                    # same normalization InfluxQL's Δt/unit does on the
+                    # fixed-span axis.
+                    calendar_step_months = bucket_secs.months
+                    unit_secs = 1.0
+                else:
+                    unit_secs = float(bucket_secs)
             else:
                 unit_secs = 1.0  # raw form default: per second
         # elapsed defaults to nanoseconds (InfluxQL), integral to 1s;
@@ -908,12 +920,17 @@ def _apply_transform(
         # Δvalue / Δt(seconds) × unit, one row per point after the
         # first of each series; equal-timestamp pairs are skipped
         # (Δt=0, as InfluxQL does)
+        dt_expr = (
+            # calendar default unit: Δt in N-month grid steps
+            F.months_between(F.col(tkey), F.col("_pt"))
+            / F.lit(float(calendar_step_months))
+            if calendar_step_months is not None
+            else F.col(tkey).cast("double") - F.col("_pt").cast("double")
+        )
         res = (
             base.withColumn("_pv", F.lag(v).over(w))
             .withColumn("_pt", F.lag(F.col(tkey)).over(w))
-            .withColumn(
-                "_dt", F.col(tkey).cast("double") - F.col("_pt").cast("double")
-            )
+            .withColumn("_dt", dt_expr)
             .where(F.col("_pv").isNotNull() & (F.col("_dt") > 0))
             .withColumn(
                 fn, (v - F.col("_pv")) / F.col("_dt") * F.lit(unit_secs)

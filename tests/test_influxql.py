@@ -1094,10 +1094,11 @@ def test_calendar_month_fill_axis(spark):
 
 def test_calendar_bucket_rejects_untileable_forms(spark):
     """Forms with no calendar meaning raise instead of mis-reading:
-    sub-month offsets on calendar buckets, calendar offsets on
-    fixed-span buckets, and derivative default units over irregular
-    spans (r9 extended multiples/month-aligned offsets — those are
-    now legal, tested below)."""
+    sub-month offsets on calendar buckets and calendar offsets on
+    fixed-span buckets (r9 extended multiples/month-aligned offsets —
+    those are now legal, tested below; late-r9 also defined the
+    derivative default unit per bucket STEP,
+    test_calendar_derivative_default_unit)."""
     from ciws_server_spark.plans.influxql import (
         InfluxQLError,
         query_measurement,
@@ -1115,11 +1116,6 @@ def test_calendar_bucket_rejects_untileable_forms(spark):
         )
     with pytest.raises(InfluxQLError, match="> 0"):
         query_measurement(spark, t, "SELECT count(v) FROM m GROUP BY time(0mo)")
-    with pytest.raises(InfluxQLError, match="calendar"):
-        query_measurement(
-            spark, t,
-            "SELECT derivative(mean(v)) FROM m GROUP BY time(3mo)",
-        )
 
 
 def test_calendar_quarter_bucket_tiling(spark):
@@ -1268,3 +1264,48 @@ def test_calendar_month_into_writeback(spark, tmp_path):
         "2023-12-01 00:00:00": (2.0, 1),
         "2024-01-01 00:00:00": (5.0, 2),
     }
+
+
+def test_calendar_derivative_default_unit(spark):
+    """Default-unit derivative over calendar buckets: Δv per bucket
+    STEP. Adjacent quarters give the plain difference; a k-quarter gap
+    gives Δv/k (the calendar analogue of Δt/unit normalization)."""
+    from ciws_server_spark.plans.influxql import translate
+
+    rows = [
+        # Q1-2023: two points (count = 2); Q2: one; Q4: one (Q3 empty)
+        (dt.datetime(2023, 1, 15), 1.0),
+        (dt.datetime(2023, 2, 15), 1.0),
+        (dt.datetime(2023, 5, 15), 1.0),
+        (dt.datetime(2023, 11, 15), 1.0),
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    got = translate(
+        m, "SELECT derivative(count(v)) FROM m GROUP BY time(3mo)"
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r["derivative"] for r in got}
+    assert by_bucket == {
+        # Q2 vs Q1: adjacent step, 1 - 2 = -1
+        "2023-04-01 00:00:00": -1.0,
+        # Q4 vs Q2: two steps apart (Q3 missing), (1-1)/2 = 0
+        "2023-10-01 00:00:00": 0.0,
+    }
+
+
+def test_calendar_derivative_explicit_unit_still_wall_clock(spark):
+    """An explicit fixed-span unit over calendar buckets keeps rating
+    against wall-clock Δt, unchanged by the default-step extension."""
+    from ciws_server_spark.plans.influxql import translate
+
+    rows = [
+        (dt.datetime(2024, 1, 10), 1.0),
+        (dt.datetime(2024, 4, 10), 1.0),
+        (dt.datetime(2024, 4, 20), 1.0),
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    got = translate(
+        m, "SELECT derivative(count(v), 1d) FROM m GROUP BY time(3mo)"
+    ).collect()
+    assert len(got) == 1
+    # Q1→Q2 bucket starts are 91 days apart in 2024; Δv = 2-1 = 1
+    assert abs(got[0]["derivative"] - 1.0 / 91.0) < 1e-12
