@@ -904,6 +904,59 @@ def influxql_quarter_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per (series, time bucket) keep the first, last,
+    min-value and max-value POINTS — the error-free line-chart
+    decimation (Jugel et al., "M4: A Visualization-Oriented Time
+    Series Data Aggregation", VLDB 2014). A dashboard rendering a
+    billion-point series needs ≤4 points per pixel column; this is
+    the TSDB-side operator that makes that a single aggregate.
+
+    Spark shape: ONE groupBy over (bucket, series) with four struct
+    MIN/MAX aggregates — lexicographic struct ordering makes every
+    selected point deterministic under value/timestamp ties (the
+    scaled fixtures have tied timestamps), so the result is
+    hash-stable cross-engine. Map-side partials collapse each input
+    split to ≤4 rows per (bucket, series) before the only shuffle;
+    at 100 TB the shuffle carries buckets × series × O(1) rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    by_time = F.struct("ts", "event_id", "value")
+    by_value = F.struct("value", "ts", "event_id")
+
+    def emit(s: str, ts_name: str, v_name: str) -> list:
+        return [
+            F.col(f"{s}.ts").alias(ts_name),
+            F.col(f"{s}.value").alias(v_name),
+        ]
+
+    return (
+        pts.groupBy("bucket", "event_type")
+        .agg(
+            F.min(by_time).alias("_f"),
+            F.max(by_time).alias("_l"),
+            F.min(by_value).alias("_mn"),
+            F.max(by_value).alias("_mx"),
+        )
+        .select(
+            "bucket",
+            "event_type",
+            *emit("_f", "first_ts", "first_value"),
+            *emit("_mn", "min_ts", "min_value"),
+            *emit("_mx", "max_ts", "max_value"),
+            *emit("_l", "last_ts", "last_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
 def influxql_derivative_quarter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1040,6 +1093,7 @@ QUERIES = {
     "influxql_month_bucket": influxql_month_bucket,
     "influxql_quarter_bucket": influxql_quarter_bucket,
     "influxql_derivative_quarter": influxql_derivative_quarter,
+    "ts_m4_downsample": ts_m4_downsample,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
     "influxql_difference": influxql_difference,
@@ -1085,6 +1139,7 @@ EXTRA = {
     # new mid-r9 (registered set already at the 50 budget; maximally
     # stale → auto-registers in the r10 rotation):
     "influxql_derivative_quarter",
+    "ts_m4_downsample",
     # rotated out in r9 (driver-green r8):
     "ts_tag_time_range",
     "ts_sliding_window",
@@ -1217,6 +1272,47 @@ ORACLES = {
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY time_bucket)
         QUALIFY lag(v) OVER w IS NOT NULL
         ORDER BY time_bucket, o_orderpriority
+    """,
+    "ts_m4_downsample": """
+        WITH pts AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                 event_type, ts, event_id, value
+          FROM events
+        ),
+        f AS (
+          SELECT bucket, event_type, ts AS first_ts, value AS first_value,
+                 row_number() OVER (PARTITION BY bucket, event_type
+                                    ORDER BY ts, event_id, value) AS rn
+          FROM pts QUALIFY rn = 1
+        ),
+        l AS (
+          SELECT bucket, event_type, ts AS last_ts, value AS last_value,
+                 row_number() OVER (PARTITION BY bucket, event_type
+                                    ORDER BY ts DESC, event_id DESC,
+                                             value DESC) AS rn
+          FROM pts QUALIFY rn = 1
+        ),
+        mn AS (
+          SELECT bucket, event_type, ts AS min_ts, value AS min_value,
+                 row_number() OVER (PARTITION BY bucket, event_type
+                                    ORDER BY value, ts, event_id) AS rn
+          FROM pts QUALIFY rn = 1
+        ),
+        mx AS (
+          SELECT bucket, event_type, ts AS max_ts, value AS max_value,
+                 row_number() OVER (PARTITION BY bucket, event_type
+                                    ORDER BY value DESC, ts DESC,
+                                             event_id DESC) AS rn
+          FROM pts QUALIFY rn = 1
+        )
+        SELECT f.bucket, f.event_type,
+               first_ts, first_value, min_ts, min_value,
+               max_ts, max_value, last_ts, last_value
+        FROM f
+        JOIN mn USING (bucket, event_type)
+        JOIN mx USING (bucket, event_type)
+        JOIN l USING (bucket, event_type)
+        ORDER BY f.bucket, f.event_type
     """,
     "influxql_slimit": f"""
         WITH agg AS (
