@@ -47,6 +47,8 @@ from typing import TYPE_CHECKING, Iterator, List, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
@@ -54,6 +56,7 @@ from pyspark.sql.datasource import (
     StringContains,
     StringEndsWith,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -277,6 +280,127 @@ class CiwsFeedDataSource(DataSource):
         return CiwsFeedStreamReader(schema, self.options)
 
 
+class _StagedFile(WriterCommitMessage):
+    """One task's staged output: (staging path, line count)."""
+
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+def _stage_lines(options, rows) -> _StagedFile:
+    """Executor side: stream this partition's lines to a staging file.
+
+    The column written is ``line`` (the ``render_lines`` output); any
+    single-string-column frame works. Staging lives under the target
+    so the later rename is same-filesystem atomic.
+    """
+    root = options.get("path") or options.get("root")
+    if not root:
+        raise ValueError("ciws_line_protocol: option 'path' required")
+    staging = os.path.join(root, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    import uuid
+
+    path = os.path.join(staging, f"part-{uuid.uuid4().hex}.lp.part")
+    n = 0
+    with open(path, "w", encoding="utf-8") as fh:
+        for row in rows:
+            fh.write(row[0])
+            fh.write("\n")
+            n += 1
+    return _StagedFile(path, n)
+
+
+def _publish(options, messages, batch_id: int) -> None:
+    """Driver side: atomically publish staged files under DETERMINISTIC
+    names — ``batch-<id>-part-<i>.lp`` — so a replayed micro-batch
+    (restart between sink commit and offset-log commit) overwrites its
+    own files instead of duplicating points: exactly-once output for
+    the idempotent-replay contract Structured Streaming gives sinks.
+    Requires target and staging on one shared filesystem (the same
+    assumption every file sink in sinks.py makes).
+    """
+    root = options.get("path") or options.get("root")
+    for i, m in enumerate(m for m in messages if m is not None):
+        final = os.path.join(root, f"batch-{batch_id}-part-{i}.lp")
+        if m.n == 0:
+            os.unlink(m.path)
+            continue
+        os.replace(m.path, final)
+
+
+def _discard(messages) -> None:
+    for m in messages:
+        if m is not None:
+            try:
+                os.unlink(m.path)
+            except OSError:
+                pass
+
+
+class CiwsLineProtocolStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.options = dict(options)
+
+    def write(self, iterator) -> _StagedFile:
+        return _stage_lines(self.options, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _publish(self.options, messages, batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard(messages)
+
+
+class CiwsLineProtocolBatchWriter(DataSourceWriter):
+    """One-shot export: published under batch id -1 (a stream into the
+    same directory never collides — its ids are ≥0)."""
+
+    def __init__(self, options):
+        self.options = dict(options)
+
+    def write(self, iterator) -> _StagedFile:
+        return _stage_lines(self.options, iterator)
+
+    def commit(self, messages) -> None:
+        _publish(self.options, messages, -1)
+
+    def abort(self, messages) -> None:
+        _discard(messages)
+
+
+class CiwsLineProtocolDataSource(DataSource):
+    """``df.write`` / ``writeStream.format("ciws_line_protocol")`` —
+    the engine's InfluxDB-export sink as a first-class Spark sink.
+
+    The reference pushes derived points to its TSDB as batched line
+    protocol (``transfer_manager.py:123-164``); here the rendering is
+    the codegen'd ``plans/line_protocol.render_lines`` and THIS class
+    owns durability: executors stage, the driver publishes renames,
+    and deterministic per-batch names make micro-batch replays
+    idempotent. Input contract: a single string column (``line``).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ciws_line_protocol"
+
+    def schema(self) -> str:
+        return "line string"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "ciws_line_protocol is append-only (batch files are "
+                "immutable once published); use mode('append')"
+            )
+        return CiwsLineProtocolBatchWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return CiwsLineProtocolStreamWriter(self.options)
+
+
 def register(spark) -> None:
     """Idempotently register the data source on a session.
 
@@ -288,3 +412,4 @@ def register(spark) -> None:
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CiwsFeedDataSource)
+    spark.dataSource.register(CiwsLineProtocolDataSource)

@@ -179,3 +179,104 @@ def test_streaming_offsets_across_restarts(spark, feed_dir, tmp_path):
     assert files == {"c_new.csv", "a_site77.csv"}
     # grown file is re-read in full (7 lines), new file has 5
     assert len(third) == 12
+
+
+# ---------------------------------------------------------------- sink
+
+
+def _lp_files(d):
+    return sorted(
+        f for f in os.listdir(d) if f.endswith(".lp") and not f.startswith(".")
+    )
+
+
+def test_line_protocol_batch_write_roundtrip(spark, tmp_path):
+    """render_lines → ciws_line_protocol sink → parse_lines recovers
+    the points (the export a real InfluxDB consumer would ingest)."""
+    import datetime as dt
+
+    from ciws_server_spark.plans.line_protocol import (
+        parse_lines,
+        render_lines,
+    )
+    from ciws_server_spark.sources.datasource import register
+
+    register(spark)
+    out = str(tmp_path / "export")
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0), "b1", 5.0),
+        (dt.datetime(2024, 1, 1, 0, 15, 0), "b 2", 7.5),
+    ]
+    df = spark.createDataFrame(rows, ["time", "buildingID", "rate"])
+    lines = render_lines(df, "flow", ["buildingID"], ["rate"])
+    lines.write.format("ciws_line_protocol").option("path", out).mode(
+        "append"
+    ).save()
+
+    files = _lp_files(out)
+    assert files and all(f.startswith("batch--1-") for f in files)
+    back = parse_lines(spark.read.text(out + "/*.lp"))
+    got = {
+        (r["tags"]["buildingID"], r["fields"]["rate"])
+        for r in back.collect()
+    }
+    assert got == {("b1", "5.0"), ("b 2", "7.5")}
+    assert not os.listdir(os.path.join(out, ".staging"))
+
+
+def test_line_protocol_rejects_overwrite(spark, tmp_path):
+    from ciws_server_spark.sources.datasource import register
+
+    register(spark)
+    df = spark.createDataFrame([("m f=1",)], ["line"])
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("ciws_line_protocol").option(
+            "path", str(tmp_path / "x")
+        ).mode("overwrite").save()
+
+
+def test_line_protocol_stream_writer_batches(spark, tmp_path):
+    """File stream → line-protocol sink: per-micro-batch atomic
+    publish under deterministic batch-<id> names; a re-run over the
+    same checkpoint with no new data publishes nothing."""
+    from ciws_server_spark.sources.datasource import register
+
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.txt").write_text("m,tag=x f=1\nm,tag=y f=2\n")
+
+    def run_once():
+        q = (
+            spark.readStream.format("text")
+            .load(str(src))
+            .selectExpr("value AS line")
+            .writeStream.format("ciws_line_protocol")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = _lp_files(out)
+    assert first and all(f.startswith("batch-0-") for f in first)
+
+    run_once()  # no new data → no new files
+    assert _lp_files(out) == first
+
+    (src / "b.txt").write_text("m,tag=z f=3\n")
+    run_once()
+    second = [f for f in _lp_files(out) if f not in first]
+    assert second and all(f.startswith("batch-1-") for f in second)
+    body = "".join(
+        open(os.path.join(out, f)).read() for f in _lp_files(out)
+    )
+    assert sorted(body.splitlines()) == [
+        "m,tag=x f=1", "m,tag=y f=2", "m,tag=z f=3",
+    ]
