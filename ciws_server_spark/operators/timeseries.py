@@ -904,6 +904,71 @@ def influxql_quarter_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def influxql_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``chande_momentum_oscillator(agg, n)`` — round-9 TA
+    surface. Over the last n deltas of the bucketed series:
+    100·(Σup − Σdown)/(Σup + Σdown). Pure window functions (one
+    shuffle on the series key); integer inner aggregate keeps the
+    sums exact so the emitted doubles are bit-stable vs the oracle."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT chande_momentum_oscillator(count(value), 4) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    out = translate(ev, q, time_col="ts")
+    return out.select(
+        "time_bucket",
+        "event_type",
+        F.round("chande_momentum_oscillator", 6).alias("cmo"),
+    ).orderBy("time_bucket", "event_type")
+
+
+def influxql_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``kaufmans_efficiency_ratio(agg, n)`` — net change over
+    path length for the trailing n steps (signal ÷ noise, 0 on a flat
+    span). Same window-only shape as influxql_cmo."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT kaufmans_efficiency_ratio(count(value), 4) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    out = translate(ev, q, time_col="ts")
+    return out.select(
+        "time_bucket",
+        "event_type",
+        F.round("kaufmans_efficiency_ratio", 6).alias("ker"),
+    ).orderBy("time_bucket", "event_type")
+
+
+def influxql_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``relative_strength_index(agg, n)`` (Wilder): seed
+    avgGain/avgLoss with the mean of the first n gains/losses, then
+    smooth avg_t = (avg_{t−1}·(n−1) + x_t)/n; RSI = 100 − 100/(1+RS).
+    Per-series Arrow fold on the EMA machinery (buckets × series
+    rows); the oracle reproduces the identical recursion as a
+    recursive CTE carrying both smoothed states."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT relative_strength_index(count(value), 4) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    out = translate(ev, q, time_col="ts")
+    return out.select(
+        "time_bucket",
+        "event_type",
+        F.round("relative_strength_index", 6).alias("rsi"),
+    ).orderBy("time_bucket", "event_type")
+
+
 def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 downsampling: per (series, time bucket) keep the first, last,
     min-value and max-value POINTS — the error-free line-chart
@@ -1094,6 +1159,9 @@ QUERIES = {
     "influxql_quarter_bucket": influxql_quarter_bucket,
     "influxql_derivative_quarter": influxql_derivative_quarter,
     "ts_m4_downsample": ts_m4_downsample,
+    "influxql_cmo": influxql_cmo,
+    "influxql_kaufman_er": influxql_kaufman_er,
+    "influxql_rsi": influxql_rsi,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
     "influxql_difference": influxql_difference,
@@ -1140,6 +1208,9 @@ EXTRA = {
     # stale → auto-registers in the r10 rotation):
     "influxql_derivative_quarter",
     "ts_m4_downsample",
+    "influxql_cmo",
+    "influxql_kaufman_er",
+    "influxql_rsi",
     # rotated out in r9 (driver-green r8):
     "ts_tag_time_range",
     "ts_sliding_window",
@@ -1272,6 +1343,109 @@ ORACLES = {
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY time_bucket)
         QUALIFY lag(v) OVER w IS NOT NULL
         ORDER BY time_bucket, o_orderpriority
+    """,
+    "influxql_cmo": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS DOUBLE) AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        d AS (
+          SELECT time_bucket, event_type, v,
+                 v - lag(v) OVER w AS dv,
+                 ROW_NUMBER() OVER w AS rn
+          FROM agg
+          WINDOW w AS (PARTITION BY event_type ORDER BY time_bucket)
+        ),
+        s AS (
+          SELECT time_bucket, event_type, rn,
+                 SUM(greatest(dv, 0)) OVER w4 AS su,
+                 SUM(greatest(-dv, 0)) OVER w4 AS sd
+          FROM d
+          WINDOW w4 AS (PARTITION BY event_type ORDER BY time_bucket
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        )
+        SELECT time_bucket, event_type,
+               ROUND(CASE WHEN su + sd = 0 THEN 0.0
+                          ELSE 100.0 * (su - sd) / (su + sd) END, 6) AS cmo
+        FROM s WHERE rn >= 5
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_kaufman_er": f"""
+        WITH agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS DOUBLE) AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        d AS (
+          SELECT time_bucket, event_type, v,
+                 v - lag(v) OVER w AS dv,
+                 lag(v, 4) OVER w AS v4,
+                 ROW_NUMBER() OVER w AS rn
+          FROM agg
+          WINDOW w AS (PARTITION BY event_type ORDER BY time_bucket)
+        ),
+        s AS (
+          SELECT time_bucket, event_type, rn, v, v4,
+                 SUM(abs(dv)) OVER w4 AS noise
+          FROM d
+          WINDOW w4 AS (PARTITION BY event_type ORDER BY time_bucket
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        )
+        SELECT time_bucket, event_type,
+               ROUND(CASE WHEN noise = 0 THEN 0.0
+                          ELSE abs(v - v4) / noise END, 6) AS ker
+        FROM s WHERE rn >= 5
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_rsi": f"""
+        WITH RECURSIVE agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS DOUBLE) AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        pts AS (
+          SELECT time_bucket, event_type, v,
+                 greatest(v - lag(v) OVER w, 0) AS gain,
+                 greatest(lag(v) OVER w - v, 0) AS loss,
+                 ROW_NUMBER() OVER w AS rn
+          FROM agg
+          WINDOW w AS (PARTITION BY event_type ORDER BY time_bucket)
+        ),
+        seed AS (
+          SELECT event_type,
+                 SUM(gain) / 4 AS ag, SUM(loss) / 4 AS al
+          FROM pts WHERE rn BETWEEN 2 AND 5
+          GROUP BY event_type
+        ),
+        rec AS (
+          SELECT p.time_bucket, p.event_type, p.rn, s.ag, s.al
+          FROM pts p JOIN seed s ON p.event_type = s.event_type
+          WHERE p.rn = 5
+          UNION ALL
+          SELECT p.time_bucket, p.event_type, p.rn,
+                 (r.ag * 3 + p.gain) / 4,
+                 (r.al * 3 + p.loss) / 4
+          FROM pts p JOIN rec r
+            ON p.event_type = r.event_type AND p.rn = r.rn + 1
+        )
+        SELECT time_bucket, event_type,
+               ROUND(CASE WHEN al = 0 THEN 100.0
+                          ELSE 100.0 - 100.0 / (1 + ag / al) END, 6) AS rsi
+        FROM rec
+        ORDER BY time_bucket, event_type
     """,
     "ts_m4_downsample": """
         WITH pts AS (

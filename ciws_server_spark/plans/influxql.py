@@ -92,16 +92,20 @@ per (series, bucket), and fills empty buckets with null / the
 previous value (LOCF) / a constant. ``fill(none)`` is the default
 drop-empty-buckets behavior.
 
-OUT OF SURFACE (explicitly unsupported; parsing raises rather than
-silently mis-reading): the InfluxQL 1.x predictive / technical-
-analysis tail — ``holt_winters``, ``holt_winters_with_fit``,
-``chande_momentum_oscillator``, ``kaufmans_efficiency_ratio``,
-``kaufmans_adaptive_moving_average``, ``double_exponential_moving_
-average``, ``triple_exponential_moving_average``, ``triple_
-exponential_derivative``, ``relative_strength_index``, and
-``sample``/``histogram``. These are charting/forecast conveniences
-with no reference usage; ``exponential_moving_average`` (the common
-one) IS supported above.
+The technical-analysis tail IS supported (round 9):
+``chande_momentum_oscillator`` and ``kaufmans_efficiency_ratio`` as
+plain window functions; ``relative_strength_index`` (Wilder),
+``kaufmans_adaptive_moving_average``, ``double/triple_exponential_
+moving_average``, and ``triple_exponential_derivative`` as per-series
+Arrow folds on the EMA machinery (same raw-series cap, same
+buckets × series bound in the aggregated form), each with a
+documented deterministic recursion and a term-for-term recursive-CTE
+oracle. OUT OF SURFACE (explicitly unsupported; parsing raises
+rather than silently mis-reading): ``holt_winters`` /
+``holt_winters_with_fit`` (their output depends on InfluxDB's
+internal Nelder-Mead optimizer state — no deterministic public spec
+to verify against) and ``sample``/``histogram`` (nondeterministic /
+reserved-but-unimplemented in InfluxDB 1.x itself).
 
 EXTENSION (beyond InfluxQL 1.x, explicitly flagged): ``GROUP BY
 time(Nmo)`` / ``time(Ny)`` — calendar month/year buckets. InfluxQL
@@ -150,6 +154,31 @@ class InfluxQLError(ValueError):
 EMA_RAW_MAX_SERIES_ROWS = 5_000_000
 
 
+def _guard_raw_series(base: DataFrame, tag_cols: list[str]) -> None:
+    """SCALE BOUND for per-series recursive folds over RAW fields: the
+    whole series lands in one Python worker, so an over-cap series is
+    an OOM/straggler at 100 TB. One cheap partial-aggregated count
+    pass; an over-cap series raises a named error telling the user to
+    bucket first (agg + GROUP BY time(...) — bounded at buckets ×
+    series, the production shape). Aggregated forms are exempt.
+    (Explicit alias, NOT .count(): a tag column literally named
+    "count" would make F.col("count") ambiguous.)"""
+    oversized = (
+        base.groupBy(*tag_cols)
+        .agg(F.count(F.lit(1)).alias("__fold_series_rows"))
+        .where(F.col("__fold_series_rows") > EMA_RAW_MAX_SERIES_ROWS)
+        .limit(1)
+        .collect()
+    )
+    if oversized:
+        raise InfluxQLError(
+            "per-series recursive transforms over a raw field are "
+            f"capped at {EMA_RAW_MAX_SERIES_ROWS} points per series "
+            "(a longer series cannot fold in one worker); aggregate "
+            "first, e.g. fn(mean(f), n) with GROUP BY time(...)"
+        )
+
+
 _QUERY_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)"
     r"(?:\s+INTO\s+(?P<into>\S+))?\s+FROM\s+(?P<from>\S+)"
@@ -176,10 +205,26 @@ _PERC_RE = re.compile(
 _TRANSFORM_RE = re.compile(
     r"^(derivative|non_negative_derivative|moving_average|difference"
     r"|non_negative_difference|cumulative_sum|elapsed|integral"
-    r"|exponential_moving_average)"
+    r"|exponential_moving_average|chande_momentum_oscillator"
+    r"|kaufmans_efficiency_ratio|kaufmans_adaptive_moving_average"
+    r"|relative_strength_index|double_exponential_moving_average"
+    r"|triple_exponential_moving_average|triple_exponential_derivative)"
     r"\s*\(\s*(.+?)\s*\)$",
     re.I,
 )
+
+#: Technical-analysis transforms that are single recursive folds per
+#: series (state cannot be windowed in closed form) — they share the
+#: EMA applyInPandas machinery and the EMA raw-form series-size cap.
+_TA_FOLDS = {
+    "relative_strength_index",
+    "kaufmans_adaptive_moving_average",
+    "double_exponential_moving_average",
+    "triple_exponential_moving_average",
+    "triple_exponential_derivative",
+}
+#: TA transforms expressible as plain window functions.
+_TA_WINDOWS = {"chande_momentum_oscillator", "kaufmans_efficiency_ratio"}
 _SELECTOR_RE = re.compile(
     r"""^(top|bottom)\s*\(\s*("[^"]+"|\w+)\s*,\s*(\d+)\s*\)$""", re.I
 )
@@ -694,7 +739,11 @@ def _apply_transform(
     n_points = None
     unit_secs: float = 1.0
     calendar_step_months: int | None = None
-    if fn in ("moving_average", "exponential_moving_average"):
+    if (
+        fn in ("moving_average", "exponential_moving_average")
+        or fn in _TA_FOLDS
+        or fn in _TA_WINDOWS
+    ):
         if len(args) != 2 or not args[1].isdigit() or int(args[1]) < 1:
             raise InfluxQLError(
                 f"{fn} requires a positive integer point count"
@@ -805,6 +854,141 @@ def _apply_transform(
     w = W.partitionBy(*tag_cols).orderBy(tkey)
     v = F.col(vname).cast("double")
 
+    if fn in _TA_WINDOWS:
+        # Closed-form TA indicators — plain window functions over the
+        # series (one shuffle on the series key, no Python):
+        #   chande_momentum_oscillator(x, n): over the last n deltas,
+        #     100·(Σup − Σdown)/(Σup + Σdown); 0 when the series was
+        #     flat across the span.
+        #   kaufmans_efficiency_ratio(x, n): |v_t − v_{t−n}| divided by
+        #     Σ|delta| over those n steps (signal ÷ noise, 0 when the
+        #     path length is 0).
+        # Both emit once n deltas exist (from the (n+1)-th point of
+        # each series), mirroring the moving_average warmup convention.
+        d = v - F.lag(v).over(w)
+        stepped = base.withColumn("_d", d).withColumn(
+            "_rn", F.row_number().over(w)
+        )
+        wn = w.rowsBetween(-(n_points - 1), 0)
+        if fn == "chande_momentum_oscillator":
+            su = F.sum(F.greatest(F.col("_d"), F.lit(0.0))).over(wn)
+            sd = F.sum(F.greatest(-F.col("_d"), F.lit(0.0))).over(wn)
+            expr = F.when(su + sd == 0, F.lit(0.0)).otherwise(
+                F.lit(100.0) * (su - sd) / (su + sd)
+            )
+        else:
+            change = F.abs(v - F.lag(v, n_points).over(w))
+            noise = F.sum(F.abs(F.col("_d"))).over(wn)
+            expr = F.when(noise == 0, F.lit(0.0)).otherwise(change / noise)
+        res = (
+            stepped.withColumn(fn, expr)
+            .where(F.col("_rn") >= n_points + 1)
+            .select(tkey, *tag_cols, fn)
+        )
+        key = F.col(tkey)
+        return res.orderBy(key.desc() if order_desc else key.asc()), tkey
+
+    if fn in _TA_FOLDS:
+        # Recursive TA indicators — per-series folds with no windowed
+        # closed form, run exactly like the EMA below: one
+        # Arrow-batched applyInPandas pass per series (aggregated form
+        # = buckets × series rows; raw form capped by the same
+        # series-size guard). Recursions (α = 2/(n+1), all states
+        # seeded from the series' first point(s) — deterministic,
+        # documented conventions; each has a term-for-term recursive
+        # CTE oracle):
+        #   relative_strength_index: Wilder — seed avgGain/avgLoss =
+        #     mean of the first n gains/losses, then
+        #     avg_t = (avg_{t−1}·(n−1) + x_t)/n;
+        #     RSI = 100 − 100/(1 + avgG/avgL), 100 when avgL = 0.
+        #     Emits from the (n+1)-th point.
+        #   kaufmans_adaptive_moving_average: ER as above; smoothing
+        #     SC = (ER·(2/3 − 2/31) + 2/31)²; KAMA seeded with the
+        #     (n+1)-th point, then KAMA += SC·(v − KAMA). Emits from
+        #     the (n+1)-th point.
+        #   double/triple_exponential_moving_average: EMA chains
+        #     e1/e2/e3 all seeded with the first point and updated
+        #     every point (e2 over e1, e3 over e2); DEMA = 2e1 − e2,
+        #     TEMA = 3e1 − 3e2 + e3, emitted from the n-th point.
+        #   triple_exponential_derivative (TRIX):
+        #     100·(e3_t − e3_{t−1})/e3_{t−1}, emitted from the
+        #     (n+1)-th point.
+        if inner_fn is None:
+            _guard_raw_series(base, tag_cols)
+        import numpy as np
+
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        out_schema = StructType(
+            [base.schema[tkey]]
+            + [base.schema[t] for t in tag_cols]
+            + [StructField(fn, DoubleType())]
+        )
+        npts = n_points
+        vcol = vname
+        alpha = 2.0 / (n_points + 1)
+        the_fn = fn
+
+        def ta_fold(pdf):
+            pdf = pdf.sort_values(tkey)
+            vals = pdf[vcol].astype(float).to_numpy()
+            out = np.full(len(vals), np.nan)
+            if the_fn == "relative_strength_index" and len(vals) > npts:
+                d = np.diff(vals)
+                gains = np.maximum(d, 0.0)
+                losses = np.maximum(-d, 0.0)
+                ag, al = gains[:npts].mean(), losses[:npts].mean()
+                out[npts] = 100.0 if al == 0 else 100.0 - 100.0 / (1 + ag / al)
+                for i in range(npts + 1, len(vals)):
+                    ag = (ag * (npts - 1) + gains[i - 1]) / npts
+                    al = (al * (npts - 1) + losses[i - 1]) / npts
+                    out[i] = (
+                        100.0 if al == 0 else 100.0 - 100.0 / (1 + ag / al)
+                    )
+            elif (
+                the_fn == "kaufmans_adaptive_moving_average"
+                and len(vals) > npts
+            ):
+                d = np.abs(np.diff(vals))
+                fast, slow = 2.0 / 3.0, 2.0 / 31.0
+                kama = vals[npts]
+                out[npts] = kama
+                for i in range(npts + 1, len(vals)):
+                    noise = d[i - npts : i].sum()
+                    er = 0.0 if noise == 0 else abs(vals[i] - vals[i - npts]) / noise
+                    sc = (er * (fast - slow) + slow) ** 2
+                    kama = kama + sc * (vals[i] - kama)
+                    out[i] = kama
+            elif the_fn in (
+                "double_exponential_moving_average",
+                "triple_exponential_moving_average",
+                "triple_exponential_derivative",
+            ):
+                e1 = e2 = e3 = vals[0] if len(vals) else 0.0
+                prev_e3 = None
+                for i, x in enumerate(vals):
+                    if i > 0:
+                        prev_e3 = e3
+                        e1 = alpha * x + (1 - alpha) * e1
+                        e2 = alpha * e1 + (1 - alpha) * e2
+                        e3 = alpha * e2 + (1 - alpha) * e3
+                    if the_fn == "double_exponential_moving_average":
+                        if i >= npts - 1:
+                            out[i] = 2 * e1 - e2
+                    elif the_fn == "triple_exponential_moving_average":
+                        if i >= npts - 1:
+                            out[i] = 3 * e1 - 3 * e2 + e3
+                    else:  # TRIX
+                        if i >= npts and prev_e3 not in (None, 0.0):
+                            out[i] = 100.0 * (e3 - prev_e3) / prev_e3
+            pdf = pdf.assign(**{the_fn: out})
+            keep = pdf[~pdf[the_fn].isna()]
+            return keep[[tkey, *tag_cols, the_fn]]
+
+        res = base.groupBy(*tag_cols).applyInPandas(ta_fold, out_schema)
+        key = F.col(tkey)
+        return res.orderBy(key.desc() if order_desc else key.asc()), tkey
+
     if fn == "exponential_moving_average":
         # EMA_t = α·v_t + (1−α)·EMA_{t−1}, α = 2/(n+1), seeded with the
         # first point (InfluxQL's default exponential warmup) and
@@ -827,24 +1011,7 @@ def _apply_transform(
         # (ema(mean(f), n) + GROUP BY time(...) — bounded at buckets ×
         # series, the production shape). The aggregated form is exempt.
         if inner_fn is None:
-            # explicit alias, NOT .count(): a tag column literally
-            # named "count" would make F.col("count") ambiguous
-            oversized = (
-                base.groupBy(*tag_cols)
-                .agg(F.count(F.lit(1)).alias("__ema_series_rows"))
-                .where(F.col("__ema_series_rows") > EMA_RAW_MAX_SERIES_ROWS)
-                .limit(1)
-                .collect()
-            )
-            if oversized:
-                raise InfluxQLError(
-                    "exponential_moving_average over a raw field is "
-                    f"capped at {EMA_RAW_MAX_SERIES_ROWS} points per "
-                    "series (a longer series cannot fold in one "
-                    "worker); aggregate first, e.g. "
-                    "exponential_moving_average(mean(f), n) with "
-                    "GROUP BY time(...)"
-                )
+            _guard_raw_series(base, tag_cols)
         import numpy as np
 
         from pyspark.sql.types import DoubleType, StructField, StructType

@@ -1309,3 +1309,71 @@ def test_calendar_derivative_explicit_unit_still_wall_clock(spark):
     assert len(got) == 1
     # Q1→Q2 bucket starts are 91 days apart in 2024; Δv = 2-1 = 1
     assert abs(got[0]["derivative"] - 1.0 / 91.0) < 1e-12
+
+
+def _ta_series(spark):
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), float(v))
+        for i, v in enumerate([10, 11, 13, 12, 14, 15])
+    ]
+    return spark.createDataFrame(rows, ["time", "v"])
+
+
+def test_ta_window_indicators(spark):
+    """CMO and Kaufman ER: hand-computed closed forms over the last n
+    deltas (deltas of [10,11,13,12,14,15] = [1,2,-1,2])."""
+    from ciws_server_spark.plans.influxql import translate
+
+    m = _ta_series(spark)
+    cmo = [
+        round(r[-1], 6)
+        for r in translate(
+            m, "SELECT chande_momentum_oscillator(v, 4) FROM m"
+        ).collect()
+    ]
+    # over deltas [1,2,-1,2]: up 5, down 1 → 100·4/6; then [2,-1,2,1]
+    assert cmo == [round(100 * 4 / 6, 6), round(100 * 4 / 6, 6)]
+    ker = [
+        round(r[-1], 6)
+        for r in translate(
+            m, "SELECT kaufmans_efficiency_ratio(v, 4) FROM m"
+        ).collect()
+    ]
+    # |14−10|/6 then |15−11|/6
+    assert ker == [round(4 / 6, 6), round(4 / 6, 6)]
+
+
+def test_ta_fold_indicators(spark):
+    """KAMA/DEMA/TEMA/TRIX: literal expectations from the documented
+    recursions (α = 2/(n+1), states seeded from the series head)."""
+    from ciws_server_spark.plans.influxql import translate
+
+    m = _ta_series(spark)
+
+    def got(q):
+        out = translate(m, q).orderBy("time").collect()
+        return [round(r[-1], 6) for r in out]
+
+    assert got("SELECT kaufmans_adaptive_moving_average(v, 2) FROM m") == [
+        13.0, 12.929651, 13.004949, 13.891638,
+    ]
+    assert got("SELECT double_exponential_moving_average(v, 2) FROM m") == [
+        10.888889, 12.814815, 12.222222, 13.835391, 14.97668,
+    ]
+    assert got("SELECT triple_exponential_moving_average(v, 2) FROM m") == [
+        10.962963, 12.962963, 12.123457, 13.912209, 15.017833,
+    ]
+    assert got("SELECT triple_exponential_derivative(v, 2) FROM m") == [
+        8.633094, 4.415011, 6.859291, 7.737964,
+    ]
+
+
+def test_ta_validation_and_out_of_surface(spark):
+    from ciws_server_spark.plans.influxql import InfluxQLError, translate
+
+    m = _ta_series(spark)
+    with pytest.raises(InfluxQLError, match="positive integer"):
+        translate(m, "SELECT relative_strength_index(v) FROM m")
+    # holt_winters stays out-of-surface: optimizer-dependent output
+    with pytest.raises(InfluxQLError):
+        translate(m, "SELECT holt_winters(mean(v), 4, 0) FROM m GROUP BY time(1h)")
