@@ -1377,3 +1377,52 @@ def test_ta_validation_and_out_of_surface(spark):
     # holt_winters stays out-of-surface: optimizer-dependent output
     with pytest.raises(InfluxQLError):
         translate(m, "SELECT holt_winters(mean(v), 4, 0) FROM m GROUP BY time(1h)")
+
+
+def test_ta_fold_edge_cases(spark):
+    """Flat and short series: RSI pegs at 100 when losses are 0 (Wilder
+    convention), DEMA/TEMA reduce to the constant, TRIX is 0, and a
+    series shorter than the warmup emits nothing."""
+    from ciws_server_spark.plans.influxql import translate
+
+    flat = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 5.0)
+            for i in range(6)
+        ],
+        ["time", "v"],
+    )
+    assert [
+        r[-1]
+        for r in translate(
+            flat, "SELECT relative_strength_index(v, 2) FROM flat"
+        ).collect()
+    ] == [100.0, 100.0, 100.0, 100.0]
+    assert [
+        r[-1]
+        for r in translate(
+            flat, "SELECT double_exponential_moving_average(v, 2) FROM f"
+        ).collect()
+    ] == [5.0] * 5
+    assert [
+        r[-1]
+        for r in translate(
+            flat, "SELECT triple_exponential_derivative(v, 2) FROM f"
+        ).collect()
+    ] == [0.0] * 4
+    short = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.0), (dt.datetime(2024, 1, 2), 2.0)],
+        ["time", "v"],
+    )
+    assert (
+        translate(
+            short, "SELECT relative_strength_index(v, 4) FROM s"
+        ).count()
+        == 0
+    )
+    assert (
+        translate(
+            short, "SELECT chande_momentum_oscillator(v, 4) FROM s"
+        ).count()
+        == 0
+    )
