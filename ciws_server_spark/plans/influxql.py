@@ -51,6 +51,15 @@ Grammar (case-insensitive keywords):
           |  elapsed(col [, <dur>])          -- int Δt in units (dflt ns)
           |  integral(col [, <dur>])         -- trapezoid area per bucket
                                              -- (dflt per-second)
+          |  chande_momentum_oscillator(arg, <n>)   -- TA (window)
+          |  kaufmans_efficiency_ratio(arg, <n>)    -- TA (window)
+          |  relative_strength_index(arg, <n>)      -- TA (fold)
+          |  kaufmans_adaptive_moving_average(arg, <n>)  -- TA (fold)
+          |  double_exponential_moving_average(arg, <n>) -- TA (fold)
+          |  triple_exponential_moving_average(arg, <n>) -- TA (fold)
+          |  triple_exponential_derivative(arg, <n>)     -- TA (fold)
+          |  holt_winters[_with_fit](agg, <N>, <S>) -- additive HW
+                                             -- forecast (see below)
           |  top(col, <n>) | bottom(col, <n>)-- n extreme POINTS per
                                              -- bucket/series, original
                                              -- timestamps kept
@@ -100,12 +109,16 @@ moving_average``, and ``triple_exponential_derivative`` as per-series
 Arrow folds on the EMA machinery (same raw-series cap, same
 buckets × series bound in the aggregated form), each with a
 documented deterministic recursion and a term-for-term recursive-CTE
-oracle. OUT OF SURFACE (explicitly unsupported; parsing raises
-rather than silently mis-reading): ``holt_winters`` /
-``holt_winters_with_fit`` (their output depends on InfluxDB's
-internal Nelder-Mead optimizer state — no deterministic public spec
-to verify against) and ``sample``/``histogram`` (nondeterministic /
-reserved-but-unimplemented in InfluxDB 1.x itself).
+oracle. ``holt_winters`` / ``holt_winters_with_fit`` are supported
+as textbook ADDITIVE Holt-Winters with a deterministic Nelder-Mead
+SSE fit — a documented divergence: InfluxDB 1.x fits the same
+objective with its own internal optimizer state, so exact doubles
+need not match (there is no deterministic public spec to verify
+against; correctness is pinned by property tests — a perfectly
+seasonal/trended series must forecast its own continuation). OUT OF
+SURFACE (explicitly unsupported; parsing raises rather than silently
+mis-reading): ``sample``/``histogram`` (nondeterministic /
+reserved-but-unimplemented in InfluxQL 1.x itself).
 
 EXTENSION (beyond InfluxQL 1.x, explicitly flagged): ``GROUP BY
 time(Nmo)`` / ``time(Ny)`` — calendar month/year buckets. InfluxQL
@@ -152,6 +165,111 @@ class InfluxQLError(ValueError):
 #: with GROUP BY time(...) first. The aggregated form
 #: ema(mean(f), n) is bounded at buckets × series and is exempt.
 EMA_RAW_MAX_SERIES_ROWS = 5_000_000
+
+
+def _holt_winters(y, season: int, horizon: int):
+    """Additive Holt-Winters fit + forecast (numpy only).
+
+    Returns (fit_indices, one_step_fitted, forecasts): the indices into
+    ``y`` where a one-step-ahead prediction exists (past the init
+    window), those predictions under the SSE-optimal smoothing
+    parameters, and ``horizon`` forecasts continuing the series.
+
+    Init (textbook): with season S — level = mean of the first season,
+    trend = (mean of season 2 − mean of season 1)/S (last-first slope
+    when only one full season exists), seasonal components = first
+    season's deviations; without — level = y0, trend = y1 − y0.
+    Parameters are clipped to [1e-4, 1] inside the objective, so the
+    deterministic Nelder-Mead needs no constraint handling.
+    """
+    import numpy as np
+
+    n = len(y)
+
+    def run(params):
+        if season:
+            a, b_, g = params
+            S = season
+            level = y[:S].mean()
+            trend = (
+                (y[S : 2 * S].mean() - y[:S].mean()) / S
+                if n >= 2 * S
+                else (y[-1] - y[0]) / max(n - 1, 1)
+            )
+            seas = (y[:S] - level).astype(float)
+            start = S
+        else:
+            a, b_ = params
+            g = 0.0
+            level, trend = y[0], y[1] - y[0]
+            seas, S = None, 0
+            start = 1
+        preds = np.empty(n - start)
+        for i, t in enumerate(range(start, n)):
+            s_t = seas[t % S] if season else 0.0
+            preds[i] = level + trend + s_t
+            new_level = a * (y[t] - s_t) + (1 - a) * (level + trend)
+            trend = b_ * (new_level - level) + (1 - b_) * trend
+            if season:
+                seas[t % S] = g * (y[t] - new_level) + (1 - g) * s_t
+            level = new_level
+        fcs = np.empty(horizon)
+        for h in range(1, horizon + 1):
+            s_f = seas[(n - 1 + h) % S] if season else 0.0
+            fcs[h - 1] = level + h * trend + s_f
+        return preds, fcs, start
+
+    def sse(x):
+        import numpy as _np
+
+        p = _np.clip(x, 1e-4, 1.0)
+        preds, _, start = run(p)
+        return float(((y[start:] - preds) ** 2).sum())
+
+    x0 = np.array([0.5, 0.1, 0.1] if season else [0.5, 0.1])
+    best = np.clip(_nelder_mead(sse, x0), 1e-4, 1.0)
+    preds, fcs, start = run(best)
+    return list(range(start, n)), preds, fcs
+
+
+def _nelder_mead(f, x0, iters: int = 200):
+    """Minimal deterministic Nelder-Mead (fixed start simplex, fixed
+    iteration budget) — enough for the 2-3 smooth parameters of
+    Holt-Winters without pulling in scipy."""
+    import numpy as np
+
+    n = len(x0)
+    simplex = [np.array(x0, dtype=float)]
+    for i in range(n):
+        x = np.array(x0, dtype=float)
+        x[i] = min(1.0, x[i] + 0.25)
+        simplex.append(x)
+    vals = [f(x) for x in simplex]
+    for _ in range(iters):
+        order = list(np.argsort(vals))
+        simplex = [simplex[i] for i in order]
+        vals = [vals[i] for i in order]
+        if abs(vals[-1] - vals[0]) < 1e-12:
+            break
+        centroid = np.mean(simplex[:-1], axis=0)
+        xr = centroid + (centroid - simplex[-1])
+        fr = f(xr)
+        if fr < vals[0]:
+            xe = centroid + 2 * (centroid - simplex[-1])
+            fe = f(xe)
+            simplex[-1], vals[-1] = (xe, fe) if fe < fr else (xr, fr)
+        elif fr < vals[-2]:
+            simplex[-1], vals[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (simplex[-1] - centroid)
+            fc_ = f(xc)
+            if fc_ < vals[-1]:
+                simplex[-1], vals[-1] = xc, fc_
+            else:
+                for i in range(1, n + 1):
+                    simplex[i] = simplex[0] + 0.5 * (simplex[i] - simplex[0])
+                    vals[i] = f(simplex[i])
+    return simplex[int(np.argmin(vals))]
 
 
 def _guard_raw_series(base: DataFrame, tag_cols: list[str]) -> None:
@@ -208,7 +326,8 @@ _TRANSFORM_RE = re.compile(
     r"|exponential_moving_average|chande_momentum_oscillator"
     r"|kaufmans_efficiency_ratio|kaufmans_adaptive_moving_average"
     r"|relative_strength_index|double_exponential_moving_average"
-    r"|triple_exponential_moving_average|triple_exponential_derivative)"
+    r"|triple_exponential_moving_average|triple_exponential_derivative"
+    r"|holt_winters|holt_winters_with_fit)"
     r"\s*\(\s*(.+?)\s*\)$",
     re.I,
 )
@@ -225,6 +344,11 @@ _TA_FOLDS = {
 }
 #: TA transforms expressible as plain window functions.
 _TA_WINDOWS = {"chande_momentum_oscillator", "kaufmans_efficiency_ratio"}
+
+#: Named-but-unsupported 1.x functions — raise a named error instead of
+#: falling through to column resolution (module docstring, OUT OF
+#: SURFACE).
+_UNSUPPORTED_FN_RE = re.compile(r"^(sample|histogram)\s*\(", re.I)
 _SELECTOR_RE = re.compile(
     r"""^(top|bottom)\s*\(\s*("[^"]+"|\w+)\s*,\s*(\d+)\s*\)$""", re.I
 )
@@ -749,6 +873,22 @@ def _apply_transform(
                 f"{fn} requires a positive integer point count"
             )
         n_points = int(args[1])
+    elif fn in ("holt_winters", "holt_winters_with_fit"):
+        if (
+            len(args) != 3
+            or not args[1].isdigit()
+            or int(args[1]) < 1
+            or not args[2].isdigit()
+        ):
+            raise InfluxQLError(
+                f"{fn} takes (aggregate, N forecast points >= 1, "
+                f"seasonal pattern length >= 0)"
+            )
+        hw_n, hw_season = int(args[1]), int(args[2])
+        if inner_fn is None or bucket_secs is None:
+            raise InfluxQLError(
+                f"{fn} requires an aggregate argument and GROUP BY time(...)"
+            )
     elif fn in ("difference", "non_negative_difference", "cumulative_sum"):
         if len(args) != 1:
             raise InfluxQLError(f"{fn} takes exactly 1 argument")
@@ -853,6 +993,72 @@ def _apply_transform(
     base = base.where(F.col(vname).isNotNull())
     w = W.partitionBy(*tag_cols).orderBy(tkey)
     v = F.col(vname).cast("double")
+
+    if fn in ("holt_winters", "holt_winters_with_fit"):
+        # Additive Holt-Winters over the bucketed series, α/β/γ fit by
+        # SSE-minimizing Nelder-Mead (deterministic fixed start
+        # simplex) — the textbook triple exponential smoothing; S = 0
+        # drops the seasonal component (Holt's linear trend). This is
+        # the documented DIVERGENCE from InfluxDB 1.x, whose output
+        # depends on its internal optimizer state: the model and the
+        # objective are the same, the fitted parameters (and therefore
+        # exact doubles) need not be. Emits N forecast buckets
+        # continuing the series' bucket axis (calendar buckets step in
+        # months); *_with_fit additionally emits the one-step-ahead
+        # fitted values over the history past the init window. A
+        # series shorter than the init window (2 points, or 2 seasons)
+        # emits nothing. Per-series cost is O(points × NM iterations)
+        # in ONE Arrow fold — aggregated form only, so the input is
+        # buckets × series rows, never event count.
+        import pandas as pd
+
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        out_schema = StructType(
+            [base.schema[tkey]]
+            + [base.schema[t] for t in tag_cols]
+            + [StructField(fn, DoubleType())]
+        )
+        season, horizon = hw_season, hw_n
+        with_fit = fn == "holt_winters_with_fit"
+        vcol = vname
+        the_fn = fn
+        if isinstance(bucket_secs, _CalendarBucket):
+            step_months, step_secs = bucket_secs.months, None
+        else:
+            step_months, step_secs = None, float(bucket_secs)
+
+        def hw_fold(pdf):
+            pdf = pdf.sort_values(tkey)
+            y = pdf[vcol].astype(float).to_numpy()
+            need = max(2, 2 * season) if season else 2
+            if len(y) < need:
+                return pdf.iloc[0:0][[tkey, *tag_cols]].assign(**{the_fn: []})
+            fit_t, fitted, fc = _holt_winters(y, season, horizon)
+            times = list(pdf[tkey])
+            last = times[-1]
+            if step_months is not None:
+                fut = [
+                    last + pd.DateOffset(months=step_months * (h + 1))
+                    for h in range(horizon)
+                ]
+            else:
+                fut = [
+                    last + pd.Timedelta(seconds=step_secs * (h + 1))
+                    for h in range(horizon)
+                ]
+            out_times, out_vals = list(fut), list(fc)
+            if with_fit:
+                out_times = [times[t] for t in fit_t] + out_times
+                out_vals = list(fitted) + out_vals
+            rows = {tkey: out_times, the_fn: out_vals}
+            for t in tag_cols:
+                rows[t] = [pdf[t].iloc[0]] * len(out_times)
+            return pd.DataFrame(rows)[[tkey, *tag_cols, the_fn]]
+
+        res = base.groupBy(*tag_cols).applyInPandas(hw_fold, out_schema)
+        key = F.col(tkey)
+        return res.orderBy(key.desc() if order_desc else key.asc()), tkey
 
     if fn in _TA_WINDOWS:
         # Closed-form TA indicators — plain window functions over the
@@ -1213,6 +1419,13 @@ def translate(
     selector_m = None
     distinct_m = None
     for item in select_raw:
+        um = _UNSUPPORTED_FN_RE.match(item)
+        if um:
+            raise InfluxQLError(
+                f"{um.group(1).lower()} is out of surface: "
+                "nondeterministic (sample) or reserved-but-"
+                "unimplemented in InfluxQL 1.x (histogram)"
+            )
         tm = _TRANSFORM_RE.match(item)
         sm = _SELECTOR_RE.match(item)
         dm = _DISTINCT_RE.match(item)

@@ -1374,9 +1374,75 @@ def test_ta_validation_and_out_of_surface(spark):
     m = _ta_series(spark)
     with pytest.raises(InfluxQLError, match="positive integer"):
         translate(m, "SELECT relative_strength_index(v) FROM m")
-    # holt_winters stays out-of-surface: optimizer-dependent output
+    # holt_winters needs an aggregate + GROUP BY time
+    with pytest.raises(InfluxQLError, match="GROUP BY time"):
+        translate(m, "SELECT holt_winters(v, 4, 0) FROM m")
+    # sample/histogram stay out-of-surface (nondeterministic/reserved)
     with pytest.raises(InfluxQLError):
-        translate(m, "SELECT holt_winters(mean(v), 4, 0) FROM m GROUP BY time(1h)")
+        translate(m, "SELECT sample(v, 3) FROM m")
+
+
+def test_holt_winters_recovers_seasonal_trend(spark):
+    """Property pin for the additive Holt-Winters fit: a perfectly
+    seasonal + linear series must forecast its own continuation
+    (SSE-optimal parameters drive the one-step error to ~0), and S=0
+    must continue a pure linear trend exactly."""
+    from ciws_server_spark.plans.influxql import translate
+
+    rows = []
+    for t in range(24):
+        v = 10 + 0.5 * t + [3.0, -1.0, -2.0, 0.0][t % 4]
+        rows.append((dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), v))
+    m = spark.createDataFrame(rows, ["time", "v"])
+    out = translate(
+        m, "SELECT holt_winters(mean(v), 4, 4) FROM m GROUP BY time(1h)"
+    ).collect()
+    exp = [10 + 0.5 * t + [3.0, -1.0, -2.0, 0.0][t % 4] for t in range(24, 28)]
+    assert len(out) == 4
+    # forecast buckets continue the hourly axis
+    assert [r["time_bucket"].hour for r in out] == [0, 1, 2, 3]
+    for got, want in zip([r[-1] for r in out], exp):
+        assert abs(got - want) < 1e-2  # NM converges to ~1e-4 here
+
+    lin = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), 5.0 + 2.0 * t)
+            for t in range(10)
+        ],
+        ["time", "v"],
+    )
+    out = translate(
+        lin, "SELECT holt_winters(mean(v), 3, 0) FROM lin GROUP BY time(1h)"
+    ).collect()
+    for got, want in zip([r[-1] for r in out], [25.0, 27.0, 29.0]):
+        assert abs(got - want) < 1e-2
+
+
+def test_holt_winters_with_fit_and_short_series(spark):
+    from ciws_server_spark.plans.influxql import translate
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), float(t))
+        for t in range(6)
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    out = translate(
+        m,
+        "SELECT holt_winters_with_fit(mean(v), 2, 0) FROM m GROUP BY time(1h)",
+    ).collect()
+    # 5 one-step fitted points (past the 1-point init) + 2 forecasts
+    assert len(out) == 7
+    for got, want in zip([r[-1] for r in out[-2:]], [6.0, 7.0]):
+        assert abs(got - want) < 1e-2
+
+    short = spark.createDataFrame(rows[:1], ["time", "v"])
+    assert (
+        translate(
+            short,
+            "SELECT holt_winters(mean(v), 2, 0) FROM s GROUP BY time(1h)",
+        ).count()
+        == 0
+    )
 
 
 def test_ta_fold_edge_cases(spark):
