@@ -1610,10 +1610,11 @@ def translate(
 
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+(MEASUREMENTS|TAG\s+KEYS|FIELD\s+KEYS|TAG\s+VALUES"
-    r"|DATABASES|RETENTION\s+POLICIES)"
+    r"|DATABASES|RETENTION\s+POLICIES|SERIES)"
     r"(?:\s+ON\s+(\"[^\"]+\"|\w+))?"
     r"(?:\s+FROM\s+(\S+))?"
-    r"(?:\s+WITH\s+KEY\s*=\s*(\"[^\"]+\"|\w+))?\s*;?\s*$",
+    r"(?:\s+WITH\s+KEY\s*=\s*(\"[^\"]+\"|\w+))?"
+    r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -1671,6 +1672,50 @@ def _show(
         return spark.createDataFrame(
             [(n,) for n in sorted(tables)], "name STRING"
         )
+    if kind == "SERIES":
+        # SHOW SERIES [FROM m] [LIMIT n]: one row per series key —
+        # "measurement,tag1=v1,tag2=v2" over the DISTINCT tag-sets
+        # present in the data (InfluxDB 1.x output shape). One
+        # partial-agg'd distinct per measurement on the pruned tag
+        # projection; the cross-measurement union is over the (small)
+        # registry, not data. Null tags drop their pair, matching a
+        # point written without that tag.
+        from functools import reduce
+
+        names = (
+            [_unquote(m.group(3))] if m.group(3) else sorted(tables)
+        )
+        frames = []
+        for n in names:
+            if n not in tables:
+                raise InfluxQLError(f"unknown measurement: {n!r}")
+            t = tables[n]
+            tags = sorted(
+                c
+                for c, ty in t.dtypes
+                if ty == "string" and c.lower() != "time"
+            )
+            if not tags:
+                frames.append(
+                    spark.createDataFrame([(n,)], "key STRING")
+                )
+                continue
+            pairs = [
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.concat(F.lit(c + "="), F.col(c)),
+                )
+                for c in tags
+            ]
+            frames.append(
+                t.select(
+                    F.concat_ws(",", F.lit(n), *pairs).alias("key")
+                ).distinct()
+            )
+        out = reduce(lambda a, b: a.unionByName(b), frames).orderBy("key")
+        if m.group(5):
+            out = out.limit(int(m.group(5)))
+        return out
     name = _unquote(m.group(3) or "")
     if name not in tables:
         raise InfluxQLError(f"unknown measurement: {name!r}")

@@ -1492,3 +1492,38 @@ def test_ta_fold_edge_cases(spark):
         ).count()
         == 0
     )
+
+
+def test_show_series(spark, flow):
+    """SHOW SERIES: distinct measurement,tag=value keys; LIMIT caps;
+    null tags drop their pair; unknown measurement raises."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    t = {"flow": flow}
+    got = [r["key"] for r in query_measurement(spark, t, "SHOW SERIES").collect()]
+    assert got == ["flow,buildingID=A", "flow,buildingID=B"]
+    got = [
+        r["key"]
+        for r in query_measurement(
+            spark, t, "SHOW SERIES FROM flow LIMIT 1"
+        ).collect()
+    ]
+    assert got == ["flow,buildingID=A"]
+
+    null_tag = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), None, 1.0)],
+        "time timestamp, buildingID string, v double",
+    )
+    got = [
+        r["key"]
+        for r in query_measurement(
+            spark, {"m": null_tag}, "SHOW SERIES"
+        ).collect()
+    ]
+    assert got == ["m"]
+
+    with pytest.raises(InfluxQLError, match="unknown measurement"):
+        query_measurement(spark, t, "SHOW SERIES FROM nope")
