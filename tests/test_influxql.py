@@ -1527,3 +1527,28 @@ def test_show_series(spark, flow):
 
     with pytest.raises(InfluxQLError, match="unknown measurement"):
         query_measurement(spark, t, "SHOW SERIES FROM nope")
+
+
+def test_ta_fold_composes_with_fill(spark):
+    """TA folds run over the fill()-densified bucket axis (fill-first,
+    as InfluxQL composes): a gap filled with previous makes the RSI
+    see a flat step instead of skipping the bucket."""
+    from ciws_server_spark.plans.influxql import translate
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h), float(v))
+        for h, v in [(0, 1), (1, 2), (2, 4), (4, 8), (5, 9)]  # hour 3 missing
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    out = translate(
+        m,
+        "SELECT relative_strength_index(last(v), 2) FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 05:00:00' "
+        "GROUP BY time(1h) fill(previous)",
+    ).collect()
+    # densified axis has 6 buckets (hour 3 = LOCF 4.0) → RSI over
+    # gains [1,2,0,4,1]: emitted from the 3rd bucket on
+    assert len(out) == 4
+    assert [r["time_bucket"].hour for r in out] == [2, 3, 4, 5]
+    # hour-3 bucket: filled flat step → losses stay 0 → RSI pegs at 100
+    assert out[1][-1] == 100.0

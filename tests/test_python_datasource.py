@@ -280,3 +280,29 @@ def test_line_protocol_stream_writer_batches(spark, tmp_path):
     assert sorted(body.splitlines()) == [
         "m,tag=x f=1", "m,tag=y f=2", "m,tag=z f=3",
     ]
+
+
+def test_line_protocol_orphaned_staging_not_published(spark, tmp_path):
+    """A staging file left by a crashed attempt (write() without
+    commit()) must never be published by a later successful write —
+    publish renames only the files named in its commit messages."""
+    from ciws_server_spark.sources.datasource import (
+        CiwsLineProtocolBatchWriter,
+        register,
+    )
+
+    out = str(tmp_path / "export")
+    w = CiwsLineProtocolBatchWriter({"path": out})
+    orphan = w.write(iter([("m f=0",)]))  # staged, never committed
+    assert os.path.exists(orphan.path)
+
+    register(spark)
+    spark.createDataFrame([("m f=1",)], ["line"]).write.format(
+        "ciws_line_protocol"
+    ).option("path", out).mode("append").save()
+
+    published = "".join(
+        open(os.path.join(out, f)).read() for f in _lp_files(out)
+    )
+    assert published == "m f=1\n"
+    assert os.path.exists(orphan.path)  # inert, awaiting manual sweep
