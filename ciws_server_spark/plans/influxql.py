@@ -1805,6 +1805,40 @@ def execute_into(
     return spark.read.parquet(os.path.join(table_dir, target))
 
 
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\"[^\"]+\"|\w+)"
+    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def execute_delete(
+    spark, query: str, table_dir: str, time_col: str = "time"
+) -> int:
+    """Run an InfluxQL ``DELETE FROM <m> [WHERE ...]`` statement
+    against an on-disk partitioned table under ``table_dir``.
+
+    The WHERE grammar is the query grammar's predicate subset (tag
+    equality/regex, time ranges, OR/AND/parens); no WHERE deletes
+    every point, as InfluxQL does. Execution is
+    ``sinks.delete_points`` — a partition-pruned rewrite of only the
+    files containing matching rows, published through the snapshot
+    protocol's atomic swap with the compactor's optimistic conflict
+    check. Returns the number of points deleted.
+    """
+    from ..sources import sinks
+
+    dm = _DELETE_RE.match(query)
+    if not dm:
+        raise InfluxQLError(f"not a DELETE statement: {query!r}")
+    target = _unquote(dm.group(1))
+    if dm.group(2):
+        pred = _where_expr(dm.group(2), time_col, {})
+    else:
+        pred = F.lit(True)
+    return sinks.delete_points(spark, table_dir, target, pred)
+
+
 def query_measurement(
     spark,
     tables: dict[str, DataFrame],

@@ -589,6 +589,20 @@ def _compact_locked(
         .partitionBy(*parts)
         .parquet(tmp)
     )
+    _publish_snapshot(root, tmp, before, "compaction")
+    return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+
+
+def _publish_snapshot(
+    root: str, tmp: str, before: set, what: str
+) -> None:
+    """Shared snapshot-publish tail for rewriting mutators (compact,
+    delete): rename the finished build to the next ``root.vNNNNNN``
+    (durable completion marker — a crash after this point is the same
+    recoverable unreferenced-version state the compactor protocol
+    already heals), then, under an exclusive write lock, run the
+    optimistic commit-time conflict check and atomically repoint the
+    symlink."""
     versions = _version_dirs(root)
     nv = (int(versions[-1][-6:]) + 1) if versions else 1
     vnext = f"{root}.v{nv:06d}"
@@ -600,7 +614,7 @@ def _compact_locked(
             # them. Abort (drop vnext), leave the live table as-is.
             shutil.rmtree(vnext)
             raise ConcurrentAppendDetected(
-                f"{root}: file set changed during compaction; "
+                f"{root}: file set changed during {what}; "
                 f"rewritten snapshot dropped — retry"
             )
         swap = root + ".swap"
@@ -619,7 +633,125 @@ def _compact_locked(
             os.rename(root, f"{root}.v{0:06d}")
             os.rename(swap, root)
     _vacuum_versions(root)
-    return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+
+
+def _uri_to_path(uri: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(uri).path) if "://" in uri else uri
+
+
+def delete_points(
+    spark, table_dir: str, table: str, predicate
+) -> int:
+    """Row-level DELETE under the snapshot protocol (the InfluxQL
+    ``DELETE FROM m WHERE ...`` statement the reference's TSDB
+    supports; equivalent to Delta ``DELETE WHERE``).
+
+    Only files CONTAINING matching rows are rewritten: one
+    predicate-pushed scan finds the matching files via
+    ``input_file_name()`` (partition pruning bounds it to the
+    predicate's partitions), every other file is HARDLINKED into the
+    next snapshot version (metadata-only — at 100 TB the rewrite cost
+    is proportional to the data matched, not the table), and the
+    survivors of the affected files are rewritten with the table's
+    own partitioning. Publication reuses the compactor's protocol
+    verbatim: ``.compact.lock`` held for the whole run (a rewrite is
+    a rewrite — delete and compact never race each other),
+    ``.write.lock`` around capture and validate+swap, optimistic
+    conflict check, atomic symlink repoint, crash states healed by
+    ``recover_compaction`` (the durable marker is the same
+    ``root.vNNNNNN`` rename).
+
+    ``predicate`` is a Column or a Spark SQL string; partition
+    columns are in scope. The affected-file set is collected to the
+    driver — bounded by files-touched, the same driver-side scale as
+    a Delta commit's file list. Returns the number of rows deleted.
+
+    A delete that matches EVERY row publishes a fileless snapshot:
+    subsequent ``spark.read.parquet`` needs an explicit schema (the
+    same as a never-written table — schema-under-emptiness is
+    precisely what a transaction log would add; README
+    'Transactional tables'). The next append re-establishes it.
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    root = os.path.join(table_dir, table)
+    with _flock(
+        _lock_file(root, "compact"), exclusive=True, blocking=False
+    ):
+        return _delete_locked(spark, table_dir, table, root, pred)
+
+
+def _delete_locked(spark, table_dir, table, root, pred) -> int:
+    recover_compaction(table_dir, table)
+    if not os.path.isdir(root):
+        return 0
+    tmp = root + ".delete.tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # debris from a crashed earlier delete
+    with _flock(_lock_file(root, "write"), exclusive=True):
+        before = _visible_file_set(root)
+    df = spark.read.parquet(root)
+    parts = list(PARTITIONING.get(table, []))
+    if "batch_id" in df.columns and "batch_id" not in parts:
+        parts.append("batch_id")
+    hit = (
+        df.withColumn("_src", F.input_file_name())
+        .where(pred)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("_src").alias("files"),
+        )
+        .collect()[0]
+    )
+    if not hit["n"]:
+        return 0
+    affected_uris = set(hit["files"])
+    affected_real = {
+        os.path.realpath(_uri_to_path(u)) for u in affected_uris
+    }
+    current = os.path.realpath(root)
+    # 1. untouched files: hardlink into the new version (copy2 on
+    # filesystems without link support)
+    for dirpath, _dirs, files in os.walk(current):
+        rel = os.path.relpath(dirpath, current)
+        for fname in files:
+            fp = os.path.join(dirpath, fname)
+            if os.path.realpath(fp) in affected_real:
+                continue
+            dst_dir = tmp if rel == "." else os.path.join(tmp, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            try:
+                os.link(fp, os.path.join(dst_dir, fname))
+            except OSError:
+                shutil.copy2(fp, os.path.join(dst_dir, fname))
+    os.makedirs(tmp, exist_ok=True)  # all-files-affected case
+    # 2. survivors of the affected files, rewritten with the table's
+    # partition layout and merged into the snapshot build
+    survivors = (
+        df.withColumn("_src", F.input_file_name())
+        .where(F.col("_src").isin(list(affected_uris)) & ~pred)
+        .drop("_src")
+    )
+    sub = tmp + ".rows"
+    writer = survivors.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(sub)
+    for dirpath, _dirs, files in os.walk(sub):
+        rel = os.path.relpath(dirpath, sub)
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            dst_dir = tmp if rel == "." else os.path.join(tmp, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            os.rename(
+                os.path.join(dirpath, fname), os.path.join(dst_dir, fname)
+            )
+    shutil.rmtree(sub)
+    _publish_snapshot(root, tmp, before, "delete")
+    return int(hit["n"])
 
 
 def retention_delete(

@@ -1,0 +1,161 @@
+"""Row-level DELETE under the snapshot protocol (sinks.delete_points
++ the InfluxQL DELETE front-end).
+
+The scale contract under test: only files containing matching rows
+are rewritten — every untouched file must enter the new snapshot as a
+HARDLINK (same inode), so delete cost is proportional to data
+matched, not table size.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ciws_server_spark.sources import sinks
+
+
+def _mk_table(spark, table_dir):
+    rows = []
+    for b in ("A", "B"):
+        for d in (1, 2):
+            for i in range(5):
+                rows.append(
+                    (dt.datetime(2024, 1, d, 6, i), b, float(i))
+                )
+    df = spark.createDataFrame(
+        rows, "time timestamp, buildingID string, flowRate double"
+    )
+    sinks.append_points(df, table_dir, "campus_flow")
+    return os.path.join(table_dir, "campus_flow")
+
+
+def _inodes(root):
+    return {
+        os.path.relpath(p, os.path.realpath(root)): os.stat(p).st_ino
+        for p in glob.glob(
+            os.path.join(os.path.realpath(root), "**", "*.parquet"),
+            recursive=True,
+        )
+    }
+
+
+def test_delete_rewrites_only_affected_files(spark, tmp_path):
+    table_dir = str(tmp_path)
+    root = _mk_table(spark, table_dir)
+    before = _inodes(root)
+
+    n = sinks.delete_points(
+        spark,
+        table_dir,
+        "campus_flow",
+        "buildingID = 'A' AND date = DATE'2024-01-01' AND flowRate >= 3",
+    )
+    assert n == 2  # flowRate 3,4 of A/day1
+
+    after = spark.read.parquet(root)
+    assert after.count() == 18
+    remaining_a1 = (
+        after.where("buildingID = 'A' AND date = DATE'2024-01-01'")
+        .select("flowRate")
+        .collect()
+    )
+    assert sorted(r.flowRate for r in remaining_a1) == [0.0, 1.0, 2.0]
+
+    # untouched partitions entered the new snapshot as hardlinks
+    now = _inodes(root)
+    untouched = {
+        rel: ino
+        for rel, ino in before.items()
+        if not rel.startswith(os.path.join("buildingID=A", "date=2024-01-01"))
+    }
+    for rel, ino in untouched.items():
+        assert now[rel] == ino, f"{rel} was rewritten, not hardlinked"
+    # the affected partition's file was rewritten (new name or inode)
+    assert not any(
+        now.get(rel) == ino
+        for rel, ino in before.items()
+        if rel.startswith(os.path.join("buildingID=A", "date=2024-01-01"))
+    )
+
+
+def test_delete_no_match_is_a_noop(spark, tmp_path):
+    table_dir = str(tmp_path)
+    root = _mk_table(spark, table_dir)
+    version = os.readlink(root) if os.path.islink(root) else None
+    assert (
+        sinks.delete_points(
+            spark, table_dir, "campus_flow", "buildingID = 'Z'"
+        )
+        == 0
+    )
+    # no snapshot published
+    assert (os.readlink(root) if os.path.islink(root) else None) == version
+    assert spark.read.parquet(root).count() == 20
+
+
+def test_delete_excluded_by_compactor_lock(spark, tmp_path):
+    table_dir = str(tmp_path)
+    root = _mk_table(spark, table_dir)
+    with sinks._flock(
+        sinks._lock_file(root, "compact"), exclusive=True, blocking=False
+    ):
+        with pytest.raises(sinks.CompactorBusy):
+            sinks.delete_points(
+                spark, table_dir, "campus_flow", "buildingID = 'A'"
+            )
+
+
+def test_delete_then_compact_then_read(spark, tmp_path):
+    """Delete composes with compaction and stays readable."""
+    table_dir = str(tmp_path)
+    root = _mk_table(spark, table_dir)
+    assert (
+        sinks.delete_points(spark, table_dir, "campus_flow", "flowRate = 0")
+        == 4
+    )
+    sinks.compact_table(spark, table_dir, "campus_flow")
+    df = spark.read.parquet(root)
+    assert df.count() == 16
+    assert df.where("flowRate = 0").count() == 0
+
+
+def test_influxql_delete_statement(spark, tmp_path):
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        execute_delete,
+    )
+
+    table_dir = str(tmp_path)
+    root = _mk_table(spark, table_dir)
+    n = execute_delete(
+        spark,
+        "DELETE FROM campus_flow WHERE buildingID = 'B' "
+        "AND time >= '2024-01-02 00:00:00'",
+        table_dir,
+    )
+    assert n == 5
+    left = spark.read.parquet(root)
+    assert left.count() == 15
+    assert left.where("buildingID = 'B'").count() == 5  # day-1 B rows
+
+    # DELETE FROM m with no WHERE removes every point; the snapshot
+    # is fileless (schema-under-emptiness needs a txn log — see
+    # delete_points docstring), so assert at the file level and via a
+    # schema-supplied read
+    assert execute_delete(spark, "DELETE FROM campus_flow", table_dir) == 15
+    assert glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True) == []
+    assert (
+        spark.read.schema("time timestamp, flowRate double")
+        .parquet(root)
+        .count()
+        == 0
+    )
+
+    with pytest.raises(InfluxQLError, match="not a DELETE"):
+        execute_delete(spark, "DROP MEASUREMENT campus_flow", table_dir)
