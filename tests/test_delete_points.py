@@ -159,3 +159,41 @@ def test_influxql_delete_statement(spark, tmp_path):
 
     with pytest.raises(InfluxQLError, match="not a DELETE"):
         execute_delete(spark, "DROP MEASUREMENT campus_flow", table_dir)
+
+
+def test_delete_crash_before_swap_heals(spark, tmp_path, monkeypatch):
+    """Crash after the durable vnext rename but before the symlink
+    swap: the table must still read its ORIGINAL rows, and recovery
+    must vacuum the unreferenced half-published version — the same
+    crash state the compactor protocol heals, because delete shares
+    _publish_snapshot verbatim."""
+    table_dir = str(tmp_path)
+    root = _mk_table(spark, table_dir)
+
+    real_publish = sinks._publish_snapshot
+
+    def crash_after_marker(r, tmp, before, what):
+        versions = sinks._version_dirs(r)
+        nv = (int(versions[-1][-6:]) + 1) if versions else 1
+        os.rename(tmp, f"{r}.v{nv:06d}")
+        raise RuntimeError("simulated crash before swap")
+
+    monkeypatch.setattr(sinks, "_publish_snapshot", crash_after_marker)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sinks.delete_points(
+            spark, table_dir, "campus_flow", "buildingID = 'A'"
+        )
+    monkeypatch.setattr(sinks, "_publish_snapshot", real_publish)
+
+    # nothing was swapped: all 20 original rows still visible
+    assert spark.read.parquet(root).count() == 20
+    sinks.recover_compaction(table_dir, "campus_flow")
+    assert spark.read.parquet(root).count() == 20
+    # and a subsequent delete completes normally
+    assert (
+        sinks.delete_points(
+            spark, table_dir, "campus_flow", "buildingID = 'A'"
+        )
+        == 10
+    )
+    assert spark.read.parquet(root).count() == 10
