@@ -146,6 +146,7 @@ still works and rates against wall-clock Δt.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import NamedTuple
 
@@ -1837,6 +1838,56 @@ def execute_delete(
     else:
         pred = F.lit(True)
     return sinks.delete_points(spark, table_dir, target, pred)
+
+
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+MEASUREMENT\s+(\"[^\"]+\"|\w+)\s*;?\s*$", re.IGNORECASE
+)
+
+
+def execute_drop(spark, query: str, table_dir: str) -> bool:
+    """InfluxQL ``DROP MEASUREMENT <m>``: remove the on-disk table.
+
+    Takes the table's compact lock (a drop is the ultimate rewrite —
+    it must not race a compactor or another deleter), renames the
+    live root out of the way first (readers never see a half-deleted
+    directory tree; the rename is the atomic 'gone' point), then
+    removes the versions. Returns True if the measurement existed.
+    """
+    import shutil
+
+    from ..sources import sinks
+
+    dm = _DROP_RE.match(query)
+    if not dm:
+        raise InfluxQLError(f"not a DROP MEASUREMENT statement: {query!r}")
+    name = _unquote(dm.group(1))
+    root = os.path.join(table_dir, name)
+    if not os.path.lexists(root):
+        return False
+    with sinks._flock(
+        sinks._lock_file(root, "compact"), exclusive=True, blocking=False
+    ):
+        with sinks._flock(sinks._lock_file(root, "write"), exclusive=True):
+            doomed = root + ".dropping"
+            if os.path.lexists(doomed):
+                if os.path.islink(doomed):
+                    os.remove(doomed)
+                else:
+                    shutil.rmtree(doomed)
+            os.rename(root, doomed)  # atomic 'gone' point
+        if os.path.islink(doomed):
+            os.remove(doomed)
+        else:
+            shutil.rmtree(doomed, ignore_errors=True)
+        for v in sinks._version_dirs(root):
+            shutil.rmtree(v, ignore_errors=True)
+    for kind in ("compact", "write"):
+        try:
+            os.remove(sinks._lock_file(root, kind))
+        except OSError:
+            pass
+    return True
 
 
 def query_measurement(

@@ -197,3 +197,24 @@ def test_delete_crash_before_swap_heals(spark, tmp_path, monkeypatch):
         == 10
     )
     assert spark.read.parquet(root).count() == 10
+
+
+def test_drop_measurement(spark, tmp_path):
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        execute_drop,
+    )
+
+    table_dir = str(tmp_path)
+    root = _mk_table(spark, table_dir)
+    # compose with the snapshot layout: compact first so root is a
+    # symlink into a version dir
+    sinks.compact_table(spark, table_dir, "campus_flow")
+    assert os.path.islink(root)
+    assert execute_drop(spark, "DROP MEASUREMENT campus_flow", table_dir)
+    assert not os.path.lexists(root)
+    assert sinks._version_dirs(root) == []
+    # idempotent: dropping a missing measurement reports False
+    assert not execute_drop(spark, "DROP MEASUREMENT campus_flow", table_dir)
+    with pytest.raises(InfluxQLError, match="not a DROP"):
+        execute_drop(spark, "DROP DATABASE x", table_dir)
