@@ -728,11 +728,15 @@ def _delete_locked(spark, table_dir, table, root, pred) -> int:
                 shutil.copy2(fp, os.path.join(dst_dir, fname))
     os.makedirs(tmp, exist_ok=True)  # all-files-affected case
     # 2. survivors of the affected files, rewritten with the table's
-    # partition layout and merged into the snapshot build
+    # partition layout and merged into the snapshot build. Scan ONLY
+    # the affected files (an input_file_name() filter over the root
+    # would re-read the whole table); basePath keeps the partition
+    # columns derived from the paths so ~pred can reference them and
+    # the rewrite reproduces the layout.
     survivors = (
-        df.withColumn("_src", F.input_file_name())
-        .where(F.col("_src").isin(list(affected_uris)) & ~pred)
-        .drop("_src")
+        spark.read.option("basePath", root)
+        .parquet(*sorted(_uri_to_path(u) for u in affected_uris))
+        .where(~pred)
     )
     sub = tmp + ".rows"
     writer = survivors.write.mode("overwrite")
