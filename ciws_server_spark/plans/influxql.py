@@ -1717,6 +1717,29 @@ def _show(
         if m.group(5):
             out = out.limit(int(m.group(5)))
         return out
+    if not m.group(3) and kind in ("TAG KEYS", "FIELD KEYS"):
+        # no FROM: the statement spans every measurement (InfluxQL
+        # returns one group per measurement; flattened-distinct here,
+        # the useful shape for a schema browser)
+        seen: dict[str, str] = {}
+        for n in sorted(tables):
+            for c, t in tables[n].dtypes:
+                seen.setdefault(c, t)
+        if kind == "TAG KEYS":
+            rows = [
+                (c,)
+                for c, t in sorted(seen.items())
+                if t == "string" and c.lower() != "time"
+            ]
+            return spark.createDataFrame(rows or [], "tagKey STRING")
+        rows = [
+            (c, _FIELD_TYPES[t.split("(")[0]])
+            for c, t in sorted(seen.items())
+            if t.split("(")[0] in _FIELD_TYPES
+        ]
+        return spark.createDataFrame(
+            rows or [], "fieldKey STRING, fieldType STRING"
+        )
     name = _unquote(m.group(3) or "")
     if name not in tables:
         raise InfluxQLError(f"unknown measurement: {name!r}")

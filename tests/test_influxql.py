@@ -1552,3 +1552,27 @@ def test_ta_fold_composes_with_fill(spark):
     assert [r["time_bucket"].hour for r in out] == [2, 3, 4, 5]
     # hour-3 bucket: filled flat step → losses stay 0 → RSI pegs at 100
     assert out[1][-1] == 100.0
+
+
+def test_show_keys_without_from_spans_all_measurements(spark, flow):
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    other = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "s1", 3)],
+        "time timestamp, siteID string, pulses bigint",
+    )
+    t = {"flow": flow, "pulse": other}
+    tags = {
+        r["tagKey"]
+        for r in query_measurement(spark, t, "SHOW TAG KEYS").collect()
+    }
+    assert tags == {"buildingID", "siteID"}
+    fields = {
+        (r["fieldKey"], r["fieldType"])
+        for r in query_measurement(spark, t, "SHOW FIELD KEYS").collect()
+    }
+    assert fields == {
+        ("hotOutFlowRate", "float"),
+        ("coldInFlowRate", "float"),
+        ("pulses", "integer"),
+    }
