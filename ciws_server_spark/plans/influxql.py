@@ -1913,6 +1913,46 @@ def execute_drop(spark, query: str, table_dir: str) -> bool:
     return True
 
 
+def run_influxql(
+    spark,
+    tables: dict[str, DataFrame],
+    statement: str,
+    table_dir: str | None = None,
+    time_col: str = "time",
+    database: str = None,
+):
+    """The server front door: dispatch ONE InfluxQL statement of any
+    supported kind — the entry point an HTTP query endpoint would
+    call per request.
+
+    * ``SELECT ... INTO`` → :func:`execute_into` (needs ``table_dir``)
+    * ``DELETE FROM ...`` → :func:`execute_delete` → rows deleted (int)
+    * ``DROP MEASUREMENT`` → :func:`execute_drop` → existed (bool)
+    * ``SHOW ...`` / ``SELECT ...`` → :func:`query_measurement` →
+      DataFrame
+
+    Write statements without a ``table_dir`` raise — a query-only
+    registry has nowhere durable to write, and silently evaluating
+    the SELECT half of an INTO would mis-report success.
+    """
+    m = _QUERY_RE.match(statement)
+    if m and m.group("into"):
+        if table_dir is None:
+            raise InfluxQLError("INTO requires a table_dir to write to")
+        return execute_into(spark, tables, statement, table_dir, time_col)
+    if _DELETE_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("DELETE requires a table_dir")
+        return execute_delete(spark, statement, table_dir, time_col)
+    if _DROP_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("DROP MEASUREMENT requires a table_dir")
+        return execute_drop(spark, statement, table_dir)
+    return query_measurement(
+        spark, tables, statement, time_col, database=database
+    )
+
+
 def query_measurement(
     spark,
     tables: dict[str, DataFrame],

@@ -218,3 +218,49 @@ def test_drop_measurement(spark, tmp_path):
     assert not execute_drop(spark, "DROP MEASUREMENT campus_flow", table_dir)
     with pytest.raises(InfluxQLError, match="not a DROP"):
         execute_drop(spark, "DROP DATABASE x", table_dir)
+
+
+def test_run_influxql_dispatch(spark, tmp_path):
+    """One front door for every statement kind, as an HTTP query
+    endpoint would use it."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        run_influxql,
+    )
+
+    table_dir = str(tmp_path)
+    root = _mk_table(spark, table_dir)
+    tables = {"campus_flow": spark.read.parquet(root)}
+
+    # SELECT → DataFrame
+    got = run_influxql(
+        spark, tables, "SELECT count(flowRate) FROM campus_flow "
+        "GROUP BY time(1d), buildingID",
+    )
+    assert got.count() == 4
+    # SHOW → DataFrame
+    assert run_influxql(spark, tables, "SHOW MEASUREMENTS").collect()[0][
+        "name"
+    ] == "campus_flow"
+    # INTO → writes and returns the target frame
+    out = run_influxql(
+        spark, tables,
+        "SELECT mean(flowRate) INTO daily FROM campus_flow GROUP BY time(1d)",
+        table_dir=table_dir,
+    )
+    assert out.count() == 2
+    # DELETE → count; DROP → existed
+    assert (
+        run_influxql(
+            spark, tables,
+            "DELETE FROM campus_flow WHERE buildingID = 'A'",
+            table_dir=table_dir,
+        )
+        == 10
+    )
+    assert run_influxql(
+        spark, tables, "DROP MEASUREMENT daily", table_dir=table_dir
+    ) is True
+    # write statements refuse to run without a table_dir
+    with pytest.raises(InfluxQLError, match="table_dir"):
+        run_influxql(spark, tables, "DELETE FROM campus_flow")
