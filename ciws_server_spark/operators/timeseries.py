@@ -969,6 +969,60 @@ def influxql_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("time_bucket", "event_type")
 
 
+def _ta_query(spark, sf_dir, fn: str, alias: str, n: int = 4) -> DataFrame:
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        f"SELECT {fn}(count(value), {n}) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    out = translate(ev, q, time_col="ts")
+    return out.select(
+        "time_bucket",
+        "event_type",
+        F.round(fn, 6).alias(alias),
+    ).orderBy("time_bucket", "event_type")
+
+
+def influxql_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``kaufmans_adaptive_moving_average(agg, n)`` — per-series Arrow
+    fold; the oracle reproduces the identical recursion (seed = the
+    (n+1)-th point, SC from the windowed efficiency ratio) as a
+    recursive CTE carrying the KAMA state. Integer inner aggregate →
+    identical double operands → bit-stable."""
+    return _ta_query(
+        spark, sf_dir, "kaufmans_adaptive_moving_average", "kama"
+    )
+
+
+def influxql_dema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``double_exponential_moving_average(agg, n)`` = 2·e1 − e2 over
+    chained EMAs; one recursive CTE carries (e1, e2, e3) term-for-term
+    with the fold."""
+    return _ta_query(
+        spark, sf_dir, "double_exponential_moving_average", "dema"
+    )
+
+
+def influxql_tema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``triple_exponential_moving_average(agg, n)`` = 3e1 − 3e2 + e3
+    over the same chained-EMA states as influxql_dema."""
+    return _ta_query(
+        spark, sf_dir, "triple_exponential_moving_average", "tema"
+    )
+
+
+def influxql_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``triple_exponential_derivative(agg, n)`` (TRIX): percentage
+    rate of change of the triple EMA; the CTE additionally carries the
+    previous e3."""
+    return _ta_query(
+        spark, sf_dir, "triple_exponential_derivative", "trix"
+    )
+
+
 def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 downsampling: per (series, time bucket) keep the first, last,
     min-value and max-value POINTS — the error-free line-chart
@@ -1162,6 +1216,10 @@ QUERIES = {
     "influxql_cmo": influxql_cmo,
     "influxql_kaufman_er": influxql_kaufman_er,
     "influxql_rsi": influxql_rsi,
+    "influxql_kama": influxql_kama,
+    "influxql_dema": influxql_dema,
+    "influxql_tema": influxql_tema,
+    "influxql_trix": influxql_trix,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_slimit": influxql_slimit,
     "influxql_difference": influxql_difference,
@@ -1211,6 +1269,10 @@ EXTRA = {
     "influxql_cmo",
     "influxql_kaufman_er",
     "influxql_rsi",
+    "influxql_kama",
+    "influxql_dema",
+    "influxql_tema",
+    "influxql_trix",
     # rotated out in r9 (driver-green r8):
     "ts_tag_time_range",
     "ts_sliding_window",
@@ -1445,6 +1507,148 @@ ORACLES = {
                ROUND(CASE WHEN al = 0 THEN 100.0
                           ELSE 100.0 - 100.0 / (1 + ag / al) END, 6) AS rsi
         FROM rec
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_kama": f"""
+        WITH RECURSIVE agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS DOUBLE) AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        pts AS (
+          SELECT time_bucket, event_type, v,
+                 abs(v - lag(v) OVER w) AS dv,
+                 lag(v, 4) OVER w AS v4,
+                 ROW_NUMBER() OVER w AS rn
+          FROM agg
+          WINDOW w AS (PARTITION BY event_type ORDER BY time_bucket)
+        ),
+        er AS (
+          SELECT time_bucket, event_type, v, rn,
+                 CASE WHEN SUM(dv) OVER w4 = 0 THEN 0.0
+                      ELSE abs(v - v4) / SUM(dv) OVER w4 END AS er
+          FROM pts
+          WINDOW w4 AS (PARTITION BY event_type ORDER BY time_bucket
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ),
+        rec AS (
+          SELECT time_bucket, event_type, rn, v AS kama
+          FROM er WHERE rn = 5
+          UNION ALL
+          SELECT p.time_bucket, p.event_type, p.rn,
+                 r.kama + (p.er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)
+                        * (p.er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)
+                        * (p.v - r.kama)
+          FROM er p JOIN rec r
+            ON p.event_type = r.event_type AND p.rn = r.rn + 1
+        )
+        SELECT time_bucket, event_type, ROUND(kama, 6) AS kama
+        FROM rec
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_dema": f"""
+        WITH RECURSIVE agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS DOUBLE) AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        pts AS (
+          SELECT time_bucket, event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY time_bucket) AS rn
+          FROM agg
+        ),
+        rec AS (
+          SELECT time_bucket, event_type, rn, v AS e1, v AS e2, v AS e3
+          FROM pts WHERE rn = 1
+          UNION ALL
+          SELECT p.time_bucket, p.event_type, p.rn,
+                 0.4 * p.v + 0.6 * r.e1,
+                 0.4 * (0.4 * p.v + 0.6 * r.e1) + 0.6 * r.e2,
+                 0.4 * (0.4 * (0.4 * p.v + 0.6 * r.e1) + 0.6 * r.e2)
+                   + 0.6 * r.e3
+          FROM pts p JOIN rec r
+            ON p.event_type = r.event_type AND p.rn = r.rn + 1
+        )
+        SELECT time_bucket, event_type,
+               ROUND(2 * e1 - e2, 6) AS dema
+        FROM rec WHERE rn >= 4
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_tema": f"""
+        WITH RECURSIVE agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS DOUBLE) AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        pts AS (
+          SELECT time_bucket, event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY time_bucket) AS rn
+          FROM agg
+        ),
+        rec AS (
+          SELECT time_bucket, event_type, rn, v AS e1, v AS e2, v AS e3
+          FROM pts WHERE rn = 1
+          UNION ALL
+          SELECT p.time_bucket, p.event_type, p.rn,
+                 0.4 * p.v + 0.6 * r.e1,
+                 0.4 * (0.4 * p.v + 0.6 * r.e1) + 0.6 * r.e2,
+                 0.4 * (0.4 * (0.4 * p.v + 0.6 * r.e1) + 0.6 * r.e2)
+                   + 0.6 * r.e3
+          FROM pts p JOIN rec r
+            ON p.event_type = r.event_type AND p.rn = r.rn + 1
+        )
+        SELECT time_bucket, event_type,
+               ROUND(3 * e1 - 3 * e2 + e3, 6) AS tema
+        FROM rec WHERE rn >= 4
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_trix": f"""
+        WITH RECURSIVE agg AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type,
+                 CAST(COUNT(value) AS DOUBLE) AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+          GROUP BY 1, 2
+        ),
+        pts AS (
+          SELECT time_bucket, event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY time_bucket) AS rn
+          FROM agg
+        ),
+        rec AS (
+          SELECT time_bucket, event_type, rn, v AS e1, v AS e2, v AS e3,
+                 CAST(NULL AS DOUBLE) AS prev_e3
+          FROM pts WHERE rn = 1
+          UNION ALL
+          SELECT p.time_bucket, p.event_type, p.rn,
+                 0.4 * p.v + 0.6 * r.e1,
+                 0.4 * (0.4 * p.v + 0.6 * r.e1) + 0.6 * r.e2,
+                 0.4 * (0.4 * (0.4 * p.v + 0.6 * r.e1) + 0.6 * r.e2)
+                   + 0.6 * r.e3,
+                 r.e3
+          FROM pts p JOIN rec r
+            ON p.event_type = r.event_type AND p.rn = r.rn + 1
+        )
+        SELECT time_bucket, event_type,
+               ROUND(100.0 * (e3 - prev_e3) / prev_e3, 6) AS trix
+        FROM rec WHERE rn >= 5 AND prev_e3 IS NOT NULL AND prev_e3 <> 0
         ORDER BY time_bucket, event_type
     """,
     "ts_m4_downsample": """
