@@ -264,3 +264,34 @@ def test_run_influxql_dispatch(spark, tmp_path):
     # write statements refuse to run without a table_dir
     with pytest.raises(InfluxQLError, match="table_dir"):
         run_influxql(spark, tables, "DELETE FROM campus_flow")
+
+
+def test_delete_preserves_batch_id_layout(spark, tmp_path):
+    """Streaming-ingested tables keep batch_id leaf partitions so
+    replay idempotence survives; a delete must rewrite survivors INTO
+    that layout, not flatten it."""
+    import datetime as _dt
+
+    table_dir = str(tmp_path)
+    df = spark.createDataFrame(
+        [
+            (_dt.datetime(2024, 1, 1, 6), "A", 1.0),
+            (_dt.datetime(2024, 1, 1, 7), "A", 2.0),
+            (_dt.datetime(2024, 1, 1, 8), "B", 3.0),
+        ],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, table_dir, "campus_flow", batch_id=7)
+    root = os.path.join(table_dir, "campus_flow")
+    n = sinks.delete_points(spark, table_dir, "campus_flow", "flowRate = 2")
+    assert n == 1
+    kept = glob.glob(
+        os.path.join(os.path.realpath(root), "**", "*.parquet"),
+        recursive=True,
+    )
+    assert kept and all("batch_id=7" in p for p in kept)
+    left = spark.read.parquet(root)
+    assert sorted(r.flowRate for r in left.collect()) == [1.0, 3.0]
+    # replay of batch 7 still overwrites its own partitions cleanly
+    sinks.append_points(df, table_dir, "campus_flow", batch_id=7)
+    assert spark.read.parquet(root).count() == 3
