@@ -295,3 +295,34 @@ def test_delete_preserves_batch_id_layout(spark, tmp_path):
     # replay of batch 7 still overwrites its own partitions cleanly
     sinks.append_points(df, table_dir, "campus_flow", batch_id=7)
     assert spark.read.parquet(root).count() == 3
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        "flowRate < 2",
+        "buildingID = 'A' OR flowRate = 4",
+        "time >= '2024-01-02 00:00:00' AND buildingID = 'B'",
+        "date = DATE'2024-01-01'",
+    ],
+)
+def test_delete_partitions_the_table_exactly(spark, tmp_path, pred):
+    """Invariant: delete(pred) removes exactly the pred rows — the
+    survivors equal the original's anti-selection, row for row."""
+    table_dir = str(tmp_path)
+    root = _mk_table(spark, table_dir)
+    original = spark.read.parquet(root)
+    want_gone = original.where(pred).count()
+    want_left = sorted(
+        (str(r.time), r.buildingID, r.flowRate)
+        for r in original.where(f"NOT ({pred})").collect()
+    )
+    assert (
+        sinks.delete_points(spark, table_dir, "campus_flow", pred)
+        == want_gone
+    )
+    got_left = sorted(
+        (str(r.time), r.buildingID, r.flowRate)
+        for r in spark.read.parquet(root).collect()
+    )
+    assert got_left == want_left
