@@ -51,6 +51,8 @@ FAMILIES = [
     "text_tokenize_bpeish",
     "cube_order_stats",
     "topk_orders_per_segment",
+    # late-r9 addition: M4 downsampling (single groupBy, struct MIN/MAX)
+    "ts_m4_downsample",
 ]
 
 
