@@ -26,11 +26,13 @@ from . import (  # noqa: F401
     text_analysis,
     timeseries,
     tpch,
+    tpch_suite,
 )
 
 #: Modules contributing to the driver's queries()/oracle_sql() registry.
 ALL_MODULES = (
     tpch,
+    tpch_suite,
     timeseries,
     dedup,
     similarity,

@@ -1,0 +1,636 @@
+"""Adapted TPC-H suite: the classic decision-support queries the base
+``tpch`` module does not already cover, re-expressed on the trimmed
+synthetic schema (TESTDATA.md: no partsupp table; lineitem lacks
+commit/receipt dates and ship modes; customer lacks phone/address).
+
+Why this exists: SURVEY.md §2.3-§2.7 requires the general relational
+surface (multi-way joins, correlated/decorrelated subqueries,
+disjunctive predicates, scalar aggregates, distribution queries); the
+base module exercises each shape once, and this suite proves the same
+engine answers the full published workload those shapes come from.
+Queries needing partsupp (Q2/Q9/Q11/Q16/Q20) are out of reach of this
+schema; Q4/Q12's commit-vs-receipt predicates are already covered in
+adapted form by ``subquery_exists_late_ship``. Every query here keeps
+the reference query's plan shape (the join graph, the subquery
+structure, the aggregation) and only adapts predicates to columns that
+exist (e.g. Q22's phone-prefix country code → ``c_nationkey``, Q13's
+comment filter → an ``o_orderpriority`` filter).
+
+Scale notes (the suite is plan-shape-representative of 100 TB runs):
+
+* Dimension sides (part/supplier/nation/region, per-part averages,
+  1-row scalar aggregates) are broadcast explicitly — the only
+  shuffles left are the fact-table aggregations themselves.
+* Correlated scalar subqueries (Q17's per-part average, Q21's
+  latest-ship-per-order) are decorrelated into window functions over
+  the fact partition key — one shuffle, no per-row re-scan, which is
+  exactly how Catalyst rewrites the EXISTS forms the oracle SQL uses.
+* All hash-compared aggregates follow the module-wide exactness
+  discipline: exact DECIMAL sums emitted as rounded doubles
+  (functions.scalar), ratios computed double/double in the identical
+  expression shape on both engines; raw passthrough doubles are never
+  re-rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.scalar import MONEY, dsum, dsum_raw, money
+from ..tables import table
+from .tpch import _REVENUE_SQL, _revenue
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-scan scalar aggregate with range predicates.
+
+    The whole query is one filtered scan + map-side partial sum: the
+    three predicates push to the parquet reader and the agg carries one
+    row per partition to the driver-side final — no shuffle of data.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(money("l_extendedprice") * money("l_discount")).cast("double"), 2
+        ).alias("revenue")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional nation-pair trade volume by ship year.
+
+    The nation dimension joins twice (supplier side / customer side)
+    under aliases; both sides broadcast, so the only shuffle is the
+    final 3-key aggregation.
+    """
+    n1 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supplier = F.broadcast(table(spark, sf_dir, "supplier"))
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    pair = (F.col("supp_nation") == "NATION_3") & (
+        F.col("cust_nation") == "NATION_7"
+    ) | (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(n1, supplier.s_nationkey == n1.n1_key)
+        .join(n2, cust.c_nationkey == n2.n2_key)
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional volume by order year.
+
+    share = decimal-exact conditional sum / decimal-exact total, both
+    emitted as doubles and divided in the same expression shape the
+    oracle uses, so the quotient is bit-identical across engines.
+    """
+    region = F.broadcast(
+        table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    n_cust = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+        )
+    )
+    n_supp = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    part = F.broadcast(
+        table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    )
+    supplier = F.broadcast(table(spark, sf_dir, "supplier"))
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    vol = _revenue()
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(MONEY)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_cust, cust.c_nationkey == F.col("nc_key"))
+        .join(region, F.col("nc_region") == region.r_regionkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(n_supp, supplier.s_nationkey == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns.
+
+    Fact-fact join on orderkey (AQE sort-merge), broadcast nation;
+    deterministic LIMIT ties broken on c_custkey, ordered on the
+    rounded output column so both engines rank identical values.
+    """
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count distribution over a left outer join.
+
+    The reference's NOT LIKE comment filter becomes an
+    o_orderpriority filter (the trimmed schema has no o_comment); the
+    double aggregation (per-customer count → histogram of counts) is
+    two shuffles, the second over |distinct counts| rows only.
+    """
+    orders_f = table(spark, sf_dir, "orders").where(
+        ~F.col("o_orderpriority").startswith("4")
+    )
+    cust = table(spark, sf_dir, "customer")
+    counts = (
+        cust.join(orders_f, cust.c_custkey == orders_f.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share over one ship month."""
+    part = F.broadcast(table(spark, sf_dir, "part"))
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    vol = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast(MONEY))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue.
+
+    The scalar MAX subquery stays in exact DECIMAL so the equality
+    join against per-supplier revenue is exact (a double round-trip
+    could drop a tied supplier on one engine but not the other); the
+    1-row max broadcasts.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(dsum_raw(_revenue()).alias("total_dec"))
+    mx = F.broadcast(rev.agg(F.max("total_dec").alias("mx")))
+    supplier = F.broadcast(table(spark, sf_dir, "supplier"))
+    return (
+        rev.join(mx, rev.total_dec == mx.mx)
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_dec").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from orders below 20% of the part's average
+    quantity (p_container → p_size<10 on the trimmed schema).
+
+    The correlated per-part AVG decorrelates into a window over
+    p_partkey — one shuffle of only the brand-filtered lineitems,
+    no re-scan per row. The 0.2×avg threshold is computed
+    double/double in the identical shape both engines use.
+    """
+    parts = F.broadcast(
+        table(spark, sf_dir, "part").where(
+            (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+        )
+    )
+    li = table(spark, sf_dir, "lineitem")
+    joined = li.join(parts, li.l_partkey == parts.p_partkey)
+    w = W.partitionBy("p_partkey")
+    avg_qty = F.sum(money("l_quantity")).over(w).cast("double") / F.count(
+        "l_quantity"
+    ).over(w).cast("double")
+    return (
+        joined.withColumn("part_avg_qty", avg_qty)
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("part_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300.
+
+    The HAVING subquery is a pre-aggregation of lineitem on orderkey;
+    the >300 filter runs on the exact decimal sum (quantities are
+    integral, so the comparison is exact on both engines) and only
+    qualifying orderkeys flow into the 3-way join.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("sum_qty_dec"))
+        .where(F.col("sum_qty_dec") > 300)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("sum_qty_dec").cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicate revenue.
+
+    The OR-of-ANDs stays a single join predicate: Catalyst extracts
+    the common p_partkey equi-condition so this is one broadcast hash
+    join with a residual filter, not a nested-loop (p_container and
+    ship-mode clauses from the reference don't exist on this schema
+    and are dropped from every branch equally).
+    """
+    part = F.broadcast(table(spark, sf_dir, "part"))
+    li = table(spark, sf_dir, "lineitem")
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(b1 | b2 | b3)
+        .agg(dsum(_revenue()).alias("revenue"))
+    )
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers whose line was the last to ship in a
+    multi-supplier order, more than 60 days after the order date
+    (receipt/commit dates → ship-vs-order-date lag on this schema).
+
+    The EXISTS / NOT-EXISTS pair decorrelates into one window over
+    l_orderkey: "no other line shipped later" ⇔ this line's shipdate
+    equals the order-wide max, and "another supplier participated" ⇔
+    the order's distinct-supplier set has ≥2 members — one shuffle on
+    orderkey instead of two correlated re-scans of lineitem.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supplier = F.broadcast(table(spark, sf_dir, "supplier"))
+    w = W.partitionBy("l_orderkey")
+    flagged = li.withColumn("max_ship", F.max("l_shipdate").over(w)).withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    )
+    return (
+        flagged.join(orders, flagged.l_orderkey == orders.o_orderkey)
+        .where(
+            (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        )
+        .join(supplier, flagged.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: rich-but-inactive customers by country.
+
+    Adapted to the trimmed schema: the phone-prefix country code is
+    c_nationkey, and "has no orders" (vacuous here — every synthetic
+    customer orders) becomes "no orders since 2000-01-01". The scalar
+    AVG subquery broadcasts as one row; the anti-join prunes orders to
+    the date range before shuffling.
+    """
+    nset = [3, 7, 11, 13, 17, 19, 23]
+    cust = table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nset))
+    avg_bal = F.broadcast(
+        cust.where(F.col("c_acctbal") > 0).agg(
+            (
+                F.sum(money("c_acctbal")).cast("double")
+                / F.count("c_acctbal").cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    recent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    inactive = cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        inactive.crossJoin(avg_bal)
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_national_market_share": q8_national_market_share,
+    "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+}
+
+#: All suite queries start as extras (the driver registry stays at the
+#: 50-stalest rotation; these auto-register as maximally stale in r10).
+EXTRA = set(QUERIES)
+
+HEADLINE: set[str] = set()
+
+ORACLES = {
+    "q6_forecast_revenue": """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                               * CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE), 2)
+               AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               ROUND(CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q8_national_market_share": f"""
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 {_REVENUE_SQL} AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part     ON l_partkey = p_partkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region   ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               ROUND(CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority NOT LIKE '4%'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q14_promo_revenue": f"""
+        SELECT ROUND(100.0
+                 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                                 ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+                 / CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 6) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM({_REVENUE_SQL}) AS total_dec
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               ROUND(CAST(total_dec AS DOUBLE), 2) AS total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q17_small_quantity_revenue": """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                     / 7.0, 2) AS avg_yearly
+        FROM (
+          SELECT l_extendedprice, l_quantity,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+                      OVER (PARTITION BY p_partkey) AS DOUBLE)
+                 / CAST(COUNT(l_quantity)
+                      OVER (PARTITION BY p_partkey) AS DOUBLE) AS part_avg_qty
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#23' AND p_size < 10
+        ) flagged
+        WHERE l_quantity < 0.2 * part_avg_qty
+    """,
+    "q18_large_volume_customers": """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(CAST(sum_qty_dec AS DOUBLE), 2) AS sum_qty
+        FROM (
+          SELECT l_orderkey,
+                 SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qty_dec
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 300
+        ) big
+        JOIN orders   ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    "q19_discounted_revenue": f"""
+        SELECT ROUND(CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q21_suppliers_kept_waiting": """
+        SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "q22_global_sales_opportunity": """
+        SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2)
+               AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (3, 7, 11, 13, 17, 19, 23)
+          AND c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                   / CAST(COUNT(c_acctbal) AS DOUBLE)
+            FROM customer
+            WHERE c_acctbal > 0
+              AND c_nationkey IN (3, 7, 11, 13, 17, 19, 23)
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
+    """,
+}
