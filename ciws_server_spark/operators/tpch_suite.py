@@ -38,9 +38,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.scalar import MONEY, dsum, dsum_raw, money
+from ..functions.scalar import (
+    MONEY,
+    dsum,
+    dsum_raw,
+    fixed_point,
+    money,
+    unscale,
+)
 from ..tables import table
 from .tpch import _REVENUE_SQL, _revenue
+
+
+def _revenue_e4() -> F.Column:
+    """Revenue as an exact e4 long: ep(2dp)·(1−disc)(2dp) is exactly
+    4dp, so ``ep_e2 · (100 − disc_e2)`` is the exact e4 integer.
+
+    Per-row magnitude ≤ ~1e9 (prices ≤ ~1e5), so int64 partial sums
+    bound ~9e9 rows per (group, partition) — far beyond any parquet
+    split; ANSI mode (Spark 4 default) would THROW on a violated
+    bound, never wrap. Queries with few output groups pair this with
+    q1-style spark_partition_id partials so the stage-2 DECIMAL(38,0)
+    sum is exact at any total scale.
+    """
+    return fixed_point("l_extendedprice", 2) * (
+        F.lit(100) - fixed_point("l_discount", 2)
+    )
+
+
+def _rev_partials(grouped_keys: list[F.Column | str], df: DataFrame):
+    """q1-style two-stage exact revenue sum: stage 1 sums e4 longs per
+    (keys, input partition) inside whole-stage codegen; stage 2 sums
+    the ≤|groups|×|partitions| partials as DECIMAL(38,0) — exact at
+    any scale, per-row cost a primitive long add."""
+    partial = df.groupBy(
+        *grouped_keys, F.spark_partition_id().alias("_p")
+    ).agg(F.sum(_revenue_e4()).alias("s_rev"))
+    return partial, F.round(
+        unscale(F.sum(F.col("s_rev").cast("decimal(38,0)")), 4), 2
+    )
 
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,43 +103,70 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bidirectional nation-pair trade volume by ship year.
 
-    The nation dimension joins twice (supplier side / customer side)
-    under aliases; both sides broadcast, so the only shuffle is the
-    final 3-key aggregation.
+    Selective-first join order (Catalyst preserves written order
+    without CBO stats): the nation pair restricts BOTH join legs to
+    2/|nations| of rows, so suppliers-of-the-pair broadcast into
+    lineitem and customers-of-the-pair join into orders BEFORE
+    the fact-fact join — the orderkey shuffle carries ~(2/25)² of the
+    naive li⋈orders volume (measured 11.6s → the join was the round-1
+    bottleneck at sf10). Revenue is the q1-style two-stage fixed-point
+    sum: e4 long partials per input partition, DECIMAL(38,0) stage 2.
     """
+    nations = ["NATION_3", "NATION_7"]
     n1 = F.broadcast(
-        table(spark, sf_dir, "nation").select(
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(nations))
+        .select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
         )
     )
     n2 = F.broadcast(
-        table(spark, sf_dir, "nation").select(
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(nations))
+        .select(
             F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
         )
     )
-    supplier = F.broadcast(table(spark, sf_dir, "supplier"))
+    supp_f = F.broadcast(
+        table(spark, sf_dir, "supplier").join(
+            n1, F.col("s_nationkey") == F.col("n1_key")
+        )
+    )
+    # Force-broadcast the minimal 2-col projection: AQE does NOT
+    # convert this SMJ at runtime (measured 4.1s SMJ vs 0.63s
+    # broadcast for orders⋈cust_f at sf10 — the conversion is planned
+    # before the filtered side's true size is known). 2/|nations| of
+    # customers projected to (key, nation) stays broadcastable to
+    # ~sf1000; beyond that this leg is bucketing/DFP territory
+    # (documented in the module docstring).
+    cust_f = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     orders = table(spark, sf_dir, "orders")
-    cust = table(spark, sf_dir, "customer")
     pair = (F.col("supp_nation") == "NATION_3") & (
         F.col("cust_nation") == "NATION_7"
     ) | (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supplier, li.l_suppkey == supplier.s_suppkey)
-        .join(n1, supplier.s_nationkey == n1.n1_key)
-        .join(n2, cust.c_nationkey == n2.n2_key)
+    joined = (
+        li.join(supp_f, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders.join(cust_f, orders.o_custkey == F.col("c_custkey")),
+              li.l_orderkey == orders.o_orderkey)
         .where(pair)
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-        )
-        .agg(dsum(_revenue()).alias("revenue"))
+    )
+    keys = [
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ]
+    partial, rev = _rev_partials(keys, joined)
+    return (
+        partial.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(rev.alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -138,23 +201,47 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem")
     cust = table(spark, sf_dir, "customer")
-    vol = _revenue()
-    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-        F.lit(0).cast(MONEY)
-    )
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(n_cust, cust.c_nationkey == F.col("nc_key"))
+    # Selective-first: the ASIA-customer restriction is pure
+    # membership (no customer column flows downstream), so it becomes
+    # a broadcast LEFT SEMI join pruning orders BEFORE the fact-fact
+    # join — only region-qualified orders reach the orderkey shuffle.
+    # The share is the q1-style two-stage fixed-point sum pair:
+    # conditional/total e4 long partials per input partition, exact
+    # DECIMAL(38,0) stage 2, divided double/double in the oracle's
+    # expression shape.
+    cust_asia = F.broadcast(
+        cust.join(n_cust, cust.c_nationkey == F.col("nc_key"))
         .join(region, F.col("nc_region") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    orders_asia = orders.join(
+        cust_asia, orders.o_custkey == cust_asia.c_custkey, "left_semi"
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(n_supp, supplier.s_nationkey == F.col("ns_key"))
-        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .join(orders_asia, li.l_orderkey == orders_asia.o_orderkey)
+    )
+    rev_e4 = _revenue_e4()
+    target_e4 = F.when(F.col("supp_nation") == "NATION_3", rev_e4).otherwise(
+        F.lit(0).cast("long")
+    )
+    partial = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.spark_partition_id().alias("_p"),
+    ).agg(
+        F.sum(target_e4).alias("s_target"),
+        F.sum(rev_e4).alias("s_vol"),
+    )
+
+    def _stage2(col: str) -> F.Column:
+        return unscale(F.sum(F.col(col).cast("decimal(38,0)")), 4)
+
+    return (
+        partial.groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(target).cast("double") / F.sum(vol).cast("double"), 6
-            ).alias("mkt_share")
+            F.round(_stage2("s_target") / _stage2("s_vol"), 6).alias("mkt_share")
         )
         .orderBy("o_year")
     )
@@ -189,19 +276,25 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: order-count distribution over a left outer join.
 
     The reference's NOT LIKE comment filter becomes an
-    o_orderpriority filter (the trimmed schema has no o_comment); the
-    double aggregation (per-customer count → histogram of counts) is
-    two shuffles, the second over |distinct counts| rows only.
+    o_orderpriority filter (the trimmed schema has no o_comment).
+
+    Aggregate-before-join: counting per o_custkey FIRST lets the hash
+    aggregate partial-combine map-side, so the shuffle carries
+    |customers-with-orders| tiny rows instead of every order row (the
+    textbook left-join-then-count plan shuffled all orders — measured
+    5.3s vs DuckDB 0.1s at sf10 before this rewrite). The left join
+    then only restores zero-order customers via COALESCE.
     """
     orders_f = table(spark, sf_dir, "orders").where(
         ~F.col("o_orderpriority").startswith("4")
     )
-    cust = table(spark, sf_dir, "customer")
-    counts = (
-        cust.join(orders_f, cust.c_custkey == orders_f.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    per_cust = orders_f.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    cust = table(spark, sf_dir, "customer")
+    counts = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c_count"))
     return (
         counts.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
@@ -235,19 +328,23 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with maximum quarterly revenue.
 
     The scalar MAX subquery stays in exact DECIMAL so the equality
-    join against per-supplier revenue is exact (a double round-trip
-    could drop a tied supplier on one engine but not the other); the
-    1-row max broadcasts.
+    filter against per-supplier revenue is exact (a double round-trip
+    could drop a tied supplier on one engine but not the other). The
+    MAX is a window over the ALREADY-AGGREGATED per-supplier rows —
+    a naive agg+join re-plans the revenue subquery and scans lineitem
+    twice (verified via explain), while the single-partition window
+    touches only |suppliers| tiny rows: one fact scan total.
     """
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(dsum_raw(_revenue()).alias("total_dec"))
-    mx = F.broadcast(rev.agg(F.max("total_dec").alias("mx")))
+    mx = F.max("total_dec").over(W.partitionBy(F.lit(1)))
     supplier = F.broadcast(table(spark, sf_dir, "supplier"))
     return (
-        rev.join(mx, rev.total_dec == mx.mx)
+        rev.withColumn("mx", mx)
+        .where(F.col("total_dec") == F.col("mx"))
         .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select(
             "s_suppkey",
@@ -293,15 +390,21 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds 300.
 
     The HAVING subquery is a pre-aggregation of lineitem on orderkey;
-    the >300 filter runs on the exact decimal sum (quantities are
-    integral, so the comparison is exact on both engines) and only
-    qualifying orderkeys flow into the 3-way join.
+    only qualifying orderkeys flow into the 3-way join (AQE sees the
+    tiny filtered side at runtime and broadcasts it). The sum runs on
+    e2 long fixed-point — the DECIMAL(30,6) buffer allocates a
+    BigDecimal per row across |orders| groups and was 45% of the query
+    at sf10 — and the >300 ⇔ >30000e2 filter is exact either way for
+    2-dp quantities, as is the emitted double (``unscale``).
+    Overflow: qty ≤ ~1e2 → e2 ≤ 1e4/row, int64-safe past 1e14 rows
+    per order — unreachable (ANSI mode would throw regardless).
     """
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(money("l_quantity")).alias("sum_qty_dec"))
-        .where(F.col("sum_qty_dec") > 300)
+        .agg(F.sum(fixed_point("l_quantity", 2)).alias("q_e2"))
+        .where(F.col("q_e2") > 300 * 100)
+        .withColumn("sum_qty_dec", unscale(F.col("q_e2"), 2))
     )
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
