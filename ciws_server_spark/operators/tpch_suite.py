@@ -462,27 +462,54 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier order, more than 60 days after the order date
     (receipt/commit dates → ship-vs-order-date lag on this schema).
 
-    The EXISTS / NOT-EXISTS pair decorrelates into one window over
+    The EXISTS / NOT-EXISTS pair decorrelates into one window pass over
     l_orderkey: "no other line shipped later" ⇔ this line's shipdate
     equals the order-wide max, and "another supplier participated" ⇔
-    the order's distinct-supplier set has ≥2 members — one shuffle on
-    orderkey instead of two correlated re-scans of lineitem.
+    min(l_suppkey) ≠ max(l_suppkey) over the order. All three window
+    aggregates share one partition spec (one 3-column shuffle, one
+    physical Window op) and carry FIXED-SIZE state — an earlier draft
+    used ``size(collect_set(l_suppkey))``, a per-group hash set whose
+    build cost and memory churn scale with suppliers-per-order for a
+    boolean we only ever compare against 2.
+
+    The surviving (orderkey, suppkey) last-ship pairs are deduplicated
+    BEFORE the orders join (one supplier can ship several lines at the
+    max date — on tie-heavy data the distinct shrinks the join probe
+    side), and the late-ship filter runs after it because o_orderdate
+    lives in orders.
+
+    A measured negative result (interleaved A/B at sf10, 3 rounds):
+    rewriting this as a groupBy(l_orderkey) hash aggregate + struct-max
+    tie detection + broadcast join-back for the 0.08% tied orders LOST
+    to the window form ~2× (25-65s vs 12-45s under the same ambient
+    swing) — the map-side-combinable agg saves shuffle rows but pays a
+    localCheckpoint materialization of ~11M qualifying orders, a second
+    full lineitem scan, and an extra orders join that together exceed
+    the single window sort. Shuffle bytes are already minimal here:
+    column pruning reduces the window input to the same 3 columns the
+    agg would carry.
     """
-    li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supplier = F.broadcast(table(spark, sf_dir, "supplier"))
     w = W.partitionBy("l_orderkey")
-    flagged = li.withColumn("max_ship", F.max("l_shipdate").over(w)).withColumn(
-        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
-    )
-    return (
-        flagged.join(orders, flagged.l_orderkey == orders.o_orderkey)
+    last_ship = (
+        li.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("mn_supp", F.min("l_suppkey").over(w))
+        .withColumn("mx_supp", F.max("l_suppkey").over(w))
         .where(
             (F.col("l_shipdate") == F.col("max_ship"))
-            & (F.col("n_supp") >= 2)
-            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            & (F.col("mn_supp") != F.col("mx_supp"))
         )
-        .join(supplier, flagged.l_suppkey == supplier.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .distinct()
+    )
+    return (
+        last_ship.join(orders, last_ship.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .join(supplier, last_ship.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
