@@ -216,28 +216,42 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: snowflake join with broadcast dims."""
-    region = F.broadcast(
-        table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    """TPC-H Q5 shape: snowflake join with broadcast dims.
+
+    Join order is selective-first: the supplier⋈nation⋈region chain
+    (pre-joined driver-side into one small broadcast — suppliers in the
+    target region are ~1/|regions| of the table) probes lineitem BEFORE
+    the orders shuffle join, so the only fact-fact exchange carries the
+    region-local ~20% of lineitem instead of all of it. At 100 TB that
+    is the difference between shuffling 20 TB and 100 TB; locally it is
+    a ~15% warm win (interleaved sf10 A/B: 3.4-4.3s vs 4.2-4.7s — the
+    residual is the lineitem scan + orders exchange, per the §17
+    scan-floor note in BENCH_NOTES). Customer prunes to two int
+    columns; AQE converts its join to broadcast from runtime shuffle
+    stats, which stays correct when customer outgrows any threshold.
+    """
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    supp_asia = F.broadcast(
+        table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
     )
-    nation = F.broadcast(table(spark, sf_dir, "nation"))
-    supplier = F.broadcast(table(spark, sf_dir, "supplier"))
-    cust = table(spark, sf_dir, "customer")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
+    ).select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(supp_asia, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            supplier,
-            (li.l_suppkey == supplier.s_suppkey)
-            & (cust.c_nationkey == supplier.s_nationkey),
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == F.col("s_nationkey")),
         )
-        .join(nation, supplier.s_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")

@@ -472,11 +472,22 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     build cost and memory churn scale with suppliers-per-order for a
     boolean we only ever compare against 2.
 
-    The surviving (orderkey, suppkey) last-ship pairs are deduplicated
-    BEFORE the orders join (one supplier can ship several lines at the
-    max date — on tie-heavy data the distinct shrinks the join probe
-    side), and the late-ship filter runs after it because o_orderdate
-    lives in orders.
+    Two deliberate non-defaults on the orders join, both decided by
+    interleaved position-alternating sf10 A/Bs (absolute walls swing
+    2-3× run-to-run on this box — BENCH_NOTES §8 — but the winner was
+    consistent across every round and both positions):
+
+    * No ``.distinct()`` on the last-ship pairs: the terminal
+      ``countDistinct(l_orderkey)`` per supplier already collapses a
+      supplier's multiple max-date lines, so a pre-join distinct only
+      re-shuffles ~14M rows on a wider key to shrink the probe side a
+      few percent — dropping it won 3/3 rounds.
+    * ``SHUFFLE_HASH`` hint on the 15M-row orders side: the default
+      SMJ re-sorts both sides, but the window output is already
+      hash-partitioned by l_orderkey and the per-partition orders
+      build (|orders|/shuffle-partitions narrow rows) fits executor
+      memory at any scale where partitions are sized sanely — the
+      hash join skips both sorts and won 4/4 warm rounds ~2×.
 
     A measured negative result (interleaved A/B at sf10, 3 rounds):
     rewriting this as a groupBy(l_orderkey) hash aggregate + struct-max
@@ -504,10 +515,12 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("mn_supp") != F.col("mx_supp"))
         )
         .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .distinct()
     )
     return (
-        last_ship.join(orders, last_ship.l_orderkey == orders.o_orderkey)
+        last_ship.join(
+            orders.hint("SHUFFLE_HASH"),
+            last_ship.l_orderkey == orders.o_orderkey,
+        )
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .join(supplier, last_ship.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
