@@ -26,6 +26,7 @@ from ..functions.text import md5_normalized
 from ..tables import table
 from .dedup import ORACLES as DEDUP_ORACLES
 from .text_analysis import ORACLES as TEXT_ORACLES
+from ..functions.text import token_count
 from .text_analysis import docs_scan, predicted_lang_expr, quality_exprs
 
 _MIN_QUALITY = 0.5
@@ -128,10 +129,113 @@ def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+_PACK_BLOCK = 4096  # doc_ids per prefix-sum block
+_PACK_SUPER = 4096  # blocks per superblock
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated
+    in doc_id order and cut into fixed _PACK_BUDGET-token training
+    sequences; each document reports the chunk ids it lands in.
+
+    The only global quantity is the exclusive prefix sum of token
+    counts in doc_id order, and a single ``ORDER BY`` window would
+    compute it on ONE partition — the classic accidental serialization.
+    Instead this is the two-level scan (Blelloch) in DataFrame form:
+
+    * within-block exclusive cumsum + block totals — one window per
+      ``blk = doc_id // _PACK_BLOCK`` (one shuffle of the (doc_id,
+      n_tokens) projection, the only big exchange);
+    * block totals roll up identically per superblock (|corpus|/4096
+      rows), superblock totals take the lone global-order window over
+      |corpus|/4096² rows — 600 rows for a 10B-document corpus;
+    * offsets join back down on blk/blk2, partitioning each level
+      already has, and the per-doc position is the sum of its three
+      levels.
+
+    Value-blocking (``doc_id // width``) instead of partition-id
+    blocking keeps every quantity a pure function of the DATA, so the
+    result is identical at any parallelism and an oracle can replay it
+    as a plain windowed cumsum. Chunk math: a document spanning
+    [cum_before, cum_before + n_tokens) covers chunks
+    floor(start/B) .. floor((end-1)/B); empty documents pin to the
+    chunk at their offset with n_chunks = 1 (greatest(n_tokens, 1)
+    keeps the division total on both engines).
+    """
+    docs = docs_scan(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        (F.col("doc_id") / _PACK_BLOCK).cast("long").alias("blk"),
+    )
+    w_in = (
+        W.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "in_blk_before", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    ).withColumn("blk_total", F.sum("n_tokens").over(W.partitionBy("blk")))
+    # Every level of the scan derives from this frame; without a cut
+    # point each one re-reads documents and re-tokenizes text (the
+    # static plan showed 6 parquet scans). Checkpointing 5 longs/doc
+    # makes the corpus text a read-once input — same call as the
+    # minhash band frame (dedup.py).
+    d = d.localCheckpoint(eager=False)
+    # (blk, blk_total) pairs: partitioning on blk is already satisfied,
+    # so this dedup is a no-exchange hash aggregate.
+    blocks = (
+        d.select("blk", "blk_total")
+        .distinct()
+        .withColumn("blk2", (F.col("blk") / _PACK_SUPER).cast("long"))
+    )
+    w2_in = (
+        W.partitionBy("blk2")
+        .orderBy("blk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    blocks = blocks.withColumn(
+        "in_blk2_before", F.coalesce(F.sum("blk_total").over(w2_in), F.lit(0))
+    ).withColumn("blk2_total", F.sum("blk_total").over(W.partitionBy("blk2")))
+    supers = blocks.select("blk2", "blk2_total").distinct()
+    # The lone global-order window — |corpus|/_PACK_BLOCK/_PACK_SUPER
+    # rows, a third level away from ever mattering.
+    w_g = W.orderBy("blk2").rowsBetween(W.unboundedPreceding, -1)
+    supers = supers.select(
+        "blk2",
+        F.coalesce(F.sum("blk2_total").over(w_g), F.lit(0)).alias(
+            "blk2_before"
+        ),
+    )
+    blk_offsets = blocks.join(supers, "blk2").select(
+        "blk",
+        (F.col("blk2_before") + F.col("in_blk2_before")).alias("blk_before"),
+    )
+    cum_before = F.col("blk_before") + F.col("in_blk_before")
+    last_tok = cum_before + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return (
+        d.join(blk_offsets, "blk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            cum_before.alias("cum_before"),
+            F.floor(cum_before / _PACK_BUDGET).alias("chunk_start"),
+            F.floor(last_tok / _PACK_BUDGET).alias("chunk_end"),
+            (
+                F.floor(last_tok / _PACK_BUDGET)
+                - F.floor(cum_before / _PACK_BUDGET)
+                + 1
+            ).alias("n_chunks"),
+        )
+    )
+
+
 QUERIES = {
     "pipeline_curated_corpus": pipeline_curated_corpus,
     "pipeline_train_split": pipeline_train_split,
     "pipeline_source_quota": pipeline_source_quota,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
 }
 
 ORACLES = {
@@ -173,6 +277,29 @@ ORACLES = {
         FROM b
         ORDER BY doc_id
     """,
+    "pipeline_pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, cum_before,
+               cum_before // {_PACK_BUDGET} AS chunk_start,
+               (cum_before + GREATEST(n_tokens, 1) - 1)
+                   // {_PACK_BUDGET} AS chunk_end,
+               (cum_before + GREATEST(n_tokens, 1) - 1) // {_PACK_BUDGET}
+                   - cum_before // {_PACK_BUDGET} + 1 AS n_chunks
+        FROM cum
+        ORDER BY doc_id
+    """,
     "pipeline_source_quota": f"""
         WITH scored AS (
             SELECT q.doc_id, d.source, q.quality_score
@@ -202,6 +329,10 @@ ORACLES = {
 # under driver-grade checks.
 # r9 rotation (see tpch.EXTRA for the policy): the r8-green pair
 # rotates OUT; pipeline_curated_corpus (stale since r7) rotates IN.
-EXTRA: set[str] = {"pipeline_source_quota", "pipeline_train_split"}
+EXTRA: set[str] = {
+    "pipeline_source_quota",
+    "pipeline_train_split",
+    "pipeline_pack_sequences",  # new in r9 → registers in r10 (stalest)
+}
 
 HEADLINE = {"pipeline_curated_corpus"}
