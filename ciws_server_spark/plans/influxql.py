@@ -95,6 +95,11 @@ schema introspection over the measurement registry, no scan — and
 tag: the one metadata statement that scans, a partial-agg'd distinct
 over the pruned single-column projection).
 
+Continuous queries (``CREATE CONTINUOUS QUERY ... BEGIN <select-into>
+END``, ``SHOW CONTINUOUS QUERIES``, ``DROP CONTINUOUS QUERY``) live in
+:mod:`.continuous`, dispatched here — the scheduler tick is
+``continuous.run_due_continuous_queries``.
+
 ``fill()`` follows InfluxQL: it requires a closed time range in WHERE
 (the dense bucket axis is generated from those bounds), emits one row
 per (series, bucket), and fills empty buckets with null / the
@@ -1920,6 +1925,7 @@ def run_influxql(
     table_dir: str | None = None,
     time_col: str = "time",
     database: str = None,
+    now=None,
 ):
     """The server front door: dispatch ONE InfluxQL statement of any
     supported kind — the entry point an HTTP query endpoint would
@@ -1928,6 +1934,9 @@ def run_influxql(
     * ``SELECT ... INTO`` → :func:`execute_into` (needs ``table_dir``)
     * ``DELETE FROM ...`` → :func:`execute_delete` → rows deleted (int)
     * ``DROP MEASUREMENT`` → :func:`execute_drop` → existed (bool)
+    * ``CREATE/DROP CONTINUOUS QUERY`` / ``SHOW CONTINUOUS QUERIES`` →
+      :mod:`.continuous` (CREATE needs ``now`` for its first boundary;
+      pass a datetime — the library never reads the wall clock)
     * ``SHOW ...`` / ``SELECT ...`` → :func:`query_measurement` →
       DataFrame
 
@@ -1935,6 +1944,24 @@ def run_influxql(
     registry has nowhere durable to write, and silently evaluating
     the SELECT half of an INTO would mis-report success.
     """
+    from . import continuous
+
+    if continuous._CREATE_CQ_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("CREATE CONTINUOUS QUERY requires a table_dir")
+        if now is None:
+            raise InfluxQLError(
+                "CREATE CONTINUOUS QUERY requires now= (deterministic clock)"
+            )
+        return continuous.create_continuous_query(statement, table_dir, now)
+    if continuous._DROP_CQ_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("DROP CONTINUOUS QUERY requires a table_dir")
+        return continuous.drop_continuous_query(statement, table_dir)
+    if continuous._SHOW_CQ_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("SHOW CONTINUOUS QUERIES requires a table_dir")
+        return continuous.show_continuous_queries(spark, table_dir)
     m = _QUERY_RE.match(statement)
     if m and m.group("into"):
         if table_dir is None:

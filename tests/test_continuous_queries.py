@@ -1,0 +1,178 @@
+"""Continuous queries: the CREATE/SHOW/DROP statement surface plus the
+scheduler tick (run_due_continuous_queries).
+
+Semantics under test (InfluxDB 1.x CQ contract):
+* a CQ only runs forward from creation — history is the batch INTO's
+  job;
+* a tick executes every bucket that CLOSED since the last run, as ONE
+  INTO over the combined range (catch-up after downtime is one query);
+* a tick before the next boundary is a no-op;
+* state survives process boundaries (it's a file, re-read per call).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ciws_server_spark.plans.continuous import (
+    run_due_continuous_queries,
+)
+from ciws_server_spark.plans.influxql import InfluxQLError, run_influxql
+from ciws_server_spark.sources import sinks
+
+
+def _mk_table(spark, table_dir, hours=6):
+    rows = [
+        (dt.datetime(2024, 1, 1, h, m), "A", float(h * 100 + m))
+        for h in range(hours)
+        for m in (0, 30)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, buildingID string, flowRate double"
+    )
+    sinks.append_points(df, table_dir, "campus_flow")
+    return {
+        "campus_flow": spark.read.parquet(
+            os.path.join(table_dir, "campus_flow")
+        )
+    }
+
+
+CREATE = (
+    'CREATE CONTINUOUS QUERY cq_hourly ON water BEGIN '
+    "SELECT mean(flowRate) INTO hourly FROM campus_flow "
+    "GROUP BY time(1h) END"
+)
+
+
+def test_create_show_drop(spark, tmp_path):
+    table_dir = str(tmp_path)
+    tables = _mk_table(spark, table_dir)
+    name = run_influxql(
+        spark, tables, CREATE, table_dir=table_dir,
+        now=dt.datetime(2024, 1, 1, 0, 0),
+    )
+    assert name == "cq_hourly"
+    shown = run_influxql(
+        spark, tables, "SHOW CONTINUOUS QUERIES", table_dir=table_dir
+    ).collect()
+    assert [r["name"] for r in shown] == ["cq_hourly"]
+    assert "INTO hourly" in shown[0]["query"]
+    # duplicate names are an error, not a silent replace
+    with pytest.raises(InfluxQLError, match="already exists"):
+        run_influxql(
+            spark, tables, CREATE, table_dir=table_dir,
+            now=dt.datetime(2024, 1, 1),
+        )
+    assert run_influxql(
+        spark, tables, "DROP CONTINUOUS QUERY cq_hourly ON water",
+        table_dir=table_dir,
+    ) is True
+    assert run_influxql(
+        spark, tables, "DROP CONTINUOUS QUERY cq_hourly",
+        table_dir=table_dir,
+    ) is False
+
+
+def test_tick_runs_closed_buckets_once(spark, tmp_path):
+    table_dir = str(tmp_path)
+    tables = _mk_table(spark, table_dir)
+    run_influxql(
+        spark, tables, CREATE, table_dir=table_dir,
+        now=dt.datetime(2024, 1, 1, 0, 0),
+    )
+    # before the first boundary closes: no-op
+    assert run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 0, 59)
+    ) == {}
+    # 02:10 → buckets 00:00-01:00 and 01:00-02:00 closed, one execution
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 2, 10)
+    )
+    assert ran["cq_hourly"]["buckets"] == 2
+    target = os.path.join(table_dir, "hourly")
+    out = spark.read.parquet(target)
+    assert out.count() == 2
+    got = {r["time"]: r["mean_flowRate"] for r in out.collect()}
+    assert got[dt.datetime(2024, 1, 1, 0, 0)] == pytest.approx(15.0)
+    assert got[dt.datetime(2024, 1, 1, 1, 0)] == pytest.approx(115.0)
+    # same tick again: nothing due, no duplicate rows
+    assert run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 2, 10)
+    ) == {}
+    assert spark.read.parquet(target).count() == 2
+    # catch-up after "downtime": hours 2-5 arrive as one execution
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 6, 0)
+    )
+    assert ran["cq_hourly"]["buckets"] == 4
+    assert spark.read.parquet(target).count() == 6
+
+
+def test_cq_respects_existing_where(spark, tmp_path):
+    table_dir = str(tmp_path)
+    tables = _mk_table(spark, table_dir)
+    run_influxql(
+        spark, tables,
+        "CREATE CONTINUOUS QUERY cq_a BEGIN "
+        "SELECT sum(flowRate) INTO a_sum FROM campus_flow "
+        "WHERE buildingID = 'A' GROUP BY time(2h) END",
+        table_dir=table_dir, now=dt.datetime(2024, 1, 1, 0, 0),
+    )
+    run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 4, 0)
+    )
+    out = spark.read.parquet(os.path.join(table_dir, "a_sum"))
+    # buckets 00:00 (hours 0+1) and 02:00 (hours 2+3), building A only
+    got = {r["time"]: r["sum_flowRate"] for r in out.collect()}
+    assert got[dt.datetime(2024, 1, 1, 0, 0)] == pytest.approx(
+        0 + 30 + 100 + 130
+    )
+    assert got[dt.datetime(2024, 1, 1, 2, 0)] == pytest.approx(
+        200 + 230 + 300 + 330
+    )
+
+
+def test_state_survives_process_boundary(spark, tmp_path):
+    """The catalog is a file: a fresh reader (new dict, as a restarted
+    server would build) sees the same schedule position."""
+    table_dir = str(tmp_path)
+    tables = _mk_table(spark, table_dir)
+    run_influxql(
+        spark, tables, CREATE, table_dir=table_dir,
+        now=dt.datetime(2024, 1, 1, 0, 0),
+    )
+    run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 3, 0)
+    )
+    raw = json.load(open(os.path.join(table_dir, "_continuous_queries.json")))
+    assert raw["cq_hourly"]["last_end"] == "2024-01-01 03:00:00"
+    # "restart": nothing re-runs for the same now
+    assert run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 3, 30)
+    ) == {}
+
+
+def test_calendar_cq_named_error(spark, tmp_path):
+    tables = {}
+    with pytest.raises(InfluxQLError, match="calendar-unit"):
+        run_influxql(
+            spark, tables,
+            "CREATE CONTINUOUS QUERY cq_mo BEGIN "
+            "SELECT mean(flowRate) INTO monthly FROM campus_flow "
+            "GROUP BY time(1mo) END",
+            table_dir=str(tmp_path), now=dt.datetime(2024, 1, 1),
+        )
+    with pytest.raises(InfluxQLError, match="INTO"):
+        run_influxql(
+            spark, tables,
+            "CREATE CONTINUOUS QUERY cq_x BEGIN "
+            "SELECT mean(flowRate) FROM campus_flow GROUP BY time(1h) END",
+            table_dir=str(tmp_path), now=dt.datetime(2024, 1, 1),
+        )
