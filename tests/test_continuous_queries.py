@@ -159,6 +159,44 @@ def test_state_survives_process_boundary(spark, tmp_path):
     ) == {}
 
 
+def test_crash_between_write_and_state_replays_one_window(
+    spark, tmp_path, monkeypatch
+):
+    """The documented at-least-once window: a crash AFTER the INTO
+    write but BEFORE the state advance re-runs exactly the same range
+    on the next tick (duplicate rows in the append-only target, never
+    a skipped bucket)."""
+    from ciws_server_spark.plans import continuous
+
+    table_dir = str(tmp_path)
+    tables = _mk_table(spark, table_dir)
+    run_influxql(
+        spark, tables, CREATE, table_dir=table_dir,
+        now=dt.datetime(2024, 1, 1, 0, 0),
+    )
+    real_store = continuous._store
+
+    def crash_store(td, state):
+        raise RuntimeError("crash before state advance")
+
+    monkeypatch.setattr(continuous, "_store", crash_store)
+    with pytest.raises(RuntimeError):
+        run_due_continuous_queries(
+            spark, tables, table_dir, dt.datetime(2024, 1, 1, 2, 0)
+        )
+    target = os.path.join(table_dir, "hourly")
+    assert spark.read.parquet(target).count() == 2  # write landed
+    monkeypatch.setattr(continuous, "_store", real_store)
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 2, 0)
+    )
+    assert ran["cq_hourly"]["buckets"] == 2  # same window replays
+    out = spark.read.parquet(target)
+    assert out.count() == 4  # duplicated, not skipped
+    # a latest-wins consumer reads identical values per bucket
+    assert out.select("time", "mean_flowRate").distinct().count() == 2
+
+
 def test_calendar_cq_named_error(spark, tmp_path):
     tables = {}
     with pytest.raises(InfluxQLError, match="calendar-unit"):
