@@ -53,6 +53,8 @@ FAMILIES = [
     "topk_orders_per_segment",
     # late-r9 addition: M4 downsampling (single groupBy, struct MIN/MAX)
     "ts_m4_downsample",
+    # late-r9 addition: distributed prefix sum (sequence packing)
+    "pipeline_pack_sequences",
 ]
 
 
