@@ -7,7 +7,9 @@ for the dashboards its scripts feed; the engine side of the feature —
 :func:`..plans.influxql.execute_into`). This module adds the statement
 surface and the scheduler state machine around it:
 
-    CREATE CONTINUOUS QUERY <name> [ON <db>] BEGIN <select-into> END
+    CREATE CONTINUOUS QUERY <name> [ON <db>]
+        [RESAMPLE [EVERY <dur>] [FOR <dur>]]
+        BEGIN <select-into> END
     SHOW CONTINUOUS QUERIES
     DROP CONTINUOUS QUERY <name> [ON <db>]
 
@@ -56,9 +58,14 @@ from .influxql import (
 _CREATE_CQ_RE = re.compile(
     r"^\s*CREATE\s+CONTINUOUS\s+QUERY\s+(?P<name>\"[^\"]+\"|\w+)"
     r"(?:\s+ON\s+(?P<db>\"[^\"]+\"|\w+))?"
+    r"(?:\s+RESAMPLE"
+    r"(?:\s+EVERY\s+(?P<every>\d+[smhdw]))?"
+    r"(?:\s+FOR\s+(?P<for>\d+[smhdw]))?"
+    r")?"
     r"\s+BEGIN\s+(?P<body>.+?)\s+END\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DUR_RE = re.compile(r"^(\d+)([smhdw])$", re.IGNORECASE)
 _DROP_CQ_RE = re.compile(
     r"^\s*DROP\s+CONTINUOUS\s+QUERY\s+(?P<name>\"[^\"]+\"|\w+)"
     r"(?:\s+ON\s+(?P<db>\"[^\"]+\"|\w+))?\s*;?\s*$",
@@ -163,6 +170,19 @@ def create_continuous_query(
     if not bm.group("into"):
         raise InfluxQLError("continuous query body must contain INTO")
     interval_s, offset_s = _cq_interval(bm)
+
+    def dur(group: str) -> int | None:
+        tok = cm.group(group)
+        if not tok:
+            return None
+        dm = _DUR_RE.match(tok)
+        return int(dm.group(1)) * _UNIT_S[dm.group(2).lower()]
+
+    every_s, for_s = dur("every"), dur("for")
+    if for_s is not None and for_s < interval_s:
+        raise InfluxQLError(
+            "RESAMPLE FOR must cover at least one GROUP BY time interval"
+        )
     state = _load(table_dir)
     if name in state:
         raise InfluxQLError(f"continuous query already exists: {name!r}")
@@ -171,7 +191,12 @@ def create_continuous_query(
         "database": _unquote(cm.group("db")) if cm.group("db") else None,
         "interval_s": interval_s,
         "offset_s": offset_s,
+        "every_s": every_s,  # None → tick at the GROUP BY interval
+        "for_s": for_s,  # None → append-only forward fill
         "last_end": _fmt(_floor_epoch(now, interval_s, offset_s)),
+        "last_tick": _fmt(
+            _floor_epoch(now, every_s or interval_s, 0)
+        ),
     }
     _store(table_dir, state)
     return name
@@ -213,36 +238,95 @@ def run_due_continuous_queries(
     now: datetime,
     time_col: str = "time",
 ) -> dict:
-    """Execute every CQ whose next bucket boundary has passed.
+    """Execute every CQ whose next boundary has passed.
 
-    Returns {name: {"buckets": n, "lo": ts, "hi": ts}} for the CQs
-    that ran (empty dict if nothing was due). All pending buckets per
-    CQ run as one INTO execution over the combined range. State
-    advances only after the write succeeds; the target is append-only,
-    so a crash between the two replays one window (at-least-once, and
-    idempotent for consumers that read the latest point per bucket).
+    Plain CQs tick at their GROUP BY interval and APPEND the buckets
+    closed since the last run, as one INTO over the combined range
+    (catch-up after downtime is one query). ``RESAMPLE EVERY e``
+    changes the tick cadence; ``RESAMPLE FOR f`` turns the execution
+    into an UPSERT of the trailing ``f`` window — the rows in
+    [hi − f, hi) are deleted from the target (snapshot-protocol
+    partial rewrite) and recomputed, which is how late-arriving points
+    make it into the rollup.
+
+    Returns {name: {"buckets": n, "lo": ts, "hi": ts, "mode": ...}}
+    for the CQs that ran. State advances only after the write: for
+    append CQs a crash between write and advance replays one window
+    (at-least-once; duplicates possible until then); for FOR-resampled
+    CQs the replay re-deletes and rewrites the same range, so the
+    retry CONVERGES to exactly-once output — the delete makes the
+    execution idempotent.
     """
     state = _load(table_dir)
     ran: dict = {}
     for name in sorted(state):
         cq = state[name]
         interval_s, offset_s = cq["interval_s"], cq["offset_s"]
-        hi_epoch = _floor_epoch(now, interval_s, offset_s)
-        lo = cq["last_end"]
-        lo_epoch = _floor_epoch(
-            datetime.strptime(lo, "%Y-%m-%d %H:%M:%S"), interval_s, offset_s
+        every_s = cq.get("every_s") or interval_s
+        for_s = cq.get("for_s")
+        tick_epoch = _floor_epoch(now, every_s, 0)
+        last_tick = _floor_epoch(
+            datetime.strptime(
+                cq.get("last_tick", cq["last_end"]), "%Y-%m-%d %H:%M:%S"
+            ),
+            every_s,
+            0,
         )
+        if tick_epoch <= last_tick:
+            continue  # cadence boundary not crossed yet
+        hi_epoch = _floor_epoch(now, interval_s, offset_s)
+        last_end_epoch = _floor_epoch(
+            datetime.strptime(cq["last_end"], "%Y-%m-%d %H:%M:%S"),
+            interval_s,
+            offset_s,
+        )
+        if for_s is not None:
+            lo_epoch = _floor_epoch(
+                datetime.fromtimestamp(
+                    hi_epoch - for_s, tz=timezone.utc
+                ).replace(tzinfo=None),
+                interval_s,
+                offset_s,
+            )
+        else:
+            lo_epoch = last_end_epoch
         if hi_epoch <= lo_epoch:
-            continue  # no closed bucket since last run
-        hi = _fmt(hi_epoch)
+            continue  # no closed bucket in range
+        lo, hi = _fmt(lo_epoch), _fmt(hi_epoch)
         bm = _QUERY_RE.match(cq["query"])
+        if for_s is not None:
+            _delete_target_range(
+                spark, table_dir, _unquote(bm.group("into")), lo, hi, time_col
+            )
         bounded = _inject_time_range(cq["query"], bm, lo, hi)
         execute_into(spark, tables, bounded, table_dir, time_col)
         cq["last_end"] = hi
+        cq["last_tick"] = _fmt(tick_epoch)
         _store(table_dir, state)  # per-CQ advance: a later CQ's crash
         ran[name] = {
             "buckets": (hi_epoch - lo_epoch) // interval_s,
             "lo": lo,
             "hi": hi,
+            "mode": "resample" if for_s is not None else "append",
         }  # must not rewind an earlier CQ's recorded progress
     return ran
+
+
+def _delete_target_range(
+    spark, table_dir: str, target: str, lo: str, hi: str, time_col: str
+) -> None:
+    """Drop the recompute window from the rollup target before the
+    rewrite (no-op when the target has never been written)."""
+    from pyspark.sql import functions as F
+
+    from ..sources import sinks
+
+    if not os.path.lexists(os.path.join(table_dir, target)):
+        return
+    sinks.delete_points(
+        spark,
+        table_dir,
+        target,
+        (F.col(time_col) >= F.lit(lo).cast("timestamp"))
+        & (F.col(time_col) < F.lit(hi).cast("timestamp")),
+    )

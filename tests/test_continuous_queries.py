@@ -159,6 +159,85 @@ def test_state_survives_process_boundary(spark, tmp_path):
     ) == {}
 
 
+def test_resample_for_upserts_late_data(spark, tmp_path):
+    """RESAMPLE FOR f recomputes the trailing window as an upsert:
+    late-arriving source points change the already-written rollup rows
+    instead of duplicating them (InfluxDB 1.x resample semantics on an
+    append-only store, via the snapshot-protocol DELETE)."""
+    table_dir = str(tmp_path)
+    tables = _mk_table(spark, table_dir)
+    run_influxql(
+        spark, tables,
+        "CREATE CONTINUOUS QUERY cq_rs ON water RESAMPLE EVERY 1h FOR 2h "
+        "BEGIN SELECT mean(flowRate) INTO hourly_rs FROM campus_flow "
+        "GROUP BY time(1h) END",
+        table_dir=table_dir, now=dt.datetime(2024, 1, 1, 0, 0),
+    )
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 2, 0)
+    )
+    assert ran["cq_rs"]["mode"] == "resample"
+    assert ran["cq_rs"]["buckets"] == 2
+    target = os.path.join(table_dir, "hourly_rs")
+    first = {
+        r["time"]: r["mean_flowRate"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert first[dt.datetime(2024, 1, 1, 1, 0)] == pytest.approx(115.0)
+    # a late point lands in hour 1 AFTER its bucket was rolled up
+    late = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 1, 45), "A", 1000.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(late, table_dir, "campus_flow")
+    tables["campus_flow"] = spark.read.parquet(
+        os.path.join(table_dir, "campus_flow")
+    )
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 3, 0)
+    )
+    assert ran["cq_rs"]["buckets"] == 2  # [01:00, 03:00) recomputed
+    out = spark.read.parquet(target)
+    got = {r["time"]: r["mean_flowRate"] for r in out.collect()}
+    assert len(got) == out.count() == 3  # upsert: no duplicate buckets
+    assert got[dt.datetime(2024, 1, 1, 1, 0)] == pytest.approx(
+        (100 + 130 + 1000) / 3
+    )
+    assert got[dt.datetime(2024, 1, 1, 0, 0)] == pytest.approx(15.0)
+
+
+def test_resample_every_changes_cadence(spark, tmp_path):
+    """EVERY 2h with a 1h GROUP BY: no execution at the 1h boundary,
+    both closed buckets arrive at the 2h boundary."""
+    table_dir = str(tmp_path)
+    tables = _mk_table(spark, table_dir)
+    run_influxql(
+        spark, tables,
+        "CREATE CONTINUOUS QUERY cq_e RESAMPLE EVERY 2h BEGIN "
+        "SELECT mean(flowRate) INTO hourly_e FROM campus_flow "
+        "GROUP BY time(1h) END",
+        table_dir=table_dir, now=dt.datetime(2024, 1, 1, 0, 0),
+    )
+    assert run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 1, 30)
+    ) == {}  # 1h bucket closed, but the 2h cadence hasn't ticked
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 2, 0)
+    )
+    assert ran["cq_e"]["buckets"] == 2 and ran["cq_e"]["mode"] == "append"
+
+
+def test_resample_for_must_cover_interval(spark, tmp_path):
+    with pytest.raises(InfluxQLError, match="FOR must cover"):
+        run_influxql(
+            spark, {},
+            "CREATE CONTINUOUS QUERY cq_bad RESAMPLE FOR 30m BEGIN "
+            "SELECT mean(flowRate) INTO x FROM campus_flow "
+            "GROUP BY time(1h) END",
+            table_dir=str(tmp_path), now=dt.datetime(2024, 1, 1),
+        )
+
+
 def test_crash_between_write_and_state_replays_one_window(
     spark, tmp_path, monkeypatch
 ):
