@@ -257,6 +257,33 @@ def run_due_continuous_queries(
     retry CONVERGES to exactly-once output — the delete makes the
     execution idempotent.
     """
+    from ..sources import sinks
+
+    # One scheduler at a time: two concurrent ticks would both read
+    # the same last_end and double-append every due window (the
+    # read-modify-write race the table locks can't see — they guard
+    # the TARGET, not the schedule). flock like the compactor: second
+    # caller skips (returns {}), the kernel releases on holder death.
+    try:
+        lock = sinks._flock(
+            _state_path(table_dir) + ".lock", exclusive=True, blocking=False
+        )
+        lock.__enter__()
+    except sinks.CompactorBusy:
+        return {}
+    try:
+        return _run_due_locked(spark, tables, table_dir, now, time_col)
+    finally:
+        lock.__exit__(None, None, None)
+
+
+def _run_due_locked(
+    spark,
+    tables: dict,
+    table_dir: str,
+    now: datetime,
+    time_col: str,
+) -> dict:
     state = _load(table_dir)
     ran: dict = {}
     for name in sorted(state):

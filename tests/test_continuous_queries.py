@@ -276,6 +276,36 @@ def test_crash_between_write_and_state_replays_one_window(
     assert out.select("time", "mean_flowRate").distinct().count() == 2
 
 
+def test_concurrent_scheduler_tick_skips(spark, tmp_path):
+    """Two schedulers racing would both read the same last_end and
+    double-append every due window; the second tick must skip while
+    the first holds the schedule lock."""
+    table_dir = str(tmp_path)
+    tables = _mk_table(spark, table_dir)
+    run_influxql(
+        spark, tables, CREATE, table_dir=table_dir,
+        now=dt.datetime(2024, 1, 1, 0, 0),
+    )
+    lock_path = os.path.join(
+        table_dir, "_continuous_queries.json.lock"
+    )
+    holder = sinks._flock(lock_path, exclusive=True, blocking=False)
+    holder.__enter__()
+    try:
+        assert run_due_continuous_queries(
+            spark, tables, table_dir, dt.datetime(2024, 1, 1, 2, 0)
+        ) == {}  # skipped, not executed twice
+    finally:
+        holder.__exit__(None, None, None)
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2024, 1, 1, 2, 0)
+    )
+    assert ran["cq_hourly"]["buckets"] == 2  # runs once the lock frees
+    assert spark.read.parquet(
+        os.path.join(table_dir, "hourly")
+    ).count() == 2
+
+
 def test_calendar_cq_named_error(spark, tmp_path):
     tables = {}
     with pytest.raises(InfluxQLError, match="calendar-unit"):
