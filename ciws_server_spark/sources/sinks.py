@@ -554,6 +554,17 @@ def _compact_locked(
     if "batch_id" in df.columns and "batch_id" not in parts:
         parts.append("batch_id")
     tmp = root + ".compact.tmp"
+    _write_layout(df, parts, tmp, target_files_per_partition)
+    _publish_snapshot(root, tmp, before, "compaction")
+    return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+
+
+def _write_layout(
+    df: DataFrame, parts: list, tmp: str, target_files_per_partition: int
+) -> None:
+    """Write ``df`` to ``tmp`` in the table's partition layout with at
+    most ``target_files_per_partition`` files per directory (shared by
+    the rewriting mutators: compact, dedupe)."""
     n_files = max(target_files_per_partition, 1)
     if not parts:
         writer = df.coalesce(n_files)
@@ -562,7 +573,7 @@ def _compact_locked(
         # (n, *parts): hashing only the partition columns sends every
         # row of a directory to ONE task, serializing the rewrite
         # through #distinct-partition-values tasks (one task when the
-        # table is small) and making >1 file per directory impossible.
+        # table is small) and making >1 file per partition impossible.
         # The salt splits each directory across up to n_files shuffle
         # partitions, so the rewrite parallelizes across
         # #dirs × n_files tasks and each directory lands in ≤ n_files
@@ -589,8 +600,6 @@ def _compact_locked(
         .partitionBy(*parts)
         .parquet(tmp)
     )
-    _publish_snapshot(root, tmp, before, "compaction")
-    return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
 
 
 def _publish_snapshot(
@@ -756,6 +765,107 @@ def _delete_locked(spark, table_dir, table, root, pred) -> int:
     shutil.rmtree(sub)
     _publish_snapshot(root, tmp, before, "delete")
     return int(hit["n"])
+
+
+def dedupe_points(
+    spark,
+    table_dir: str,
+    table: str,
+    keys: list | None = None,
+    order_by: str | None = None,
+    time_col: str = "time",
+) -> int:
+    """InfluxDB point-identity maintenance: collapse rows that share
+    one (timestamp + tagset) series point down to a single winner.
+
+    InfluxDB resolves duplicate points AT WRITE TIME — a second write
+    with the same measurement, tagset, and timestamp overwrites the
+    field values. This store's append path keeps both rows (appends
+    are immutable files; write-time read-back would serialize
+    ingest), so duplicate resolution is DEFERRED to this maintenance
+    rewrite — readers between the duplicate write and the dedupe see
+    both rows, which is the documented divergence from InfluxDB's
+    always-deduped view.
+
+    * ``keys`` — the series-point identity; defaults to the time
+      column plus every string column (this store's tag convention).
+      Partition columns derived from time (``date``) are functionally
+      dependent and need not be listed.
+    * winner — the row with the greatest ``order_by`` value when
+      given (pass ``"batch_id"`` on streaming-ingested tables: later
+      micro-batch wins = InfluxDB's last-write-wins); ties, and the
+      no-``order_by`` case, fall back to the lexicographically
+      greatest tuple of the remaining field columns — arrival order
+      of rows inside one immutable file set is unknowable, so the
+      tiebreak must be a pure function of the data (deterministic,
+      engine-replayable).
+
+    One shuffle on the key set (a groupBy max(struct), map-side
+    combinable — at 100 TB the dedupe costs one exchange of the
+    table, same shape as the exact-dedup operator). Publication is
+    the snapshot protocol verbatim: compact lock for the whole run,
+    optimistic conflict check, atomic symlink repoint, every crash
+    state healed by ``recover_compaction``. Replay caveat: on
+    streaming tables a replayed batch re-creates its ``batch_id``
+    partition wholesale, resurrecting duplicates dedupe removed from
+    it — run dedupe on settled data (the same ordering rule a log
+    compaction in Kafka has). Returns rows removed.
+    """
+    root = os.path.join(table_dir, table)
+    with _flock(
+        _lock_file(root, "compact"), exclusive=True, blocking=False
+    ):
+        return _dedupe_locked(
+            spark, table_dir, table, root, keys, order_by, time_col
+        )
+
+
+def _dedupe_locked(
+    spark, table_dir, table, root, keys, order_by, time_col
+) -> int:
+    recover_compaction(table_dir, table)
+    if not os.path.isdir(root):
+        return 0
+    with _flock(_lock_file(root, "write"), exclusive=True):
+        before = _visible_file_set(root)
+    df = spark.read.parquet(root)
+    parts = list(PARTITIONING.get(table, []))
+    if "batch_id" in df.columns and "batch_id" not in parts:
+        parts.append("batch_id")
+    if keys is None:
+        from pyspark.sql.types import StringType
+
+        keys = [time_col] + [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, StringType) and f.name != time_col
+        ]
+    rest = [c for c in df.columns if c not in keys]
+    if order_by:
+        if order_by not in rest:
+            raise ValueError(
+                f"order_by {order_by!r} must be a non-key column"
+            )
+        rest = [order_by] + [c for c in rest if c != order_by]
+    if not rest:  # identity = whole row: plain distinct
+        winners = df.distinct()
+    else:
+        winners = (
+            df.groupBy(*keys)
+            .agg(F.max(F.struct(*rest)).alias("__w"))
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in rest])
+            .select(*df.columns)  # original column order
+        )
+    n_before = df.count()
+    n_after = winners.count()
+    if n_after == n_before:
+        return 0
+    tmp = root + ".dedupe.tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # debris from a crashed earlier dedupe
+    _write_layout(winners, parts, tmp, 1)
+    _publish_snapshot(root, tmp, before, "dedupe")
+    return n_before - n_after
 
 
 def retention_delete(
