@@ -802,7 +802,13 @@ def dedupe_points(
 
     One shuffle on the key set (a groupBy max(struct), map-side
     combinable — at 100 TB the dedupe costs one exchange of the
-    table, same shape as the exact-dedup operator). Publication is
+    table, same shape as the exact-dedup operator), then a FULL-TABLE
+    rewrite — unlike ``delete_points`` there is no hardlink fast path,
+    because a key's winner can live in any file and rows carry no
+    stable identity to re-locate it by (a transaction log's row ids
+    are what make proportional-cost dedupe possible; README
+    'Transactional tables'). Run it at compaction cadence, not per
+    ingest batch. Publication is
     the snapshot protocol verbatim: compact lock for the whole run,
     optimistic conflict check, atomic symlink repoint, every crash
     state healed by ``recover_compaction``. Replay caveat: on
