@@ -1910,9 +1910,13 @@ def execute_drop(spark, query: str, table_dir: str) -> bool:
             shutil.rmtree(doomed, ignore_errors=True)
         for v in sinks._version_dirs(root):
             shutil.rmtree(v, ignore_errors=True)
-    for kind in ("compact", "write"):
+    for leftover in (
+        sinks._lock_file(root, "compact"),
+        sinks._lock_file(root, "write"),
+        sinks._schema_file(root),
+    ):
         try:
-            os.remove(sinks._lock_file(root, kind))
+            os.remove(leftover)
         except OSError:
             pass
     return True

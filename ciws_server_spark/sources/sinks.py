@@ -30,6 +30,7 @@ equivalent of this, not available in this container).
 from __future__ import annotations
 
 import fcntl
+import json
 import os
 import re
 import shutil
@@ -134,6 +135,78 @@ PARTITIONING = {
 }
 
 
+class SchemaConflict(ValueError):
+    """A field arrived with a different type than the table recorded
+    for that name — refused at append time, before any file is
+    written, so the store never holds same-name/different-type files."""
+
+
+def _schema_file(root: str) -> str:
+    return root + ".schema.json"
+
+
+def _registered_schema(root: str):
+    """The table's evolved schema (union of every append's fields),
+    or None for tables predating the registry."""
+    from pyspark.sql.types import StructType
+
+    try:
+        with open(_schema_file(root)) as fh:
+            return StructType.fromJson(json.load(fh))
+    except FileNotFoundError:
+        return None
+
+
+def _merge_registered_schema(root: str, schema) -> None:
+    """Union the incoming write's fields into the sidecar (caller
+    holds the write lock). InfluxDB measurements grow fields over
+    time; parquet alone loses that history — plain reads sample ONE
+    footer, so a late-added field is invisible or visible depending
+    on which file gets sampled, and a compaction rewrite through such
+    a read silently DROPS the column (measured; test_schema_evolution
+    pins it). The sidecar is the single source of truth every reader
+    and rewriting mutator applies."""
+    from pyspark.sql.types import StructField, StructType
+
+    current = _registered_schema(root)
+    by_name = {f.name: f for f in current.fields} if current else {}
+    order = [f.name for f in current.fields] if current else []
+    for f in schema.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            by_name[f.name] = StructField(f.name, f.dataType, True)
+            order.append(f.name)
+        elif have.dataType != f.dataType:
+            raise SchemaConflict(
+                f"field {f.name!r}: table has {have.dataType.simpleString()},"
+                f" write has {f.dataType.simpleString()}"
+            )
+    merged = StructType([by_name[n] for n in order])
+    tmp = _schema_file(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(merged.jsonValue(), fh)
+    os.replace(tmp, _schema_file(root))
+
+
+def _read_current(spark, root: str) -> DataFrame:
+    """Rewriting mutators and readers go through here: the registered
+    schema (explicit — no footer sweep, null-fills pre-evolution
+    files) or, for legacy tables without a sidecar, ``mergeSchema`` —
+    one footer read per file, the price of not losing a late-added
+    column to single-footer sampling."""
+    schema = _registered_schema(root)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(root)
+    return spark.read.option("mergeSchema", "true").parquet(root)
+
+
+def read_table(spark, table_dir: str, table: str) -> DataFrame:
+    """Read a store table under its full evolved schema: files written
+    before a field existed yield null for it (the InfluxDB view of a
+    measurement)."""
+    return _read_current(spark, os.path.join(table_dir, table))
+
+
 def append_points(
     df: DataFrame, table_dir: str, table: str, batch_id: int | None = None
 ) -> None:
@@ -147,19 +220,26 @@ def append_points(
     idempotent overwrite of this batch's own ``batch_id=N`` leaf
     partitions (module docstring): replay converges instead of
     duplicating. Without it, a plain append (single-shot batch jobs).
+
+    Fields may be added over time (the InfluxDB measurement model);
+    every write merges its fields into the table's schema sidecar
+    under the write lock, and a same-name/different-type write raises
+    :class:`SchemaConflict` before touching storage.
     """
     parts = PARTITIONING.get(table, [])
     out = df
     if "date" in parts:
         out = out.withColumn("date", F.to_date("time"))
+    if batch_id is not None:
+        out = out.withColumn("batch_id", F.lit(int(batch_id)))
     path = os.path.join(table_dir, table)
     with table_write_lock(table_dir, table):
+        _merge_registered_schema(path, out.schema)
         if batch_id is None:
             out.write.mode("append").partitionBy(*parts).parquet(path)
         else:
             (
-                out.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
+                out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*parts, "batch_id")
                 .parquet(path)
@@ -550,7 +630,7 @@ def _compact_locked(
         # commits, which the pre-swap re-capture detects
         before = _visible_file_set(root)
     parts = list(PARTITIONING.get(table, []))
-    df = spark.read.parquet(root)
+    df = _read_current(spark, root)
     if "batch_id" in df.columns and "batch_id" not in parts:
         parts.append("batch_id")
     tmp = root + ".compact.tmp"
@@ -700,7 +780,7 @@ def _delete_locked(spark, table_dir, table, root, pred) -> int:
         shutil.rmtree(tmp)  # debris from a crashed earlier delete
     with _flock(_lock_file(root, "write"), exclusive=True):
         before = _visible_file_set(root)
-    df = spark.read.parquet(root)
+    df = _read_current(spark, root)
     parts = list(PARTITIONING.get(table, []))
     if "batch_id" in df.columns and "batch_id" not in parts:
         parts.append("batch_id")
@@ -742,11 +822,18 @@ def _delete_locked(spark, table_dir, table, root, pred) -> int:
     # would re-read the whole table); basePath keeps the partition
     # columns derived from the paths so ~pred can reference them and
     # the rewrite reproduces the layout.
-    survivors = (
-        spark.read.option("basePath", root)
-        .parquet(*sorted(_uri_to_path(u) for u in affected_uris))
-        .where(~pred)
-    )
+    reader = spark.read.option("basePath", root)
+    reg = _registered_schema(root)
+    if reg is not None:
+        # evolved tables: rewrite affected files under the FULL schema
+        # so a late-added field survives even when these particular
+        # files predate it (they re-emerge with explicit null columns)
+        reader = reader.schema(reg)
+    else:
+        reader = reader.option("mergeSchema", "true")
+    survivors = reader.parquet(
+        *sorted(_uri_to_path(u) for u in affected_uris)
+    ).where(~pred)
     sub = tmp + ".rows"
     writer = survivors.write.mode("overwrite")
     if parts:
@@ -834,7 +921,7 @@ def _dedupe_locked(
         return 0
     with _flock(_lock_file(root, "write"), exclusive=True):
         before = _visible_file_set(root)
-    df = spark.read.parquet(root)
+    df = _read_current(spark, root)
     parts = list(PARTITIONING.get(table, []))
     if "batch_id" in df.columns and "batch_id" not in parts:
         parts.append("batch_id")
