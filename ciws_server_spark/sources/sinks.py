@@ -758,10 +758,10 @@ def delete_points(
     a Delta commit's file list. Returns the number of rows deleted.
 
     A delete that matches EVERY row publishes a fileless snapshot:
-    subsequent ``spark.read.parquet`` needs an explicit schema (the
-    same as a never-written table — schema-under-emptiness is
-    precisely what a transaction log would add; README
-    'Transactional tables'). The next append re-establishes it.
+    raw ``spark.read.parquet`` has nothing to infer from, but
+    :func:`read_table` keeps working — the schema registry sidecar is
+    exactly the schema-under-emptiness a transaction log provides
+    (round-9 close of the gap this docstring used to document).
     """
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     root = os.path.join(table_dir, table)

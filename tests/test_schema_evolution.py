@@ -107,6 +107,20 @@ def test_type_conflict_refused_before_write(spark, tmp_path):
     assert n_after == n_before  # refused before any file landed
 
 
+def test_fileless_snapshot_reads_with_schema(spark, tmp_path):
+    """Delete-all leaves a snapshot with zero parquet files; the
+    schema sidecar still answers reads (the schema-under-emptiness a
+    transaction log provides — formerly a documented gap)."""
+    table_dir = str(tmp_path)
+    _evolved_table(spark, table_dir)
+    assert sinks.delete_points(
+        spark, table_dir, "campus_flow", "flowRate >= 0"
+    ) == 2
+    df = sinks.read_table(spark, table_dir, "campus_flow")
+    assert df.count() == 0
+    assert {"time", "buildingID", "flowRate", "tempC"} <= set(df.columns)
+
+
 def test_drop_measurement_removes_sidecar(spark, tmp_path):
     from ciws_server_spark.plans.influxql import execute_drop
 
