@@ -207,6 +207,23 @@ def read_table(spark, table_dir: str, table: str) -> DataFrame:
     return _read_current(spark, os.path.join(table_dir, table))
 
 
+def load_tables(spark, table_dir: str) -> dict[str, DataFrame]:
+    """The measurement registry an InfluxQL front-end call wants:
+    every live table under ``table_dir``, each read under its full
+    evolved schema (:func:`read_table`). Skips version dirs, sidecars,
+    and rewrite debris — only table roots (dirs or snapshot symlinks
+    whose name carries no dot-suffix) qualify."""
+    out: dict[str, DataFrame] = {}
+    for entry in sorted(os.listdir(table_dir)):
+        if "." in entry or entry.startswith("_"):
+            continue  # locks, sidecars, root.vNNNNNN, *.tmp debris
+        root = os.path.join(table_dir, entry)
+        if not os.path.isdir(root):  # follows the snapshot symlink
+            continue
+        out[entry] = read_table(spark, table_dir, entry)
+    return out
+
+
 def append_points(
     df: DataFrame, table_dir: str, table: str, batch_id: int | None = None
 ) -> None:

@@ -131,6 +131,29 @@ def test_drop_measurement_removes_sidecar(spark, tmp_path):
     assert not os.path.exists(sinks._schema_file(root))
 
 
+def test_load_tables_builds_evolved_registry(spark, tmp_path):
+    """One call builds the run_influxql measurement registry with
+    every table under its full evolved schema, ignoring sidecars,
+    version dirs, and locks."""
+    table_dir = str(tmp_path)
+    _evolved_table(spark, table_dir)
+    other = spark.createDataFrame(
+        [(T1, "S1", 3.0)],
+        "time timestamp, siteID string, pulse double",
+    )
+    sinks.append_points(other, table_dir, "raw_data")
+    sinks.compact_table(spark, table_dir, "campus_flow")  # → symlink+vdir
+    tables = sinks.load_tables(spark, table_dir)
+    assert set(tables) == {"campus_flow", "raw_data"}
+    assert "tempC" in tables["campus_flow"].columns
+    from ciws_server_spark.plans.influxql import run_influxql
+
+    keys = run_influxql(
+        spark, tables, "SHOW FIELD KEYS FROM campus_flow"
+    ).collect()
+    assert "tempC" in {r["fieldKey"] for r in keys}
+
+
 def test_streaming_batch_appends_register_schema(spark, tmp_path):
     table_dir = str(tmp_path)
     v1 = spark.createDataFrame(
