@@ -30,6 +30,15 @@ RUNTIME_CONF = {
     # to parquet row-group stats. tables.table() keeps a cast branch
     # as a safety net for sessions where this conf cannot apply.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Spark still DEFAULTS to legacy INT96 parquet timestamps, and
+    # INT96 columns carry NO row-group min/max statistics — a
+    # time-range scan over tables this engine wrote could never skip
+    # a row group (discovered via the sorted-compaction stats test:
+    # time stats were None). INT64 micros restores stats (making
+    # sort_by=["time"] compaction actually prune), matches the
+    # testdata fixtures' timestamp[us], and is what every modern
+    # reader (DuckDB, pyarrow) expects.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Let Python Data Sources (sources/datasource.py) receive pushed
     # filters — filename predicates prune whole remote files at
     # planning time instead of scanning-then-filtering.

@@ -564,7 +564,11 @@ def recover_compaction(table_dir: str, table: str) -> str | None:
 
 
 def compact_table(
-    spark, table_dir: str, table: str, target_files_per_partition: int = 1
+    spark,
+    table_dir: str,
+    table: str,
+    target_files_per_partition: int = 1,
+    sort_by: list | None = None,
 ) -> int:
     """OPTIMIZE-equivalent: rewrite each partition's small files.
 
@@ -631,11 +635,11 @@ def compact_table(
         _lock_file(root, "compact"), exclusive=True, blocking=False
     ):
         return _compact_locked(spark, table_dir, table,
-                               target_files_per_partition, root)
+                               target_files_per_partition, root, sort_by)
 
 
 def _compact_locked(
-    spark, table_dir, table, target_files_per_partition, root
+    spark, table_dir, table, target_files_per_partition, root, sort_by=None
 ) -> int:
     import glob
 
@@ -651,13 +655,17 @@ def _compact_locked(
     if "batch_id" in df.columns and "batch_id" not in parts:
         parts.append("batch_id")
     tmp = root + ".compact.tmp"
-    _write_layout(df, parts, tmp, target_files_per_partition)
+    _write_layout(df, parts, tmp, target_files_per_partition, sort_by)
     _publish_snapshot(root, tmp, before, "compaction")
     return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
 
 
 def _write_layout(
-    df: DataFrame, parts: list, tmp: str, target_files_per_partition: int
+    df: DataFrame,
+    parts: list,
+    tmp: str,
+    target_files_per_partition: int,
+    sort_by: list | None = None,
 ) -> None:
     """Write ``df`` to ``tmp`` in the table's partition layout with at
     most ``target_files_per_partition`` files per directory (shared by
@@ -692,6 +700,16 @@ def _write_layout(
             .repartition(*parts, F.col("__compact_salt"))
             .drop("__compact_salt")
         )
+    if sort_by:
+        # Cluster rows inside each output file so parquet row-group
+        # min/max stats become selective on the sort key: a compacted
+        # time-ordered table lets a time-range scan SKIP whole row
+        # groups/files instead of decoding them — the poor-man's
+        # Z-order, and at 100 TB the difference between reading a
+        # day and reading a partition. sortWithinPartitions is a
+        # task-local sort (no exchange beyond the layout repartition
+        # above).
+        writer = writer.sortWithinPartitions(*sort_by)
     (
         writer.write.mode("overwrite")
         .partitionBy(*parts)
