@@ -1948,8 +1948,29 @@ def run_influxql(
     registry has nowhere durable to write, and silently evaluating
     the SELECT half of an INTO would mis-report success.
     """
-    from . import continuous
+    from . import continuous, retention
 
+    if retention._CREATE_RP_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("CREATE RETENTION POLICY requires a table_dir")
+        return retention.create_retention_policy(
+            statement, table_dir, database
+        )
+    if retention._ALTER_RP_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("ALTER RETENTION POLICY requires a table_dir")
+        return retention.alter_retention_policy(statement, table_dir, database)
+    if retention._DROP_RP_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("DROP RETENTION POLICY requires a table_dir")
+        return retention.drop_retention_policy(statement, table_dir, database)
+    rp_show = retention._SHOW_RP_RE.match(statement)
+    if rp_show and table_dir is not None:
+        # registry-backed when a store dir is attached; the bare
+        # autogen stub in _show still serves query-only registries
+        return retention.show_retention_policies(
+            spark, table_dir, database, rp_show.group("db")
+        )
     if continuous._CREATE_CQ_RE.match(statement):
         if table_dir is None:
             raise InfluxQLError("CREATE CONTINUOUS QUERY requires a table_dir")
