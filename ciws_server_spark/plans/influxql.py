@@ -1631,6 +1631,82 @@ _SHOW_RE = re.compile(
 DEFAULT_DATABASE = "ciws"
 _SUBQUERY_RE = re.compile(r"\bFROM\s*\(", re.IGNORECASE)
 
+_CREATE_DB_RE = re.compile(
+    r"^\s*CREATE\s+DATABASE\s+(\"[^\"]+\"|\w+)\s*;?\s*$", re.IGNORECASE
+)
+_DROP_DB_RE = re.compile(
+    r"^\s*DROP\s+DATABASE\s+(\"[^\"]+\"|\w+)\s*;?\s*$", re.IGNORECASE
+)
+_DB_FILE = "_database.json"
+
+
+def registered_database(table_dir: str | None) -> str:
+    """The store's registered database name (CREATE DATABASE), falling
+    back to :data:`DEFAULT_DATABASE` — the reference's deployment
+    guide opens with ``CREATE DATABASE ciwsdb``
+    (doc/deployment_guide.md:25), so the statement is part of the
+    user's real workflow, not an exotic admin path."""
+    import json as _json
+
+    if table_dir:
+        try:
+            with open(os.path.join(table_dir, _DB_FILE)) as fh:
+                return _json.load(fh)["name"]
+        except (FileNotFoundError, KeyError, ValueError):
+            pass
+    return DEFAULT_DATABASE
+
+
+def execute_create_database(statement: str, table_dir: str) -> str:
+    """Register the store's (single) logical database name.
+
+    Idempotent like InfluxDB's. Re-creating under a DIFFERENT name is
+    refused — one store dir is one database; a second name would
+    silently orphan retention/CQ state keyed to the first."""
+    import json as _json
+
+    m = _CREATE_DB_RE.match(statement)
+    name = _unquote(m.group(1))
+    current_path = os.path.join(table_dir, _DB_FILE)
+    current = registered_database(table_dir)
+    if os.path.exists(current_path) and current != name:
+        raise InfluxQLError(
+            f"store already holds database {current!r}; "
+            "one table_dir is one database"
+        )
+    tmp = current_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"name": name}, fh)
+    os.replace(tmp, current_path)
+    return name
+
+
+def execute_drop_database(spark, statement: str, table_dir: str) -> bool:
+    """InfluxDB ``DROP DATABASE``: every measurement, policy, and CQ
+    under the store dir goes. Measurements drop through
+    :func:`execute_drop` (locked, atomic per table); the registry
+    sidecars go last, so a crash mid-way leaves a smaller database,
+    never an inconsistent one. Returns True if the name matched."""
+    m = _DROP_DB_RE.match(statement)
+    name = _unquote(m.group(1))
+    if name != registered_database(table_dir):
+        return False
+    for entry in sorted(os.listdir(table_dir)):
+        if "." in entry or entry.startswith("_"):
+            continue
+        if os.path.isdir(os.path.join(table_dir, entry)):
+            execute_drop(spark, f"DROP MEASUREMENT {entry}", table_dir)
+    for sidecar in (
+        _DB_FILE,
+        "_retention_policies.json",
+        "_continuous_queries.json",
+    ):
+        try:
+            os.remove(os.path.join(table_dir, sidecar))
+        except OSError:
+            pass
+    return True
+
 #: Spark dtypes InfluxQL reports as field (value) types; everything
 #: else string-typed is a tag.
 _FIELD_TYPES = {
@@ -1950,6 +2026,16 @@ def run_influxql(
     """
     from . import continuous, retention
 
+    if database is None and table_dir is not None:
+        database = registered_database(table_dir)
+    if _CREATE_DB_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("CREATE DATABASE requires a table_dir")
+        return execute_create_database(statement, table_dir)
+    if _DROP_DB_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("DROP DATABASE requires a table_dir")
+        return execute_drop_database(spark, statement, table_dir)
     if retention._CREATE_RP_RE.match(statement):
         if table_dir is None:
             raise InfluxQLError("CREATE RETENTION POLICY requires a table_dir")

@@ -1,0 +1,64 @@
+"""CREATE / DROP DATABASE — the reference's deployment guide opens
+with ``CREATE DATABASE ciwsdb`` (doc/deployment_guide.md:25), so the
+statement is the first thing a migrating user types.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from ciws_server_spark.plans.influxql import InfluxQLError, run_influxql
+from ciws_server_spark.sources import sinks
+
+
+def _mk_table(spark, table_dir):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 6), "A", 1.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, table_dir, "campus_flow")
+
+
+def test_create_database_registers_name(spark, tmp_path):
+    td = str(tmp_path)
+    assert (
+        run_influxql(spark, {}, "CREATE DATABASE ciwsdb", table_dir=td)
+        == "ciwsdb"
+    )
+    rows = run_influxql(spark, {}, "SHOW DATABASES", table_dir=td).collect()
+    assert [r["name"] for r in rows] == ["ciwsdb"]
+    # idempotent re-create; different name refused (one dir = one db)
+    run_influxql(spark, {}, "CREATE DATABASE ciwsdb", table_dir=td)
+    with pytest.raises(InfluxQLError, match="one table_dir"):
+        run_influxql(spark, {}, "CREATE DATABASE other", table_dir=td)
+    # ON <registered name> now passes the database check
+    rows = run_influxql(
+        spark, {}, "SHOW RETENTION POLICIES ON ciwsdb", table_dir=td
+    ).collect()
+    assert rows[0]["name"] == "autogen"
+
+
+def test_drop_database_removes_everything(spark, tmp_path):
+    td = str(tmp_path)
+    _mk_table(spark, td)
+    run_influxql(spark, {}, "CREATE DATABASE ciwsdb", table_dir=td)
+    run_influxql(
+        spark, {},
+        "CREATE RETENTION POLICY keep7 ON ciwsdb DURATION 7d "
+        "REPLICATION 1 DEFAULT",
+        table_dir=td,
+    )
+    assert run_influxql(
+        spark, {}, "DROP DATABASE nope", table_dir=td
+    ) is False
+    assert run_influxql(
+        spark, {}, "DROP DATABASE ciwsdb", table_dir=td
+    ) is True
+    assert not os.path.lexists(os.path.join(td, "campus_flow"))
+    assert not os.path.exists(os.path.join(td, "_retention_policies.json"))
+    # back to the unregistered default
+    rows = run_influxql(spark, {}, "SHOW DATABASES", table_dir=td).collect()
+    assert [r["name"] for r in rows] == ["ciws"]
