@@ -151,7 +151,7 @@ def _inject_time_range(body: str, m, lo: str, hi: str) -> str:
 
 
 def create_continuous_query(
-    statement: str, table_dir: str, now: datetime
+    statement: str, table_dir: str, now: datetime, database: str | None = None
 ) -> str:
     """Parse + validate a CREATE CONTINUOUS QUERY and persist it.
 
@@ -163,6 +163,11 @@ def create_continuous_query(
     if not cm:
         raise InfluxQLError(f"unparseable CREATE CONTINUOUS QUERY: {statement!r}")
     name = _unquote(cm.group("name"))
+    if cm.group("db") is not None and database is not None:
+        if _unquote(cm.group("db")) != database:
+            raise InfluxQLError(
+                f"unknown database: {_unquote(cm.group('db'))!r}"
+            )
     body = cm.group("body").strip()
     bm = _QUERY_RE.match(body)
     if not bm:

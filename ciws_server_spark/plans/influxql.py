@@ -2064,7 +2064,9 @@ def run_influxql(
             raise InfluxQLError(
                 "CREATE CONTINUOUS QUERY requires now= (deterministic clock)"
             )
-        return continuous.create_continuous_query(statement, table_dir, now)
+        return continuous.create_continuous_query(
+            statement, table_dir, now, database
+        )
     if continuous._DROP_CQ_RE.match(statement):
         if table_dir is None:
             raise InfluxQLError("DROP CONTINUOUS QUERY requires a table_dir")

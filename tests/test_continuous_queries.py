@@ -28,6 +28,8 @@ from ciws_server_spark.sources import sinks
 
 
 def _mk_table(spark, table_dir, hours=6):
+    # CQ statements validate ON <db> against the registered database
+    run_influxql(spark, {}, "CREATE DATABASE water", table_dir=table_dir)
     rows = [
         (dt.datetime(2024, 1, 1, h, m), "A", float(h * 100 + m))
         for h in range(hours)
