@@ -1880,6 +1880,31 @@ def _split_subquery(query: str) -> tuple[str, str] | None:
     raise InfluxQLError("unbalanced parentheses in FROM subquery")
 
 
+def _resolve_into_target(tok: str, table_dir: str) -> str:
+    """INTO targets may be fully qualified the way InfluxDB clients
+    write them — ``"db"."rp"."measurement"`` or ``"rp"."measurement"``
+    — with each qualifier validated against this store's registries
+    (unknown database / retention policy is an error, not a silently
+    created namespace). Returns the bare measurement name; the store
+    keeps one physical layout per measurement, with the policy layer
+    applied by the retention tick rather than by storage routing."""
+    parts = re.findall(r'"[^"]+"|[^".]+', tok.strip())
+    parts = [_unquote(p) for p in parts if p]
+    if not 1 <= len(parts) <= 3:
+        raise InfluxQLError(f"bad INTO target: {tok!r}")
+    if len(parts) == 3:
+        if parts[0] != registered_database(table_dir):
+            raise InfluxQLError(f"unknown database: {parts[0]!r}")
+    if len(parts) >= 2:
+        from . import retention
+
+        if parts[-2] not in retention._load(table_dir):
+            raise InfluxQLError(
+                f"unknown retention policy: {parts[-2]!r}"
+            )
+    return parts[-1]
+
+
 def execute_into(
     spark,
     tables: dict[str, DataFrame],
@@ -1901,7 +1926,7 @@ def execute_into(
     m = _QUERY_RE.match(query)
     if not m or not m.group("into"):
         raise InfluxQLError(f"not an INTO statement: {query!r}")
-    target = _unquote(m.group("into"))
+    target = _resolve_into_target(m.group("into"), table_dir)
     stripped = re.sub(r"\s+INTO\s+\S+", "", query, count=1, flags=re.I)
     result = query_measurement(spark, tables, stripped, time_col)
     if "time_bucket" in result.columns:

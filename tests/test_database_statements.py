@@ -62,3 +62,34 @@ def test_drop_database_removes_everything(spark, tmp_path):
     # back to the unregistered default
     rows = run_influxql(spark, {}, "SHOW DATABASES", table_dir=td).collect()
     assert [r["name"] for r in rows] == ["ciws"]
+
+
+def test_qualified_into_target(spark, tmp_path):
+    """INTO "db"."rp"."measurement" — the form InfluxDB clients emit —
+    resolves to the bare measurement, with qualifiers validated."""
+    td = str(tmp_path)
+    _mk_table(spark, td)
+    run_influxql(spark, {}, "CREATE DATABASE ciwsdb", table_dir=td)
+    tables = sinks.load_tables(spark, td)
+    out = run_influxql(
+        spark, tables,
+        'SELECT mean(flowRate) INTO "ciwsdb"."autogen"."hourly" '
+        "FROM campus_flow GROUP BY time(1h)",
+        table_dir=td,
+    )
+    assert out.count() == 1
+    assert os.path.isdir(os.path.join(td, "hourly"))
+    with pytest.raises(InfluxQLError, match="unknown database"):
+        run_influxql(
+            spark, tables,
+            'SELECT mean(flowRate) INTO "other"."autogen"."h2" '
+            "FROM campus_flow GROUP BY time(1h)",
+            table_dir=td,
+        )
+    with pytest.raises(InfluxQLError, match="unknown retention policy"):
+        run_influxql(
+            spark, tables,
+            'SELECT mean(flowRate) INTO "nope"."h2" '
+            "FROM campus_flow GROUP BY time(1h)",
+            table_dir=td,
+        )
