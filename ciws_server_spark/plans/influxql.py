@@ -491,6 +491,52 @@ def _split_top(expr: str, keyword: str) -> list[str]:
     return parts
 
 
+_NOW_RE = re.compile(
+    r"now\(\)(?:\s*([+-])\s*(\d+)(s|m|h|d|w))?", re.IGNORECASE
+)
+_NOW_UNIT_S = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def _resolve_now(query: str, now) -> str:
+    """Substitute ``now() [± <dur>]`` with literal timestamps — the
+    canonical InfluxQL dashboard predicate (``WHERE time > now() - 1h``).
+
+    ``now`` is always caller-supplied (the engine never reads the wall
+    clock — the same determinism contract as the CQ scheduler); a
+    query that uses now() without one is a named error. Quoted string
+    spans are left untouched. Rewriting TEXT before parsing keeps the
+    whole recursive predicate grammar now-free."""
+
+    def sub_segment(seg: str) -> str:
+        def repl(m: re.Match) -> str:
+            if now is None:
+                raise InfluxQLError(
+                    "query uses now() — pass now=<datetime> "
+                    "(this engine never reads the wall clock)"
+                )
+            import datetime as _dt
+
+            delta = _dt.timedelta(
+                seconds=int(m.group(2)) * _NOW_UNIT_S[m.group(3).lower()]
+            ) if m.group(1) else _dt.timedelta(0)
+            ts = now - delta if m.group(1) == "-" else now + delta
+            fmt = "%Y-%m-%d %H:%M:%S.%f" if ts.microsecond else (
+                "%Y-%m-%d %H:%M:%S"
+            )
+            return f"'{ts.strftime(fmt)}'"
+
+        return _NOW_RE.sub(repl, seg)
+
+    if "now" not in query.lower():
+        return query
+    # split on single-quoted literals so a tag value containing
+    # "now()" is never rewritten
+    parts = re.split(r"('[^']*')", query)
+    return "".join(
+        p if p.startswith("'") else sub_segment(p) for p in parts
+    )
+
+
 def _where_expr(expr: str, time_col: str, bounds: dict, tz: str | None = None):
     """Recursive descent over OR → AND → atom, with parentheses.
 
@@ -1325,7 +1371,7 @@ def _apply_transform(
 
 
 def translate(
-    df: DataFrame, query: str, time_col: str = "time"
+    df: DataFrame, query: str, time_col: str = "time", now=None
 ) -> DataFrame:
     """Translate one InfluxQL statement against a measurement frame.
 
@@ -1333,6 +1379,7 @@ def translate(
     but binding is the caller's job — pass ``tables[name]``); returns
     the translated DataFrame plan.
     """
+    query = _resolve_now(query, now)
     m = _QUERY_RE.match(query)
     if not m:
         raise InfluxQLError(f"unparseable InfluxQL: {query!r}")
@@ -1911,6 +1958,7 @@ def execute_into(
     query: str,
     table_dir: str,
     time_col: str = "time",
+    now=None,
 ) -> DataFrame:
     """Run an InfluxQL ``SELECT ... INTO <target> FROM ...`` statement:
     evaluate the query and append the result to the ``<target>`` table
@@ -1923,6 +1971,7 @@ def execute_into(
 
     from ..sources import sinks
 
+    query = _resolve_now(query, now)
     m = _QUERY_RE.match(query)
     if not m or not m.group("into"):
         raise InfluxQLError(f"not an INTO statement: {query!r}")
@@ -1943,7 +1992,7 @@ _DELETE_RE = re.compile(
 
 
 def execute_delete(
-    spark, query: str, table_dir: str, time_col: str = "time"
+    spark, query: str, table_dir: str, time_col: str = "time", now=None
 ) -> int:
     """Run an InfluxQL ``DELETE FROM <m> [WHERE ...]`` statement
     against an on-disk partitioned table under ``table_dir``.
@@ -1958,6 +2007,7 @@ def execute_delete(
     """
     from ..sources import sinks
 
+    query = _resolve_now(query, now)
     dm = _DELETE_RE.match(query)
     if not dm:
         raise InfluxQLError(f"not a DELETE statement: {query!r}")
@@ -2104,17 +2154,19 @@ def run_influxql(
     if m and m.group("into"):
         if table_dir is None:
             raise InfluxQLError("INTO requires a table_dir to write to")
-        return execute_into(spark, tables, statement, table_dir, time_col)
+        return execute_into(
+            spark, tables, statement, table_dir, time_col, now=now
+        )
     if _DELETE_RE.match(statement):
         if table_dir is None:
             raise InfluxQLError("DELETE requires a table_dir")
-        return execute_delete(spark, statement, table_dir, time_col)
+        return execute_delete(spark, statement, table_dir, time_col, now=now)
     if _DROP_RE.match(statement):
         if table_dir is None:
             raise InfluxQLError("DROP MEASUREMENT requires a table_dir")
         return execute_drop(spark, statement, table_dir)
     return query_measurement(
-        spark, tables, statement, time_col, database=database
+        spark, tables, statement, time_col, database=database, now=now
     )
 
 
@@ -2124,6 +2176,7 @@ def query_measurement(
     query: str,
     time_col: str = "time",
     database: str = None,
+    now=None,
 ) -> DataFrame:
     """Resolve FROM against a measurement registry and translate.
 
@@ -2132,6 +2185,7 @@ def query_measurement(
     the outer statement's measurement, with the inner bucket column as
     the outer time column) and the SHOW metadata statements.
     """
+    query = _resolve_now(query, now)
     sm = _SHOW_RE.match(query)
     if sm:
         return _show(spark, tables, sm, database=database)

@@ -93,3 +93,47 @@ def test_qualified_into_target(spark, tmp_path):
             "FROM campus_flow GROUP BY time(1h)",
             table_dir=td,
         )
+
+
+def test_now_relative_time_predicates(spark, tmp_path):
+    """WHERE time > now() - 1d — the canonical dashboard predicate —
+    with the deterministic now= injection."""
+    td = str(tmp_path)
+    _mk_table(spark, td)
+    more = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 10, 6), "A", 9.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(more, td, "campus_flow")
+    tables = sinks.load_tables(spark, td)
+    got = run_influxql(
+        spark, tables,
+        "SELECT flowRate FROM campus_flow WHERE time > now() - 1d",
+        now=dt.datetime(2024, 1, 10, 12),
+    )
+    assert got.count() == 1  # only the Jan 10 point is inside 24h
+    got = run_influxql(
+        spark, tables,
+        "SELECT count(flowRate) FROM campus_flow WHERE time <= now()",
+        now=dt.datetime(2024, 1, 10, 12),
+    )
+    assert got.collect()[0][0] == 2
+    # a tag value containing the text now() is never rewritten
+    got = run_influxql(
+        spark, tables,
+        "SELECT flowRate FROM campus_flow WHERE buildingID = 'now() - 1d'",
+        now=dt.datetime(2024, 1, 10, 12),
+    )
+    assert got.count() == 0
+    with pytest.raises(InfluxQLError, match="pass now="):
+        run_influxql(
+            spark, tables,
+            "SELECT flowRate FROM campus_flow WHERE time > now() - 1h",
+        )
+    # DELETE with a relative horizon
+    n = run_influxql(
+        spark, tables,
+        "DELETE FROM campus_flow WHERE time < now() - 5d",
+        table_dir=td, now=dt.datetime(2024, 1, 10, 12),
+    )
+    assert n == 1  # the Jan 1 point
