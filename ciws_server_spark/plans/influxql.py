@@ -596,6 +596,23 @@ def _where_expr(expr: str, time_col: str, bounds: dict, tz: str | None = None):
         return matched if op == "=~" else ~matched
     col = F.col(time_col).cast("timestamp") if is_time else F.col(lhs)
     if is_time:
+        em = re.match(r"^(\d+)(ns|u|µ|ms|s)?$", rhs)
+        if em:
+            # epoch-integer literal (the raw HTTP API's default form;
+            # bare integers are nanoseconds per InfluxQL). Normalize
+            # to an ISO string so bounds recording and the cast below
+            # see the same shape as a quoted literal.
+            import datetime as _dt
+
+            scale = {"ns": 1e9, "u": 1e6, "µ": 1e6, "ms": 1e3, "s": 1.0}[
+                em.group(2) or "ns"
+            ]
+            micros = int(int(em.group(1)) / scale * 1_000_000)
+            ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)
+            rhs = ts.strftime(
+                "%Y-%m-%d %H:%M:%S.%f" if ts.microsecond
+                else "%Y-%m-%d %H:%M:%S"
+            )
         # with tz('Zone') time literals are LOCAL wall-clock in that
         # zone (InfluxQL); to_utc_timestamp reads the literal's wall
         # time as zone-local and yields the UTC instant

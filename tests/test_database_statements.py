@@ -137,3 +137,24 @@ def test_now_relative_time_predicates(spark, tmp_path):
         table_dir=td, now=dt.datetime(2024, 1, 10, 12),
     )
     assert n == 1  # the Jan 1 point
+
+
+def test_epoch_integer_time_literals(spark, tmp_path):
+    """time >= <epoch ns int> — the raw HTTP API's default literal
+    form (bare integers are nanoseconds; s/ms/u suffixes accepted)."""
+    td = str(tmp_path)
+    _mk_table(spark, td)  # one point at 2024-01-01 06:00
+    tables = sinks.load_tables(spark, td)
+    ns = int(dt.datetime(2024, 1, 1, 5).timestamp() -
+             dt.datetime(1970, 1, 1).timestamp() +
+             3600) * 10**9  # naive-UTC epoch of 2024-01-01 06:00
+    ns = int((dt.datetime(2024, 1, 1, 6) -
+              dt.datetime(1970, 1, 1)).total_seconds()) * 10**9
+    q = "SELECT flowRate FROM campus_flow WHERE time >= {}"
+    assert run_influxql(spark, tables, q.format(ns)).count() == 1
+    assert run_influxql(spark, tables, q.format(ns + 10**9)).count() == 0
+    secs = ns // 10**9
+    assert run_influxql(spark, tables, q.format(f"{secs}s")).count() == 1
+    assert run_influxql(
+        spark, tables, q.format(f"{secs * 1000}ms")
+    ).count() == 1
