@@ -2217,7 +2217,52 @@ def query_measurement(
     m = _QUERY_RE.match(query)
     if not m:
         raise InfluxQLError(f"unparseable InfluxQL: {query!r}")
-    name = _unquote(m.group("from"))
+    tok = m.group("from")
+    if tok.startswith("/") and tok.endswith("/") and len(tok) >= 2:
+        # regex measurement: FROM /pattern/ evaluates the statement
+        # against EVERY matching measurement (InfluxQL returns one
+        # series set per measurement; here each result carries a
+        # leading `measurement` column — the JSON "name" field's
+        # columnar equivalent) and unions by column name, null-filling
+        # fields a measurement lacks.
+        from functools import reduce
+
+        pattern = tok[1:-1].replace("\\/", "/")
+        if not pattern:
+            raise InfluxQLError("empty measurement regex //")
+        matches = sorted(n for n in tables if re.search(pattern, n))
+        if not matches:
+            raise InfluxQLError(
+                f"no measurement matches {tok!r}"
+            )
+        # Align every matched frame to the union of their fields
+        # (missing ones as typed nulls) so a projection of a field
+        # only SOME measurements carry resolves everywhere — the
+        # null-filled view InfluxDB presents (a fully-missing field
+        # aggregates over nulls: count 0, mean null).
+        union_fields: dict = {}
+        for n in matches:
+            for f in tables[n].schema.fields:
+                union_fields.setdefault(f.name, f.dataType)
+        s, e = m.span("from")
+        frames = []
+        for n in matches:
+            frame = tables[n]
+            have = set(frame.columns)
+            for fname, ftype in union_fields.items():
+                if fname not in have:
+                    frame = frame.withColumn(
+                        fname, F.lit(None).cast(ftype)
+                    )
+            frames.append(
+                translate(
+                    frame, f"{query[:s]}{n}{query[e:]}", time_col=time_col
+                ).select(F.lit(n).alias("measurement"), "*")
+            )
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+    name = _unquote(tok)
     if name not in tables:
         raise InfluxQLError(f"unknown measurement: {name!r}")
     return translate(tables[name], query, time_col=time_col)

@@ -938,6 +938,10 @@ def dedupe_points(
     partition wholesale, resurrecting duplicates dedupe removed from
     it — run dedupe on settled data (the same ordering rule a log
     compaction in Kafka has). Returns rows removed.
+
+    Because the rewrite lands 1 file per partition, a dedupe IS a
+    compaction — when a maintenance window wants both, run only this
+    (two full rewrites collapse to one).
     """
     root = os.path.join(table_dir, table)
     with _flock(

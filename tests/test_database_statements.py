@@ -158,3 +158,32 @@ def test_epoch_integer_time_literals(spark, tmp_path):
     assert run_influxql(
         spark, tables, q.format(f"{secs * 1000}ms")
     ).count() == 1
+
+
+def test_regex_from_unions_matching_measurements(spark, tmp_path):
+    """FROM /pattern/ evaluates against every matching measurement,
+    each result row carrying its measurement name (the JSON 'name'
+    field's columnar equivalent); missing fields null-fill."""
+    td = str(tmp_path)
+    _mk_table(spark, td)  # campus_flow: one point, building A
+    other = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 7), "B", 2.0, 40.0)],
+        "time timestamp, buildingID string, flowRate double, tempC double",
+    )
+    sinks.append_points(other, td, "campus_flow_hourly")
+    tables = sinks.load_tables(spark, td)
+    got = run_influxql(
+        spark, tables,
+        "SELECT count(flowRate) FROM /^campus_/ GROUP BY time(1d)",
+    ).collect()
+    by_m = {r["measurement"]: r["count_flowRate"] for r in got}
+    assert by_m == {"campus_flow": 1, "campus_flow_hourly": 1}
+    # raw select: tempC null-fills for the measurement lacking it
+    rows = run_influxql(
+        spark, tables, 'SELECT flowRate, tempC FROM /flow/'
+    ).collect()
+    assert {(r["measurement"], r["tempC"]) for r in rows} == {
+        ("campus_flow", None), ("campus_flow_hourly", 40.0)
+    }
+    with pytest.raises(InfluxQLError, match="no measurement matches"):
+        run_influxql(spark, tables, "SELECT flowRate FROM /nope/")
