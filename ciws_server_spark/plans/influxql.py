@@ -1387,6 +1387,171 @@ def _apply_transform(
     return res, tkey
 
 
+# --- SELECT-item arithmetic (binary expressions over fields or over
+# aggregate calls — `SELECT hot + cold`, `SELECT mean(a) / mean(b)`).
+# InfluxQL supports + - * / % between fields, literals, and aggregate
+# calls (not a mix of raw fields and aggregates in one expression).
+_AS_RE = re.compile(r"^(?P<expr>.+?)\s+AS\s+(?P<alias>\"[^\"]+\"|\w+)\s*$",
+                    re.IGNORECASE)
+_ARITH_TOK_RE = re.compile(
+    r'\s*(?:(?P<num>\d+\.\d+|\d+)|(?P<call>\w+\s*\(\s*(?:"[^"]+"|\w+|\*)\s*\))'
+    r'|(?P<field>"[^"]+"|\w+)|(?P<op>[+\-*/%()]))'
+)
+_OP_WORD = {"+": "add", "-": "sub", "*": "mul", "/": "div", "%": "mod"}
+
+
+def _arith_tokens(item: str) -> list | None:
+    """Tokenize a select item; None if any text fails to tokenize."""
+    toks, i = [], 0
+    while i < len(item):
+        m = _ARITH_TOK_RE.match(item, i)
+        if not m:
+            return None if item[i:].strip() else toks
+        i = m.end()
+        if m.group("num") is not None:
+            toks.append(("num", m.group("num")))
+        elif m.group("call") is not None:
+            toks.append(("call", m.group("call")))
+        elif m.group("field") is not None:
+            toks.append(("field", _unquote(m.group("field"))))
+        else:
+            toks.append(("op", m.group("op")))
+    return toks
+
+
+def _has_top_level_op(item: str) -> bool:
+    """True when a binary operator appears outside parens/quotes —
+    the signal that a select item is an arithmetic expression."""
+    depth, q = 0, False
+    for ch in item:
+        if ch == '"':
+            q = not q
+        elif not q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in "+-*/%":
+                return True
+    return False
+
+
+class _Arith:
+    """Parsed arithmetic select item. Nodes: ("num", s) / ("field", n)
+    / ("agg", fn, col) / (op, left, right)."""
+
+    def __init__(self, item: str):
+        am = _AS_RE.match(item)
+        expr_text = am.group("expr") if am else item
+        self.alias = _unquote(am.group("alias")) if am else None
+        toks = _arith_tokens(expr_text)
+        if toks is None:
+            raise InfluxQLError(f"unparseable select expression: {item!r}")
+        self._toks, self._i = toks, 0
+        self.tree = self._expr()
+        if self._i != len(toks):
+            raise InfluxQLError(f"unparseable select expression: {item!r}")
+        self.aggs: list[tuple[str, str]] = []
+        self.fields: list[str] = []
+        self._walk(self.tree)
+        if self.aggs and self.fields:
+            raise InfluxQLError(
+                "cannot mix raw fields and aggregate calls in one "
+                "select expression (InfluxQL restriction)"
+            )
+        if self.alias is None:
+            self.alias = self._name(self.tree)
+
+    # recursive descent: expr := term ((+|-) term)*, term := factor
+    # ((*|/|%) factor)*
+    def _peek(self):
+        return self._toks[self._i] if self._i < len(self._toks) else None
+
+    def _expr(self):
+        node = self._term()
+        while self._peek() in (("op", "+"), ("op", "-")):
+            op = self._toks[self._i][1]
+            self._i += 1
+            node = (op, node, self._term())
+        return node
+
+    def _term(self):
+        node = self._factor()
+        while self._peek() in (("op", "*"), ("op", "/"), ("op", "%")):
+            op = self._toks[self._i][1]
+            self._i += 1
+            node = (op, node, self._factor())
+        return node
+
+    def _factor(self):
+        tok = self._peek()
+        if tok is None:
+            raise InfluxQLError("dangling operator in select expression")
+        self._i += 1
+        if tok == ("op", "("):
+            node = self._expr()
+            if self._peek() != ("op", ")"):
+                raise InfluxQLError("unbalanced parens in select expression")
+            self._i += 1
+            return node
+        if tok[0] == "num":
+            return tok
+        if tok[0] == "call":
+            am = _AGG_RE.match(tok[1])
+            if not am:
+                raise InfluxQLError(
+                    f"only aggregate calls compose arithmetically: {tok[1]!r}"
+                )
+            return ("agg", _unquote(am.group(1)), _unquote(am.group(2)))
+        if tok[0] == "field":
+            return tok
+        raise InfluxQLError(f"unexpected token in select expression: {tok!r}")
+
+    def _walk(self, node):
+        if node[0] == "agg":
+            self.aggs.append((node[1], node[2]))
+        elif node[0] == "field":
+            self.fields.append(node[1])
+        elif node[0] in _OP_WORD:
+            self._walk(node[1])
+            self._walk(node[2])
+
+    def _name(self, node) -> str:
+        if node[0] == "num":
+            return node[1].replace(".", "_")
+        if node[0] == "field":
+            return node[1]
+        if node[0] == "agg":
+            return f"{node[1]}_{node[2]}"
+        return (
+            f"{self._name(node[1])}_{_OP_WORD[node[0]]}_"
+            f"{self._name(node[2])}"
+        )
+
+    def column(self, resolve) -> "F.Column":
+        """Spark Column for the tree; ``resolve(node)`` maps agg/field
+        leaves to Columns (projection vs post-aggregation context)."""
+
+        def build(node):
+            if node[0] == "num":
+                return F.lit(float(node[1]))
+            if node[0] in ("field", "agg"):
+                return resolve(node)
+            left, right = build(node[1]), build(node[2])
+            op = node[0]
+            if op == "+":
+                return left + right
+            if op == "-":
+                return left - right
+            if op == "*":
+                return left * right
+            if op == "%":
+                return left % right
+            return left / right
+
+        return build(self.tree)
+
+
 def translate(
     df: DataFrame, query: str, time_col: str = "time", now=None
 ) -> DataFrame:
@@ -1485,6 +1650,8 @@ def translate(
     select_raw = [s.strip() for s in _split_commas(m.group("select"))]
     agg_items = []  # (fn, col, pct-or-None)
     plain_items = []
+    arith_raw: list[_Arith] = []  # field arithmetic / AS-aliased items
+    arith_agg: list[_Arith] = []  # aggregate arithmetic
     xform_m = None
     selector_m = None
     distinct_m = None
@@ -1496,6 +1663,12 @@ def translate(
                 "nondeterministic (sample) or reserved-but-"
                 "unimplemented in InfluxQL 1.x (histogram)"
             )
+        # arithmetic / AS items must classify BEFORE _AGG_RE: its lazy
+        # body would swallow "mean(a) + mean(b)" as one malformed agg
+        if item != "*" and (_has_top_level_op(item) or _AS_RE.match(item)):
+            a = _Arith(item)
+            (arith_agg if a.aggs else arith_raw).append(a)
+            continue
         tm = _TRANSFORM_RE.match(item)
         sm = _SELECTOR_RE.match(item)
         dm = _DISTINCT_RE.match(item)
@@ -1584,11 +1757,38 @@ def translate(
             order_desc=order_desc,
             tz=tz,
         )
-    elif agg_items:
+    elif agg_items or arith_agg:
+        if arith_raw:
+            raise InfluxQLError(
+                "cannot mix raw-field and aggregate select items"
+            )
+        # aggregate arithmetic: compute each distinct component
+        # aggregate once under a temp name, combine post-agg, drop the
+        # temps — fill/order then see the combined column like any
+        # other aggregate output
+        components: dict[tuple, str] = {}
+        for a in arith_agg:
+            for fn, col in a.aggs:
+                components.setdefault((fn, col), f"__arith_{len(components)}")
         grouped = out.groupBy(*group_cols) if group_cols else out.groupBy()
         out = grouped.agg(
-            *[_agg_column(fn, col, time_col, p) for fn, col, p in agg_items]
+            *[_agg_column(fn, col, time_col, p) for fn, col, p in agg_items],
+            *[
+                _agg_column(fn, col, time_col, None).alias(tmp)
+                for (fn, col), tmp in components.items()
+            ],
         )
+        if arith_agg:
+            combos = [
+                a.column(
+                    lambda n: F.col(components[(n[1], n[2])])
+                ).alias(a.alias)
+                for a in arith_agg
+            ]
+            keep = [
+                c for c in out.columns if not c.startswith("__arith_")
+            ]
+            out = out.select(*keep, *combos)
         if fill_mode != "none":
             out = _apply_fill(
                 out, fill_mode, bucket_secs, tag_cols, time_bounds,
@@ -1606,7 +1806,19 @@ def translate(
         if plain_items is not None:
             # InfluxQL always returns time alongside projected fields
             cols = [time_col] + [c for c in plain_items if c != time_col]
+            cols += [
+                a.column(lambda n: F.col(n[1])).alias(a.alias)
+                for a in arith_raw
+            ]
             out = out.select(*cols)
+        elif arith_raw:  # SELECT *, expr — project all plus the exprs
+            out = out.select(
+                "*",
+                *[
+                    a.column(lambda n: F.col(n[1])).alias(a.alias)
+                    for a in arith_raw
+                ],
+            )
         time_key = time_col
         if has_order:
             key = F.col(time_col)
