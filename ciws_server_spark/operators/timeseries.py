@@ -432,6 +432,24 @@ def influxql_group_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("time_bucket", "event_type")
 
 
+def influxql_select_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-item arithmetic through the text front-end: an
+    aggregate binary expression (max − min, exact for doubles — both
+    operands are selections of stored values, so the subtraction is
+    order-independent and hash-comparable) plus an AS-aliased plain
+    aggregate, per bucket and tag."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT max(value) - min(value) AS value_range, "
+        "count(value) AS n "
+        "FROM events GROUP BY time(6h), event_type"
+    )
+    out = translate(ev, q, time_col="ts")
+    return out.orderBy("time_bucket", "event_type")
+
+
 def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window aggregate: 6h windows every 3h (each event lands
     in 2 overlapping windows) via Spark's native
@@ -1199,6 +1217,7 @@ QUERIES = {
     "ts_tag_time_range": ts_tag_time_range,
     "influxql_select_range": influxql_select_range,
     "influxql_group_by_time": influxql_group_by_time,
+    "influxql_select_arith": influxql_select_arith,
     "influxql_regex_predicate": influxql_regex_predicate,
     "influxql_group_by_time_fill": influxql_group_by_time_fill,
     "influxql_derivative": influxql_derivative,
@@ -1266,6 +1285,7 @@ EXTRA = {
     # stale → auto-registers in the r10 rotation):
     "influxql_derivative_quarter",
     "ts_m4_downsample",
+    "influxql_select_arith",
     "influxql_cmo",
     "influxql_kaufman_er",
     "influxql_rsi",
@@ -1761,6 +1781,16 @@ ORACLES = {
                                   / (epoch(nt) - epoch(pt)))
                           ELSE NULL END, 6) AS min_value
         FROM win
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_select_arith": """
+        SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600)
+                 AS TIMESTAMP) AS time_bucket,
+               event_type,
+               MAX(value) - MIN(value) AS value_range,
+               CAST(COUNT(value) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
         ORDER BY time_bucket, event_type
     """,
     "influxql_group_by_time": """
