@@ -164,16 +164,16 @@ def alter_retention_policy(
     if name not in state:
         raise InfluxQLError(f"retention policy not found: {name!r}")
     clauses = am.group("clauses")
-    dm = re.search(r"DURATION\s+(\S+)", clauses, re.IGNORECASE)
-    if dm and not re.search(
-        r"SHARD\s+DURATION\s+" + re.escape(dm.group(1)),
-        clauses,
-        re.IGNORECASE,
-    ):
-        state[name]["duration_s"] = _parse_duration(dm.group(1))
+    # pull SHARD DURATION out FIRST — a plain "DURATION <tok>" search
+    # over the raw text would seize the shard clause's token (and a
+    # same-token guard fails exactly when both durations are equal)
     sm = re.search(r"SHARD\s+DURATION\s+(\S+)", clauses, re.IGNORECASE)
     if sm:
         state[name]["shard_s"] = _parse_duration(sm.group(1))
+        clauses = clauses[: sm.start()] + clauses[sm.end():]
+    dm = re.search(r"DURATION\s+(\S+)", clauses, re.IGNORECASE)
+    if dm:
+        state[name]["duration_s"] = _parse_duration(dm.group(1))
     rm = re.search(r"REPLICATION\s+(\d+)", clauses, re.IGNORECASE)
     if rm:
         state[name]["replica"] = int(rm.group(1))

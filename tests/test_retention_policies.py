@@ -114,3 +114,39 @@ def test_bad_duration_named_error(spark, tmp_path):
             "CREATE RETENTION POLICY x ON ciws DURATION 1mo REPLICATION 1",
             table_dir=str(tmp_path),
         )
+
+
+def test_alter_duration_and_shard_duration_together(spark, tmp_path):
+    """Both clauses in one ALTER, with the SAME token — a naive
+    DURATION search would seize the shard clause's token."""
+    td = str(tmp_path)
+    run_influxql(
+        spark, {},
+        "CREATE RETENTION POLICY p ON ciws DURATION 30d REPLICATION 1",
+        table_dir=td,
+    )
+    run_influxql(
+        spark, {},
+        "ALTER RETENTION POLICY p ON ciws DURATION 3d SHARD DURATION 3d",
+        table_dir=td,
+    )
+    rows = {
+        r["name"]: (r["duration"], r["shardGroupDuration"])
+        for r in run_influxql(
+            spark, {}, "SHOW RETENTION POLICIES", table_dir=td
+        ).collect()
+    }
+    assert rows["p"] == ("72h0m0s", "72h0m0s")
+    # shard-only alter leaves duration untouched
+    run_influxql(
+        spark, {},
+        "ALTER RETENTION POLICY p ON ciws SHARD DURATION 1d",
+        table_dir=td,
+    )
+    rows = {
+        r["name"]: (r["duration"], r["shardGroupDuration"])
+        for r in run_influxql(
+            spark, {}, "SHOW RETENTION POLICIES", table_dir=td
+        ).collect()
+    }
+    assert rows["p"] == ("72h0m0s", "24h0m0s")
