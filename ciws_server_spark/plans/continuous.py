@@ -192,6 +192,7 @@ def create_continuous_query(
     if name in state:
         raise InfluxQLError(f"continuous query already exists: {name!r}")
     state[name] = {
+        "statement": " ".join(statement.split()),
         "query": body,
         "database": _unquote(cm.group("db")) if cm.group("db") else None,
         "interval_s": interval_s,
@@ -222,11 +223,16 @@ def drop_continuous_query(statement: str, table_dir: str) -> bool:
 
 def show_continuous_queries(spark, table_dir: str):
     """SHOW CONTINUOUS QUERIES → (name, query) frame, the InfluxDB
-    response shape."""
+    response shape — query is the full CREATE statement (InfluxDB
+    echoes it back RESAMPLE clause and all), falling back to the bare
+    body for records persisted before the statement was kept."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     state = _load(table_dir)
-    rows = [(n, state[n]["query"]) for n in sorted(state)]
+    rows = [
+        (n, state[n].get("statement", state[n]["query"]))
+        for n in sorted(state)
+    ]
     schema = StructType(
         [
             StructField("name", StringType(), False),

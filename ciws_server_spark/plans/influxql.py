@@ -2252,6 +2252,40 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+MEASUREMENT\s+(\"[^\"]+\"|\w+)\s*;?\s*$", re.IGNORECASE
 )
 
+_DROP_SERIES_RE = re.compile(
+    r"^\s*DROP\s+SERIES\s+FROM\s+(\"[^\"]+\"|\w+)"
+    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def execute_drop_series(
+    spark, query: str, table_dir: str, time_col: str = "time"
+) -> int:
+    """InfluxQL ``DROP SERIES FROM <m> [WHERE <tag predicates>]``:
+    remove every point of the matching series. Per InfluxQL, DROP
+    SERIES takes TAG predicates only — a time condition is a named
+    error (that's DELETE's job). Execution is the same
+    snapshot-protocol partial rewrite as DELETE (only files holding
+    matching rows rewrite; the rest hardlink). Returns points removed.
+    """
+    from ..sources import sinks
+
+    dm = _DROP_SERIES_RE.match(query)
+    if not dm:
+        raise InfluxQLError(f"not a DROP SERIES statement: {query!r}")
+    target = _unquote(dm.group(1))
+    if dm.group(2):
+        if re.search(r'(^|[\s(])"?time"?\s*[<>=!]', dm.group(2), re.I):
+            raise InfluxQLError(
+                "DROP SERIES takes tag predicates only; "
+                "use DELETE FROM for time-bounded removal"
+            )
+        pred = _where_expr(dm.group(2), time_col, {})
+    else:
+        pred = F.lit(True)
+    return sinks.delete_points(spark, table_dir, target, pred)
+
 
 def execute_drop(spark, query: str, table_dir: str) -> bool:
     """InfluxQL ``DROP MEASUREMENT <m>``: remove the on-disk table.
@@ -2386,6 +2420,10 @@ def run_influxql(
         return execute_into(
             spark, tables, statement, table_dir, time_col, now=now
         )
+    if _DROP_SERIES_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("DROP SERIES requires a table_dir")
+        return execute_drop_series(spark, statement, table_dir, time_col)
     if _DELETE_RE.match(statement):
         if table_dir is None:
             raise InfluxQLError("DELETE requires a table_dir")

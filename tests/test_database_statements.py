@@ -187,3 +187,32 @@ def test_regex_from_unions_matching_measurements(spark, tmp_path):
     }
     with pytest.raises(InfluxQLError, match="no measurement matches"):
         run_influxql(spark, tables, "SELECT flowRate FROM /nope/")
+
+
+def test_drop_series(spark, tmp_path):
+    """DROP SERIES FROM m WHERE tag='v': every point of the series
+    goes; time predicates are DELETE's job (named error)."""
+    td = str(tmp_path)
+    rows = [
+        (dt.datetime(2024, 1, d, 6), b, float(d))
+        for d in (1, 2) for b in ("A", "B")
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, buildingID string, flowRate double"
+    )
+    sinks.append_points(df, td, "campus_flow")
+    tables = sinks.load_tables(spark, td)
+    n = run_influxql(
+        spark, tables,
+        "DROP SERIES FROM campus_flow WHERE buildingID = 'A'",
+        table_dir=td,
+    )
+    assert n == 2
+    left = sinks.read_table(spark, td, "campus_flow")
+    assert {r["buildingID"] for r in left.collect()} == {"B"}
+    with pytest.raises(InfluxQLError, match="tag predicates only"):
+        run_influxql(
+            spark, tables,
+            "DROP SERIES FROM campus_flow WHERE time < '2024-01-02'",
+            table_dir=td,
+        )
