@@ -305,7 +305,8 @@ def _guard_raw_series(base: DataFrame, tag_cols: list[str]) -> None:
 
 _QUERY_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)"
-    r"(?:\s+INTO\s+(?P<into>\S+))?\s+FROM\s+(?P<from>\S+)"
+    r"(?:\s+INTO\s+(?P<into>\S+))?"
+    r"\s+FROM\s+(?P<from>\S+(?:\s*,\s*\S+)*)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+fill\s*\(\s*(?P<fill>[^)]*?)\s*\))?"
@@ -1892,7 +1893,7 @@ def translate(
 
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+(MEASUREMENTS|TAG\s+KEYS|FIELD\s+KEYS|TAG\s+VALUES"
-    r"|DATABASES|RETENTION\s+POLICIES|SERIES)"
+    r"|DATABASES|RETENTION\s+POLICIES|SERIES\s+CARDINALITY|SERIES)"
     r"(?:\s+ON\s+(\"[^\"]+\"|\w+))?"
     r"(?:\s+FROM\s+(\S+))?"
     r"(?:\s+WITH\s+KEY\s*=\s*(\"[^\"]+\"|\w+))?"
@@ -2030,7 +2031,7 @@ def _show(
         return spark.createDataFrame(
             [(n,) for n in sorted(tables)], "name STRING"
         )
-    if kind == "SERIES":
+    if kind in ("SERIES", "SERIES CARDINALITY"):
         # SHOW SERIES [FROM m] [LIMIT n]: one row per series key —
         # "measurement,tag1=v1,tag2=v2" over the DISTINCT tag-sets
         # present in the data (InfluxDB 1.x output shape). One
@@ -2070,7 +2071,14 @@ def _show(
                     F.concat_ws(",", F.lit(n), *pairs).alias("key")
                 ).distinct()
             )
-        out = reduce(lambda a, b: a.unionByName(b), frames).orderBy("key")
+        out = reduce(lambda a, b: a.unionByName(b), frames)
+        if kind == "SERIES CARDINALITY":
+            # exact count here — the store has no sketch registry to
+            # estimate from, and the distinct is already computed
+            return out.agg(
+                F.count(F.lit(1)).cast("bigint").alias("count")
+            )
+        out = out.orderBy("key")
         if m.group(5):
             out = out.limit(int(m.group(5)))
         return out
@@ -2475,8 +2483,6 @@ def query_measurement(
         # leading `measurement` column — the JSON "name" field's
         # columnar equivalent) and unions by column name, null-filling
         # fields a measurement lacks.
-        from functools import reduce
-
         pattern = tok[1:-1].replace("\\/", "/")
         if not pattern:
             raise InfluxQLError("empty measurement regex //")
@@ -2485,34 +2491,53 @@ def query_measurement(
             raise InfluxQLError(
                 f"no measurement matches {tok!r}"
             )
-        # Align every matched frame to the union of their fields
-        # (missing ones as typed nulls) so a projection of a field
-        # only SOME measurements carry resolves everywhere — the
-        # null-filled view InfluxDB presents (a fully-missing field
-        # aggregates over nulls: count 0, mean null).
-        union_fields: dict = {}
-        for n in matches:
-            for f in tables[n].schema.fields:
-                union_fields.setdefault(f.name, f.dataType)
-        s, e = m.span("from")
-        frames = []
-        for n in matches:
-            frame = tables[n]
-            have = set(frame.columns)
-            for fname, ftype in union_fields.items():
-                if fname not in have:
-                    frame = frame.withColumn(
-                        fname, F.lit(None).cast(ftype)
-                    )
-            frames.append(
-                translate(
-                    frame, f"{query[:s]}{n}{query[e:]}", time_col=time_col
-                ).select(F.lit(n).alias("measurement"), "*")
-            )
-        return reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        return _multi_measurement(
+            tables, matches, query, m.span("from"), time_col
+        )
+    if "," in tok:
+        # FROM m1, m2 — the explicit multi-measurement list, same
+        # union semantics as the regex form
+        names = [_unquote(t.strip()) for t in tok.split(",")]
+        for n in names:
+            if n not in tables:
+                raise InfluxQLError(f"unknown measurement: {n!r}")
+        return _multi_measurement(
+            tables, names, query, m.span("from"), time_col
         )
     name = _unquote(tok)
     if name not in tables:
         raise InfluxQLError(f"unknown measurement: {name!r}")
     return translate(tables[name], query, time_col=time_col)
+
+
+def _multi_measurement(
+    tables: dict, names: list, query: str, from_span: tuple, time_col: str
+) -> DataFrame:
+    """Evaluate one statement against several measurements and union
+    the per-measurement results by column name. Frames align to the
+    union of their fields first (missing ones as typed nulls) so a
+    projection of a field only SOME measurements carry resolves
+    everywhere — the null-filled view InfluxDB presents (a
+    fully-missing field aggregates over nulls: count 0, mean null)."""
+    from functools import reduce
+
+    union_fields: dict = {}
+    for n in names:
+        for f in tables[n].schema.fields:
+            union_fields.setdefault(f.name, f.dataType)
+    s, e = from_span
+    frames = []
+    for n in names:
+        frame = tables[n]
+        have = set(frame.columns)
+        for fname, ftype in union_fields.items():
+            if fname not in have:
+                frame = frame.withColumn(fname, F.lit(None).cast(ftype))
+        frames.append(
+            translate(
+                frame, f"{query[:s]}{n}{query[e:]}", time_col=time_col
+            ).select(F.lit(n).alias("measurement"), "*")
+        )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )

@@ -216,3 +216,30 @@ def test_drop_series(spark, tmp_path):
             "DROP SERIES FROM campus_flow WHERE time < '2024-01-02'",
             table_dir=td,
         )
+
+
+def test_from_comma_list_and_series_cardinality(spark, tmp_path):
+    td = str(tmp_path)
+    _mk_table(spark, td)
+    other = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 7), "B", 2.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(other, td, "campus_flow_hourly")
+    tables = sinks.load_tables(spark, td)
+    got = run_influxql(
+        spark, tables,
+        "SELECT count(flowRate) FROM campus_flow, campus_flow_hourly "
+        "GROUP BY time(1d)",
+    ).collect()
+    assert {r["measurement"]: r["count_flowRate"] for r in got} == {
+        "campus_flow": 1, "campus_flow_hourly": 1
+    }
+    with pytest.raises(InfluxQLError, match="unknown measurement"):
+        run_influxql(
+            spark, tables, "SELECT flowRate FROM campus_flow, nope"
+        )
+    card = run_influxql(
+        spark, tables, "SHOW SERIES CARDINALITY"
+    ).collect()
+    assert card == [type(card[0])(count=2)] or card[0]["count"] == 2
