@@ -143,6 +143,141 @@ def canary_guard(spark) -> tuple[dict, float]:
     )
 
 
+# --- same-window regime anchor ---------------------------------------
+#
+# Round-9 lesson: the canary (pure-CPU, floor-ratio 1.75×) is blind to
+# a UNIFORM ~20% ambient regime shift — r9's driver artifact read
+# 21.66s vs r8's 18.19s on unchanged plans and it took forensics
+# (same-code readings through the round, sf1 protocol re-measures,
+# plan-audit diffs) to adjudicate "ambient, not code". The artifact
+# now carries its own paired reference measurements taken in the SAME
+# window as the sweep:
+#
+#   * spark_anchor — median-of-3 of ONE fixed catalog query
+#     (crypto_hashes: scan + JVM hash, the whole Spark stack) whose
+#     plan never changes round-over-round;
+#   * duckdb_anchor — median-of-3 of a fixed DuckDB aggregation over
+#     the same lineitem parquet: an INDEPENDENT engine on the same
+#     I/O + CPU. Code changes in this repo cannot move it; only the
+#     box regime can.
+#
+# Both are recorded raw plus against a rolling-history floor
+# (25th percentile, like the canary), yielding ``regime_index`` —
+# how much slower this window is than the box's recent norm. The
+# artifact reports the headline both raw and regime-normalized
+# (``value_normalized = value / regime_index``): when Spark totals
+# and BOTH anchors drift together, the round-over-round reader sees
+# regime, not regression, without any archaeology.
+
+_ANCHOR_HISTORY_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "anchor_history.json"
+)
+_ANCHOR_HISTORY_MAX = 20
+_ANCHOR_QUERY = "crypto_hashes"
+
+
+def _median3(fn) -> float:
+    vals = sorted(fn() for _ in range(3))
+    return round(vals[1], 3)
+
+
+def _duckdb_anchor_time(sf_dir: str) -> float:
+    """Median-of-3 of a fixed DuckDB workload over the bench parquet:
+    10 back-to-back runs of a high-cardinality distinct + hash-agg
+    over lineitem per timed reading — scan, hash, and CPU in one
+    plan, and the ×10 loop lifts the reading (~0.5-1s at sf0.1)
+    above timer noise on an engine this fast."""
+    import duckdb
+
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    con = duckdb.connect()
+    try:
+        def once() -> float:
+            t0 = time.perf_counter()
+            for _ in range(10):
+                con.execute(
+                    "SELECT count(DISTINCT l_orderkey),"
+                    " bit_xor(hash(l_orderkey * 31 + l_linenumber)),"
+                    " sum(l_extendedprice * (1 - l_discount))"
+                    f" FROM read_parquet('{li}')"
+                ).fetchall()
+            return time.perf_counter() - t0
+
+        return _median3(once)
+    finally:
+        con.close()
+
+
+def _spark_anchor_time(spark, sf_dir: str) -> float:
+    from ciws_server_spark import operators
+
+    fn = {**operators.registered_queries(), **operators.extra_queries()}[
+        _ANCHOR_QUERY
+    ]
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.selectExpr(
+            "count(*) AS n",
+            f"bit_xor(xxhash64({', '.join(df.columns)})) AS h",
+        ).collect()
+        return time.perf_counter() - t0
+
+    return _median3(once)
+
+
+def _anchor_history(sf_key: str) -> dict:
+    """Rolling anchor history, keyed by scale factor — mixing sf0.01
+    smoke readings into the sf0.1 floor would corrupt the regime
+    baseline."""
+    try:
+        with open(_ANCHOR_HISTORY_FILE) as f:
+            d = json.load(f)
+        h = d.get(sf_key, {})
+        return {
+            "spark": [float(x) for x in h.get("spark", [])],
+            "duckdb": [float(x) for x in h.get("duckdb", [])],
+            "_all": d,
+        }
+    except Exception:
+        return {"spark": [], "duckdb": [], "_all": {}}
+
+
+def measure_anchors(spark, sf_dir: str) -> dict:
+    """Measure both anchors; update the rolling history; return the
+    artifact fragment (raw readings, floors, regime index)."""
+    spark_sec = _spark_anchor_time(spark, sf_dir)
+    duck_sec = _duckdb_anchor_time(sf_dir)
+    sf_key = f"sf{_sf_of(sf_dir)}"
+    hist = _anchor_history(sf_key)
+    hist["spark"] = (hist["spark"] + [spark_sec])[-_ANCHOR_HISTORY_MAX:]
+    hist["duckdb"] = (hist["duckdb"] + [duck_sec])[-_ANCHOR_HISTORY_MAX:]
+    store = hist.pop("_all")
+    store[sf_key] = {"spark": hist["spark"], "duckdb": hist["duckdb"]}
+    store["query"] = _ANCHOR_QUERY
+    try:
+        with open(_ANCHOR_HISTORY_FILE, "w") as f:
+            json.dump(store, f)
+    except OSError:
+        pass  # read-only checkout: anchor degrades to raw readings
+    spark_floor = _floor_of(hist["spark"])
+    duck_floor = _floor_of(hist["duckdb"])
+    # regime index: how much slower this window runs vs the box's
+    # recent norm, by the independent engine's reading (DuckDB moves
+    # only with the box) cross-checked against the Spark anchor; the
+    # max of the two ratios is the conservative normalizer.
+    idx = max(spark_sec / spark_floor, duck_sec / duck_floor, 1.0)
+    return {
+        "query": _ANCHOR_QUERY,
+        "spark_sec": spark_sec,
+        "spark_floor_sec": round(spark_floor, 3),
+        "duckdb_sec": duck_sec,
+        "duckdb_floor_sec": round(duck_floor, 3),
+        "regime_index": round(idx, 3),
+    }
+
+
 # --- ingest-path benchmark -------------------------------------------
 #
 # The reference's actual workload is the loader cron pass
@@ -336,6 +471,20 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    try:
+        anchor = measure_anchors(spark, args.sf_dir)
+    except Exception as exc:  # noqa: BLE001 — anchor must not kill bench
+        anchor = {"error": f"{type(exc).__name__}: {exc}"}
+    if "regime_index" in anchor:
+        print(
+            f"# anchor: spark {anchor['spark_sec']:.3f}s "
+            f"(floor {anchor['spark_floor_sec']:.3f}s), duckdb "
+            f"{anchor['duckdb_sec']:.3f}s "
+            f"(floor {anchor['duckdb_floor_sec']:.3f}s) → regime index "
+            f"{anchor['regime_index']:.3f}",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_total_wall",
@@ -352,6 +501,16 @@ def main() -> None:
             "threshold": _CANARY_THRESHOLD,
         },
         "load_suspect": load_suspect,
+        "anchor": anchor,
+        # headline corrected to the box's recent-norm regime: divide
+        # by how much slower this window's paired anchors ran. When
+        # raw value moves round-over-round but value_normalized
+        # doesn't, the shift was ambient, not code.
+        "value_normalized": (
+            round(total / anchor["regime_index"], 3)
+            if "regime_index" in anchor
+            else None
+        ),
     }
     # explicitly-named queries = a focused query rerun; the ingest
     # section only runs on the full default sweep (or alone, below).

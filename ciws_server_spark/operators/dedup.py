@@ -745,16 +745,16 @@ QUERIES = {
 #: driver-verified) rotates in; exact/normalized/prefix dedup
 #: (driver-green r1-r6) yield slots.
 EXTRA = {
-    # r9 rotation (see tpch.EXTRA for the policy): the r8-green rows
-    # rotate OUT; dedup_exact/normalized/ngram_prefix/simhash (stale
-    # since r6/r7) rotate IN.
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine_verify",
-    "dedup_embedding_lsh_verify",
+    # r10 rotation (see tpch.EXTRA for the policy): the r8-stale
+    # minhash/clusters/ngram_jaccard/verify-twin rows register; the
+    # r9-green exact/normalized/prefix/simhash rotate OUT.
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_ngram_prefix",
+    "dedup_simhash",
     # vacuous at the driver fixture (0 rows at the 0.9/production
-    # thresholds): the *_verify twins above are the non-vacuous forms
+    # thresholds): the *_verify twins are the non-vacuous forms;
+    # permanently extra.
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
 }

@@ -373,7 +373,16 @@ QUERIES = {
 # r9 rotation (see tpch.EXTRA for the policy): the r8-green pair
 # rotates OUT; byte_stats / resize / manifest / modality_rollup
 # (stale since r6/r7) rotate IN.
-EXTRA = {"mm_frame_sample", "mm_image_features_stub"}
+# r10 rotation (see tpch.EXTRA for the policy): all mm rows are
+# r9-green, so the whole module yields its slots this round.
+EXTRA = {
+    "mm_byte_stats",
+    "mm_frame_sample",
+    "mm_image_features_stub",
+    "mm_manifest",
+    "mm_modality_rollup",
+    "mm_resize",
+}
 
 _MODALITY_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"

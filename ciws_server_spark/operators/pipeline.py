@@ -330,9 +330,12 @@ ORACLES = {
 # r9 rotation (see tpch.EXTRA for the policy): the r8-green pair
 # rotates OUT; pipeline_curated_corpus (stale since r7) rotates IN.
 EXTRA: set[str] = {
+    # r10 rotation (see tpch.EXTRA for the policy):
+    # pipeline_pack_sequences (never driver-verified) registers; the
+    # r9-green rows rotate OUT.
+    "pipeline_curated_corpus",
     "pipeline_source_quota",
     "pipeline_train_split",
-    "pipeline_pack_sequences",  # new in r9 → registers in r10 (stalest)
 }
 
 HEADLINE = {"pipeline_curated_corpus"}

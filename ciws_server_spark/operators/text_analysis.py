@@ -482,14 +482,18 @@ QUERIES = {
 #: driver-verified) rotate in; quality/lang-id/tokenizer/rolling
 #: fingerprint (driver-green r1-r6) yield slots.
 EXTRA = {
-    # r9 rotation (see tpch.EXTRA for the policy): the r8-green rows
-    # rotate OUT; quality_score / lang_id / tokenize_bpeish /
-    # rolling_fingerprint / decontaminate (stale since r6) rotate IN.
-    "text_token_count",
+    # r10 rotation (see tpch.EXTRA for the policy): all text rows are
+    # r9-green, so the whole module yields its slots this round.
+    "text_decontaminate",
     "text_fingerprint",
+    "text_lang_id",
     "text_pii_redact",
+    "text_quality_score",
     "text_repetition",
+    "text_rolling_fingerprint",
     "text_source_rollup",
+    "text_token_count",
+    "text_tokenize_bpeish",
 }
 
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"

@@ -1274,50 +1274,30 @@ QUERIES = {
 #: stale-users, retention, as-of backward) yield their slots and stay
 #: oracle-checked here by tests/test_extra_oracle.py.
 EXTRA = {
-    # r9 rotation (see tpch.EXTRA for the policy): everything r8-green
-    # rotates OUT to extras — the r5/r6 stale records rotate IN, plus
-    # influxql_quarter_bucket (new this round, needs driver-grade
-    # evidence). ts_derived_rate (r7-green) stays out one more round:
-    # its pulse-pair machinery runs inside the registered streaming
-    # equivalence tests.
-    "ts_derived_rate",
-    # new mid-r9 (registered set already at the 50 budget; maximally
-    # stale → auto-registers in the r10 rotation):
-    "influxql_derivative_quarter",
-    "ts_m4_downsample",
-    "influxql_select_arith",
-    "influxql_cmo",
-    "influxql_kaufman_er",
-    "influxql_rsi",
-    "influxql_kama",
-    "influxql_dema",
-    "influxql_tema",
-    "influxql_trix",
-    # rotated out in r9 (driver-green r8):
-    "ts_tag_time_range",
-    "ts_sliding_window",
-    "ts_funnel",
+    # r10 rotation (see tpch.EXTRA for the policy): the never-driver-
+    # verified r9 additions (TA family, select_arith,
+    # derivative_quarter, M4) plus the full r8-green InfluxQL tail
+    # register; the r9-green rows rotate OUT to extras (still
+    # oracle-checked locally by tests/test_extra_oracle.py).
+    "influxql_derivative",
+    "influxql_moving_average",
+    "influxql_quarter_bucket",
+    "influxql_select_range",
+    "ts_asof_join",
     "ts_asof_join_forward",
     "ts_asof_join_nearest",
-    "influxql_group_by_time",
-    "influxql_group_by_time_fill",
-    "influxql_regex_predicate",
-    "influxql_fill_linear",
-    "influxql_percentile",
-    "influxql_ema",
-    "influxql_order_limit",
-    "influxql_offset",
-    "influxql_soffset",
-    "influxql_slimit",
-    "influxql_week_bucket",
-    "influxql_month_bucket",
-    "influxql_difference",
-    "influxql_cumulative_sum",
-    "influxql_elapsed",
-    "influxql_stats_aggs",
-    "influxql_integral",
-    "influxql_subquery",
-    "influxql_top",
+    "ts_funnel",
+    "ts_gap_fill",
+    "ts_json_extract",
+    "ts_latest_event_per_user",
+    "ts_range_join_buckets",
+    "ts_retention_plan",
+    "ts_sessionize",
+    "ts_sliding_window",
+    "ts_stale_users",
+    "ts_tag_time_range",
+    "ts_time_bucket_agg",
+    "ts_tumbling_window",
 }
 
 _DSUM_VALUE = (

@@ -1059,25 +1059,42 @@ QUERIES = {
 #: tests/test_extra_oracle.py with the identical
 #: row/schema/value-hash comparison.
 EXTRA = {
-    # r9 rotation: the driver budget (≤50) registers the 50 STALEST
-    # driver-grade records each round, so the whole 106-query catalog
-    # re-earns driver-green every ~2 rounds. This round that means
-    # everything green in CORRECTNESS_r08 rotates OUT (still
-    # oracle-checked locally every test run by
-    # tests/test_extra_oracle.py — the identical comparison) and the
-    # r5/r6/r7-green extras rotate IN.
-    # rotated out in r9 (driver-green r8):
-    "q1_pricing_summary",
-    "rollup_pricing",
-    "conditional_agg_order_mix",
-    "union_all_keys",
-    "salted_high_cardinality_agg",
-    "window_rank_customers",
+    # r10 rotation: the driver budget (≤50) registers the 50 STALEST
+    # driver-grade records each round. r10's stalest are the 23
+    # never-driver-verified r9 additions (TPC-H suite q6-q22, the
+    # TA family, select-arith, M4, pack_sequences) plus the r7/r8
+    # tier — so nearly all of tpch (r9-green) rotates OUT this round
+    # (still oracle-checked locally every test run by
+    # tests/test_extra_oracle.py — the identical comparison).
+    # conditional_agg_order_mix and window_running_revenue (stale
+    # since r7/r8) stay registered.
+    "crypto_hashes",
+    "cube_order_stats",
+    "date_functions_orders",
+    "distinct_agg_customers",
+    "grouping_sets_orders",
     "join_anti_customers_no_recent_orders",
-    # driver-green r7; slots yielded to ts_derived_rate-class rotations
-    "window_running_revenue",
+    "join_outer_supplier_coverage",
+    "join_semi_customers_with_orders",
+    "percentile_prices",
+    "pivot_order_priority",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rollup_pricing",
+    "salted_high_cardinality_agg",
+    "scalar_string_functions",
+    "setop_nations_with_both",
+    "setop_nations_without_suppliers",
+    "subquery_above_avg_balance",
+    "subquery_exists_late_ship",
+    "subquery_scalar_brand_premium",
+    "topk_orders_per_segment",
+    "union_all_keys",
+    "window_rank_customers",
     # vacuous on this fixture (0 rows — the date-restricted
-    # join_anti_customers_no_recent_orders is the non-vacuous form):
+    # join_anti_customers_no_recent_orders is the non-vacuous form);
+    # permanently extra:
     "join_anti_customers_without_orders",
 }
 

@@ -582,9 +582,9 @@ QUERIES = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
 }
 
-#: All suite queries start as extras (the driver registry stays at the
-#: 50-stalest rotation; these auto-register as maximally stale in r10).
-EXTRA = set(QUERIES)
+#: r10 rotation: every suite query is maximally stale (never
+#: driver-verified) and registers this round per the stalest-50 policy.
+EXTRA: set[str] = set()
 
 HEADLINE: set[str] = set()
 

@@ -605,10 +605,20 @@ def _where_expr(expr: str, time_col: str, bounds: dict, tz: str | None = None):
             # see the same shape as a quoted literal.
             import datetime as _dt
 
-            scale = {"ns": 1e9, "u": 1e6, "µ": 1e6, "ms": 1e3, "s": 1.0}[
-                em.group(2) or "ns"
-            ]
-            micros = int(int(em.group(1)) / scale * 1_000_000)
+            # pure integer arithmetic: a modern ns literal (~1.7e18)
+            # exceeds float64's 2^53 exact range, so going through
+            # float could shift a range boundary by ~1µs and flip
+            # edge-point inclusion. Sub-µs precision truncates toward
+            # zero (matches InfluxDB storing ns and us comparing µs).
+            v = int(em.group(1))
+            unit = em.group(2) or "ns"
+            micros = {
+                "ns": v // 1000,
+                "u": v,
+                "µ": v,
+                "ms": v * 1000,
+                "s": v * 1_000_000,
+            }[unit]
             ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)
             rhs = ts.strftime(
                 "%Y-%m-%d %H:%M:%S.%f" if ts.microsecond

@@ -110,20 +110,36 @@ def _eligible(
     return True
 
 
-def _fetch_lines(transport, name: str) -> List[str]:
+def _fetch_lines(
+    transport,
+    name: str,
+    skip_bytes: int = 0,
+    stop_bytes: int | None = None,
+) -> List[str]:
     """Fetch one remote file and split to lines (executor-side).
 
     Uses the transport's atomic fetch into a task-local temp file, so
     an SFTP transport reuses the exact byte-moving code the feeder
     runs. Decoding is utf-8 with replacement — a junk byte must reach
     the parser (which quarantines the file), not kill the task.
+
+    ``skip_bytes`` skips a previously-ingested prefix (the stream
+    reader's per-file byte offset): only the appended tail is decoded,
+    so a file that grows between micro-batches emits each line once.
+    ``stop_bytes`` caps the read at the offset-recorded size, so a
+    replay of a committed batch excludes bytes appended after it.
     """
     fd, tmp = tempfile.mkstemp(prefix="ciws_feed_")
     os.close(fd)
     try:
         transport.fetch(name, tmp)
-        with open(tmp, encoding="utf-8", errors="replace") as fh:
-            return fh.read().splitlines()
+        with open(tmp, "rb") as fh:
+            if skip_bytes:
+                fh.seek(skip_bytes)
+            data = fh.read() if stop_bytes is None else fh.read(
+                max(stop_bytes - skip_bytes, 0)
+            )
+        return data.decode("utf-8", errors="replace").splitlines()
     finally:
         try:
             os.unlink(tmp)
@@ -204,16 +220,19 @@ class CiwsFeedBatchReader(DataSourceReader):
 
 
 class CiwsFeedStreamReader(SimpleDataSourceStreamReader):
-    """Incremental feed: offset = {name: size} of fully-ingested files.
+    """Incremental feed: offset = {name: bytes-ingested} per file.
 
     Each micro-batch ingests files that are new or whose size changed
-    since the last offset (P13), skipping in-flight files (P12). The
+    since the last offset (P13), skipping in-flight files (P12). A
+    GROWN file emits only the appended byte range past the recorded
+    prefix (exactly-once for append-growing dataloggers); a SHRUNK
+    file (replaced/truncated upstream) re-ingests from byte 0 —
+    at-least-once, the only sound mode once old content is gone. The
     offset map lives in Spark's checkpoint offset log, so restart
     resumes exactly; ``readBetweenOffsets`` replays a committed batch
-    by re-fetching the files that entered the offset in that step
-    (sound because a landed datalogger file is immutable once its
-    mtime stops moving — the same assumption the reference's loader
-    makes when it archives after load).
+    by re-fetching each changed file's recorded byte range
+    ``[start-offset, end-offset)``, byte-capped so content appended
+    after the commit stays in its own later batch.
     """
 
     def __init__(self, schema: StructType, options):
@@ -243,7 +262,16 @@ class CiwsFeedStreamReader(SimpleDataSourceStreamReader):
         ]
         rows: list[Tuple] = []
         for rf in todo:
-            for line in _fetch_lines(transport, rf.name):
+            # append-growth delta: emit only bytes past the recorded
+            # prefix, capped at the listed size — each line is emitted
+            # exactly once across micro-batches. A SHRUNK file (replace
+            # or truncate) re-ingests from byte 0: content changed, the
+            # old lines are gone, at-least-once is the only sound mode.
+            prev = seen.get(rf.name, 0)
+            skip = prev if 0 < prev < rf.size else 0
+            for line in _fetch_lines(
+                transport, rf.name, skip_bytes=skip, stop_bytes=rf.size
+            ):
                 rows.append((rf.name, line))
             seen[rf.name] = rf.size
         return iter(rows), {"seen": seen}
@@ -254,7 +282,14 @@ class CiwsFeedStreamReader(SimpleDataSourceStreamReader):
         transport = self._get_transport()
         for name, size in after.items():
             if before.get(name) != size:
-                for line in _fetch_lines(transport, name):
+                prev = before.get(name, 0)
+                skip = prev if 0 < prev < size else 0
+                # stop at the offset-recorded size: the live file may
+                # have grown since this batch committed, and those
+                # bytes belong to a later batch
+                for line in _fetch_lines(
+                    transport, name, skip_bytes=skip, stop_bytes=size
+                ):
                     yield (name, line)
 
     def commit(self, end: dict) -> None:
@@ -322,6 +357,20 @@ def _publish(options, messages, batch_id: int) -> None:
     assumption every file sink in sinks.py makes).
     """
     root = options.get("path") or options.get("root")
+    # A replay is not guaranteed the same partitioning: fewer staged
+    # parts (or parts that are now empty) would leave the first
+    # attempt's higher-index batch-<id>-part-*.lp files in place and
+    # duplicate their points. Clear every file of THIS batch id first;
+    # the replace below then republishes exactly the replayed set.
+    import glob as _glob
+
+    for stale in _glob.glob(
+        os.path.join(root, f"batch-{batch_id}-part-*.lp")
+    ):
+        try:
+            os.unlink(stale)
+        except OSError:
+            pass
     for i, m in enumerate(m for m in messages if m is not None):
         final = os.path.join(root, f"batch-{batch_id}-part-{i}.lp")
         if m.n == 0:

@@ -158,14 +158,28 @@ def _registered_schema(root: str):
 
 
 def _merge_registered_schema(root: str, schema) -> None:
-    """Union the incoming write's fields into the sidecar (caller
-    holds the write lock). InfluxDB measurements grow fields over
-    time; parquet alone loses that history — plain reads sample ONE
-    footer, so a late-added field is invisible or visible depending
-    on which file gets sampled, and a compaction rewrite through such
-    a read silently DROPS the column (measured; test_schema_evolution
-    pins it). The sidecar is the single source of truth every reader
-    and rewriting mutator applies."""
+    """Union the incoming write's fields into the sidecar. InfluxQL
+    measurements grow fields over time; parquet alone loses that
+    history — plain reads sample ONE footer, so a late-added field is
+    invisible or visible depending on which file gets sampled, and a
+    compaction rewrite through such a read silently DROPS the column
+    (measured; test_schema_evolution pins it). The sidecar is the
+    single source of truth every reader and rewriting mutator applies.
+
+    The load-merge-store is serialized under its OWN short exclusive
+    ``.schema.lock`` (independent of the table write lock, which
+    mutators hold SHARED): two concurrent appends each introducing a
+    different new field would otherwise both read the same sidecar,
+    each write its own merged version, and ``os.replace`` last-wins —
+    permanently hiding one field from every reader, the exact loss
+    the sidecar exists to prevent."""
+    from pyspark.sql.types import StructField, StructType
+
+    with _flock(_lock_file(root, "schema"), exclusive=True):
+        _merge_registered_schema_locked(root, schema)
+
+
+def _merge_registered_schema_locked(root: str, schema) -> None:
     from pyspark.sql.types import StructField, StructType
 
     current = _registered_schema(root)
@@ -788,9 +802,13 @@ def delete_points(
     ``root.vNNNNNN`` rename).
 
     ``predicate`` is a Column or a Spark SQL string; partition
-    columns are in scope. The affected-file set is collected to the
-    driver — bounded by files-touched, the same driver-side scale as
-    a Delta commit's file list. Returns the number of rows deleted.
+    columns are in scope. Rows where the predicate evaluates to NULL
+    are NOT deleted (InfluxDB semantics: only matching points go).
+    The affected-file set is streamed to the driver one partition at
+    a time (``toLocalIterator`` over per-file match counts), never
+    materialized in a single aggregation row — the driver-side peak
+    is one partition's worth of paths even for a broad delete over
+    millions of files. Returns the number of rows deleted.
 
     A delete that matches EVERY row publishes a fileless snapshot:
     raw ``spark.read.parquet`` has nothing to infer from, but
@@ -819,19 +837,24 @@ def _delete_locked(spark, table_dir, table, root, pred) -> int:
     parts = list(PARTITIONING.get(table, []))
     if "batch_id" in df.columns and "batch_id" not in parts:
         parts.append("batch_id")
-    hit = (
+    # One predicate-pushed pass groups matches PER FILE; the driver
+    # streams the (file, count) rows with toLocalIterator instead of
+    # collect_set-ing every path into a single row — a broad delete
+    # over millions of files materializes one partition at a time on
+    # the driver, never the whole list in one aggregation buffer.
+    per_file = (
         df.withColumn("_src", F.input_file_name())
         .where(pred)
-        .groupBy()
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.collect_set("_src").alias("files"),
-        )
-        .collect()[0]
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    if not hit["n"]:
+    n_deleted = 0
+    affected_uris: set = set()
+    for row in per_file.toLocalIterator():
+        n_deleted += row["n"]
+        affected_uris.add(row["_src"])
+    if not n_deleted:
         return 0
-    affected_uris = set(hit["files"])
     affected_real = {
         os.path.realpath(_uri_to_path(u)) for u in affected_uris
     }
@@ -866,9 +889,15 @@ def _delete_locked(spark, table_dir, table, root, pred) -> int:
         reader = reader.schema(reg)
     else:
         reader = reader.option("mergeSchema", "true")
+    # NULL-safe survivor selection: under three-valued logic ~pred is
+    # NULL (not true) for rows where the predicate evaluates to NULL,
+    # so a bare where(~pred) would silently delete e.g. null-tag rows
+    # that happen to share a file with a matched row (and the returned
+    # count — rows where pred IS TRUE — would not include them).
+    # InfluxDB deletes only matching points; keep NULL-evaluating rows.
     survivors = reader.parquet(
         *sorted(_uri_to_path(u) for u in affected_uris)
-    ).where(~pred)
+    ).where(~F.coalesce(pred, F.lit(False)))
     sub = tmp + ".rows"
     writer = survivors.write.mode("overwrite")
     if parts:
@@ -886,7 +915,7 @@ def _delete_locked(spark, table_dir, table, root, pred) -> int:
             )
     shutil.rmtree(sub)
     _publish_snapshot(root, tmp, before, "delete")
-    return int(hit["n"])
+    return int(n_deleted)
 
 
 def dedupe_points(

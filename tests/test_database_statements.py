@@ -158,6 +158,11 @@ def test_epoch_integer_time_literals(spark, tmp_path):
     assert run_influxql(
         spark, tables, q.format(f"{secs * 1000}ms")
     ).count() == 1
+    # integer-exact conversion: modern ns literals exceed float64's
+    # 2^53 range — this one converts to point-time+1µs through the
+    # old int(v/1e9*1e6) float path (excluding the point) but
+    # truncates to exactly point time through v//1000
+    assert run_influxql(spark, tables, q.format(ns + 896)).count() == 1
 
 
 def test_regex_from_unions_matching_measurements(spark, tmp_path):

@@ -297,6 +297,79 @@ def test_delete_preserves_batch_id_layout(spark, tmp_path):
     assert spark.read.parquet(root).count() == 3
 
 
+def test_delete_keeps_null_evaluating_rows(spark, tmp_path):
+    """Three-valued logic: rows where the predicate evaluates to NULL
+    must SURVIVE a delete (InfluxDB deletes only matching points).
+    The regression mode: a null-tag row sharing a file with a matched
+    row was dropped by the rewrite's where(~pred) while the same row
+    in an untouched file survived via hardlink — inconsistent loss
+    the returned count never reported."""
+    table_dir = str(tmp_path)
+    rows = [
+        # one file's worth of day-1 rows: matched, unmatched, null-tag
+        (dt.datetime(2024, 1, 1, 6, 0), "A", 1.0),
+        (dt.datetime(2024, 1, 1, 6, 1), "B", 2.0),
+        (dt.datetime(2024, 1, 1, 6, 2), None, 3.0),
+        # day-2 (different partition file): null-tag row, no match
+        (dt.datetime(2024, 1, 2, 6, 0), None, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, buildingID string, flowRate double"
+    )
+    sinks.append_points(df, table_dir, "campus_flow")
+    root = os.path.join(table_dir, "campus_flow")
+
+    n = sinks.delete_points(
+        spark, table_dir, "campus_flow", "buildingID = 'A'"
+    )
+    assert n == 1
+    left = sorted(
+        ((r.buildingID or "", r.flowRate)
+         for r in spark.read.parquet(root).collect()),
+    )
+    # both null-tag rows survive — the one that shared a file with the
+    # matched row AND the one in the untouched file
+    assert left == [("", 3.0), ("", 4.0), ("B", 2.0)]
+
+
+def test_delete_streams_file_list_many_files(spark, tmp_path):
+    """The affected-file discovery must not materialize every path in
+    one driver-side aggregation row: a broad delete over a table with
+    ~10k files streams per-file match rows (toLocalIterator) and
+    still deletes exactly the matched rows."""
+    table_dir = str(tmp_path)
+    root = os.path.join(table_dir, "campus_flow")
+    # build one real single-file table via the normal append path...
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 6, 0), "A", 1.0),
+            (dt.datetime(2024, 1, 1, 6, 1), "B", 2.0),
+        ],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, table_dir, "campus_flow")
+    # ...then fan its data file out to 10k hardlinked siblings (cheap:
+    # metadata-only) so the per-file grouping has 10k distinct paths,
+    # every one containing a match
+    current = os.path.realpath(root)
+    files = glob.glob(
+        os.path.join(current, "**", "*.parquet"), recursive=True
+    )
+    # clone inside the buildingID=A partition so every file matches
+    src = next(f for f in files if "buildingID=A" in f)
+    d = os.path.dirname(src)
+    for i in range(9999):
+        os.link(src, os.path.join(d, f"part-clone-{i:05d}.parquet"))
+
+    n = sinks.delete_points(
+        spark, table_dir, "campus_flow", "buildingID = 'A'"
+    )
+    assert n == 10000  # one match per file, all 10k A-files affected
+    left = spark.read.parquet(root)
+    assert left.where("buildingID = 'A'").count() == 0
+    assert left.where("buildingID = 'B'").count() == 1
+
+
 @pytest.mark.parametrize(
     "pred",
     [

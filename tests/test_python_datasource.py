@@ -169,7 +169,10 @@ def test_streaming_offsets_across_restarts(spark, feed_dir, tmp_path):
     # no changes → empty batch
     assert run_once() == []
 
-    # one new file + one grown file → exactly those re-ingested
+    # one new file + one grown file → the new file in full, the grown
+    # file's APPENDED TAIL only (byte-offset delta: no line ingested
+    # at the smaller size is re-emitted — exactly-once for
+    # append-growing dataloggers)
     d = feed_dir
     (lambda p: open(p, "w").write(GOOD2))(os.path.join(d, "c_new.csv"))
     with open(os.path.join(d, "a_site77.csv"), "a") as fh:
@@ -177,8 +180,18 @@ def test_streaming_offsets_across_restarts(spark, feed_dir, tmp_path):
     third = run_once()
     files = {f for f, _ in third}
     assert files == {"c_new.csv", "a_site77.csv"}
-    # grown file is re-read in full (7 lines), new file has 5
-    assert len(third) == 12
+    # new file has 5 lines; grown file contributes exactly its 1 new line
+    assert len(third) == 6
+    assert ("a_site77.csv", "2024-01-01 00:30:00,9") in third
+
+    # a SHRUNK file (upstream replace/truncate) re-ingests from byte 0:
+    # the previously-ingested content no longer exists, so replaying
+    # the whole new content (at-least-once) is the only sound mode
+    with open(os.path.join(d, "c_new.csv"), "w") as fh:
+        fh.write("Site:99\nDatalogger:1\nMeter:9\nTime,Pulses\n")
+    fourth = run_once()
+    assert {f for f, _ in fourth} == {"c_new.csv"}
+    assert len(fourth) == 4
 
 
 # ---------------------------------------------------------------- sink
@@ -306,6 +319,66 @@ def test_line_protocol_orphaned_staging_not_published(spark, tmp_path):
     )
     assert published == "m f=1\n"
     assert os.path.exists(orphan.path)  # inert, awaiting manual sweep
+
+
+def test_publish_replay_clears_stale_parts(tmp_path):
+    """A replayed micro-batch may stage FEWER parts than the first
+    attempt (different partitioning, parts gone empty): publish must
+    first clear every batch-<id>-part-*.lp of that batch id, or the
+    first attempt's higher-index files survive and duplicate points."""
+    from ciws_server_spark.sources.datasource import (
+        _publish,
+        _stage_lines,
+    )
+
+    out = str(tmp_path / "export")
+    os.makedirs(out)
+    opts = {"path": out}
+
+    first = [
+        _stage_lines(opts, iter([(f"m f={i}",)])) for i in range(3)
+    ]
+    _publish(opts, first, batch_id=7)
+    assert _lp_files(out) == [
+        "batch-7-part-0.lp", "batch-7-part-1.lp", "batch-7-part-2.lp",
+    ]
+
+    # replay of batch 7 with a single non-empty part
+    replay = [_stage_lines(opts, iter([("m f=0",), ("m f=1",)]))]
+    _publish(opts, replay, batch_id=7)
+    assert _lp_files(out) == ["batch-7-part-0.lp"]
+    assert (
+        open(os.path.join(out, "batch-7-part-0.lp")).read()
+        == "m f=0\nm f=1\n"
+    )
+
+
+def test_read_between_offsets_byte_capped(feed_dir):
+    """Replay of a committed batch must emit exactly the byte range
+    the offsets recorded — bytes appended after the commit belong to
+    a later batch, and a previously-ingested prefix is never
+    re-emitted."""
+    from ciws_server_spark.sources.datasource import (
+        CiwsFeedStreamReader,
+    )
+    from pyspark.sql.types import StructType
+
+    r = CiwsFeedStreamReader(StructType([]), {"root": feed_dir})
+    size0 = os.path.getsize(os.path.join(feed_dir, "a_site77.csv"))
+    with open(os.path.join(feed_dir, "a_site77.csv"), "a") as fh:
+        fh.write("2024-01-01 00:30:00,9\n")
+    size1 = os.path.getsize(os.path.join(feed_dir, "a_site77.csv"))
+    with open(os.path.join(feed_dir, "a_site77.csv"), "a") as fh:
+        fh.write("2024-01-01 00:45:00,8\n")
+
+    # replay the middle batch: [size0, size1) = exactly the one line
+    got = list(
+        r.readBetweenOffsets(
+            {"seen": {"a_site77.csv": size0}},
+            {"seen": {"a_site77.csv": size1}},
+        )
+    )
+    assert got == [("a_site77.csv", "2024-01-01 00:30:00,9")]
 
 
 def _install_fake_paramiko(monkeypatch):

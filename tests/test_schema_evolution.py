@@ -169,3 +169,61 @@ def test_streaming_batch_appends_register_schema(spark, tmp_path):
     df = sinks.read_table(spark, table_dir, "campus_flow")
     assert {"qc", "batch_id"} <= set(df.columns)
     assert df.count() == 2
+
+
+def test_concurrent_field_merges_lose_nothing(spark, tmp_path):
+    """Two writers each introducing a DIFFERENT new field must both
+    land in the sidecar. The race: both read the same registry under
+    the SHARED table write lock, each stores its own merged version,
+    os.replace last-wins and one field vanishes — permanently hiding
+    that column from every reader. _merge_registered_schema therefore
+    serializes load-merge-store under its own exclusive .schema.lock;
+    this hammers the merge from two threads and asserts the union."""
+    import threading
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    table_dir = str(tmp_path)
+    v1 = spark.createDataFrame(
+        [(T1, "A", 1.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(v1, table_dir, "campus_flow")
+    root = os.path.join(table_dir, "campus_flow")
+
+    base = sinks._registered_schema(root)
+    n_each = 12
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def merge_fields(prefix: str):
+        try:
+            barrier.wait()
+            for i in range(n_each):
+                extra = StructType(
+                    base.fields
+                    + [StructField(f"{prefix}_{i}", DoubleType(), True)]
+                )
+                sinks._merge_registered_schema(root, extra)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=merge_fields, args=(p,))
+        for p in ("left", "right")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    final = {f.name for f in sinks._registered_schema(root).fields}
+    want = {f"left_{i}" for i in range(n_each)} | {
+        f"right_{i}" for i in range(n_each)
+    }
+    assert want <= final, sorted(want - final)
