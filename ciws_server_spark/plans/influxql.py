@@ -538,24 +538,39 @@ def _resolve_now(query: str, now) -> str:
     )
 
 
-def _where_expr(expr: str, time_col: str, bounds: dict, tz: str | None = None):
+def _where_expr(
+    expr: str,
+    time_col: str,
+    bounds: dict,
+    tz: str | None = None,
+    columns: set | None = None,
+):
     """Recursive descent over OR → AND → atom, with parentheses.
 
     Time-range atoms additionally record lo/hi bounds in ``bounds``
     (consumed by fill() to generate the dense bucket axis).
+
+    ``columns`` — when given, an identifier NOT in the measurement's
+    schema evaluates as NULL (the comparison matches no rows) instead
+    of leaking an unresolved-column AnalysisException out of the
+    regex dispatcher. This is InfluxDB's behavior for conditions on
+    nonexistent FIELDS; for nonexistent TAGS InfluxDB compares
+    against the empty string (so ``missing != 'x'`` matches all
+    rows) — a documented divergence, since an unknown name cannot be
+    classified as tag or field at plan time.
     """
     expr = expr.strip()
     ors = _split_top(expr, "OR")
     if len(ors) > 1:
-        col = _where_expr(ors[0], time_col, bounds, tz)
+        col = _where_expr(ors[0], time_col, bounds, tz, columns)
         for part in ors[1:]:
-            col = col | _where_expr(part, time_col, bounds, tz)
+            col = col | _where_expr(part, time_col, bounds, tz, columns)
         return col
     ands = _split_top(expr, "AND")
     if len(ands) > 1:
-        col = _where_expr(ands[0], time_col, bounds, tz)
+        col = _where_expr(ands[0], time_col, bounds, tz, columns)
         for part in ands[1:]:
-            col = col & _where_expr(part, time_col, bounds, tz)
+            col = col & _where_expr(part, time_col, bounds, tz, columns)
         return col
     if expr.startswith("(") and expr.endswith(")"):
         # strip only if the outer parens wrap the WHOLE expression
@@ -569,7 +584,7 @@ def _where_expr(expr: str, time_col: str, bounds: dict, tz: str | None = None):
                     wraps = False
                     break
         if wraps:
-            return _where_expr(expr[1:-1], time_col, bounds, tz)
+            return _where_expr(expr[1:-1], time_col, bounds, tz, columns)
     cm = _COND_RE.match(expr)
     if not cm:
         raise InfluxQLError(f"unsupported condition: {expr!r}")
@@ -593,9 +608,26 @@ def _where_expr(expr: str, time_col: str, bounds: dict, tz: str | None = None):
             raise InfluxQLError("empty regex pattern //")
         # \/ escapes the delimiter; both Java regex and RE2 accept the
         # unescaped form, so normalize for portability
-        matched = F.col(lhs).rlike(pattern.replace("\\/", "/"))
+        pattern = pattern.replace("\\/", "/")
+        try:
+            # validity check at plan time: rlike compiles its pattern
+            # on the EXECUTOR, so a bad regex would otherwise surface
+            # as a mid-query task failure instead of a named error
+            re.compile(pattern)
+        except re.error as exc:
+            raise InfluxQLError(
+                f"invalid regex {rhs!r}: {exc}"
+            ) from None
+        unknown = columns is not None and lhs not in columns
+        tag = F.lit(None).cast("string") if unknown else F.col(lhs)
+        matched = tag.rlike(pattern)
         return matched if op == "=~" else ~matched
-    col = F.col(time_col).cast("timestamp") if is_time else F.col(lhs)
+    if is_time:
+        col = F.col(time_col).cast("timestamp")
+    elif columns is not None and lhs not in columns:
+        col = F.lit(None).cast("string")
+    else:
+        col = F.col(lhs)
     if is_time:
         em = re.match(r"^(\d+)(ns|u|µ|ms|s)?$", rhs)
         if em:
@@ -1563,6 +1595,63 @@ class _Arith:
         return build(self.tree)
 
 
+#: Every word with grammar meaning inside a select item or GROUP BY —
+#: excluded when scraping identifiers for the unknown-name null-fill.
+_GRAMMAR_WORDS = frozenset(
+    w.lower()
+    for w in (
+        "mean sum count min max first last spread stddev median mode "
+        "percentile top bottom distinct derivative "
+        "non_negative_derivative moving_average difference "
+        "non_negative_difference cumulative_sum elapsed integral "
+        "exponential_moving_average chande_momentum_oscillator "
+        "kaufmans_efficiency_ratio kaufmans_adaptive_moving_average "
+        "relative_strength_index double_exponential_moving_average "
+        "triple_exponential_moving_average "
+        "triple_exponential_derivative holt_winters "
+        "holt_winters_with_fit sample histogram time fill as and or "
+        "not"
+    ).split()
+)
+
+_IDENT_SCRAPE_RE = re.compile(r'"[^"]+"|[A-Za-z_][A-Za-z0-9_]*')
+_AS_TAIL_RE = re.compile(r'\bAS\s+("[^"]+"|\w+)\s*$', re.I)
+
+
+def _null_fill_unknown_identifiers(
+    df: DataFrame,
+    select_items: list,
+    tag_cols: list,
+    time_col: str,
+) -> DataFrame:
+    """Add a NULL column for every identifier referenced in SELECT or
+    GROUP BY that the measurement lacks, so downstream column
+    resolution is total (see the call-site comment for the InfluxDB
+    semantics this implements)."""
+    have = {c.lower() for c in df.columns} | {time_col.lower()}
+    missing_fields: list = []
+    for item in select_items:
+        item = _AS_TAIL_RE.sub("", item)  # an alias is not a reference
+        for tok in _IDENT_SCRAPE_RE.findall(item):
+            name = _unquote(tok)
+            low = name.lower()
+            if (
+                low in have
+                or low in _GRAMMAR_WORDS
+                or _DURATION_RE.match(name)
+            ):
+                continue
+            have.add(low)
+            missing_fields.append((name, "double"))
+    for g in tag_cols:
+        if g != "*" and g.lower() not in have:
+            have.add(g.lower())
+            missing_fields.append((g, "string"))
+    for name, typ in missing_fields:
+        df = df.withColumn(name, F.lit(None).cast(typ))
+    return df
+
+
 def translate(
     df: DataFrame, query: str, time_col: str = "time", now=None
 ) -> DataFrame:
@@ -1595,7 +1684,10 @@ def translate(
     time_bounds: dict = {}
     if m.group("where"):
         out = out.where(
-            _where_expr(m.group("where"), time_col, time_bounds, tz)
+            _where_expr(
+                m.group("where"), time_col, time_bounds, tz,
+                columns=set(df.columns),
+            )
         )
 
     # GROUP BY -----------------------------------------------------
@@ -1654,11 +1746,27 @@ def translate(
                         tag_cols.append(c)
                         group_cols.append(F.col(c))
             else:
+                # a failed time(...) form must not fall through as a
+                # tag named "time(...)" — bad durations (time(),
+                # time(7x)) get the named error here
+                if re.match(r"time\s*\(", g, re.I):
+                    raise InfluxQLError(f"bad time() bucket: {g!r}")
+                if not re.fullmatch(r'"[^"]+"|\w+', g):
+                    raise InfluxQLError(f"unparseable GROUP BY: {g!r}")
                 tag_cols.append(_unquote(g))
                 group_cols.append(F.col(_unquote(g)))
 
     # SELECT -------------------------------------------------------
     select_raw = [s.strip() for s in _split_commas(m.group("select"))]
+    # An identifier referenced in SELECT or GROUP BY but absent from
+    # the measurement evaluates as a NULL column (InfluxDB: unknown
+    # fields come back null / aggregate to nothing; an unknown GROUP
+    # BY tag yields one all-points group) — never an unresolved-
+    # column AnalysisException out of the dispatcher. Catalyst prunes
+    # the added columns wherever they end up unreferenced.
+    out = _null_fill_unknown_identifiers(
+        out, select_raw, tag_cols, time_col
+    )
     agg_items = []  # (fn, col, pct-or-None)
     plain_items = []
     arith_raw: list[_Arith] = []  # field arithmetic / AS-aliased items
@@ -1697,6 +1805,15 @@ def translate(
             )
         elif am:
             fn_name, target = _unquote(am.group(1)), _unquote(am.group(2))
+            # _AGG_RE's lazy body can swallow garbage like
+            # "mean(f) mean(g)" as one call whose target is
+            # "f) mean(g" — a target must BE a field reference
+            if target != "*" and not re.fullmatch(
+                r'"[^"]+"|[A-Za-z_]\w*', am.group(2)
+            ):
+                raise InfluxQLError(
+                    f"unparseable select item: {item!r}"
+                )
             if target == "*":
                 # InfluxQL agg(*): the aggregate applies to every
                 # field (numeric column) of the measurement
@@ -1712,7 +1829,19 @@ def translate(
         elif item == "*":
             plain_items = None  # all columns
         else:
-            plain_items.append(_unquote(item)) if plain_items is not None else None
+            # bare field reference — anything else that reached here
+            # is a malformed call (e.g. top(f, 95.5): selector N must
+            # be an integer) and gets the named error, not a column
+            # lookup on the raw text
+            if not re.fullmatch(r'"[^"]+"|[A-Za-z_]\w*', item):
+                raise InfluxQLError(f"unparseable select item: {item!r}")
+            if plain_items is not None:
+                # SELECT f, "f" names one field twice — InfluxQL
+                # returns the field once, so dedupe instead of letting
+                # the projection throw COLUMN_ALREADY_EXISTS
+                name = _unquote(item)
+                if name not in plain_items:
+                    plain_items.append(name)
 
     fill_mode = (m.group("fill") or "none").strip().lower()
     if tz and fill_mode != "none":
@@ -1769,7 +1898,10 @@ def translate(
             tz=tz,
         )
     elif agg_items or arith_agg:
-        if arith_raw:
+        # plain_items is [] when only aggregates were named, None for
+        # SELECT * — a bare field NAME alongside an aggregate is the
+        # same mix error as field arithmetic alongside one
+        if arith_raw or plain_items:
             raise InfluxQLError(
                 "cannot mix raw-field and aggregate select items"
             )
@@ -2481,6 +2613,14 @@ def query_measurement(
         inner_time = (
             "time_bucket" if "time_bucket" in inner_df.columns else time_col
         )
+        if inner_time not in inner_df.columns:
+            # e.g. inner is a bare aggregate without GROUP BY time —
+            # its single row carries no time axis for the outer
+            # statement to bucket or sort on
+            raise InfluxQLError(
+                "subquery result has no time column; the inner "
+                "statement must keep raw points or GROUP BY time(...)"
+            )
         return translate(inner_df, outer_q, time_col=inner_time)
     m = _QUERY_RE.match(query)
     if not m:
@@ -2496,7 +2636,15 @@ def query_measurement(
         pattern = tok[1:-1].replace("\\/", "/")
         if not pattern:
             raise InfluxQLError("empty measurement regex //")
-        matches = sorted(n for n in tables if re.search(pattern, n))
+        try:
+            compiled = re.compile(pattern)
+        except re.error as exc:
+            # e.g. a trailing backslash or unbalanced group — a named
+            # error, not a re.error traceback out of the dispatcher
+            raise InfluxQLError(
+                f"invalid measurement regex {tok!r}: {exc}"
+            ) from None
+        matches = sorted(n for n in tables if compiled.search(n))
         if not matches:
             raise InfluxQLError(
                 f"no measurement matches {tok!r}"

@@ -1,0 +1,373 @@
+"""Statement-level fuzz of the InfluxQL dispatcher.
+
+The grammar is ~2,500 lines of regex dispatch — the highest-surface-
+area code in the repo (VERDICT r9 Next #7). The select-expression
+parser already has hypothesis property tests
+(test_arith_parser_properties.py); this suite generates WHOLE
+statements — random SELECT / WHERE / GROUP BY / fill / LIMIT / admin
+compositions, valid and deliberately mutated — and asserts the
+dispatcher's total-function contract:
+
+  every statement either evaluates (DataFrame / int / bool / list …)
+  or raises the NAMED InfluxQLError — never a bare stack trace
+  (AttributeError / IndexError / KeyError / re.error / pyspark
+  AnalysisException leaking from regex-dispatch internals).
+
+Valid-shaped SELECTs additionally must return a DataFrame whose plan
+RESOLVES (``df.columns`` forces analysis) — a statement the grammar
+accepts must also build an executable plan.
+
+``tools/experiments/influxql_fuzz_10k.py`` runs the same generators
+for ≥10k statements as the round's evidence artifact; this in-suite
+version keeps CI time bounded.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ciws_server_spark.plans.influxql import (
+    InfluxQLError,
+    query_measurement,
+    run_influxql,
+)
+
+NOW = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+# ---------------------------------------------------------------- data
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    rows = [
+        (dt.datetime(2024, 1, 1, 6, 0) + dt.timedelta(seconds=4 * i),
+         "A" if i % 2 else "B",
+         None if i % 7 == 3 else float(i), float(i) * 0.5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "time timestamp, buildingID string, flowRate double, tempC double",
+    )
+    other = spark.createDataFrame(
+        rows[:10],
+        "time timestamp, buildingID string, flowRate double, tempC double",
+    )
+    return {"campus_flow": df, "campus_flow_hourly": other}
+
+
+# ------------------------------------------------------------ builders
+#
+# Build from a seeded random.Random so the standalone 10k runner can
+# reuse the exact generators without hypothesis.
+
+FIELDS = ["flowRate", "tempC", "bogusField"]
+TAGS = ["buildingID", "missingTag"]
+AGGS = ["mean", "sum", "count", "min", "max", "median", "spread",
+        "stddev", "first", "last", "distinct", "mode"]
+SELECTORS = ["top", "bottom", "percentile"]
+TRANSFORMS = ["derivative", "difference", "cumulative_sum", "elapsed",
+              "moving_average", "non_negative_derivative", "integral",
+              "exponential_moving_average", "chande_momentum_oscillator",
+              "relative_strength_index", "kaufmans_efficiency_ratio",
+              "kaufmans_adaptive_moving_average",
+              "double_exponential_moving_average",
+              "triple_exponential_moving_average", "triple_exponential_derivative",
+              "holt_winters", "sample", "histogram", "nosuchfn"]
+DURATIONS = ["10s", "1m", "5m", "1h", "1d", "1w", "1mo", "3mo", "1y",
+             "0s", "7x", ""]
+FILLS = ["null", "none", "previous", "linear", "0", "3.5", "bogus"]
+TIME_LITS = [
+    "'2024-01-01 06:00:00'", "'2024-01-01T06:00:10Z'",
+    "1704088800000000000", "1704088800s", "1704088800000ms",
+    "now() - 1h", "now() + 30m", "'not a time'",
+]
+
+
+def gen_field_expr(r: random.Random) -> str:
+    kind = r.randrange(8)
+    f = r.choice(FIELDS)
+    if kind == 0:
+        return f
+    if kind == 1:
+        return f'"{f}"'
+    if kind == 2:
+        return f"{r.choice(AGGS)}({f})"
+    if kind == 3:
+        fn = r.choice(SELECTORS)
+        arg = r.choice(["3", "1", "0", "95.5", ""])
+        return f"{fn}({f}, {arg})" if arg else f"{fn}({f})"
+    if kind == 4:
+        fn = r.choice(TRANSFORMS)
+        if fn in ("moving_average", "exponential_moving_average"):
+            return f"{fn}({r.choice(AGGS)}({f}), {r.choice(['3', '0', '2'])})"
+        if fn == "derivative":
+            return f"{fn}({r.choice(AGGS)}({f}), {r.choice(DURATIONS)})"
+        if fn == "holt_winters":
+            return f"{fn}({r.choice(AGGS)}({f}), 3, 0)"
+        return f"{fn}({r.choice(AGGS)}({f}))"
+    if kind == 5:  # select-item arithmetic
+        g = r.choice(FIELDS)
+        op = r.choice(["+", "-", "*", "/"])
+        if r.random() < 0.5:
+            return f"{f} {op} {g}"
+        return f"mean({f}) {op} mean({g})"
+    if kind == 6:
+        return f"{gen_field_expr(r)} AS alias_{r.randrange(5)}"
+    return r.choice(["*", "/flow/", "42", "''"])
+
+
+def gen_where(r: random.Random) -> str:
+    clauses = []
+    for _ in range(r.randrange(3)):
+        kind = r.randrange(6)
+        if kind == 0:
+            clauses.append(
+                f"{r.choice(TAGS)} {r.choice(['=', '!=', '<>'])} "
+                f"'{r.choice(['A', 'B', 'Z', ''])}'"
+            )
+        elif kind == 1:
+            clauses.append(
+                f"time {r.choice(['>=', '<=', '>', '<', '='])} "
+                f"{r.choice(TIME_LITS)}"
+            )
+        elif kind == 2:
+            clauses.append(
+                f"{r.choice(FIELDS)} {r.choice(['>', '<', '>=', '<='])} "
+                f"{r.uniform(-5, 40):.1f}"
+            )
+        elif kind == 3:
+            clauses.append(
+                f"{r.choice(TAGS)} {r.choice(['=~', '!~'])} "
+                f"{r.choice(['/^[AB]$/', '//', '/(/', 'not-a-regex'])}"
+            )
+        elif kind == 4:
+            clauses.append("time =~ /x/")  # named-invalid
+        else:
+            inner = gen_where(r) or "flowRate > 0"
+            clauses.append(f"({inner})")
+    return f" {r.choice(['AND', 'OR'])} ".join(clauses)
+
+
+def gen_group_by(r: random.Random) -> str:
+    parts = []
+    if r.random() < 0.6:
+        d = r.choice(DURATIONS)
+        if r.random() < 0.3:
+            parts.append(f"time({d}, {r.choice(DURATIONS)})")
+        else:
+            parts.append(f"time({d})")
+    if r.random() < 0.4:
+        parts.append(r.choice(TAGS))
+    if r.random() < 0.1:
+        parts.append("*")
+    return ", ".join(parts)
+
+
+def gen_select(r: random.Random) -> str:
+    n = 1 + r.randrange(2)
+    fields = ", ".join(gen_field_expr(r) for _ in range(n))
+    frm = r.choice([
+        "campus_flow", '"campus_flow"', "campus_flow, campus_flow_hourly",
+        "/^campus/", "/nomatch_.*/", "no_such_measurement", '"db"."rp"."campus_flow"',
+    ])
+    q = f"SELECT {fields} FROM {frm}"
+    w = gen_where(r)
+    if w:
+        q += f" WHERE {w}"
+    g = gen_group_by(r)
+    if g:
+        q += f" GROUP BY {g}"
+        if r.random() < 0.4:
+            q += f" fill({r.choice(FILLS)})"
+    if r.random() < 0.3:
+        q += f" ORDER BY time {r.choice(['ASC', 'DESC'])}"
+    for kw in ("LIMIT", "OFFSET", "SLIMIT", "SOFFSET"):
+        if r.random() < 0.2:
+            q += f" {kw} {r.choice(['5', '0', '-1'])}"
+    if r.random() < 0.1:
+        q = f"SELECT mean(m) FROM ({q}) GROUP BY time(1h)"
+    return q
+
+
+ADMIN = [
+    "SHOW MEASUREMENTS",
+    "SHOW DATABASES",
+    "SHOW SERIES",
+    "SHOW SERIES CARDINALITY",
+    "SHOW SERIES FROM campus_flow",
+    "SHOW TAG KEYS",
+    "SHOW TAG KEYS FROM campus_flow",
+    "SHOW FIELD KEYS FROM campus_flow",
+    "SHOW TAG VALUES FROM campus_flow WITH KEY = buildingID",
+    "SHOW RETENTION POLICIES",
+    "SHOW CONTINUOUS QUERIES",
+    "CREATE DATABASE fuzzdb",
+    "DROP DATABASE fuzzdb",
+    "DELETE FROM campus_flow WHERE time < now()",
+    "DROP MEASUREMENT campus_flow",
+    "DROP SERIES FROM campus_flow WHERE buildingID = 'A'",
+    "CREATE RETENTION POLICY p ON d DURATION 1h REPLICATION 1",
+    "ALTER RETENTION POLICY p ON d DURATION 2h",
+    "DROP RETENTION POLICY p ON d",
+    'CREATE CONTINUOUS QUERY c ON d BEGIN SELECT mean(flowRate) INTO m'
+    " FROM campus_flow GROUP BY time(1h) END",
+    "DROP CONTINUOUS QUERY c ON d",
+    "SELECT mean(flowRate) INTO target FROM campus_flow GROUP BY time(1h)",
+]
+
+
+def mutate(r: random.Random, stmt: str) -> str:
+    kind = r.randrange(6)
+    if kind == 0 and len(stmt) > 4:  # truncate
+        return stmt[: r.randrange(3, len(stmt))]
+    if kind == 1:  # drop one token
+        toks = stmt.split(" ")
+        if len(toks) > 2:
+            del toks[r.randrange(len(toks))]
+        return " ".join(toks)
+    if kind == 2:  # duplicate a token
+        toks = stmt.split(" ")
+        i = r.randrange(len(toks))
+        toks.insert(i, toks[i])
+        return " ".join(toks)
+    if kind == 3:  # inject junk
+        junk = r.choice([";", "''", "((", "))", "/", "\\", "\x00", "🦆",
+                         "-- comment", "' OR '1'='1"])
+        i = r.randrange(len(stmt) + 1)
+        return stmt[:i] + junk + stmt[i:]
+    if kind == 4:
+        return stmt.swapcase()
+    return stmt.replace("SELECT", r.choice(["SELEKT", "SELECT SELECT", ""]))
+
+
+def gen_statement(r: random.Random) -> str:
+    roll = r.random()
+    if roll < 0.55:
+        stmt = gen_select(r)
+    elif roll < 0.75:
+        stmt = r.choice(ADMIN)
+    else:
+        stmt = mutate(r, gen_select(r) if r.random() < 0.7
+                      else r.choice(ADMIN))
+    if r.random() < 0.15:
+        stmt = mutate(r, stmt)
+    return stmt
+
+
+# ---------------------------------------------------------------- fuzz
+
+#: The dispatcher's contract: these — and ONLY these — may escape.
+#: InfluxQLError covers the whole named-error surface (bad grammar,
+#: out-of-surface functions, write-without-table_dir); everything
+#: else is a stack trace the server would 500 on.
+ALLOWED = (InfluxQLError,)
+
+
+def check_one(spark, tables, stmt: str) -> str:
+    try:
+        out = run_influxql(spark, tables, stmt, table_dir=None, now=NOW)
+    except ALLOWED:
+        return "named-error"
+    except Exception as exc:  # pragma: no cover - the fuzz target
+        raise AssertionError(
+            f"dispatcher leaked {type(exc).__name__} for {stmt!r}: {exc}"
+        ) from exc
+    if hasattr(out, "columns"):
+        assert out.columns is not None  # plan must resolve
+    return "ok"
+
+
+@settings(
+    max_examples=250,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_dispatcher_total_function(spark, tables, seed):
+    r = random.Random(seed)
+    check_one(spark, tables, gen_statement(r))
+
+
+def test_unknown_identifiers_match_nothing(spark, tables):
+    """Identifiers absent from the measurement are NULL columns
+    (InfluxDB field semantics: the comparison matches no rows, the
+    selected column comes back empty) — found by the statement fuzz
+    as an AnalysisException leak, now pinned."""
+    # WHERE on unknown name: no rows, no crash
+    assert (
+        query_measurement(
+            spark, tables,
+            "SELECT flowRate FROM campus_flow WHERE ghost = 'x'",
+        ).count()
+        == 0
+    )
+    # != / !~ on unknown name also match nothing (documented
+    # divergence from InfluxDB's missing-tag-as-'' semantics)
+    assert (
+        query_measurement(
+            spark, tables,
+            "SELECT flowRate FROM campus_flow WHERE ghost != 'x'",
+        ).count()
+        == 0
+    )
+    # unknown field under an aggregate: one all-null bucket row set
+    df = query_measurement(
+        spark, tables,
+        "SELECT mean(ghost) FROM campus_flow GROUP BY time(1h)",
+    )
+    assert all(r["mean_ghost"] is None for r in df.collect())
+    # unknown GROUP BY tag: a single null-tag group, all points in it
+    df = query_measurement(
+        spark, tables, "SELECT count(flowRate) FROM campus_flow "
+        "GROUP BY ghostTag",
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["ghostTag"] is None
+
+
+def test_malformed_shapes_raise_named_errors(spark, tables):
+    """Fuzz-found stack-trace leaks, each now a named InfluxQLError."""
+    bad = [
+        "SELECT 42 FROM campus_flow",  # literal is not a field ref
+        "SELECT top(flowRate, 95.5) FROM campus_flow",  # N must be int
+        "SELECT flowRate FROM /^campus\\\\/",  # trailing-backslash regex
+        "SELECT flowRate FROM campus_flow WHERE buildingID =~ /(/",
+        "SELECT mean(flowRate) FROM campus_flow GROUP BY time()",
+        "SELECT mean(flowRate) FROM campus_flow GROUP BY time(7x)",
+        # bare field next to an aggregate is the same mix error as
+        # field arithmetic next to one
+        "SELECT tempC, sum(flowRate) FROM campus_flow",
+    ]
+    for stmt in bad:
+        with pytest.raises(InfluxQLError):
+            query_measurement(spark, tables, stmt, now=NOW)
+
+
+def test_translatable_statement_roundtrips_through_plan(spark, tables):
+    """Deterministic spot set: classic valid compositions must come
+    back as resolvable DataFrames (not just not-crash)."""
+    good = [
+        "SELECT flowRate FROM campus_flow",
+        "SELECT mean(flowRate) FROM campus_flow GROUP BY time(1h)",
+        "SELECT mean(flowRate), max(tempC) FROM campus_flow "
+        "WHERE buildingID = 'A' AND time >= '2024-01-01' "
+        "AND time < '2024-01-02' "
+        "GROUP BY time(30m), buildingID fill(previous) "
+        "ORDER BY time DESC LIMIT 5",
+        "SELECT derivative(mean(flowRate), 1m) FROM campus_flow "
+        "GROUP BY time(10m)",
+        "SELECT mean(flowRate) + max(tempC) AS combo FROM campus_flow "
+        "GROUP BY time(1h)",
+        "SELECT flowRate FROM campus_flow, campus_flow_hourly",
+        "SELECT flowRate FROM /^campus/ WHERE time >= 1704088800s",
+    ]
+    for stmt in good:
+        df = query_measurement(spark, tables, stmt, now=NOW)
+        assert df.columns

@@ -54,8 +54,21 @@ def main() -> None:
         sys.argv[2] if len(sys.argv) > 2
         else os.path.join(REPO, "tmp", "INGEST_DECADE.json")
     )
+    # round-10: optional explicit points (e.g. "20000" for the next
+    # decade) — merged into an existing artifact rather than
+    # rewriting it, so 200/2000 medians survive a 20k-only run
+    points = (
+        [int(p) for p in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else POINTS
+    )
     result: dict = {"points": {}, "n_invocations": n_inv}
-    for n_files in POINTS:
+    if os.path.exists(out_path):
+        try:
+            result["points"] = json.load(open(out_path)).get("points", {})
+        except Exception:
+            pass
+    for n_files in points:
         per_mode: dict[str, list] = {"batch": [], "stream": []}
         suspects = 0
         for i in range(n_inv):
@@ -96,10 +109,19 @@ def main() -> None:
             for mode in ("batch", "stream")
         }
         result["points"][str(n_files)]["load_suspect_runs"] = suspects
-    lo, hi = (result["points"][str(p)] for p in POINTS)
+    # decade ratios between every adjacent measured pair (200→2000,
+    # 2000→20000, …): sublinear = ratio < 10
+    sizes = sorted(int(k) for k in result["points"])
     result["decade_ratio"] = {
-        mode: round(hi[mode]["sec_median"] / lo[mode]["sec_median"], 2)
-        for mode in ("batch", "stream")
+        f"{lo_n}->{hi_n}": {
+            mode: round(
+                result["points"][str(hi_n)][mode]["sec_median"]
+                / result["points"][str(lo_n)][mode]["sec_median"],
+                2,
+            )
+            for mode in ("batch", "stream")
+        }
+        for lo_n, hi_n in zip(sizes, sizes[1:])
     }
     with open(out_path, "w") as f:
         json.dump(result, f)
