@@ -2392,10 +2392,26 @@ def execute_delete(
         raise InfluxQLError(f"not a DELETE statement: {query!r}")
     target = _unquote(dm.group(1))
     if dm.group(2):
-        pred = _where_expr(dm.group(2), time_col, {})
+        pred = _where_expr(
+            dm.group(2), time_col, {}, columns=_table_columns(
+                spark, sinks, table_dir, target
+            )
+        )
     else:
         pred = F.lit(True)
     return sinks.delete_points(spark, table_dir, target, pred)
+
+
+def _table_columns(spark, sinks, table_dir: str, target: str):
+    """Column set of an on-disk measurement, or None when it doesn't
+    exist (delete_points then no-ops before the predicate matters).
+    Feeds the unknown-identifier null-fill: DELETE ... WHERE
+    ghost = 'x' deletes nothing, as InfluxDB does, instead of leaking
+    an unresolved-column error."""
+    try:
+        return set(sinks.read_table(spark, table_dir, target).columns)
+    except Exception:
+        return None
 
 
 _DROP_RE = re.compile(
@@ -2431,7 +2447,11 @@ def execute_drop_series(
                 "DROP SERIES takes tag predicates only; "
                 "use DELETE FROM for time-bounded removal"
             )
-        pred = _where_expr(dm.group(2), time_col, {})
+        pred = _where_expr(
+            dm.group(2), time_col, {}, columns=_table_columns(
+                spark, sinks, table_dir, target
+            )
+        )
     else:
         pred = F.lit(True)
     return sinks.delete_points(spark, table_dir, target, pred)

@@ -270,7 +270,7 @@ def gen_statement(r: random.Random) -> str:
 ALLOWED = (InfluxQLError,)
 
 
-def check_one(spark, tables, stmt: str) -> str:
+def check_one(spark, tables, stmt: str, execute: bool = False) -> str:
     try:
         out = run_influxql(spark, tables, stmt, table_dir=None, now=NOW)
     except ALLOWED:
@@ -281,6 +281,20 @@ def check_one(spark, tables, stmt: str) -> str:
         ) from exc
     if hasattr(out, "columns"):
         assert out.columns is not None  # plan must resolve
+        if execute:
+            # executor-side total-function check: a plan the grammar
+            # accepted must also RUN (rlike compiles patterns on the
+            # executor; Arrow UDF folds only fail at action time)
+            try:
+                out.limit(50).collect()
+            except ALLOWED:
+                return "named-error"
+            except Exception as exc:  # pragma: no cover
+                raise AssertionError(
+                    f"execution leaked {type(exc).__name__} for "
+                    f"{stmt!r}: {exc}"
+                ) from exc
+            return "ok-executed"
     return "ok"
 
 
@@ -292,7 +306,8 @@ def check_one(spark, tables, stmt: str) -> str:
 @given(seed=st.integers(min_value=0, max_value=2**32 - 1))
 def test_dispatcher_total_function(spark, tables, seed):
     r = random.Random(seed)
-    check_one(spark, tables, gen_statement(r))
+    # every ~10th accepted statement also executes (bounded collect)
+    check_one(spark, tables, gen_statement(r), execute=(seed % 10 == 0))
 
 
 def test_unknown_identifiers_match_nothing(spark, tables):
@@ -348,6 +363,39 @@ def test_malformed_shapes_raise_named_errors(spark, tables):
     for stmt in bad:
         with pytest.raises(InfluxQLError):
             query_measurement(spark, tables, stmt, now=NOW)
+
+
+def test_delete_with_unknown_tag_deletes_nothing(spark, tmp_path):
+    """DELETE/DROP SERIES WHERE <unknown tag> must remove no points
+    (InfluxDB semantics) rather than leak an unresolved-column error
+    from the rewrite."""
+    import datetime as dt2
+
+    from ciws_server_spark.sources import sinks
+
+    td = str(tmp_path)
+    df = spark.createDataFrame(
+        [(dt2.datetime(2024, 1, 1, 6), "A", 1.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, td, "campus_flow")
+    tab = sinks.load_tables(spark, td)
+    assert (
+        run_influxql(
+            spark, tab, "DELETE FROM campus_flow WHERE ghost = 'x'",
+            table_dir=td,
+        )
+        == 0
+    )
+    assert (
+        run_influxql(
+            spark, tab,
+            "DROP SERIES FROM campus_flow WHERE ghost = 'x'",
+            table_dir=td,
+        )
+        == 0
+    )
+    assert sinks.read_table(spark, td, "campus_flow").count() == 1
 
 
 def test_translatable_statement_roundtrips_through_plan(spark, tables):

@@ -48,10 +48,13 @@ def main() -> None:
 
     r = random.Random(20260815)
     t0 = time.time()
-    counts = {"ok": 0, "named-error": 0}
+    counts = {"ok": 0, "named-error": 0, "ok-executed": 0}
     for i in range(N):
         stmt = gen_statement(r)
-        counts[check_one(spark, tables, stmt)] += 1
+        # every ~10th statement that evaluates also EXECUTES (bounded
+        # collect) — catches executor-side failures (rlike pattern
+        # compile, Arrow folds) the plan-resolve check can't see
+        counts[check_one(spark, tables, stmt, execute=(i % 10 == 0))] += 1
         if (i + 1) % 1000 == 0:
             print(
                 f"# {i + 1}/{N} ({time.time() - t0:.0f}s) {counts}",
@@ -60,6 +63,7 @@ def main() -> None:
     out = {
         "statements": N,
         "ok": counts["ok"],
+        "ok_executed": counts["ok-executed"],
         "named_error": counts["named-error"],
         "leaked": 0,  # any leak raises AssertionError before this line
         "wall_s": round(time.time() - t0, 1),
