@@ -1,0 +1,209 @@
+"""Differential oracle fuzz: random InfluxQL statements vs DuckDB.
+
+The fixed 129-query catalog pins known-good statements; the statement
+fuzz (test_influxql_statement_fuzz) pins crash-freedom. This suite
+closes the gap between them: it generates random statements from a
+STRUCTURED AST (not text mutation), renders the same AST as (a)
+InfluxQL for this engine and (b) ANSI SQL for DuckDB, executes both
+on identical data, and compares row counts and values — randomized
+correctness, not just totality.
+
+Covered AST space: raw selects and single-aggregate selects with
+tag/field/time WHERE conjunctions, GROUP BY time(N)+tags (fill none),
+over a fixture with nulls in both a field and a tag. Aggregates
+restricted to the exactly-representable ones (sum/count/min/max/mean
+over 2-dp-ish doubles at tiny row counts is float-stable; stddev /
+percentile interpolation are pinned by the catalog oracles instead).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ciws_server_spark.plans.influxql import query_measurement
+
+BASE = dt.datetime(2024, 1, 1, 6, 0)
+
+
+def _rows():
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                BASE + dt.timedelta(minutes=7 * i),
+                None if i % 11 == 7 else ("A", "B", "C")[i % 3],
+                None if i % 5 == 2 else float(i % 13) + 0.25,
+                float(i) * 0.5 - 3.0,
+            )
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    pdf = pd.DataFrame(
+        _rows(), columns=["time", "buildingID", "flowRate", "tempC"]
+    )
+    df = spark.createDataFrame(
+        _rows(),
+        "time timestamp, buildingID string, flowRate double, tempC double",
+    )
+    con = duckdb.connect()
+    con.register("campus_flow", pdf)
+    return {"tables": {"campus_flow": df}, "con": con}
+
+
+# ------------------------------------------------------------- AST gen
+
+AGGS = {
+    "mean": "AVG",
+    "sum": "SUM",
+    "count": "COUNT",
+    "min": "MIN",
+    "max": "MAX",
+}
+FIELDS = ["flowRate", "tempC"]
+
+
+def gen_where(r: random.Random):
+    """Conjunction of 0-3 atoms; returns (influxql, sql) pair."""
+    iql, sql = [], []
+    for _ in range(r.randrange(4)):
+        kind = r.randrange(4)
+        if kind == 0:
+            v = r.choice(["A", "B", "C", "Z"])
+            op = r.choice(["=", "!="])
+            iql.append(f"buildingID {op} '{v}'")
+            # engine semantics: comparisons are null-rejecting both
+            # sides (Spark three-valued logic, mirrored in SQL)
+            sql.append(f"buildingID {'=' if op == '=' else '<>'} '{v}'")
+        elif kind == 1:
+            lo = BASE + dt.timedelta(minutes=r.randrange(0, 400))
+            op = r.choice([">=", "<", ">", "<="])
+            iql.append(f"time {op} '{lo:%Y-%m-%d %H:%M:%S}'")
+            sql.append(f"time {op} TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S}'")
+        elif kind == 2:
+            f = r.choice(FIELDS)
+            thresh = round(r.uniform(-3, 12), 2)
+            op = r.choice([">", "<", ">=", "<="])
+            iql.append(f"{f} {op} {thresh}")
+            sql.append(f"{f} {op} {thresh}")
+        else:
+            pat = r.choice(["^[AB]$", "A|C", "^B"])
+            op = r.choice(["=~", "!~"])
+            iql.append(f"buildingID {op} /{pat}/")
+            m = f"regexp_matches(buildingID, '{pat}')"
+            sql.append(m if op == "=~" else f"NOT {m}")
+    return " AND ".join(iql), " AND ".join(sql)
+
+
+def gen_case(r: random.Random):
+    """One generated (influxql, duckdb_sql, kind) case."""
+    where_iql, where_sql = gen_where(r)
+    w_iql = f" WHERE {where_iql}" if where_iql else ""
+    w_sql = f" WHERE {where_sql}" if where_sql else ""
+    if r.random() < 0.45:
+        # raw select of 1-2 fields
+        fields = r.sample(FIELDS, 1 + r.randrange(2))
+        iql = f"SELECT {', '.join(fields)} FROM campus_flow{w_iql}"
+        # engine contract (catalog oracles, e.g. influxql_select_range):
+        # raw select emits time + fields for every matching ROW, null
+        # fields included — the relational projection of the point
+        sql = (
+            f"SELECT time, {', '.join(fields)} FROM campus_flow{w_sql}"
+        )
+        return iql, sql, "raw"
+    fn = r.choice(sorted(AGGS))
+    f = r.choice(FIELDS)
+    alias = f"{fn}_{f}"
+    bucket_min = r.choice([15, 30, 60, 120])
+    tags = ["buildingID"] if r.random() < 0.5 else []
+    group_iql = [f"time({bucket_min}m)"] + tags
+    iql = (
+        f"SELECT {fn}({f}) FROM campus_flow{w_iql} "
+        f"GROUP BY {', '.join(group_iql)}"
+    )
+    # engine bucket = epoch-aligned floor; empty buckets absent with
+    # fill none (no closed time range → no dense axis)
+    bucket_sql = (
+        f"to_timestamp(CAST(floor(epoch(time) / {bucket_min * 60}) "
+        f"AS BIGINT) * {bucket_min * 60})"
+    )
+    sel_tags = (", " + ", ".join(tags)) if tags else ""
+    group_cols = ["1"] + (["3"] if tags else [])
+    agg_sql = f"{AGGS[fn]}({f})"
+    # no HAVING: the engine keeps a group whose field values are all
+    # null (count=0 / null aggregate) — relational semantics; DuckDB
+    # produces the identical group row, so both sides agree
+    sql = (
+        f"SELECT {bucket_sql} AS time_bucket, {agg_sql} AS {alias}"
+        f"{sel_tags} FROM campus_flow{w_sql} "
+        f"GROUP BY {', '.join(group_cols)}"
+    )
+    return iql, sql, "agg"
+
+
+# ------------------------------------------------------------ compare
+
+
+def canon(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c] if isinstance(row, dict) else row[cols.index(c)]
+            if isinstance(v, dt.datetime):
+                v = v.replace(tzinfo=None).isoformat()
+            elif isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+            out_v = v
+            vals.append(out_v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def run_case(fixture, iql: str, sql: str, kind: str) -> None:
+    sdf = query_measurement(None, fixture["tables"], iql)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    duck = fixture["con"].execute(sql)
+    duck_cols = [d[0] for d in duck.description]
+    duck_rows = duck.fetchall()
+
+    if kind == "raw":
+        cols = sorted(sdf.columns)
+        assert sorted(duck_cols) == cols, (sorted(duck_cols), cols, iql)
+    else:
+        cols = sorted(sdf.columns)
+        assert sorted(duck_cols) == cols, (sorted(duck_cols), cols, iql)
+    got = canon(spark_rows, cols)
+    want = canon(
+        [dict(zip(duck_cols, r)) for r in duck_rows], cols
+    )
+    assert got == want, (
+        f"mismatch for {iql!r}\n vs {sql!r}\n"
+        f"spark({len(got)}): {got[:5]}\n duck({len(want)}): {want[:5]}"
+    )
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_random_statements_match_duckdb(fixture, seed):
+    r = random.Random(seed)
+    iql, sql, kind = gen_case(r)
+    run_case(fixture, iql, sql, kind)
