@@ -827,10 +827,30 @@ def _apply_fill(
         )
     else:
         axis = spark.range(1).select(axis_col)
-    out = axis.join(agg_df, [*tag_cols, "time_bucket"], "left")
     value_cols = [
         c for c in agg_df.columns if c not in (*tag_cols, "time_bucket")
     ]
+    if tag_cols:
+        # NULL-SAFE tag equality: a series whose tag value is null
+        # (InfluxDB's missing-tag series) must still receive its own
+        # aggregate rows — a name-list join compares with = and would
+        # leave that series all-null across the axis (caught by the
+        # differential oracle fuzz)
+        cond = [
+            F.col(f"x.{t}").eqNullSafe(F.col(f"a.{t}"))
+            for t in tag_cols
+        ] + [F.col("x.time_bucket") == F.col("a.time_bucket")]
+        out = (
+            axis.alias("x")
+            .join(agg_df.alias("a"), cond, "left")
+            .select(
+                *[F.col(f"x.{t}").alias(t) for t in tag_cols],
+                F.col("x.time_bucket").alias("time_bucket"),
+                *[F.col(f"a.{c}").alias(c) for c in value_cols],
+            )
+        )
+    else:
+        out = axis.join(agg_df, ["time_bucket"], "left")
     if mode == "null":
         return out
     if mode == "linear":

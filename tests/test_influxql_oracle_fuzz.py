@@ -106,8 +106,90 @@ def gen_where(r: random.Random):
     return " AND ".join(iql), " AND ".join(sql)
 
 
+def gen_fill_case(r: random.Random):
+    """Closed-time-range GROUP BY time(N) with fill(): the dense-axis
+    surface — per-series bucket axis spanning the WHERE range, empty
+    buckets filled with 0 / null / LOCF."""
+    fn = r.choice(["count", "sum", "max"])
+    f = r.choice(FIELDS)
+    alias = f"{fn}_{f}"
+    bucket_min = r.choice([30, 60, 120])
+    bsec = bucket_min * 60
+    fill = r.choice(["0", "null", "previous"])
+    tags = ["buildingID"] if r.random() < 0.5 else []
+    lo = BASE + dt.timedelta(minutes=r.randrange(0, 120))
+    hi = lo + dt.timedelta(minutes=r.randrange(90, 360))
+    group_iql = [f"time({bucket_min}m)"] + tags
+    iql = (
+        f"SELECT {fn}({f}) FROM campus_flow "
+        f"WHERE time >= '{lo:%Y-%m-%d %H:%M:%S}' "
+        f"AND time <= '{hi:%Y-%m-%d %H:%M:%S}' "
+        f"GROUP BY {', '.join(group_iql)} fill({fill})"
+    )
+    bucket_sql = (
+        f"to_timestamp(CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
+        f"* {bsec})"
+    )
+    agg_sql = f"{AGGS[fn]}({f})"
+    tag_sel = (", " + ", ".join(tags)) if tags else ""
+    tag_x = (", " + ", ".join(f"x.{t}" for t in tags)) if tags else ""
+    series = (
+        f"(SELECT DISTINCT {', '.join(tags)} FROM agg) s,"
+        if tags
+        else ""
+    )
+    join_tags = "".join(
+        f" AND a.{t} IS NOT DISTINCT FROM x.{t}" for t in tags
+    )
+    if fill == "previous":
+        part = (
+            f"PARTITION BY {', '.join('x.' + t for t in tags)} "
+            if tags
+            else ""
+        )
+        val = (
+            f"last_value(a.{alias} IGNORE NULLS) OVER "
+            f"({part}ORDER BY x.time_bucket) AS {alias}"
+        )
+    elif fill == "0":
+        val = f"COALESCE(a.{alias}, 0) AS {alias}"
+    else:
+        val = f"a.{alias} AS {alias}"
+    sql = f"""
+        WITH filt AS (
+          SELECT * FROM campus_flow
+          WHERE time >= TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S}'
+            AND time <= TIMESTAMP '{hi:%Y-%m-%d %H:%M:%S}'
+        ),
+        agg AS (
+          SELECT {bucket_sql} AS time_bucket, {agg_sql} AS {alias}
+                 {tag_sel}
+          FROM filt GROUP BY {', '.join(['1'] + ['3'] * bool(tags))}
+        ),
+        axis AS (
+          SELECT {("s." + ", s.".join(tags) + ", ") if tags else ""}
+                 b.time_bucket
+          FROM {series}
+               (SELECT unnest(generate_series(
+                  to_timestamp(CAST(floor(epoch(TIMESTAMP
+                    '{lo:%Y-%m-%d %H:%M:%S}') / {bsec}) AS BIGINT)
+                    * {bsec}),
+                  to_timestamp(CAST(floor(epoch(TIMESTAMP
+                    '{hi:%Y-%m-%d %H:%M:%S}') / {bsec}) AS BIGINT)
+                    * {bsec}),
+                  INTERVAL {bucket_min} MINUTE)) AS time_bucket) b
+        )
+        SELECT x.time_bucket{tag_x}, {val}
+        FROM axis x LEFT JOIN agg a
+          ON a.time_bucket = x.time_bucket{join_tags}
+    """
+    return iql, sql, "fill"
+
+
 def gen_case(r: random.Random):
     """One generated (influxql, duckdb_sql, kind) case."""
+    if r.random() < 0.25:
+        return gen_fill_case(r)
     where_iql, where_sql = gen_where(r)
     w_iql = f" WHERE {where_iql}" if where_iql else ""
     w_sql = f" WHERE {where_sql}" if where_sql else ""
