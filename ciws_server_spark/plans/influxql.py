@@ -716,10 +716,22 @@ def _agg_column(fn: str, col: str, time_col: str, pct: float | None = None):
         return F.min(col).alias(out_name)
     if fn == "max":
         return F.max(col).alias(out_name)
-    if fn == "first":  # earliest by time — InfluxQL semantics
-        return F.min_by(col, time_col).alias(out_name)
+    # first/last: value of the earliest/latest POINT THAT HAS the
+    # field (InfluxDB: a null field value is not a point of that
+    # field, so it is skipped — not returned as the null at the
+    # group's time extreme). The ordering column is nulled for
+    # null-value rows; min_by/max_by ignore null ordering values,
+    # so an all-null group still yields null. Divergence caught by
+    # the differential oracle fuzz (last(f) under fill(0) turned a
+    # latest-row null into 0 instead of the latest real value).
+    if fn == "first":
+        return F.min_by(
+            col, F.when(F.col(col).isNotNull(), F.col(time_col))
+        ).alias(out_name)
     if fn == "last":
-        return F.max_by(col, time_col).alias(out_name)
+        return F.max_by(
+            col, F.when(F.col(col).isNotNull(), F.col(time_col))
+        ).alias(out_name)
     if fn == "spread":  # max − min (InfluxQL SPREAD)
         return (F.max(col) - F.min(col)).alias(out_name)
     if fn == "stddev":

@@ -74,6 +74,24 @@ AGGS = {
 FIELDS = ["flowRate", "tempC"]
 
 
+def _agg_sql(fn: str, f: str) -> str:
+    """DuckDB rendering of one InfluxQL aggregate over field f.
+
+    first/last are InfluxDB point semantics: the value of the
+    earliest/latest point THAT HAS the field — null field values are
+    not points, so they are skipped, not returned."""
+    if fn == "first":
+        return f"arg_min({f}, CASE WHEN {f} IS NOT NULL THEN time END)"
+    if fn == "last":
+        return f"arg_max({f}, CASE WHEN {f} IS NOT NULL THEN time END)"
+    if fn == "spread":
+        return f"MAX({f}) - MIN({f})"
+    return f"{AGGS[fn]}({f})"
+
+
+EXTRA_AGGS = ["first", "last", "spread"]
+
+
 def gen_where(r: random.Random):
     """Conjunction of 0-3 atoms; returns (influxql, sql) pair."""
     iql, sql = [], []
@@ -110,7 +128,7 @@ def gen_fill_case(r: random.Random):
     """Closed-time-range GROUP BY time(N) with fill(): the dense-axis
     surface — per-series bucket axis spanning the WHERE range, empty
     buckets filled with 0 / null / LOCF."""
-    fn = r.choice(["count", "sum", "max"])
+    fn = r.choice(["count", "sum", "max", "first", "last"])
     f = r.choice(FIELDS)
     alias = f"{fn}_{f}"
     bucket_min = r.choice([30, 60, 120])
@@ -130,7 +148,7 @@ def gen_fill_case(r: random.Random):
         f"to_timestamp(CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
         f"* {bsec})"
     )
-    agg_sql = f"{AGGS[fn]}({f})"
+    agg_sql = _agg_sql(fn, f)
     tag_sel = (", " + ", ".join(tags)) if tags else ""
     tag_x = (", " + ", ".join(f"x.{t}" for t in tags)) if tags else ""
     series = (
@@ -204,7 +222,7 @@ def gen_case(r: random.Random):
             f"SELECT time, {', '.join(fields)} FROM campus_flow{w_sql}"
         )
         return iql, sql, "raw"
-    fn = r.choice(sorted(AGGS))
+    fn = r.choice(sorted(AGGS) + EXTRA_AGGS)
     f = r.choice(FIELDS)
     alias = f"{fn}_{f}"
     bucket_min = r.choice([15, 30, 60, 120])
@@ -222,7 +240,7 @@ def gen_case(r: random.Random):
     )
     sel_tags = (", " + ", ".join(tags)) if tags else ""
     group_cols = ["1"] + (["3"] if tags else [])
-    agg_sql = f"{AGGS[fn]}({f})"
+    agg_sql = _agg_sql(fn, f)
     # no HAVING: the engine keeps a group whose field values are all
     # null (count=0 / null aggregate) — relational semantics; DuckDB
     # produces the identical group row, so both sides agree
