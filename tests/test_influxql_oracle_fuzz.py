@@ -204,10 +204,94 @@ def gen_fill_case(r: random.Random):
     return iql, sql, "fill"
 
 
+def gen_transform_case(r: random.Random):
+    """difference / cumulative_sum over a bucketed aggregate, and
+    mean-arithmetic select items — per-series window semantics."""
+    f = r.choice(FIELDS)
+    bucket_min = r.choice([30, 60, 120])
+    bsec = bucket_min * 60
+    tags = ["buildingID"] if r.random() < 0.5 else []
+    lo = BASE + dt.timedelta(minutes=r.randrange(0, 90))
+    hi = lo + dt.timedelta(minutes=r.randrange(120, 360))
+    where_iql = (
+        f"time >= '{lo:%Y-%m-%d %H:%M:%S}' "
+        f"AND time <= '{hi:%Y-%m-%d %H:%M:%S}'"
+    )
+    where_sql = (
+        f"time >= TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S}' "
+        f"AND time <= TIMESTAMP '{hi:%Y-%m-%d %H:%M:%S}'"
+    )
+    bucket_sql = (
+        f"to_timestamp(CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
+        f"* {bsec})"
+    )
+    group_iql = [f"time({bucket_min}m)"] + tags
+    part = f"PARTITION BY {', '.join(tags)} " if tags else ""
+    tag_sel = (", " + ", ".join(tags)) if tags else ""
+    group_cols = ", ".join(["1"] + (["3"] if tags else []))
+    kind = r.choice(["difference", "cumulative_sum", "arith"])
+    if kind == "arith":
+        # mean(a) <op> mean(b) — selection-exact ops only (+/-)
+        op = r.choice(["+", "-"])
+        iql = (
+            f"SELECT mean(flowRate) {op} mean(tempC) AS combo "
+            f"FROM campus_flow WHERE {where_iql} "
+            f"GROUP BY {', '.join(group_iql)}"
+        )
+        sql = (
+            f"SELECT {bucket_sql} AS time_bucket, "
+            f"AVG(flowRate) {op} AVG(tempC) AS combo{tag_sel} "
+            f"FROM campus_flow WHERE {where_sql} "
+            f"GROUP BY {group_cols}"
+        )
+        return iql, sql, "agg"
+    agg_fn = r.choice(["count", "sum"])
+    alias = f"{agg_fn}_{f}"
+    iql = (
+        f"SELECT {kind}({agg_fn}({f})) FROM campus_flow "
+        f"WHERE {where_iql} GROUP BY {', '.join(group_iql)}"
+    )
+    inner = (
+        f"SELECT {bucket_sql} AS time_bucket, "
+        f"{_agg_sql(agg_fn, f)} AS v{tag_sel} "
+        f"FROM campus_flow WHERE {where_sql} GROUP BY {group_cols}"
+    )
+    # InfluxQL transforms SKIP null bucket values (a bucket whose
+    # aggregate is null — e.g. sum over all-null field rows —
+    # produces no transform point and is not a difference operand)
+    if kind == "difference":
+        sql = f"""
+            WITH agg AS ({inner}),
+            lagged AS (
+              SELECT time_bucket{tag_sel},
+                     CAST(v AS DOUBLE) AS v,
+                     LAG(CAST(v AS DOUBLE)) OVER
+                       ({part}ORDER BY time_bucket) AS pv
+              FROM agg WHERE v IS NOT NULL
+            )
+            SELECT time_bucket{tag_sel}, v - pv AS difference
+            FROM lagged WHERE pv IS NOT NULL
+        """
+    else:
+        sql = f"""
+            WITH agg AS ({inner})
+            SELECT time_bucket{tag_sel},
+                   SUM(CAST(v AS DOUBLE)) OVER
+                     ({part}ORDER BY time_bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cumulative_sum
+            FROM agg WHERE v IS NOT NULL
+        """
+    return iql, sql, "transform"
+
+
 def gen_case(r: random.Random):
     """One generated (influxql, duckdb_sql, kind) case."""
-    if r.random() < 0.25:
+    roll = r.random()
+    if roll < 0.2:
         return gen_fill_case(r)
+    if roll < 0.4:
+        return gen_transform_case(r)
     where_iql, where_sql = gen_where(r)
     w_iql = f" WHERE {where_iql}" if where_iql else ""
     w_sql = f" WHERE {where_sql}" if where_sql else ""
