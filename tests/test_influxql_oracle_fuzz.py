@@ -285,13 +285,77 @@ def gen_transform_case(r: random.Random):
     return iql, sql, "transform"
 
 
+def gen_rank_case(r: random.Random):
+    """percentile (nearest-rank) / median, and ORDER BY+LIMIT raw
+    selects (timestamps unique per series → deterministic)."""
+    f = r.choice(FIELDS)
+    kind = r.choice(["percentile", "median", "order_limit"])
+    if kind == "order_limit":
+        n = r.choice([1, 5, 17])
+        desc = r.random() < 0.5
+        iql = (
+            f"SELECT {f} FROM campus_flow "
+            f"ORDER BY time {'DESC' if desc else 'ASC'} LIMIT {n}"
+        )
+        sql = (
+            f"SELECT time, {f} FROM campus_flow "
+            f"ORDER BY time {'DESC' if desc else 'ASC'} LIMIT {n}"
+        )
+        return iql, sql, "raw"
+    bucket_min = r.choice([60, 120])
+    bsec = bucket_min * 60
+    tags = ["buildingID"] if r.random() < 0.5 else []
+    bucket_sql = (
+        f"to_timestamp(CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
+        f"* {bsec})"
+    )
+    tag_sel = (", " + ", ".join(tags)) if tags else ""
+    group_cols = ", ".join(["1"] + (["3"] if tags else []))
+    group_iql = [f"time({bucket_min}m)"] + tags
+    lst = f"list_sort(list({f}) FILTER (WHERE {f} IS NOT NULL))"
+    if kind == "percentile":
+        pct = r.choice([10, 50, 90, 95, 100])
+        alias = f"percentile_{f}"
+        iql = (
+            f"SELECT percentile({f}, {pct}) FROM campus_flow "
+            f"GROUP BY {', '.join(group_iql)}"
+        )
+        # InfluxQL nearest-rank: 1-based floor(n*p/100 + 0.5);
+        # out-of-range index → null (DuckDB list extract obliges)
+        idx = (
+            f"CAST(floor(len({lst}) * {pct} / 100.0 + 0.5) AS BIGINT)"
+        )
+        val = f"CASE WHEN {idx} >= 1 THEN {lst}[{idx}] END"
+    else:
+        alias = f"median_{f}"
+        iql = (
+            f"SELECT median({f}) FROM campus_flow "
+            f"GROUP BY {', '.join(group_iql)}"
+        )
+        # middle value; even count → mean of the two middles
+        val = (
+            f"CASE WHEN len({lst}) = 0 THEN NULL "
+            f"WHEN len({lst}) % 2 = 1 "
+            f"THEN {lst}[(len({lst}) + 1) // 2] "
+            f"ELSE ({lst}[len({lst}) // 2] "
+            f"+ {lst}[len({lst}) // 2 + 1]) / 2.0 END"
+        )
+    sql = (
+        f"SELECT {bucket_sql} AS time_bucket, {val} AS {alias}"
+        f"{tag_sel} FROM campus_flow GROUP BY {group_cols}"
+    )
+    return iql, sql, "agg"
+
+
 def gen_case(r: random.Random):
     """One generated (influxql, duckdb_sql, kind) case."""
     roll = r.random()
-    if roll < 0.2:
+    if roll < 0.18:
         return gen_fill_case(r)
-    if roll < 0.4:
+    if roll < 0.36:
         return gen_transform_case(r)
+    if roll < 0.5:
+        return gen_rank_case(r)
     where_iql, where_sql = gen_where(r)
     w_iql = f" WHERE {where_iql}" if where_iql else ""
     w_sql = f" WHERE {where_sql}" if where_sql else ""
