@@ -229,7 +229,9 @@ def gen_transform_case(r: random.Random):
     part = f"PARTITION BY {', '.join(tags)} " if tags else ""
     tag_sel = (", " + ", ".join(tags)) if tags else ""
     group_cols = ", ".join(["1"] + (["3"] if tags else []))
-    kind = r.choice(["difference", "cumulative_sum", "arith"])
+    kind = r.choice(
+        ["difference", "cumulative_sum", "arith", "derivative"]
+    )
     if kind == "arith":
         # mean(a) <op> mean(b) — selection-exact ops only (+/-)
         op = r.choice(["+", "-"])
@@ -259,6 +261,29 @@ def gen_transform_case(r: random.Random):
     # InfluxQL transforms SKIP null bucket values (a bucket whose
     # aggregate is null — e.g. sum over all-null field rows —
     # produces no transform point and is not a difference operand)
+    if kind == "derivative":
+        unit_iql, unit_sec = r.choice([("1m", 60), ("1h", 3600)])
+        iql = (
+            f"SELECT derivative({agg_fn}({f}), {unit_iql}) "
+            f"FROM campus_flow WHERE {where_iql} "
+            f"GROUP BY {', '.join(group_iql)}"
+        )
+        sql = f"""
+            WITH agg AS ({inner}),
+            lagged AS (
+              SELECT time_bucket{tag_sel},
+                     CAST(v AS DOUBLE) AS v,
+                     LAG(CAST(v AS DOUBLE)) OVER w AS pv,
+                     epoch(time_bucket) - LAG(epoch(time_bucket))
+                       OVER w AS dt
+              FROM agg WHERE v IS NOT NULL
+              WINDOW w AS ({part}ORDER BY time_bucket)
+            )
+            SELECT time_bucket{tag_sel},
+                   (v - pv) / dt * {unit_sec}.0 AS derivative
+            FROM lagged WHERE pv IS NOT NULL AND dt > 0
+        """
+        return iql, sql, "transform"
     if kind == "difference":
         sql = f"""
             WITH agg AS ({inner}),
