@@ -357,7 +357,9 @@ _TA_WINDOWS = {"chande_momentum_oscillator", "kaufmans_efficiency_ratio"}
 #: SURFACE).
 _UNSUPPORTED_FN_RE = re.compile(r"^(sample|histogram)\s*\(", re.I)
 _SELECTOR_RE = re.compile(
-    r"""^(top|bottom)\s*\(\s*("[^"]+"|\w+)\s*,\s*(\d+)\s*\)$""", re.I
+    r"""^(top|bottom)\s*\(\s*("[^"]+"|\w+)\s*"""
+    r"""(?:,\s*("[^"]+"|\w+)\s*)?,\s*(\d+)\s*\)$""",
+    re.I,
 )
 _DISTINCT_RE = re.compile(r"""^distinct\s*\(\s*("[^"]+"|\w+)\s*\)$""", re.I)
 _DURATION_RE = re.compile(r"^(\d+)\s*([smhdw])$", re.I)
@@ -939,30 +941,140 @@ def _apply_selector(
     extreme POINTS per bucket/series, original timestamps preserved
     (unlike max/min, which aggregate). One row_number window over
     (bucket, tags) — ties resolve to the earlier timestamp, as
-    InfluxQL does."""
+    InfluxQL does.
+
+    The three-argument form ``top(col, tag, n)`` returns the single
+    extreme point per ``tag`` value for the n tag values whose extreme
+    is greatest (InfluxQL 1.x: "the greatest field values associated
+    with N tag values"): two stacked row_number windows — extreme
+    point within each (bucket, series, tag-value), then top-n of
+    those per (bucket, series). A null tag value is its own group,
+    the engine's analogue of InfluxDB's empty-string tag."""
     from pyspark.sql import Window as W
 
     fn = sel_m.group(1).lower()
     col = _unquote(sel_m.group(2))
-    n = int(sel_m.group(3))
+    sel_tag = _unquote(sel_m.group(3)) if sel_m.group(3) else None
+    n = int(sel_m.group(4))
     if fill_mode != "none":
         raise InfluxQLError(f"fill() does not apply to {fn}()")
+    if sel_tag is not None and sel_tag not in out.columns:
+        # unknown identifiers evaluate as null (module contract)
+        out = out.withColumn(sel_tag, F.lit(None).cast("string"))
     part_cols = list(tag_cols)
     sel = [F.col(time_col), *[F.col(c) for c in tag_cols], F.col(col)]
+    if sel_tag is not None and sel_tag not in (time_col, col, *tag_cols):
+        sel.append(F.col(sel_tag))
     if bucket_secs is not None:
         sel.append(_bucket_expr(time_col, bucket_secs, bucket_offset, tz))
         part_cols.append("time_bucket")
     pts = out.select(*sel).where(F.col(col).isNotNull())
     value_key = F.col(col).desc() if fn == "top" else F.col(col).asc()
+    if sel_tag is not None:
+        w1 = W.partitionBy(*part_cols, sel_tag).orderBy(
+            value_key, F.col(time_col).asc()
+        )
+        pts = (
+            pts.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     w = W.partitionBy(*part_cols).orderBy(value_key, F.col(time_col).asc())
+    keep = [time_col, *tag_cols, F.col(col).alias(fn)]
+    if sel_tag is not None and sel_tag not in tag_cols:
+        keep.append(sel_tag)
     res = (
         pts.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n)
-        .select(time_col, *tag_cols, F.col(col).alias(fn))
+        .select(*keep)
     )
     key = F.col(time_col)
     res = res.orderBy(key.desc() if order_desc else key.asc())
     return res, time_col
+
+
+#: Aggregate functions that are POINT SELECTORS in InfluxQL 1.x and
+#: may therefore carry companion fields/tags in the select list
+#: (``SELECT max(f), tag FROM m``) — the companions come from the
+#: selected point. mean/sum/count/etc. with a companion stays the
+#: named mix error, as upstream ("mixing aggregate and non-aggregate
+#: queries is not supported").
+_COMPANION_SELECTORS = {"first", "last", "min", "max"}
+
+
+def _apply_companion_selector(
+    out: DataFrame,
+    fn: str,
+    col: str,
+    companions: list[str],
+    *,
+    time_col: str,
+    tag_cols: list[str],
+    bucket_secs,
+    bucket_offset: int,
+    fill_mode: str,
+    order_desc: bool,
+    tz: str | None = None,
+) -> tuple[DataFrame, str]:
+    """``SELECT max(f), tag [, field…] FROM m`` — a selector with
+    companion columns: per bucket/series, pick THE point the selector
+    names (greatest/smallest f, or earliest/latest non-null f) and
+    carry that point's companion values alongside.
+
+    Implemented as a hash aggregate (``max_by``/``min_by`` over a
+    payload struct), not a window: partial aggregation runs map-side,
+    so the shuffle carries one row per (bucket, series) — never a
+    global sort. Ties on the extreme value resolve to the earlier
+    timestamp via a composite (value, -epoch) ordering key, matching
+    the two-argument selector's tie rule.
+
+    Ungrouped output carries the selected POINT's timestamp (InfluxDB
+    returns the point time for bare selectors); a time(...) bucket
+    replaces it with the bucket start, like every other grouped
+    aggregate here.
+    """
+    if fill_mode != "none":
+        raise InfluxQLError(
+            "fill() does not apply to a selector with companion fields"
+        )
+    pts = out.where(F.col(col).isNotNull())
+    group_exprs = [F.col(c) for c in tag_cols]
+    if bucket_secs is not None:
+        group_exprs.insert(
+            0, _bucket_expr(time_col, bucket_secs, bucket_offset, tz)
+        )
+    epoch = F.unix_micros(F.col(time_col))
+    payload = F.struct(
+        F.col(time_col).alias("_t"),
+        F.col(col).alias("_v"),
+        *[F.col(c).alias(f"_c{i}") for i, c in enumerate(companions)],
+    )
+    if fn == "max":
+        agg = F.max_by(payload, F.struct(F.col(col), (-epoch).alias("_k")))
+    elif fn == "min":
+        agg = F.min_by(payload, F.struct(F.col(col), epoch.alias("_k")))
+    elif fn == "first":
+        agg = F.min_by(payload, epoch)
+    else:  # last
+        agg = F.max_by(payload, epoch)
+    g = pts.groupBy(*group_exprs) if group_exprs else pts.groupBy()
+    res = g.agg(agg.alias("_sel"))
+    cols = []
+    if bucket_secs is not None:
+        time_key = "time_bucket"
+        cols.append(F.col("time_bucket"))
+    else:
+        time_key = time_col
+        cols.append(F.col("_sel._t").alias(time_col))
+    cols += [F.col(c) for c in tag_cols]
+    cols.append(F.col("_sel._v").alias(fn))
+    cols += [
+        F.col(f"_sel._c{i}").alias(c) for i, c in enumerate(companions)
+    ]
+    res = res.select(*cols)
+    key = F.col(time_key)
+    res = res.orderBy(key.desc() if order_desc else key.asc())
+    return res, time_key
 
 
 def _apply_transform(
@@ -1926,6 +2038,35 @@ def translate(
             bucket_offset=bucket_offset,
             fill_mode=fill_mode,
             time_bounds=time_bounds,
+            order_desc=order_desc,
+            tz=tz,
+        )
+    elif (
+        len(agg_items) == 1
+        and plain_items
+        and not arith_agg
+        and not arith_raw
+        and agg_items[0][2] is None
+        and agg_items[0][0].lower() in _COMPANION_SELECTORS
+    ):
+        # selector + companion columns (SELECT max(f), tag): the
+        # companions come from the selected point
+        fn, scol, _ = agg_items[0]
+        companions = [
+            c
+            for c in plain_items
+            if c != time_col and c not in tag_cols
+        ]
+        out, time_key = _apply_companion_selector(
+            out,
+            fn.lower(),
+            scol,
+            companions,
+            time_col=time_col,
+            tag_cols=tag_cols,
+            bucket_secs=bucket_secs,
+            bucket_offset=bucket_offset,
+            fill_mode=fill_mode,
             order_desc=order_desc,
             tz=tz,
         )

@@ -1576,3 +1576,98 @@ def test_show_keys_without_from_spans_all_measurements(spark, flow):
         ("coldInFlowRate", "float"),
         ("pulses", "integer"),
     }
+
+
+def test_selector_companion_columns(spark, flow):
+    """SELECT max(f), tag — a selector carries companion columns from
+    THE selected point (InfluxQL 1.x selector semantics; upstream
+    errors only for non-selector aggregates like mean)."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    t = {"flow": flow}
+    # ungrouped: the point's own timestamp comes back
+    got = query_measurement(
+        spark, t, "SELECT max(coldInFlowRate), buildingID FROM flow"
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # coldInFlowRate = i (0..119) per building; max 119 at minute 119
+    # for both buildings — tie resolves to building A's point only by
+    # time: both share minute 119, value 119.0. Earlier-insertion is
+    # not a contract; assert the value/time and that a building came.
+    assert r["max"] == 119.0 and r["time"].minute == 59
+    assert r["buildingID"] in ("A", "B")
+
+    # grouped by series: per-building selected point + companion
+    got = query_measurement(
+        spark, t,
+        "SELECT first(coldInFlowRate), hotOutFlowRate FROM flow "
+        "GROUP BY buildingID",
+    ).collect()
+    assert sorted(
+        (r["buildingID"], r["first"], r["hotOutFlowRate"], r["time"].minute)
+        for r in got
+    ) == [("A", 0.0, 0.0, 0), ("B", 0.0, 0.0, 0)]
+
+    # bucketed: bucket start replaces the point time
+    got = query_measurement(
+        spark, t,
+        "SELECT max(hotOutFlowRate), coldInFlowRate FROM flow "
+        "WHERE buildingID = 'A' GROUP BY time(1h)",
+    ).collect()
+    # hotOutFlowRate = i%7, max 6.0 first reached at i=6 in hour 0
+    # and i=62 in hour 1 (ties → earlier time); companion = i
+    assert sorted(
+        (str(r["time_bucket"]), r["max"], r["coldInFlowRate"])
+        for r in got
+    ) == [
+        ("2021-03-01 00:00:00", 6.0, 6.0),
+        ("2021-03-01 01:00:00", 6.0, 62.0),
+    ]
+
+    # non-selector aggregate + companion stays the named mix error
+    with pytest.raises(InfluxQLError, match="cannot mix"):
+        query_measurement(
+            spark, t, "SELECT mean(coldInFlowRate), buildingID FROM flow"
+        )
+
+    # unknown companion identifiers evaluate as null, never raise
+    got = query_measurement(
+        spark, t, "SELECT last(coldInFlowRate), nosuch FROM flow"
+    ).collect()
+    assert got[0]["nosuch"] is None
+
+
+def test_top_bottom_with_tag_argument(spark, flow):
+    """top(f, tag, N): the extreme point per tag value, for the N tag
+    values whose extreme is greatest — two stacked rank windows."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    t = {"flow": flow}
+    got = query_measurement(
+        spark, t, "SELECT top(coldInFlowRate, buildingID, 2) FROM flow"
+    ).collect()
+    # both buildings' maxima (119.0 each), with point timestamps
+    assert sorted((r["buildingID"], r["top"], r["time"].minute) for r in got) == [
+        ("A", 119.0, 59),
+        ("B", 119.0, 59),
+    ]
+
+    got = query_measurement(
+        spark, t, "SELECT bottom(coldInFlowRate, buildingID, 1) FROM flow"
+    ).collect()
+    assert len(got) == 1 and got[0]["bottom"] == 0.0
+
+    # bucketed: N per bucket
+    got = query_measurement(
+        spark, t,
+        "SELECT top(coldInFlowRate, buildingID, 1) FROM flow "
+        "GROUP BY time(1h)",
+    ).collect()
+    assert sorted((r["time"].minute, r["top"]) for r in got) == [
+        (59, 59.0),
+        (59, 119.0),
+    ]

@@ -9,11 +9,26 @@ on identical data, and compares row counts and values — randomized
 correctness, not just totality.
 
 Covered AST space: raw selects and single-aggregate selects with
-tag/field/time WHERE conjunctions, GROUP BY time(N)+tags (fill none),
-over a fixture with nulls in both a field and a tag. Aggregates
-restricted to the exactly-representable ones (sum/count/min/max/mean
-over 2-dp-ish doubles at tiny row counts is float-stable; stddev /
-percentile interpolation are pinned by the catalog oracles instead).
+tag/field/time WHERE trees (AND/OR/parens), GROUP BY time(N[, offset])
++tags (fill none), subqueries (outer agg over raw-aliased inner;
+outer scalar agg over inner bucketed agg), selectors
+(distinct/top/bottom), transforms (difference/cumulative_sum/
+derivative/moving_average over bucketed aggregates; elapsed and
+difference over raw per-series sequences), fill(0/null/previous),
+percentile/median — over a fixture with nulls in both a field and a
+tag. Aggregates restricted to the exactly-representable ones
+(sum/count/min/max/mean over 2-dp-ish doubles at tiny row counts is
+float-stable; stddev / percentile interpolation are pinned by the
+catalog oracles instead). top/bottom fuzz uses the strictly-monotone
+field (tempC) so rank order is tie-free and both engines agree
+without modeling tie-break rules.
+
+Engine semantics the oracles encode (probed, matching InfluxDB 1.x):
+raw transforms without GROUP BY <tag> merge all points into ONE
+sequence; elapsed truncates (integer division by the unit);
+moving_average runs over the null-skipped bucket sequence and emits
+from the Nth value; distinct() drops null field values; offset
+buckets are floor((epoch-off)/width)*width+off.
 """
 
 from __future__ import annotations
@@ -92,36 +107,57 @@ def _agg_sql(fn: str, f: str) -> str:
 EXTRA_AGGS = ["first", "last", "spread"]
 
 
-def gen_where(r: random.Random):
-    """Conjunction of 0-3 atoms; returns (influxql, sql) pair."""
-    iql, sql = [], []
-    for _ in range(r.randrange(4)):
-        kind = r.randrange(4)
-        if kind == 0:
-            v = r.choice(["A", "B", "C", "Z"])
-            op = r.choice(["=", "!="])
-            iql.append(f"buildingID {op} '{v}'")
-            # engine semantics: comparisons are null-rejecting both
-            # sides (Spark three-valued logic, mirrored in SQL)
-            sql.append(f"buildingID {'=' if op == '=' else '<>'} '{v}'")
-        elif kind == 1:
-            lo = BASE + dt.timedelta(minutes=r.randrange(0, 400))
-            op = r.choice([">=", "<", ">", "<="])
-            iql.append(f"time {op} '{lo:%Y-%m-%d %H:%M:%S}'")
-            sql.append(f"time {op} TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S}'")
-        elif kind == 2:
-            f = r.choice(FIELDS)
-            thresh = round(r.uniform(-3, 12), 2)
-            op = r.choice([">", "<", ">=", "<="])
-            iql.append(f"{f} {op} {thresh}")
-            sql.append(f"{f} {op} {thresh}")
+def _gen_atom(r: random.Random):
+    kind = r.randrange(4)
+    if kind == 0:
+        v = r.choice(["A", "B", "C", "Z"])
+        op = r.choice(["=", "!="])
+        # engine semantics: comparisons are null-rejecting both
+        # sides (Spark three-valued logic, mirrored in SQL)
+        return (
+            f"buildingID {op} '{v}'",
+            f"buildingID {'=' if op == '=' else '<>'} '{v}'",
+        )
+    if kind == 1:
+        lo = BASE + dt.timedelta(minutes=r.randrange(0, 400))
+        op = r.choice([">=", "<", ">", "<="])
+        return (
+            f"time {op} '{lo:%Y-%m-%d %H:%M:%S}'",
+            f"time {op} TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S}'",
+        )
+    if kind == 2:
+        f = r.choice(FIELDS)
+        thresh = round(r.uniform(-3, 12), 2)
+        op = r.choice([">", "<", ">=", "<="])
+        return f"{f} {op} {thresh}", f"{f} {op} {thresh}"
+    pat = r.choice(["^[AB]$", "A|C", "^B"])
+    op = r.choice(["=~", "!~"])
+    m = f"regexp_matches(buildingID, '{pat}')"
+    return (
+        f"buildingID {op} /{pat}/",
+        m if op == "=~" else f"NOT {m}",
+    )
+
+
+def gen_where(r: random.Random, allow_or: bool = True):
+    """Random boolean tree of 0-3 atoms (AND/OR, parenthesized
+    sub-groups); returns (influxql, sql) rendered identically —
+    three-valued NULL logic matches between the engines so the same
+    tree is the oracle."""
+    n = r.randrange(4)
+    if n == 0:
+        return "", ""
+    parts = [_gen_atom(r) for _ in range(n)]
+    iql, sql = parts[0]
+    for a_iql, a_sql in parts[1:]:
+        op = "OR" if allow_or and r.random() < 0.4 else "AND"
+        if op == "OR" and r.random() < 0.5:
+            iql = f"({iql}) OR {a_iql}"
+            sql = f"({sql}) OR {a_sql}"
         else:
-            pat = r.choice(["^[AB]$", "A|C", "^B"])
-            op = r.choice(["=~", "!~"])
-            iql.append(f"buildingID {op} /{pat}/")
-            m = f"regexp_matches(buildingID, '{pat}')"
-            sql.append(m if op == "=~" else f"NOT {m}")
-    return " AND ".join(iql), " AND ".join(sql)
+            iql = f"{iql} {op} ({a_iql})"
+            sql = f"{sql} {op} ({a_sql})"
+    return iql, sql
 
 
 def gen_fill_case(r: random.Random):
@@ -230,7 +266,13 @@ def gen_transform_case(r: random.Random):
     tag_sel = (", " + ", ".join(tags)) if tags else ""
     group_cols = ", ".join(["1"] + (["3"] if tags else []))
     kind = r.choice(
-        ["difference", "cumulative_sum", "arith", "derivative"]
+        [
+            "difference",
+            "cumulative_sum",
+            "arith",
+            "derivative",
+            "moving_average",
+        ]
     )
     if kind == "arith":
         # mean(a) <op> mean(b) — selection-exact ops only (+/-)
@@ -282,6 +324,30 @@ def gen_transform_case(r: random.Random):
             SELECT time_bucket{tag_sel},
                    (v - pv) / dt * {unit_sec}.0 AS derivative
             FROM lagged WHERE pv IS NOT NULL AND dt > 0
+        """
+        return iql, sql, "transform"
+    if kind == "moving_average":
+        n = r.choice([2, 3, 4])
+        iql = (
+            f"SELECT moving_average({agg_fn}({f}), {n}) "
+            f"FROM campus_flow WHERE {where_iql} "
+            f"GROUP BY {', '.join(group_iql)}"
+        )
+        # runs over the null-skipped bucket sequence; emits from the
+        # n-th non-null value (window must be full)
+        win = f"{part}ORDER BY time_bucket"
+        sql = f"""
+            WITH agg AS ({inner}),
+            win AS (
+              SELECT time_bucket{tag_sel},
+                     ROW_NUMBER() OVER ({win}) AS rn,
+                     AVG(CAST(v AS DOUBLE)) OVER
+                       ({win} ROWS BETWEEN {n - 1} PRECEDING
+                        AND CURRENT ROW) AS ma
+              FROM agg WHERE v IS NOT NULL
+            )
+            SELECT time_bucket{tag_sel}, ma AS moving_average
+            FROM win WHERE rn >= {n}
         """
         return iql, sql, "transform"
     if kind == "difference":
@@ -372,15 +438,259 @@ def gen_rank_case(r: random.Random):
     return iql, sql, "agg"
 
 
+def gen_raw_transform_case(r: random.Random):
+    """elapsed / difference over the RAW point sequence: without
+    GROUP BY <tag> all points merge into one sequence; with it the
+    transform runs per-series (null tag = its own series)."""
+    kind = r.choice(["elapsed", "difference"])
+    f = r.choice(FIELDS)
+    per_series = r.random() < 0.5
+    where_iql, where_sql = gen_where(r, allow_or=False)
+    w_iql = f" WHERE {where_iql}" if where_iql else ""
+    w_and = f" AND ({where_sql})" if where_sql else ""
+    group = " GROUP BY buildingID" if per_series else ""
+    tag_sel = ", buildingID" if per_series else ""
+    part = "PARTITION BY buildingID " if per_series else ""
+    if kind == "elapsed":
+        unit_iql, unit_sec = r.choice([("1m", 60), ("1h", 3600)])
+        iql = (
+            f"SELECT elapsed({f}, {unit_iql}) FROM campus_flow"
+            f"{w_iql}{group}"
+        )
+        # truncating integer division of the point-to-point gap
+        val = (
+            f"CAST(floor((epoch(time) - LAG(epoch(time)) OVER "
+            f"({part}ORDER BY time)) / {unit_sec}) AS BIGINT)"
+        )
+        alias = "elapsed"
+    else:
+        iql = (
+            f"SELECT difference({f}) FROM campus_flow{w_iql}{group}"
+        )
+        val = f"{f} - LAG({f}) OVER ({part}ORDER BY time)"
+        alias = "difference"
+    sql = f"""
+        WITH nn AS (
+          SELECT * FROM campus_flow
+          WHERE {f} IS NOT NULL{w_and}
+        ),
+        d AS (SELECT time{tag_sel}, {val} AS {alias} FROM nn)
+        SELECT time{tag_sel}, {alias} FROM d
+        WHERE {alias} IS NOT NULL
+    """
+    return iql, sql, "transform"
+
+
+def gen_subquery_case(r: random.Random):
+    """InfluxQL subqueries, both exercised shapes: an outer bucketed
+    aggregate over a raw-aliased inner select, and an outer scalar
+    aggregate over an inner bucketed aggregate."""
+    f = r.choice(FIELDS)
+    if r.random() < 0.5:
+        # outer agg over inner raw alias
+        fn = r.choice(sorted(AGGS))
+        where_iql, where_sql = gen_where(r, allow_or=False)
+        wi_iql = f" WHERE {where_iql}" if where_iql else ""
+        wi_sql = f" WHERE {where_sql}" if where_sql else ""
+        thresh = round(r.uniform(-2, 10), 2)
+        outer_w = r.random() < 0.5
+        wo_iql = f" WHERE x > {thresh}" if outer_w else ""
+        wo_sql = f" WHERE x > {thresh}" if outer_w else ""
+        bucket_min = r.choice([30, 60, 120])
+        bsec = bucket_min * 60
+        iql = (
+            f"SELECT {fn}(x) FROM "
+            f"(SELECT {f} AS x FROM campus_flow{wi_iql})"
+            f"{wo_iql} GROUP BY time({bucket_min}m)"
+        )
+        bucket_sql = (
+            f"to_timestamp(CAST(floor(epoch(time) / {bsec}) "
+            f"AS BIGINT) * {bsec})"
+        )
+        sql = (
+            f"SELECT {bucket_sql} AS time_bucket, "
+            f"{_agg_sql(fn, 'x')} AS {fn}_x FROM "
+            f"(SELECT time, {f} AS x FROM campus_flow{wi_sql}) "
+            f"{wo_sql} GROUP BY 1"
+        )
+        return iql, sql, "agg"
+    # outer scalar agg over inner bucketed agg
+    fn1 = r.choice(["mean", "sum", "count", "max"])
+    fn2 = r.choice(["max", "min", "mean", "count", "sum"])
+    bucket_min = r.choice([30, 60])
+    bsec = bucket_min * 60
+    where_iql, where_sql = gen_where(r, allow_or=False)
+    wi_iql = f" WHERE {where_iql}" if where_iql else ""
+    wi_sql = f" WHERE {where_sql}" if where_sql else ""
+    iql = (
+        f"SELECT {fn2}(m) FROM "
+        f"(SELECT {fn1}({f}) AS m FROM campus_flow{wi_iql} "
+        f"GROUP BY time({bucket_min}m))"
+    )
+    bucket_sql = (
+        f"to_timestamp(CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
+        f"* {bsec})"
+    )
+    sql = (
+        f"SELECT {_agg_sql(fn2, 'm')} AS {fn2}_m FROM "
+        f"(SELECT {bucket_sql} AS tb, {_agg_sql(fn1, f)} AS m "
+        f"FROM campus_flow{wi_sql} GROUP BY 1)"
+    )
+    return iql, sql, "agg"
+
+
+def gen_selector_case(r: random.Random):
+    """distinct / top / bottom selectors. top/bottom use tempC (a
+    strictly-monotone field) so ranks are tie-free and both engines
+    agree without modeling InfluxDB tie-break rules."""
+    kind = r.choice(
+        ["distinct", "top", "bottom", "companion", "top_tag"]
+    )
+    where_iql, where_sql = gen_where(r, allow_or=False)
+    w_iql = f" WHERE {where_iql}" if where_iql else ""
+    if kind == "companion":
+        return _gen_companion(r, where_iql, where_sql)
+    if kind == "top_tag":
+        return _gen_top_tag(r, where_iql, where_sql)
+    if kind == "distinct":
+        per_tag = r.random() < 0.5
+        group = " GROUP BY buildingID" if per_tag else ""
+        tag_sel = ", buildingID" if per_tag else ""
+        w_and = f" AND ({where_sql})" if where_sql else ""
+        iql = (
+            f"SELECT distinct(flowRate) FROM campus_flow"
+            f"{w_iql}{group}"
+        )
+        # null field values are not points → excluded
+        sql = (
+            f'SELECT DISTINCT flowRate AS "distinct"{tag_sel} '
+            f"FROM campus_flow WHERE flowRate IS NOT NULL{w_and}"
+        )
+        return iql, sql, "agg"
+    n = r.choice([1, 2, 3])
+    bucketed = r.random() < 0.5
+    bucket_min = r.choice([120, 240])
+    bsec = bucket_min * 60
+    group = f" GROUP BY time({bucket_min}m)" if bucketed else ""
+    w_and = f" AND ({where_sql})" if where_sql else ""
+    iql = (
+        f"SELECT {kind}(tempC, {n}) FROM campus_flow{w_iql}{group}"
+    )
+    order = "DESC" if kind == "top" else "ASC"
+    part = (
+        f"PARTITION BY CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
+        if bucketed
+        else ""
+    )
+    sql = f"""
+        SELECT time, tempC AS {kind} FROM (
+          SELECT time, tempC,
+                 ROW_NUMBER() OVER ({part}ORDER BY tempC {order})
+                   AS rn
+          FROM campus_flow WHERE tempC IS NOT NULL{w_and}
+        ) WHERE rn <= {n}
+    """
+    return iql, sql, "transform"
+
+
+def _gen_companion(r: random.Random, where_iql: str, where_sql: str):
+    """Selector + companion columns: the companions come from THE
+    selected point. max/min fuzz on tempC (strictly monotone → the
+    selected point is unique); first/last on flowRate (timestamps
+    unique → unique regardless of value ties)."""
+    fn = r.choice(["max", "min", "first", "last"])
+    f = "tempC" if fn in ("max", "min") else "flowRate"
+    comp = r.choice(["buildingID", "flowRate" if f == "tempC" else "tempC"])
+    bucketed = r.random() < 0.5
+    bucket_min = r.choice([120, 240])
+    bsec = bucket_min * 60
+    w_iql = f" WHERE {where_iql}" if where_iql else ""
+    w_and = f" AND ({where_sql})" if where_sql else ""
+    group = f" GROUP BY time({bucket_min}m)" if bucketed else ""
+    iql = f"SELECT {fn}({f}), {comp} FROM campus_flow{w_iql}{group}"
+    if fn == "max":
+        order = f"{f} DESC, time ASC"
+    elif fn == "min":
+        order = f"{f} ASC, time ASC"
+    elif fn == "first":
+        order = "time ASC"
+    else:
+        order = "time DESC"
+    bucket_sql = (
+        f"to_timestamp(CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
+        f"* {bsec})"
+    )
+    part = (
+        f"PARTITION BY CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
+        if bucketed
+        else ""
+    )
+    tcol = f"{bucket_sql} AS time_bucket" if bucketed else "time"
+    sql = f"""
+        SELECT {tcol}, {f} AS {fn}, {comp} FROM (
+          SELECT time, {f}, {comp},
+                 ROW_NUMBER() OVER ({part}ORDER BY {order}) AS rn
+          FROM campus_flow WHERE {f} IS NOT NULL{w_and}
+        ) WHERE rn = 1
+    """
+    return iql, sql, "transform"
+
+
+def _gen_top_tag(r: random.Random, where_iql: str, where_sql: str):
+    """top/bottom(f, tag, N): extreme point per tag value, top-N tag
+    values by their extreme. tempC is strictly monotone → tie-free."""
+    fn = r.choice(["top", "bottom"])
+    n = r.choice([1, 2, 3])
+    bucketed = r.random() < 0.4
+    bucket_min = 240
+    bsec = bucket_min * 60
+    w_iql = f" WHERE {where_iql}" if where_iql else ""
+    w_and = f" AND ({where_sql})" if where_sql else ""
+    group = f" GROUP BY time({bucket_min}m)" if bucketed else ""
+    iql = (
+        f"SELECT {fn}(tempC, buildingID, {n}) FROM campus_flow"
+        f"{w_iql}{group}"
+    )
+    order = "DESC" if fn == "top" else "ASC"
+    bkey = (
+        f"CAST(floor(epoch(time) / {bsec}) AS BIGINT)" if bucketed else "1"
+    )
+    sql = f"""
+        WITH best AS (
+          SELECT time, tempC, buildingID, {bkey} AS bk,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY {bkey}, buildingID
+                   ORDER BY tempC {order}, time ASC) AS rn
+          FROM campus_flow WHERE tempC IS NOT NULL{w_and}
+        ),
+        ranked AS (
+          SELECT time, tempC, buildingID,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY bk
+                   ORDER BY tempC {order}, time ASC) AS rn2
+          FROM best WHERE rn = 1
+        )
+        SELECT time, tempC AS {fn}, buildingID
+        FROM ranked WHERE rn2 <= {n}
+    """
+    return iql, sql, "transform"
+
+
 def gen_case(r: random.Random):
     """One generated (influxql, duckdb_sql, kind) case."""
     roll = r.random()
-    if roll < 0.18:
+    if roll < 0.14:
         return gen_fill_case(r)
-    if roll < 0.36:
+    if roll < 0.30:
         return gen_transform_case(r)
-    if roll < 0.5:
+    if roll < 0.40:
         return gen_rank_case(r)
+    if roll < 0.50:
+        return gen_subquery_case(r)
+    if roll < 0.58:
+        return gen_selector_case(r)
+    if roll < 0.66:
+        return gen_raw_transform_case(r)
     where_iql, where_sql = gen_where(r)
     w_iql = f" WHERE {where_iql}" if where_iql else ""
     w_sql = f" WHERE {where_sql}" if where_sql else ""
@@ -399,17 +709,25 @@ def gen_case(r: random.Random):
     f = r.choice(FIELDS)
     alias = f"{fn}_{f}"
     bucket_min = r.choice([15, 30, 60, 120])
+    off_min = r.choice([0, 0, 5, 15])
     tags = ["buildingID"] if r.random() < 0.5 else []
-    group_iql = [f"time({bucket_min}m)"] + tags
+    tspec = (
+        f"time({bucket_min}m, {off_min}m)"
+        if off_min
+        else f"time({bucket_min}m)"
+    )
+    group_iql = [tspec] + tags
     iql = (
         f"SELECT {fn}({f}) FROM campus_flow{w_iql} "
         f"GROUP BY {', '.join(group_iql)}"
     )
-    # engine bucket = epoch-aligned floor; empty buckets absent with
-    # fill none (no closed time range → no dense axis)
+    # engine bucket = epoch-aligned floor, shifted by the offset:
+    # floor((epoch - off) / width) * width + off; empty buckets
+    # absent with fill none (no closed time range → no dense axis)
+    bsec, osec = bucket_min * 60, off_min * 60
     bucket_sql = (
-        f"to_timestamp(CAST(floor(epoch(time) / {bucket_min * 60}) "
-        f"AS BIGINT) * {bucket_min * 60})"
+        f"to_timestamp(CAST(floor((epoch(time) - {osec}) / {bsec}) "
+        f"AS BIGINT) * {bsec} + {osec})"
     )
     sel_tags = (", " + ", ".join(tags)) if tags else ""
     group_cols = ["1"] + (["3"] if tags else [])
