@@ -1015,6 +1015,7 @@ def _apply_companion_selector(
     fill_mode: str,
     order_desc: bool,
     tz: str | None = None,
+    pct: float | None = None,
 ) -> tuple[DataFrame, str]:
     """``SELECT max(f), tag [, field…] FROM m`` — a selector with
     companion columns: per bucket/series, pick THE point the selector
@@ -1049,7 +1050,31 @@ def _apply_companion_selector(
         F.col(col).alias("_v"),
         *[F.col(c).alias(f"_c{i}") for i, c in enumerate(companions)],
     )
-    if fn == "max":
+    if fn == "percentile":
+        # nearest-rank point, same 1-based floor(n*p/100 + 0.5) index
+        # as the plain percentile aggregate (_agg_column); sort key is
+        # (value, time) so equal values pick the earlier point's
+        # companions deterministically. collect_list is bounded per
+        # (bucket, series) — the same boundedness that makes GROUP BY
+        # time() itself viable.
+        sortable = F.struct(
+            F.col(col).alias("_v"),
+            F.col(time_col).alias("_t"),
+            *[
+                F.col(c).alias(f"_c{i}")
+                for i, c in enumerate(companions)
+            ],
+        )
+        vals = F.sort_array(F.collect_list(sortable))
+        idx = (
+            F.floor(
+                F.size(vals) * F.lit(pct) / F.lit(100.0) + F.lit(0.5)
+            )
+        ).cast("int")
+        agg = F.when(
+            (idx >= 1) & (idx <= F.size(vals)), F.element_at(vals, idx)
+        )
+    elif fn == "max":
         agg = F.max_by(payload, F.struct(F.col(col), (-epoch).alias("_k")))
     elif fn == "min":
         agg = F.min_by(payload, F.struct(F.col(col), epoch.alias("_k")))
@@ -2046,12 +2071,12 @@ def translate(
         and plain_items
         and not arith_agg
         and not arith_raw
-        and agg_items[0][2] is None
-        and agg_items[0][0].lower() in _COMPANION_SELECTORS
+        and agg_items[0][0].lower()
+        in _COMPANION_SELECTORS | {"percentile"}
     ):
         # selector + companion columns (SELECT max(f), tag): the
         # companions come from the selected point
-        fn, scol, _ = agg_items[0]
+        fn, scol, pct = agg_items[0]
         companions = [
             c
             for c in plain_items
@@ -2069,6 +2094,7 @@ def translate(
             fill_mode=fill_mode,
             order_desc=order_desc,
             tz=tz,
+            pct=pct,
         )
     elif agg_items or arith_agg:
         # plain_items is [] when only aggregates were named, None for

@@ -1671,3 +1671,25 @@ def test_top_bottom_with_tag_argument(spark, flow):
         (59, 59.0),
         (59, 119.0),
     ]
+
+
+def test_percentile_companion_columns(spark, flow):
+    """percentile(f, p), tag — percentile is a SELECTOR in InfluxQL
+    1.x: the nearest-rank POINT's companions come along. Same 1-based
+    floor(n*p/100 + 0.5) index as the plain percentile aggregate;
+    equal values pick the earlier point's companions."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    t = {"flow": flow}
+    got = query_measurement(
+        spark, t,
+        "SELECT percentile(coldInFlowRate, 50), hotOutFlowRate "
+        "FROM flow WHERE buildingID = 'A'",
+    ).collect()
+    # coldInFlowRate = 0..119 sorted; idx = floor(120*0.5+0.5) = 60
+    # → value 59.0 (1-based), companion = 59 % 7
+    assert len(got) == 1
+    r = got[0]
+    assert r["percentile"] == 59.0
+    assert r["hotOutFlowRate"] == float(59 % 7)
+    assert r["time"].minute == 59  # the point's own timestamp

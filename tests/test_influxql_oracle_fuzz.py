@@ -598,8 +598,8 @@ def _gen_companion(r: random.Random, where_iql: str, where_sql: str):
     selected point. max/min fuzz on tempC (strictly monotone → the
     selected point is unique); first/last on flowRate (timestamps
     unique → unique regardless of value ties)."""
-    fn = r.choice(["max", "min", "first", "last"])
-    f = "tempC" if fn in ("max", "min") else "flowRate"
+    fn = r.choice(["max", "min", "first", "last", "percentile"])
+    f = "flowRate" if fn in ("first", "last") else "tempC"
     comp = r.choice(["buildingID", "flowRate" if f == "tempC" else "tempC"])
     bucketed = r.random() < 0.5
     bucket_min = r.choice([120, 240])
@@ -607,10 +607,12 @@ def _gen_companion(r: random.Random, where_iql: str, where_sql: str):
     w_iql = f" WHERE {where_iql}" if where_iql else ""
     w_and = f" AND ({where_sql})" if where_sql else ""
     group = f" GROUP BY time({bucket_min}m)" if bucketed else ""
-    iql = f"SELECT {fn}({f}), {comp} FROM campus_flow{w_iql}{group}"
-    if fn == "max":
+    pct = r.choice([10, 50, 90])
+    call = f"percentile({f}, {pct})" if fn == "percentile" else f"{fn}({f})"
+    iql = f"SELECT {call}, {comp} FROM campus_flow{w_iql}{group}"
+    if fn in ("max",):
         order = f"{f} DESC, time ASC"
-    elif fn == "min":
+    elif fn in ("min", "percentile"):
         order = f"{f} ASC, time ASC"
     elif fn == "first":
         order = "time ASC"
@@ -620,18 +622,29 @@ def _gen_companion(r: random.Random, where_iql: str, where_sql: str):
         f"to_timestamp(CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
         f"* {bsec})"
     )
-    part = (
-        f"PARTITION BY CAST(floor(epoch(time) / {bsec}) AS BIGINT) "
+    pkey = (
+        f"PARTITION BY CAST(floor(epoch(time) / {bsec}) AS BIGINT)"
         if bucketed
         else ""
     )
+    part = f"{pkey} " if pkey else ""
     tcol = f"{bucket_sql} AS time_bucket" if bucketed else "time"
+    if fn == "percentile":
+        # nearest-rank POINT: 1-based floor(n*p/100 + 0.5)
+        keep = (
+            f"rn = CAST(floor(cnt * {pct} / 100.0 + 0.5) AS BIGINT) "
+            f"AND CAST(floor(cnt * {pct} / 100.0 + 0.5) AS BIGINT) >= 1"
+        )
+        cnt = f", COUNT(*) OVER ({pkey}) AS cnt"
+    else:
+        keep = "rn = 1"
+        cnt = ""
     sql = f"""
         SELECT {tcol}, {f} AS {fn}, {comp} FROM (
           SELECT time, {f}, {comp},
-                 ROW_NUMBER() OVER ({part}ORDER BY {order}) AS rn
+                 ROW_NUMBER() OVER ({part}ORDER BY {order}) AS rn{cnt}
           FROM campus_flow WHERE {f} IS NOT NULL{w_and}
-        ) WHERE rn = 1
+        ) WHERE {keep}
     """
     return iql, sql, "transform"
 
