@@ -658,6 +658,11 @@ def _where_expr(
                 "%Y-%m-%d %H:%M:%S.%f" if ts.microsecond
                 else "%Y-%m-%d %H:%M:%S"
             )
+        # validate at plan time: ANSI mode makes a malformed literal a
+        # DateTimeException at EXECUTION (cast inside the scan filter)
+        # — the totality contract wants the named error here instead.
+        # InfluxDB itself rejects non-RFC3339 strings at parse time.
+        _validate_time_literal(rhs)
         # with tz('Zone') time literals are LOCAL wall-clock in that
         # zone (InfluxQL); to_utc_timestamp reads the literal's wall
         # time as zone-local and yields the UTC instant
@@ -681,6 +686,24 @@ def _where_expr(
     if op == ">":
         return col > val
     return col < val
+
+
+def _validate_time_literal(rhs: str) -> None:
+    """Plan-time check of a quoted time literal. RFC3339 / ISO forms
+    (date-only, T or space separator, optional zone, fractional
+    seconds — a 7-9 digit fraction is trimmed to µs for the check,
+    as Spark's cast truncates). Anything else gets the named error
+    instead of an executor-side ANSI DateTimeException mid-scan."""
+    import datetime as _dt
+
+    s = rhs.strip()
+    fm = re.match(r"^(.*\.\d{6})\d{1,3}(.*)$", s)
+    if fm:
+        s = fm.group(1) + fm.group(2)
+    try:
+        _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        raise InfluxQLError(f"invalid time literal: {rhs!r}") from None
 
 
 def _unquote(tok: str) -> str:
@@ -1084,6 +1107,11 @@ def _apply_companion_selector(
         agg = F.max_by(payload, epoch)
     g = pts.groupBy(*group_exprs) if group_exprs else pts.groupBy()
     res = g.agg(agg.alias("_sel"))
+    # selector semantics: no selected point → no row. The ungrouped
+    # global aggregate otherwise emits one all-null row on empty
+    # input, and a grouped percentile whose nearest-rank index is out
+    # of range (tiny bucket, small p) emits a null struct.
+    res = res.where(F.col("_sel").isNotNull())
     cols = []
     if bucket_secs is not None:
         time_key = "time_bucket"

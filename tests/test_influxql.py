@@ -1693,3 +1693,33 @@ def test_percentile_companion_columns(spark, flow):
     assert r["percentile"] == 59.0
     assert r["hotOutFlowRate"] == float(59 % 7)
     assert r["time"].minute == 59  # the point's own timestamp
+
+
+def test_companion_selector_empty_selection_emits_no_row(spark, flow):
+    """A selector that selects no point emits no row — the ungrouped
+    global aggregate must not surface Spark's one all-null row, and a
+    grouped percentile with an out-of-range nearest-rank index must
+    drop that group (found by differential fuzz seed 313)."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    t = {"flow": flow}
+    got = query_measurement(
+        spark, t,
+        "SELECT last(coldInFlowRate), hotOutFlowRate FROM flow "
+        "WHERE buildingID = 'A' AND buildingID = 'B'",
+    ).collect()
+    assert got == []
+
+    # one point per bucket at p=10: idx = floor(1*0.1 + 0.5) = 0 →
+    # out of range → no row for that bucket
+    import datetime as dt
+
+    one = spark.createDataFrame(
+        [(dt.datetime(2021, 3, 1, 0, 30), 5.0, 1.0)],
+        ["time", "v", "w"],
+    )
+    got = query_measurement(
+        spark, {"flow": one},
+        "SELECT percentile(v, 10), w FROM flow GROUP BY time(1h)",
+    ).collect()
+    assert got == []

@@ -102,6 +102,20 @@ def gen_field_expr(r: random.Random) -> str:
     if kind == 3:
         fn = r.choice(SELECTORS)
         arg = r.choice(["3", "1", "0", "95.5", ""])
+        if fn != "percentile" and r.random() < 0.3:
+            # three-argument form: top(f, tag, N)
+            tag = r.choice(TAGS + ["42", "''"])
+            return f"{fn}({f}, {tag}, {arg or '2'})"
+        if r.random() < 0.3:
+            # selector + companion columns
+            sel = r.choice(["max", "min", "first", "last", "mean"])
+            comp = r.choice(FIELDS + TAGS)
+            call = (
+                f"percentile({f}, {arg or '50'})"
+                if fn == "percentile"
+                else f"{sel}({f})"
+            )
+            return f"{call}, {comp}"
         return f"{fn}({f}, {arg})" if arg else f"{fn}({f})"
     if kind == 4:
         fn = r.choice(TRANSFORMS)
