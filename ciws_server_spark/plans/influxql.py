@@ -122,8 +122,12 @@ need not match (there is no deterministic public spec to verify
 against; correctness is pinned by property tests — a perfectly
 seasonal/trended series must forecast its own continuation). OUT OF
 SURFACE (explicitly unsupported; parsing raises rather than silently
-mis-reading): ``sample``/``histogram`` (nondeterministic /
-reserved-but-unimplemented in InfluxQL 1.x itself).
+mis-reading): ``histogram`` (reserved-but-unimplemented in InfluxQL
+1.x itself). ``sample(f, N)`` IS supported, with a documented
+divergence: InfluxDB's sample is nondeterministic; ours orders
+points by ``xxhash64(time)`` and keeps the first N per bucket/series
+— a uniform-looking, REPRODUCIBLE sample (same statement + same data
+→ same points), which is the property a pipeline actually wants.
 
 EXTENSION (beyond InfluxQL 1.x, explicitly flagged): ``GROUP BY
 time(Nmo)`` / ``time(Ny)`` — calendar month/year buckets. InfluxQL
@@ -355,9 +359,9 @@ _TA_WINDOWS = {"chande_momentum_oscillator", "kaufmans_efficiency_ratio"}
 #: Named-but-unsupported 1.x functions — raise a named error instead of
 #: falling through to column resolution (module docstring, OUT OF
 #: SURFACE).
-_UNSUPPORTED_FN_RE = re.compile(r"^(sample|histogram)\s*\(", re.I)
+_UNSUPPORTED_FN_RE = re.compile(r"^(histogram)\s*\(", re.I)
 _SELECTOR_RE = re.compile(
-    r"""^(top|bottom)\s*\(\s*("[^"]+"|\w+)\s*"""
+    r"""^(top|bottom|sample)\s*\(\s*("[^"]+"|\w+)\s*"""
     r"""(?:,\s*("[^"]+"|\w+)\s*)?,\s*(\d+)\s*\)$""",
     re.I,
 )
@@ -981,6 +985,8 @@ def _apply_selector(
     n = int(sel_m.group(4))
     if fill_mode != "none":
         raise InfluxQLError(f"fill() does not apply to {fn}()")
+    if fn == "sample" and sel_tag is not None:
+        raise InfluxQLError("sample() takes (field, N) — no tag argument")
     if sel_tag is not None and sel_tag not in out.columns:
         # unknown identifiers evaluate as null (module contract)
         out = out.withColumn(sel_tag, F.lit(None).cast("string"))
@@ -992,7 +998,16 @@ def _apply_selector(
         sel.append(_bucket_expr(time_col, bucket_secs, bucket_offset, tz))
         part_cols.append("time_bucket")
     pts = out.select(*sel).where(F.col(col).isNotNull())
-    value_key = F.col(col).desc() if fn == "top" else F.col(col).asc()
+    if fn == "sample":
+        # deterministic sample: xxhash64(time) is a uniform-looking
+        # but REPRODUCIBLE order (documented divergence from
+        # InfluxDB's nondeterministic reservoir) — same statement on
+        # the same data always returns the same points. One
+        # row_number window per (bucket, series), no full sort of
+        # the output order.
+        value_key = F.xxhash64(F.col(time_col)).asc()
+    else:
+        value_key = F.col(col).desc() if fn == "top" else F.col(col).asc()
     if sel_tag is not None:
         w1 = W.partitionBy(*part_cols, sel_tag).orderBy(
             value_key, F.col(time_col).asc()
@@ -1002,15 +1017,24 @@ def _apply_selector(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-    w = W.partitionBy(*part_cols).orderBy(value_key, F.col(time_col).asc())
     keep = [time_col, *tag_cols, F.col(col).alias(fn)]
     if sel_tag is not None and sel_tag not in tag_cols:
         keep.append(sel_tag)
-    res = (
-        pts.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n)
-        .select(*keep)
-    )
+    if not part_cols:
+        # ungrouped: orderBy+limit compiles to TakeOrderedAndProject —
+        # per-partition top-k with a driver-side merge of n rows — not
+        # a single-partition window sorting the whole measurement
+        res = pts.orderBy(value_key, F.col(time_col).asc()).limit(n)
+        res = res.select(*keep)
+    else:
+        w = W.partitionBy(*part_cols).orderBy(
+            value_key, F.col(time_col).asc()
+        )
+        res = (
+            pts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .select(*keep)
+        )
     key = F.col(time_col)
     res = res.orderBy(key.desc() if order_desc else key.asc())
     return res, time_col
@@ -1976,8 +2000,7 @@ def translate(
         if um:
             raise InfluxQLError(
                 f"{um.group(1).lower()} is out of surface: "
-                "nondeterministic (sample) or reserved-but-"
-                "unimplemented in InfluxQL 1.x (histogram)"
+                "reserved-but-unimplemented in InfluxQL 1.x"
             )
         # arithmetic / AS items must classify BEFORE _AGG_RE: its lazy
         # body would swallow "mean(a) + mean(b)" as one malformed agg

@@ -1723,3 +1723,44 @@ def test_companion_selector_empty_selection_emits_no_row(spark, flow):
         "SELECT percentile(v, 10), w FROM flow GROUP BY time(1h)",
     ).collect()
     assert got == []
+
+
+def test_sample_selector_deterministic(spark, flow):
+    """sample(f, N): N points per bucket/series in xxhash64(time)
+    order — a REPRODUCIBLE sample (documented divergence from
+    InfluxDB's nondeterministic reservoir)."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    t = {"flow": flow}
+    a = query_measurement(
+        spark, t,
+        "SELECT sample(coldInFlowRate, 5) FROM flow "
+        "WHERE buildingID = 'A'",
+    ).collect()
+    assert len(a) == 5
+    assert {r["sample"] for r in a} <= set(float(i) for i in range(120))
+    # reproducible: second run returns the identical points
+    b = query_measurement(
+        spark, t,
+        "SELECT sample(coldInFlowRate, 5) FROM flow "
+        "WHERE buildingID = 'A'",
+    ).collect()
+    assert sorted(r["time"] for r in a) == sorted(r["time"] for r in b)
+
+    # per bucket: N per bucket, all points when the bucket is smaller
+    got = query_measurement(
+        spark, t,
+        "SELECT sample(coldInFlowRate, 70) FROM flow "
+        "WHERE buildingID = 'B' GROUP BY time(1h)",
+    ).collect()
+    assert len(got) == 120  # 60 + 60: both hour-buckets exhausted
+
+    # sample takes no tag argument
+    with pytest.raises(InfluxQLError, match="no tag argument"):
+        query_measurement(
+            spark, t,
+            "SELECT sample(coldInFlowRate, buildingID, 2) FROM flow",
+        )
