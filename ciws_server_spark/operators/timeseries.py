@@ -763,6 +763,55 @@ def influxql_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def influxql_top_per_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-argument selector ``top(field, tag, n)``: the extreme
+    point per tag value, for the 3 tag values whose extreme is
+    greatest (plans/influxql._apply_selector — two stacked rank
+    windows; the second input is #tag-values rows, so the final
+    rank is TakeOrderedAndProject-cheap)."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT top(value, event_type, 3) FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}'"
+    )
+    return translate(ev, q, time_col="ts").orderBy("ts", "top")
+
+
+def influxql_companion_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector + companion columns: ``SELECT max(value), user_id`` —
+    the companion comes from THE selected point (hash aggregate via
+    max_by over a payload struct; ties → earlier timestamp)."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT max(value), user_id FROM events "
+        f"WHERE time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(6h), event_type"
+    )
+    return translate(ev, q, time_col="ts").orderBy(
+        "time_bucket", "event_type"
+    )
+
+
+def influxql_percentile_companion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """percentile is a SELECTOR in InfluxQL 1.x: the nearest-rank
+    POINT's timestamp and companions come along. (value, time) sort
+    key → equal values pick the earlier point deterministically."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT percentile(value, 90), user_id FROM events "
+        "GROUP BY event_type"
+    )
+    return translate(ev, q, time_col="ts").orderBy("event_type")
+
+
 def influxql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL subquery (``FROM (SELECT ...)``): peak 6-hourly event
     count per series — the canonical max-of-rollup nested shape,
@@ -1248,6 +1297,9 @@ QUERIES = {
     "influxql_integral": influxql_integral,
     "influxql_subquery": influxql_subquery,
     "influxql_top": influxql_top,
+    "influxql_top_per_tag": influxql_top_per_tag,
+    "influxql_companion_selector": influxql_companion_selector,
+    "influxql_percentile_companion": influxql_percentile_companion,
     "ts_sliding_window": ts_sliding_window,
     "ts_funnel": ts_funnel,
     "ts_range_join_buckets": ts_range_join_buckets,
@@ -1279,6 +1331,11 @@ EXTRA = {
     # derivative_quarter, M4) plus the full r8-green InfluxQL tail
     # register; the r9-green rows rotate OUT to extras (still
     # oracle-checked locally by tests/test_extra_oracle.py).
+    # r10 session-2 additions start as extras; the rotation policy
+    # registers them next round as maximally stale.
+    "influxql_top_per_tag",
+    "influxql_companion_selector",
+    "influxql_percentile_companion",
     "influxql_derivative",
     "influxql_moving_average",
     "influxql_quarter_bucket",
@@ -1877,6 +1934,56 @@ ORACLES = {
         SELECT ts, event_type, value AS top
         FROM ranked WHERE rn <= 3
         ORDER BY ts, event_type, top
+    """,
+    "influxql_top_per_tag": f"""
+        WITH best AS (
+          SELECT ts, event_type, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, ts ASC) AS rn
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+            AND value IS NOT NULL
+        ),
+        ranked AS (
+          SELECT ts, event_type, value,
+                 ROW_NUMBER() OVER (ORDER BY value DESC, ts ASC) AS rn2
+          FROM best WHERE rn = 1
+        )
+        SELECT ts, value AS top, event_type
+        FROM ranked WHERE rn2 <= 3
+        ORDER BY ts, top
+    """,
+    "influxql_companion_selector": f"""
+        WITH ranked AS (
+          SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                       * 21600) AS TIMESTAMP) AS time_bucket,
+                 event_type, value, user_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY CAST(FLOOR(epoch(ts) / 21600) AS BIGINT),
+                                event_type
+                   ORDER BY value DESC, ts ASC) AS rn
+          FROM events
+          WHERE ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+            AND value IS NOT NULL
+        )
+        SELECT time_bucket, event_type, value AS max, user_id
+        FROM ranked WHERE rn = 1
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_percentile_companion": """
+        WITH ranked AS (
+          SELECT ts, event_type, value, user_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value ASC, ts ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT ts, event_type, value AS percentile, user_id
+        FROM ranked
+        WHERE rn = CAST(FLOOR(cnt * 90 / 100.0 + 0.5) AS BIGINT)
+        ORDER BY event_type
     """,
     "influxql_subquery": f"""
         WITH agg AS (
