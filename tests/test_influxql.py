@@ -1377,9 +1377,12 @@ def test_ta_validation_and_out_of_surface(spark):
     # holt_winters needs an aggregate + GROUP BY time
     with pytest.raises(InfluxQLError, match="GROUP BY time"):
         translate(m, "SELECT holt_winters(v, 4, 0) FROM m")
-    # sample/histogram stay out-of-surface (nondeterministic/reserved)
-    with pytest.raises(InfluxQLError):
-        translate(m, "SELECT sample(v, 3) FROM m")
+    # histogram stays out-of-surface (reserved-but-unimplemented
+    # upstream); sample is now a supported deterministic selector
+    # (test_sample_selector_deterministic)
+    with pytest.raises(InfluxQLError, match="out of surface"):
+        translate(m, "SELECT histogram(v) FROM m")
+    assert translate(m, "SELECT sample(v, 3) FROM m").count() == 3
 
 
 def test_holt_winters_recovers_seasonal_trend(spark):
