@@ -63,6 +63,23 @@ def _rows():
     return rows
 
 
+def _rows_daily():
+    """Months-spanning daily series (calendar-bucket fuzz needs more
+    than one month/quarter/year boundary in range); nulls in both
+    the field and the tag, like the minute fixture."""
+    base = dt.datetime(2023, 11, 15)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                base + dt.timedelta(days=i, hours=i % 5),
+                None if i % 11 == 7 else ("A", "B")[i % 2],
+                None if i % 7 == 3 else float(i % 13) + 0.25,
+            )
+        )
+    return rows
+
+
 @pytest.fixture(scope="module")
 def fixture(spark):
     pdf = pd.DataFrame(
@@ -72,9 +89,20 @@ def fixture(spark):
         _rows(),
         "time timestamp, buildingID string, flowRate double, tempC double",
     )
+    dpdf = pd.DataFrame(
+        _rows_daily(), columns=["time", "buildingID", "flowRate"]
+    )
+    ddf = spark.createDataFrame(
+        _rows_daily(),
+        "time timestamp, buildingID string, flowRate double",
+    )
     con = duckdb.connect()
     con.register("campus_flow", pdf)
-    return {"tables": {"campus_flow": df}, "con": con}
+    con.register("campus_daily", dpdf)
+    return {
+        "tables": {"campus_flow": df, "campus_daily": ddf},
+        "con": con,
+    }
 
 
 # ------------------------------------------------------------- AST gen
@@ -689,6 +717,43 @@ def _gen_top_tag(r: random.Random, where_iql: str, where_sql: str):
     return iql, sql, "transform"
 
 
+def gen_calendar_case(r: random.Random):
+    """Calendar buckets (the documented extension beyond InfluxQL
+    1.x): time(1mo)/time(3mo)/time(1y) over the months-spanning
+    daily fixture. The epoch month axis is Jan 1970, so 3-month
+    tiles ARE calendar quarters — date_trunc is the oracle."""
+    fn = r.choice(sorted(AGGS) + EXTRA_AGGS)
+    spec, trunc = r.choice(
+        [("1mo", "month"), ("3mo", "quarter"), ("1y", "year")]
+    )
+    tags = ["buildingID"] if r.random() < 0.5 else []
+    alias = f"{fn}_flowRate"
+    # the daily table has no tempC column: the engine null-fills
+    # unknown identifiers but DuckDB would fail to compile — redraw
+    atoms = []
+    if r.random() < 0.4:
+        a = _gen_atom(r)
+        while "tempC" in a[0]:
+            a = _gen_atom(r)
+        atoms.append(a)
+    w_iql = f" WHERE {atoms[0][0]}" if atoms else ""
+    w_sql = f" WHERE {atoms[0][1]}" if atoms else ""
+    group_iql = [f"time({spec})"] + tags
+    iql = (
+        f"SELECT {fn}(flowRate) FROM campus_daily{w_iql} "
+        f"GROUP BY {', '.join(group_iql)}"
+    )
+    tag_sel = (", " + ", ".join(tags)) if tags else ""
+    group_cols = ", ".join(["1"] + (["3"] if tags else []))
+    sql = (
+        f"SELECT CAST(date_trunc('{trunc}', time) AS TIMESTAMP) "
+        f"AS time_bucket, {_agg_sql(fn, 'flowRate')} AS {alias}"
+        f"{tag_sel} FROM campus_daily{w_sql} "
+        f"GROUP BY {group_cols}"
+    )
+    return iql, sql, "agg"
+
+
 def gen_case(r: random.Random):
     """One generated (influxql, duckdb_sql, kind) case."""
     roll = r.random()
@@ -702,8 +767,10 @@ def gen_case(r: random.Random):
         return gen_subquery_case(r)
     if roll < 0.58:
         return gen_selector_case(r)
-    if roll < 0.66:
+    if roll < 0.64:
         return gen_raw_transform_case(r)
+    if roll < 0.70:
+        return gen_calendar_case(r)
     where_iql, where_sql = gen_where(r)
     w_iql = f" WHERE {where_iql}" if where_iql else ""
     w_sql = f" WHERE {where_sql}" if where_sql else ""
