@@ -38,9 +38,18 @@ def main() -> None:
         rows,
         "time timestamp, buildingID string, flowRate double, tempC double",
     )
+    drows = m._rows_daily()
+    dpdf = pd.DataFrame(drows, columns=["time", "buildingID", "flowRate"])
+    ddf = spark.createDataFrame(
+        drows, "time timestamp, buildingID string, flowRate double"
+    )
     con = duckdb.connect()
     con.register("campus_flow", pdf)
-    fixture = {"tables": {"campus_flow": df}, "con": con}
+    con.register("campus_daily", dpdf)
+    fixture = {
+        "tables": {"campus_flow": df, "campus_daily": ddf},
+        "con": con,
+    }
 
     t0 = time.time()
     kinds: Counter = Counter()
