@@ -2284,7 +2284,10 @@ def translate(
 
 
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+(MEASUREMENTS|TAG\s+KEYS|FIELD\s+KEYS|TAG\s+VALUES"
+    r"^\s*SHOW\s+(MEASUREMENT\s+CARDINALITY|MEASUREMENTS"
+    r"|TAG\s+KEY\s+CARDINALITY|TAG\s+KEYS"
+    r"|FIELD\s+KEY\s+CARDINALITY|FIELD\s+KEYS"
+    r"|TAG\s+VALUES\s+CARDINALITY|TAG\s+VALUES"
     r"|DATABASES|RETENTION\s+POLICIES|SERIES\s+CARDINALITY|SERIES)"
     r"(?:\s+ON\s+(\"[^\"]+\"|\w+))?"
     r"(?:\s+FROM\s+(\S+))?"
@@ -2422,6 +2425,68 @@ def _show(
     if kind == "MEASUREMENTS":
         return spark.createDataFrame(
             [(n,) for n in sorted(tables)], "name STRING"
+        )
+    if kind == "MEASUREMENT CARDINALITY":
+        # exact counts throughout the CARDINALITY family (InfluxDB
+        # 1.x defaults to estimated with an EXACT keyword variant;
+        # this engine has no sketch registry, and exact ⊇ EXACT) —
+        # same convention as SHOW SERIES CARDINALITY above
+        return spark.createDataFrame(
+            [(len(tables),)], "count BIGINT"
+        )
+    if kind in ("TAG KEY CARDINALITY", "FIELD KEY CARDINALITY"):
+        names = (
+            [_unquote(m.group(3))] if m.group(3) else sorted(tables)
+        )
+        seen: set[str] = set()
+        for n in names:
+            if n not in tables:
+                raise InfluxQLError(f"unknown measurement: {n!r}")
+            for c, t in tables[n].dtypes:
+                if kind.startswith("TAG"):
+                    if t == "string" and c.lower() != "time":
+                        seen.add(c)
+                elif t.split("(")[0] in _FIELD_TYPES:
+                    seen.add(c)
+        return spark.createDataFrame([(len(seen),)], "count BIGINT")
+    if kind == "TAG VALUES CARDINALITY":
+        # the one CARDINALITY that scans: distinct non-null values of
+        # one tag column — a partial-agg'd count-distinct on the
+        # pruned single-column projection
+        if not m.group(4):
+            raise InfluxQLError(
+                'SHOW TAG VALUES CARDINALITY requires WITH KEY = "k"'
+            )
+        key = _unquote(m.group(4))
+        names = (
+            [_unquote(m.group(3))] if m.group(3) else sorted(tables)
+        )
+        frames = []
+        for n in names:
+            if n not in tables:
+                raise InfluxQLError(f"unknown measurement: {n!r}")
+            tag_cols = {
+                c
+                for c, t in tables[n].dtypes
+                if t == "string" and c.lower() != "time"
+            }
+            if key in tag_cols:
+                frames.append(
+                    tables[n]
+                    .select(F.col(key).alias("value"))
+                    .where(F.col("value").isNotNull())
+                )
+        if not frames:
+            if m.group(3):
+                raise InfluxQLError(
+                    f"not a tag key of {names[0]!r}: {key!r}"
+                )
+            return spark.createDataFrame([(0,)], "count BIGINT")
+        from functools import reduce
+
+        allv = reduce(lambda a, b: a.unionByName(b), frames)
+        return allv.agg(
+            F.count_distinct(F.col("value")).cast("bigint").alias("count")
         )
     if kind in ("SERIES", "SERIES CARDINALITY"):
         # SHOW SERIES [FROM m] [LIMIT n]: one row per series key —

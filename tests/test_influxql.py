@@ -1767,3 +1767,38 @@ def test_sample_selector_deterministic(spark, flow):
             spark, t,
             "SELECT sample(coldInFlowRate, buildingID, 2) FROM flow",
         )
+
+
+def test_show_cardinality_family(spark, flow):
+    """SHOW ... CARDINALITY variants: exact counts (no sketch
+    registry; InfluxDB 1.x defaults to estimated with an EXACT
+    variant — exact satisfies both), same single-count convention as
+    SHOW SERIES CARDINALITY."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        run_influxql,
+    )
+
+    t = {"flow": flow}
+
+    def one(stmt):
+        rows = run_influxql(spark, t, stmt, table_dir=None).collect()
+        assert len(rows) == 1
+        return rows[0]["count"]
+
+    assert one("SHOW MEASUREMENT CARDINALITY") == 1
+    assert one("SHOW TAG KEY CARDINALITY") == 1  # buildingID
+    assert one("SHOW FIELD KEY CARDINALITY FROM flow") == 2
+    assert (
+        one('SHOW TAG VALUES CARDINALITY WITH KEY = "buildingID"') == 2
+    )  # A, B
+    with pytest.raises(InfluxQLError, match="WITH KEY"):
+        run_influxql(
+            spark, t, "SHOW TAG VALUES CARDINALITY", table_dir=None
+        )
+    with pytest.raises(InfluxQLError, match="not a tag key"):
+        run_influxql(
+            spark, t,
+            'SHOW TAG VALUES CARDINALITY FROM flow WITH KEY = "nope"',
+            table_dir=None,
+        )

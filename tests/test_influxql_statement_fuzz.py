@@ -215,6 +215,11 @@ ADMIN = [
     "SHOW DATABASES",
     "SHOW SERIES",
     "SHOW SERIES CARDINALITY",
+    "SHOW MEASUREMENT CARDINALITY",
+    "SHOW TAG KEY CARDINALITY",
+    "SHOW FIELD KEY CARDINALITY FROM campus_flow",
+    "SHOW TAG VALUES CARDINALITY WITH KEY = buildingID",
+    "SHOW TAG VALUES CARDINALITY",
     "SHOW SERIES FROM campus_flow",
     "SHOW TAG KEYS",
     "SHOW TAG KEYS FROM campus_flow",
