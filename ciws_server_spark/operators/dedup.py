@@ -745,18 +745,19 @@ QUERIES = {
 #: driver-verified) rotates in; exact/normalized/prefix dedup
 #: (driver-green r1-r6) yield slots.
 EXTRA = {
-    # r10 rotation (see tpch.EXTRA for the policy): the r8-stale
-    # minhash/clusters/ngram_jaccard/verify-twin rows register; the
-    # r9-green exact/normalized/prefix/simhash rotate OUT.
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_ngram_prefix",
-    "dedup_simhash",
-    # vacuous at the driver fixture (0 rows at the 0.9/production
-    # thresholds): the *_verify twins are the non-vacuous forms;
-    # permanently extra.
+    # r11 rotation (see tpch.EXTRA for the policy): minhash/clusters/
+    # ngram_jaccard/verify-twins are r10-green and rotate OUT; the
+    # r9-green exact/normalized/prefix/simhash re-register.
+    # dedup_embedding_cosine/lsh stay permanently extra (vacuous at
+    # the 0.9 production threshold; the *_verify twins at 0.3 are the
+    # non-vacuous forms).
+    "dedup_clusters",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_verify",
     "dedup_embedding_lsh",
+    "dedup_embedding_lsh_verify",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
 }
 
 # --- DuckDB oracle SQL ------------------------------------------------

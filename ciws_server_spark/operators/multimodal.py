@@ -375,14 +375,9 @@ QUERIES = {
 # (stale since r6/r7) rotate IN.
 # r10 rotation (see tpch.EXTRA for the policy): all mm rows are
 # r9-green, so the whole module yields its slots this round.
-EXTRA = {
-    "mm_byte_stats",
-    "mm_frame_sample",
-    "mm_image_features_stub",
-    "mm_manifest",
-    "mm_modality_rollup",
-    "mm_resize",
-}
+EXTRA: set[str] = set()
+# r11 rotation (see tpch.EXTRA for the policy): every multimodal row
+# is r8/r9-stale, so the whole module registers this round.
 
 _MODALITY_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"

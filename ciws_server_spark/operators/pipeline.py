@@ -330,12 +330,10 @@ ORACLES = {
 # r9 rotation (see tpch.EXTRA for the policy): the r8-green pair
 # rotates OUT; pipeline_curated_corpus (stale since r7) rotates IN.
 EXTRA: set[str] = {
-    # r10 rotation (see tpch.EXTRA for the policy):
-    # pipeline_pack_sequences (never driver-verified) registers; the
-    # r9-green rows rotate OUT.
-    "pipeline_curated_corpus",
-    "pipeline_source_quota",
-    "pipeline_train_split",
+    # r11 rotation (see tpch.EXTRA for the policy):
+    # pipeline_pack_sequences is r10-green and rotates OUT; the
+    # r8/r9-stale rows re-register.
+    "pipeline_pack_sequences",
 }
 
 HEADLINE = {"pipeline_curated_corpus"}

@@ -842,22 +842,16 @@ QUERIES = {
 #: (buckets→pairs, cells→topk) so the machinery is still driver-
 #: verified through its consumer.
 EXTRA = {
-    # r10 rotation (see tpch.EXTRA for the policy): all similarity
-    # rows are r9-green, so the whole module yields its slots to the
-    # never-driver-verified r9 additions (TPC-H suite, TA family).
-    # sim_lsh_pairs stays permanently extra (vacuous at the 0.5
-    # production threshold; sim_lsh_pairs_verify is the non-vacuous
-    # form).
+    # r11 rotation (see tpch.EXTRA for the policy): the r8-stale IVF/
+    # multitable rows register; the r9-green rows stay out one more
+    # round. sim_lsh_pairs stays permanently extra (vacuous at the
+    # 0.5 production threshold; sim_lsh_pairs_verify is the
+    # non-vacuous form).
     "sim_brute_topk",
-    "sim_ivf_cells",
-    "sim_ivf_kmeans",
-    "sim_ivf_topk",
     "sim_ivf_trained_topk",
     "sim_lsh_buckets",
-    "sim_lsh_multitable_buckets",
     "sim_lsh_multitable_pairs",
     "sim_lsh_pairs",
-    "sim_lsh_pairs_verify",
 }
 
 

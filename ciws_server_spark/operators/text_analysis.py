@@ -482,17 +482,13 @@ QUERIES = {
 #: driver-verified) rotate in; quality/lang-id/tokenizer/rolling
 #: fingerprint (driver-green r1-r6) yield slots.
 EXTRA = {
-    # r10 rotation (see tpch.EXTRA for the policy): all text rows are
-    # r9-green, so the whole module yields its slots this round.
+    # r11 rotation (see tpch.EXTRA for the policy): the r8-stale rows
+    # (fingerprint/pii/repetition/source_rollup/token_count) register;
+    # the r9-green rows stay out one more round.
     "text_decontaminate",
-    "text_fingerprint",
     "text_lang_id",
-    "text_pii_redact",
     "text_quality_score",
-    "text_repetition",
     "text_rolling_fingerprint",
-    "text_source_rollup",
-    "text_token_count",
     "text_tokenize_bpeish",
 }
 

@@ -1326,33 +1326,50 @@ QUERIES = {
 #: stale-users, retention, as-of backward) yield their slots and stay
 #: oracle-checked here by tests/test_extra_oracle.py.
 EXTRA = {
-    # r10 rotation (see tpch.EXTRA for the policy): the never-driver-
-    # verified r9 additions (TA family, select_arith,
-    # derivative_quarter, M4) plus the full r8-green InfluxQL tail
-    # register; the r9-green rows rotate OUT to extras (still
-    # oracle-checked locally by tests/test_extra_oracle.py).
-    # r10 session-2 additions start as extras; the rotation policy
-    # registers them next round as maximally stale.
-    "influxql_top_per_tag",
-    "influxql_companion_selector",
-    "influxql_percentile_companion",
-    "influxql_derivative",
-    "influxql_moving_average",
-    "influxql_quarter_bucket",
-    "influxql_select_range",
+    # r11 rotation (see tpch.EXTRA for the policy): the three
+    # never-driver-verified r10 selector additions (top_per_tag,
+    # companion_selector, percentile_companion) register, plus the
+    # r8/r9-stale tier; the full r10-green InfluxQL tail rotates OUT
+    # to extras (still oracle-checked locally every test run by
+    # tests/test_extra_oracle.py).
+    "influxql_cmo",
+    "influxql_cumulative_sum",
+    "influxql_dema",
+    "influxql_derivative_quarter",
+    "influxql_difference",
+    "influxql_elapsed",
+    "influxql_ema",
+    "influxql_fill_linear",
+    "influxql_group_by_time",
+    "influxql_group_by_time_fill",
+    "influxql_integral",
+    "influxql_kama",
+    "influxql_kaufman_er",
+    "influxql_month_bucket",
+    "influxql_offset",
+    "influxql_order_limit",
+    "influxql_percentile",
+    "influxql_regex_predicate",
+    "influxql_rsi",
+    "influxql_select_arith",
+    "influxql_slimit",
+    "influxql_soffset",
+    "influxql_stats_aggs",
+    "influxql_subquery",
+    "influxql_tema",
+    "influxql_top",
+    "influxql_trix",
+    "influxql_week_bucket",
     "ts_asof_join",
-    "ts_asof_join_forward",
-    "ts_asof_join_nearest",
-    "ts_funnel",
+    "ts_derived_rate",
     "ts_gap_fill",
     "ts_json_extract",
     "ts_latest_event_per_user",
+    "ts_m4_downsample",
     "ts_range_join_buckets",
     "ts_retention_plan",
     "ts_sessionize",
-    "ts_sliding_window",
     "ts_stale_users",
-    "ts_tag_time_range",
     "ts_time_bucket_agg",
     "ts_tumbling_window",
 }

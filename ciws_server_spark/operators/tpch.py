@@ -1059,30 +1059,22 @@ QUERIES = {
 #: tests/test_extra_oracle.py with the identical
 #: row/schema/value-hash comparison.
 EXTRA = {
-    # r10 rotation: the driver budget (≤50) registers the 50 STALEST
-    # driver-grade records each round. r10's stalest are the 23
-    # never-driver-verified r9 additions (TPC-H suite q6-q22, the
-    # TA family, select-arith, M4, pack_sequences) plus the r7/r8
-    # tier — so nearly all of tpch (r9-green) rotates OUT this round
-    # (still oracle-checked locally every test run by
+    # r11 rotation: the driver budget (<=50) registers the 50 STALEST
+    # driver-grade records each round (staleness = last round with a
+    # green CORRECTNESS_r{N} row; never-green sorts first; ties break
+    # alphabetically). r11's stalest are the 3 never-driver-verified
+    # r10 selector additions + the 25 r8-greens + the 22
+    # alphabetically-first r9-greens. The r10-green rows here
+    # (conditional_agg, window_running_revenue, suite q6-q22) rotate
+    # OUT (still oracle-checked locally every test run by
     # tests/test_extra_oracle.py — the identical comparison).
-    # conditional_agg_order_mix and window_running_revenue (stale
-    # since r7/r8) stay registered.
-    "crypto_hashes",
-    "cube_order_stats",
-    "date_functions_orders",
-    "distinct_agg_customers",
-    "grouping_sets_orders",
-    "join_anti_customers_no_recent_orders",
-    "join_outer_supplier_coverage",
-    "join_semi_customers_with_orders",
-    "percentile_prices",
-    "pivot_order_priority",
-    "q1_pricing_summary",
+    # join_anti_customers_without_orders is vacuous on this fixture
+    # (0 rows — the date-restricted variant is the non-vacuous form);
+    # permanently extra.
+    "conditional_agg_order_mix",
+    "join_anti_customers_without_orders",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "rollup_pricing",
-    "salted_high_cardinality_agg",
     "scalar_string_functions",
     "setop_nations_with_both",
     "setop_nations_without_suppliers",
@@ -1090,12 +1082,7 @@ EXTRA = {
     "subquery_exists_late_ship",
     "subquery_scalar_brand_premium",
     "topk_orders_per_segment",
-    "union_all_keys",
-    "window_rank_customers",
-    # vacuous on this fixture (0 rows — the date-restricted
-    # join_anti_customers_no_recent_orders is the non-vacuous form);
-    # permanently extra:
-    "join_anti_customers_without_orders",
+    "window_running_revenue",
 }
 
 _DEC1 = "CAST(1 AS DECIMAL(30,6))"

@@ -584,7 +584,22 @@ QUERIES = {
 
 #: r10 rotation: every suite query is maximally stale (never
 #: driver-verified) and registers this round per the stalest-50 policy.
-EXTRA: set[str] = set()
+EXTRA: set[str] = {
+    # r11 rotation (see tpch.EXTRA for the policy): the whole suite
+    # is r10-green and rotates OUT this round.
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_national_market_share",
+}
 
 HEADLINE: set[str] = set()
 

@@ -595,7 +595,12 @@ def _where_expr(
     if not cm:
         raise InfluxQLError(f"unsupported condition: {expr!r}")
     lhs = _unquote(cm.group("lhs"))
-    rhs = _unquote(cm.group("rhs"))
+    raw_rhs = cm.group("rhs").strip()
+    rhs = _unquote(raw_rhs)
+    # InfluxQL distinguishes BARE integers (epoch ns, per the HTTP
+    # API) from QUOTED strings (RFC3339 only) — '20240101' must NOT
+    # fall into the epoch path, it's a malformed date string
+    rhs_quoted = raw_rhs != rhs
     op = cm.group("op")
     is_time = lhs.lower() == "time"
     if op in ("=~", "!~"):
@@ -635,7 +640,7 @@ def _where_expr(
     else:
         col = F.col(lhs)
     if is_time:
-        em = re.match(r"^(\d+)(ns|u|µ|ms|s)?$", rhs)
+        em = None if rhs_quoted else re.match(r"^(\d+)(ns|u|µ|ms|s)?$", rhs)
         if em:
             # epoch-integer literal (the raw HTTP API's default form;
             # bare integers are nanoseconds per InfluxQL). Normalize
@@ -692,6 +697,20 @@ def _where_expr(
     return col < val
 
 
+# what Spark's ANSI timestamp cast is known to accept AND InfluxDB's
+# RFC3339 parser accepts: dashed date, optional T-or-space time,
+# optional .fraction, optional Z / ±HH:MM zone. Deliberately
+# NARROWER than datetime.fromisoformat, which on Python 3.11+ takes
+# forms Spark rejects at execution ('20240101', '2024-W01-1',
+# '2024-01-01+05:00' date-with-zone) — the validator must never pass
+# a literal the executor will throw on (totality contract).
+_TIME_LITERAL_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}"
+    r"(?:[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d{1,6})?)?"
+    r"(?:Z|[+-]\d{2}:\d{2})?)?$"
+)
+
+
 def _validate_time_literal(rhs: str) -> None:
     """Plan-time check of a quoted time literal. RFC3339 / ISO forms
     (date-only, T or space separator, optional zone, fractional
@@ -704,7 +723,11 @@ def _validate_time_literal(rhs: str) -> None:
     fm = re.match(r"^(.*\.\d{6})\d{1,3}(.*)$", s)
     if fm:
         s = fm.group(1) + fm.group(2)
+    if not _TIME_LITERAL_RE.match(s):
+        raise InfluxQLError(f"invalid time literal: {rhs!r}")
     try:
+        # the regex pins the SHAPE; fromisoformat still vets the
+        # field ranges (month 13, hour 25, Feb 30, bad zone offset)
         _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
     except ValueError:
         raise InfluxQLError(f"invalid time literal: {rhs!r}") from None
@@ -2477,10 +2500,9 @@ def _show(
                     .where(F.col("value").isNotNull())
                 )
         if not frames:
-            if m.group(3):
-                raise InfluxQLError(
-                    f"not a tag key of {names[0]!r}: {key!r}"
-                )
+            # unknown key — FROM-qualified or not — is a 0-count
+            # result, not an error: InfluxDB 1.x returns an empty
+            # cardinality for a key the measurement doesn't have
             return spark.createDataFrame([(0,)], "count BIGINT")
         from functools import reduce
 
@@ -2578,7 +2600,9 @@ def _show(
             c for c, t in dtypes if t == "string" and c.lower() != "time"
         }
         if key not in tag_cols:
-            raise InfluxQLError(f"not a tag key of {name!r}: {key!r}")
+            # InfluxDB 1.x returns an empty series for an unknown
+            # (or field-typed) key rather than erroring — parity
+            return spark.createDataFrame([], "key STRING, value STRING")
         return (
             tables[name]
             .select(F.lit(key).alias("key"), F.col(key).alias("value"))

@@ -129,6 +129,14 @@ def _fetch_lines(
     ``stop_bytes`` caps the read at the offset-recorded size, so a
     replay of a committed batch excludes bytes appended after it.
     """
+    return _decode_lines(_fetch_bytes(transport, name, skip_bytes, stop_bytes))
+
+
+def _fetch_bytes(
+    transport, name: str, skip_bytes: int = 0, stop_bytes: int | None = None
+) -> bytes:
+    """Fetch one remote file's byte range via the transport's atomic
+    temp-file fetch (the exact byte-moving code the feeder runs)."""
     fd, tmp = tempfile.mkstemp(prefix="ciws_feed_")
     os.close(fd)
     try:
@@ -136,15 +144,18 @@ def _fetch_lines(
         with open(tmp, "rb") as fh:
             if skip_bytes:
                 fh.seek(skip_bytes)
-            data = fh.read() if stop_bytes is None else fh.read(
+            return fh.read() if stop_bytes is None else fh.read(
                 max(stop_bytes - skip_bytes, 0)
             )
-        return data.decode("utf-8", errors="replace").splitlines()
     finally:
         try:
             os.unlink(tmp)
         except OSError:
             pass
+
+
+def _decode_lines(data: bytes) -> List[str]:
+    return data.decode("utf-8", errors="replace").splitlines()
 
 
 class _FilePartition(InputPartition):
@@ -219,20 +230,44 @@ class CiwsFeedBatchReader(DataSourceReader):
                 close()
 
 
-class CiwsFeedStreamReader(SimpleDataSourceStreamReader):
-    """Incremental feed: offset = {name: bytes-ingested} per file.
+def _unpack_state(v) -> Tuple[int, int]:
+    """Offset-map value → (committed_bytes, observed_size).
 
-    Each micro-batch ingests files that are new or whose size changed
-    since the last offset (P13), skipping in-flight files (P12). A
-    GROWN file emits only the appended byte range past the recorded
-    prefix (exactly-once for append-growing dataloggers); a SHRUNK
-    file (replaced/truncated upstream) re-ingests from byte 0 —
+    Legacy checkpoints (and the common fully-committed case) store a
+    bare int meaning committed == observed; a pending unterminated
+    tail stores ``[committed, observed]`` (JSON round-trips lists)."""
+    if isinstance(v, (list, tuple)):
+        return int(v[0]), int(v[1])
+    return int(v), int(v)
+
+
+def _pack_state(committed: int, observed: int):
+    return committed if committed == observed else [committed, observed]
+
+
+class CiwsFeedStreamReader(SimpleDataSourceStreamReader):
+    """Incremental feed: offset = {name: bytes-committed} per file.
+
+    Each micro-batch ingests files that are new or changed since the
+    last offset (P13), skipping in-flight files (P12). A GROWN file
+    emits only the appended byte range past the committed prefix,
+    and the committed offset only ever advances to a ``b'\\n'``
+    boundary of the fetched range — a partial trailing line (or a
+    multi-byte UTF-8 char cut mid-append) is carried, unemitted, into
+    the next batch rather than split across batches. The carried tail
+    is flushed once the file goes QUIESCENT (listed size unchanged
+    for one whole micro-batch): a complete file without a trailing
+    newline still yields its last line, one batch late. The one
+    unsplittable case left is a writer that pauses mid-line for a
+    full batch and then resumes the same line — indistinguishable
+    from a finished file without byte-level hints. A SHRUNK file
+    (replaced/truncated upstream) re-ingests from byte 0 —
     at-least-once, the only sound mode once old content is gone. The
     offset map lives in Spark's checkpoint offset log, so restart
     resumes exactly; ``readBetweenOffsets`` replays a committed batch
-    by re-fetching each changed file's recorded byte range
-    ``[start-offset, end-offset)``, byte-capped so content appended
-    after the commit stays in its own later batch.
+    by re-fetching each file's committed byte range
+    ``[start-committed, end-committed)``, byte-capped so content
+    appended after the commit stays in its own later batch.
     """
 
     def __init__(self, schema: StructType, options):
@@ -258,39 +293,70 @@ class CiwsFeedStreamReader(SimpleDataSourceStreamReader):
             rf
             for rf in transport.listdir()
             if _eligible(rf, self.suffix, job_start)
-            and seen.get(rf.name) != rf.size
+            and (
+                rf.name not in seen
+                or _unpack_state(seen[rf.name]) != (rf.size, rf.size)
+            )
         ]
         rows: list[Tuple] = []
         for rf in todo:
-            # append-growth delta: emit only bytes past the recorded
-            # prefix, capped at the listed size — each line is emitted
-            # exactly once across micro-batches. A SHRUNK file (replace
-            # or truncate) re-ingests from byte 0: content changed, the
-            # old lines are gone, at-least-once is the only sound mode.
-            prev = seen.get(rf.name, 0)
-            skip = prev if 0 < prev < rf.size else 0
-            for line in _fetch_lines(
-                transport, rf.name, skip_bytes=skip, stop_bytes=rf.size
-            ):
-                rows.append((rf.name, line))
-            seen[rf.name] = rf.size
+            prev_c, prev_s = _unpack_state(seen.get(rf.name, 0))
+            if 0 < prev_c < rf.size:
+                # append-growth delta: fetch only bytes past the
+                # committed prefix, capped at the listed size
+                data = _fetch_bytes(
+                    transport, rf.name, skip_bytes=prev_c,
+                    stop_bytes=rf.size,
+                )
+                if rf.size == prev_s:
+                    # quiescent: no growth since the last batch — the
+                    # carried unterminated tail is the file's real
+                    # last line; flush it
+                    committed = rf.size
+                else:
+                    # still growing: commit only whole lines; carry
+                    # any unterminated tail (committed stays on a
+                    # newline boundary, so the next delta never
+                    # starts mid-line or mid-UTF-8-char)
+                    nl = data.rfind(b"\n")
+                    data = data[: nl + 1]
+                    committed = prev_c + nl + 1  # prev_c if nl == -1
+                for line in _decode_lines(data):
+                    rows.append((rf.name, line))
+            else:
+                # new file, or SHRUNK (replaced/truncated): ingest
+                # from byte 0 in full — including an unterminated
+                # last line (a complete file need not end in '\n')
+                committed = rf.size
+                for line in _fetch_lines(
+                    transport, rf.name, stop_bytes=rf.size
+                ):
+                    rows.append((rf.name, line))
+            seen[rf.name] = _pack_state(committed, rf.size)
         return iter(rows), {"seen": seen}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         before = start.get("seen", {})
         after = end.get("seen", {})
         transport = self._get_transport()
-        for name, size in after.items():
-            if before.get(name) != size:
-                prev = before.get(name, 0)
-                skip = prev if 0 < prev < size else 0
-                # stop at the offset-recorded size: the live file may
-                # have grown since this batch committed, and those
-                # bytes belong to a later batch
-                for line in _fetch_lines(
-                    transport, name, skip_bytes=skip, stop_bytes=size
-                ):
-                    yield (name, line)
+        for name, state in after.items():
+            a_c, a_s = _unpack_state(state)
+            b_c, b_s = (
+                _unpack_state(before[name]) if name in before else (0, 0)
+            )
+            if (a_c, a_s) == (b_c, b_s):
+                continue
+            # mirror read()'s branch exactly: a delta batch emitted
+            # [b_c, a_c); a new/shrunk ingest emitted [0, a_c). The
+            # delta condition replays read's `0 < prev_c < rf.size`
+            # with rf.size == a_s (the size recorded by that batch).
+            skip = b_c if 0 < b_c < a_s else 0
+            if a_c <= skip:
+                continue  # no-newline delta: that batch emitted nothing
+            for line in _fetch_lines(
+                transport, name, skip_bytes=skip, stop_bytes=a_c
+            ):
+                yield (name, line)
 
     def commit(self, end: dict) -> None:
         # Nothing to clean up source-side: files are archived by the

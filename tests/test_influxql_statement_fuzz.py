@@ -384,6 +384,49 @@ def test_malformed_shapes_raise_named_errors(spark, tables):
             query_measurement(spark, tables, stmt, now=NOW)
 
 
+def test_non_rfc3339_time_literals_named_error(spark, tables):
+    """ADVICE r10: datetime.fromisoformat on Python 3.11+ accepts
+    forms Spark's ANSI cast rejects ('20240101', ISO week dates,
+    ordinal dates) — those must fail at PLAN time with the named
+    error, not leak a SparkDateTimeException from an executor. Valid
+    RFC3339 forms must still both plan AND execute (the validator
+    may only accept literals the cast accepts — totality both ways)."""
+    bad = [
+        "20240101",  # fromisoformat-ok on 3.11+, Spark cast rejects
+        "2024-W01-1",  # ISO week date
+        "2024-001",  # ordinal date
+        "2024-01-01+05:00",  # date with zone, no time
+        "2024/01/01",
+        "Jan 1 2024",
+    ]
+    for lit in bad:
+        with pytest.raises(InfluxQLError, match="invalid time literal"):
+            query_measurement(
+                spark, tables,
+                f"SELECT flowRate FROM campus_flow WHERE time > '{lit}'",
+            )
+    good = [
+        "2024-01-01",
+        "2024-01-01 06:30",
+        "2024-01-01T06:30:15",
+        "2024-01-01 06:30:15.123456",
+        "2024-01-01T06:30:15.123456789Z",  # ns fraction trimmed to µs
+        "2024-01-01 06:30:15+05:00",
+    ]
+    for lit in good:
+        query_measurement(
+            spark, tables,
+            f"SELECT flowRate FROM campus_flow WHERE time > '{lit}'",
+        ).collect()  # collect: the cast must survive execution too
+    # shape ok but field range bad → still the named error
+    for lit in ["2024-13-01", "2024-01-32", "2024-01-01 25:00"]:
+        with pytest.raises(InfluxQLError, match="invalid time literal"):
+            query_measurement(
+                spark, tables,
+                f"SELECT flowRate FROM campus_flow WHERE time > '{lit}'",
+            )
+
+
 def test_delete_with_unknown_tag_deletes_nothing(spark, tmp_path):
     """DELETE/DROP SERIES WHERE <unknown tag> must remove no points
     (InfluxDB semantics) rather than leak an unresolved-column error

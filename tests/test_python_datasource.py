@@ -381,6 +381,70 @@ def test_read_between_offsets_byte_capped(feed_dir):
     assert got == [("a_site77.csv", "2024-01-01 00:30:00,9")]
 
 
+def test_partial_trailing_line_never_split(feed_dir):
+    """ADVICE r10: a file that grows with an UNTERMINATED trailing
+    line must not have that line split across micro-batches. The
+    committed offset advances only to a b'\\n' boundary while the
+    file is growing; the carried tail is flushed intact once the
+    file goes quiescent (size unchanged for one batch). Also pins
+    the multi-byte-UTF-8 case: the cut point lands mid-char and
+    must not decode as two replacement-char fragments."""
+    from ciws_server_spark.sources.datasource import CiwsFeedStreamReader
+    from pyspark.sql.types import StructType
+
+    name, path = "g_grow.csv", os.path.join(feed_dir, "g_grow.csv")
+    r = CiwsFeedStreamReader(StructType([]), {"root": feed_dir})
+
+    def read_for(off):
+        rows, out = r.read(off)
+        return [line for f, line in rows if f == name], out
+
+    with open(path, "w") as fh:
+        fh.write("h1\nh2\n")
+    lines, off1 = read_for({"seen": {}})
+    assert lines == ["h1", "h2"]
+
+    # append a whole line + the head of a straddling line, cut MID
+    # UTF-8 CHAR (first byte of é only): only the whole line is
+    # emitted; the fragment — including the dangling lead byte — is
+    # carried, not split
+    with open(path, "ab") as fh:
+        fh.write("2024-01-01 00:15:00,7\n2024-01-01 00:30:00,".encode())
+        fh.write(b"\xc3")  # é is \xc3\xa9 — stop after the lead byte
+    lines, off2 = read_for(off1)
+    assert lines == ["2024-01-01 00:15:00,7"]
+
+    # the tail arrives (continuation byte + rest of the row): ONE
+    # intact line, no U+FFFD replacement chars from a mid-char cut
+    with open(path, "ab") as fh:
+        fh.write(b"\xa99\n")
+    lines, off3 = read_for(off2)
+    assert lines == ["2024-01-01 00:30:00,é9"]
+
+    # a final append WITHOUT a trailing newline: carried one batch,
+    # then flushed intact when the file goes quiescent
+    with open(path, "a") as fh:
+        fh.write("2024-01-01 00:45:00,4")
+    lines, off4 = read_for(off3)
+    assert lines == []
+    lines, off5 = read_for(off4)
+    assert lines == ["2024-01-01 00:45:00,4"]
+    # fully committed: a further unchanged batch emits nothing
+    lines, off6 = read_for(off5)
+    assert lines == []
+
+    # replays of every committed batch reproduce exactly what the
+    # live batches emitted (deterministic restart)
+    for a, b, want in [
+        (off1, off2, ["2024-01-01 00:15:00,7"]),
+        (off2, off3, ["2024-01-01 00:30:00,é9"]),
+        (off3, off4, []),
+        (off4, off5, ["2024-01-01 00:45:00,4"]),
+    ]:
+        got = [ln for f, ln in r.readBetweenOffsets(a, b) if f == name]
+        assert got == want
+
+
 def _install_fake_paramiko(monkeypatch):
     import stat as stat_mod  # noqa: F401
     import sys
