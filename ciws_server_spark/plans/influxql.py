@@ -1120,13 +1120,48 @@ def _apply_companion_selector(
         F.col(col).alias("_v"),
         *[F.col(c).alias(f"_c{i}") for i, c in enumerate(companions)],
     )
+    if fn == "percentile" and bucket_secs is None:
+        # ADVICE r10: without a time() bucket each group is an ENTIRE
+        # series — collect_list would materialize it as one in-memory
+        # executor array (OOM at scale). Window nearest-rank instead:
+        # one shuffle on the series key, a SPILLABLE partition sort,
+        # no array. Ordering matches the bucketed path's sort_array
+        # struct order — (value, time, companions), Spark asc = nulls
+        # first — so both paths pick the identical point.
+        from pyspark.sql.window import Window
+
+        part = [F.col(c) for c in tag_cols]
+        w = Window.partitionBy(*part)
+        order_cols = [F.col(col), F.col(time_col)] + [
+            F.col(c) for c in companions
+        ]
+        rn = F.row_number().over(w.orderBy(*order_cols))
+        n = F.count(F.lit(1)).over(w)
+        idx = F.floor(
+            n * F.lit(pct) / F.lit(100.0) + F.lit(0.5)
+        ).cast("int")
+        sel = (
+            pts.withColumn("_rn", rn)
+            .withColumn("_idx", idx)
+            # idx out of range (tiny group, small p) matches no row →
+            # the group drops, same as the bucketed when() guard
+            .where(F.col("_rn") == F.col("_idx"))
+        )
+        cols = [F.col(time_col)] + [F.col(c) for c in tag_cols]
+        cols.append(F.col(col).alias(fn))
+        cols += [F.col(c) for c in companions]
+        res = sel.select(*cols)
+        key = F.col(time_col)
+        res = res.orderBy(key.desc() if order_desc else key.asc())
+        return res, time_col
     if fn == "percentile":
         # nearest-rank point, same 1-based floor(n*p/100 + 0.5) index
         # as the plain percentile aggregate (_agg_column); sort key is
         # (value, time) so equal values pick the earlier point's
         # companions deterministically. collect_list is bounded per
-        # (bucket, series) — the same boundedness that makes GROUP BY
-        # time() itself viable.
+        # (bucket, series) — WITH a time() bucket (the branch above
+        # handles the unbounded no-bucket case), the same boundedness
+        # that makes GROUP BY time() itself viable.
         sortable = F.struct(
             F.col(col).alias("_v"),
             F.col(time_col).alias("_t"),
