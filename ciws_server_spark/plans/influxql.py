@@ -2734,7 +2734,11 @@ def execute_into(
     if "time_bucket" in result.columns:
         result = result.withColumnRenamed("time_bucket", "time")
     sinks.append_points(result, table_dir, target)
-    return spark.read.parquet(os.path.join(table_dir, target))
+    # read back under the registered (sidecar) schema: a bare
+    # spark.read.parquet cannot infer a schema when the INTO window
+    # held no source points and the target is new/empty — a CQ tick
+    # over a quiet window must not throw (r11 mutation-fuzz find #1)
+    return sinks.read_table(spark, table_dir, target)
 
 
 _DELETE_RE = re.compile(
