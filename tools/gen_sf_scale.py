@@ -9,13 +9,15 @@ it artificially:
   and foreign line/order/event/user keys past the original key space,
   so join fan-in per key and group sizes stay constant while row count
   scales. Dimension tables (customer/supplier/part/nation/region) stay
-  fixed, like TPC-H's fixed small dims. CAVEAT: event timestamps are
-  NOT shifted, so a factor-N fixture holds N events per ts — queries
-  whose result depends on cutting through time ties
-  (influxql_order_limit / influxql_offset: InfluxQL orders by time
-  only) are bench-only on these fixtures, never value-compared
-  (real InfluxDB can't hold two points at one (time, series), so the
-  tie case doesn't exist on honest data).
+  fixed, like TPC-H's fixed small dims. Event timestamps gain a
+  deterministic per-replica microsecond jitter (``ts + rep µs``) so a
+  factor-N fixture never holds N events at one instant — time-ordered
+  cuts (influxql_order_limit / offset / slimit / soffset) stay
+  tie-free and VALUE-comparable at every scale, as on the source
+  fixture (real InfluxDB can't hold two points at one (time, series),
+  so honest data has no such ties either). The jitter is ≤(N−1) µs —
+  far below the source's time resolution, so bucket membership and
+  range predicates are unchanged.
 * ``documents``: every token in replica *i* is prefixed ``r{i}``, so
   shingle sets across replicas are disjoint — the near-dup cluster
   structure is replicated ×N, NOT turned into one giant cross-replica
@@ -106,7 +108,8 @@ def main() -> None:
     write(
         "events",
         f"""
-        SELECT event_id + rep * {ekey} AS event_id, ts,
+        SELECT event_id + rep * {ekey} AS event_id,
+               ts + to_microseconds(rep) AS ts,
                user_id + rep * {ukey} AS user_id,
                event_type, value, props
         FROM read_parquet('{SRC}/events.parquet'), {reps}
