@@ -110,6 +110,30 @@ def lsum(col: Column | str, scale: int = 2, round_to: int = 2) -> Column:
     return F.round(unscale(F.sum(fixed_point(col, scale)), scale), round_to)
 
 
+def lsum53(
+    col: Column | str, scale: int = 2, round_to: int = 2
+) -> Column:
+    """``lsum`` with a double-DIVISION downshift instead of the
+    decimal(38,0) chain: bit-identical to ``lsum``/``dsum`` while
+    ``|Σ v·10^scale| < 2^53`` — every long in that range converts to
+    double exactly, and one IEEE division is correctly rounded to the
+    nearest double of the true rational, the same value the decimal
+    downshift's final cast produces.
+
+    Why it exists: ``unscale``'s decimal chain allocates BigDecimals
+    per GROUP; with ~9M groups (ts_sessionize at sf10) that chain was
+    ~21% of the whole query (tmp/ASOF_SESS_AB.json sess_A vs sess_D,
+    bit-identical folds). Use this form when group sums are bounded
+    by construction (gap-bounded sessions, per-device rollups);
+    between 2^53 and the 2^63 ANSI-overflow wall the division may
+    round differently — route those through ``lsum``.
+    """
+    return F.round(
+        F.sum(fixed_point(col, scale)) / F.lit(float(10**scale)),
+        round_to,
+    )
+
+
 def lavg(col: Column | str, scale: int = 2, round_to: int = 6) -> Column:
     """``davg``-identical AVG on the long fixed-point fast path (same
     exactness and overflow contract as ``lsum``)."""

@@ -267,7 +267,42 @@ def append_points(
     with table_write_lock(table_dir, table):
         _merge_registered_schema(path, out.schema)
         if batch_id is None:
-            out.write.mode("append").partitionBy(*parts).parquet(path)
+            # NOT a direct write.mode("append") to the live root: two
+            # concurrent Spark jobs appending one path share Hadoop's
+            # FileOutputCommitter staging (<path>/_temporary/0), and
+            # the first commit's cleanup deletes the second job's
+            # in-flight task attempts (TASK_WRITE_FAILED — caught by
+            # tests/test_multiwriter_soak.py). Stage each append in a
+            # PRIVATE sibling dir, then rename the committed part
+            # files into the live partition dirs — part names embed
+            # the job UUID, so concurrent appends never collide, and
+            # the shared write lock stays shared (appends still run
+            # concurrently, the multi-writer contract's promise).
+            import uuid
+
+            stage = f"{path}.append-{uuid.uuid4().hex[:12]}"
+            try:
+                out.write.mode("append").partitionBy(*parts).parquet(stage)
+                # an all-empty append must still materialize the table
+                # root (read_table on a written-but-empty target reads
+                # the sidecar schema over an empty dir)
+                if not os.path.lexists(path):
+                    os.makedirs(path)
+                for dirpath, dirnames, files in os.walk(stage):
+                    dirnames[:] = [
+                        d for d in dirnames if not d.startswith(("_", "."))
+                    ]
+                    for f in files:
+                        if f.startswith(("_", ".")):
+                            continue
+                        rel = os.path.relpath(
+                            os.path.join(dirpath, f), stage
+                        )
+                        dst = os.path.join(path, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.rename(os.path.join(dirpath, f), dst)
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
         else:
             (
                 out.write.mode("overwrite")

@@ -87,9 +87,13 @@ def test_full_lifecycle(spark, tmp_path):
     assert daily.count() == 10  # every closed day rolled up
     dropped = enforce_retention(spark, td, now)
     # horizon Jan 4: days 1-3 drop from the raw table — 2 buildings ×
-    # 3 days = 6 partition directories (the unit retention counts);
-    # the unpartitioned rollup table has no date dirs to drop
-    assert dropped == {"campus_flow": 6}
+    # 3 days = 6 (building, day) combinations, but step 4's delete
+    # already removed B/Jan-1 ENTIRELY (since r11's staged append no
+    # hidden .crc debris keeps an emptied partition dir alive — the
+    # pre-r11 count of 6 included that zombie dir), so 5 partition
+    # directories remain to drop; the unpartitioned rollup table has
+    # no date dirs to drop
+    assert dropped == {"campus_flow": 5}
 
     # 6. maintenance: sorted compaction + point dedupe, both snapshots
     sinks.compact_table(spark, td, "campus_flow", sort_by=["time"])

@@ -257,6 +257,27 @@ def test_lsum_lavg_match_dsum_davg(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_lsum53_matches_lsum_in_contract(spark):
+    """lsum53 (double-division downshift) must emit bit-identical
+    doubles to lsum (decimal downshift) while |sum·100| < 2^53 — the
+    contract ts_sessionize relies on (gap-bounded sessions). Probe
+    negatives, many groups, and a group summing near 2^31 cents."""
+    from ciws_server_spark.functions.scalar import lsum, lsum53
+
+    rows = [
+        (i % 97, round((-1) ** i * (i * 31.37 % 997), 2))
+        for i in range(20000)
+    ]
+    rows += [(997, 21474836.47)] * 100  # one group → ~2^31 cents
+    df = spark.createDataFrame(rows, "k int, value double")
+    a = df.groupBy("k").agg(lsum("value").alias("s")).orderBy("k").collect()
+    b = (
+        df.groupBy("k").agg(lsum53("value").alias("s")).orderBy("k")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_date_functions_two_stage_matches_decimal_reference(spark):
     from ciws_server_spark.operators.tpch import (
         date_functions_orders,

@@ -55,6 +55,13 @@ FAMILIES = [
     "ts_m4_downsample",
     # late-r9 addition: distributed prefix sum (sequence packing)
     "pipeline_pack_sequences",
+    # r11 additions: the r10 selector surface (judge r11 ask #5) —
+    # two stacked rank windows / partial-agg max_by companions /
+    # window nearest-rank percentile / metadata count-distinct scan
+    "influxql_top_per_tag",
+    "influxql_companion_selector",
+    "influxql_percentile_companion",
+    "influxql_show_cardinality",
 ]
 
 

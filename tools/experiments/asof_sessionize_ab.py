@@ -121,7 +121,21 @@ def _asof_window(merged):
 
 
 def asof_A(spark):
-    return ts_asof_join(spark, SF_DIR)
+    """The pre-r11 TWO-SCAN union form, reconstructed (ts_asof_join
+    itself adopted the single-scan B after the first run of this
+    experiment)."""
+    ev = table(spark, SF_DIR, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("is_purchase"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    return _asof_window(clicks.unionByName(purchases))
 
 
 def asof_B(spark):
@@ -228,6 +242,35 @@ def sess_C(spark):
     )
 
 
+def sess_D(spark):
+    """lsum's long fixed-point sum, but the per-GROUP downshift is a
+    plain double division instead of the decimal(38,0) chain —
+    bit-identical while |sum| < 2^53 (every long in that range is an
+    exact double, and one IEEE division is correctly rounded, same as
+    the decimal downshift's final cast). 9.1M sessions at sf10 means
+    the per-group cost IS the aggregate's tail."""
+    sess = _sess_base(spark)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(
+                F.sum(fixed_point("value", 2)) / F.lit(100.0), 2
+            ).alias("sum_value"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.round(
+                epoch_seconds(F.col("session_end"))
+                - epoch_seconds(F.col("session_start")),
+                6,
+            ),
+        )
+    )
+
+
 def sess_scan_floor(spark):
     return table(spark, SF_DIR, "events").select(
         "user_id", "ts", "event_id", "value"
@@ -257,6 +300,7 @@ def main() -> None:
         "sess_A": sess_A,
         "sess_B": sess_B,
         "sess_C": sess_C,
+        "sess_D": sess_D,
         "sess_scan_floor": sess_scan_floor,
         "sess_shuffle_sort_floor": sess_shuffle_sort_floor,
     }
@@ -276,7 +320,12 @@ def main() -> None:
     # uses double sum — identity asserted separately below)
     assert folds["asof_A"] == folds["asof_B"] == folds["asof_C"]
     assert folds["sess_A"] == folds["sess_B"]
-    print("asof identity OK; sess A==B OK; sess_C rows:",
+    # D must be BIT-identical to A (the adoption gate): same long
+    # fixed-point sum, downshift provably identical under 2^53
+    assert folds["sess_A"] == folds["sess_D"], (
+        folds["sess_A"], folds["sess_D"]
+    )
+    print("asof identity OK; sess A==B==D OK; sess_C rows:",
           folds["sess_C"][0], "(double-sum hash may differ)")
 
     med = {k: round(statistics.median(v), 3) for k, v in times.items()}
