@@ -1131,12 +1131,20 @@ def _apply_companion_selector(
         from pyspark.sql.window import Window
 
         part = [F.col(c) for c in tag_cols]
-        w = Window.partitionBy(*part)
         order_cols = [F.col(col), F.col(time_col)] + [
             F.col(c) for c in companions
         ]
-        rn = F.row_number().over(w.orderBy(*order_cols))
-        n = F.count(F.lit(1)).over(w)
+        w = Window.partitionBy(*part).orderBy(*order_cols)
+        rn = F.row_number().over(w)
+        # count over the SAME ordered spec (full frame): both window
+        # functions share one WindowExec — one sort, one pass (a
+        # spec-less count window would add a second Window operator
+        # and a second pass over every row; measured in §33 notes)
+        n = F.count(F.lit(1)).over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
         idx = F.floor(
             n * F.lit(pct) / F.lit(100.0) + F.lit(0.5)
         ).cast("int")
