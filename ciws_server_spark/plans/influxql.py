@@ -1121,39 +1121,101 @@ def _apply_companion_selector(
         *[F.col(c).alias(f"_c{i}") for i, c in enumerate(companions)],
     )
     if fn == "percentile" and bucket_secs is None:
-        # ADVICE r10: without a time() bucket each group is an ENTIRE
-        # series — collect_list would materialize it as one in-memory
-        # executor array (OOM at scale). Window nearest-rank instead:
-        # one shuffle on the series key, a SPILLABLE partition sort,
-        # no array. Ordering matches the bucketed path's sort_array
-        # struct order — (value, time, companions), Spark asc = nulls
-        # first — so both paths pick the identical point.
+        # ADVICE r10 (memory) + r11 (parallelism): without a time()
+        # bucket each group is an ENTIRE series. collect_list would
+        # materialize it as one executor array (OOM at scale), and a
+        # per-group window sort runs at parallelism = #groups (the
+        # tags-only query over 5 event types sorted 2M rows/task —
+        # 6.4s at sf10, BENCH_NOTES §34). Exact BUCKETED SELECTION
+        # instead: (1) one hash agg → per-group count/min/max (the
+        # nearest-rank index and the value range); (2) histogram rows
+        # into 1024 value buckets per group — fully parallel partial
+        # aggregation; (3) a window over ≤1024 bucket-count rows per
+        # group finds THE bucket whose cumulative count crosses the
+        # index; (4) sort only that bucket's candidates (≈n/1024
+        # rows) by the full (value, time, companions) key and pick
+        # the local rank. Same point as a full per-group sort —
+        # bucketing by value preserves the key-order prefix, so the
+        # global nearest-rank element is the local_idx-th element of
+        # its bucket. Degenerate all-equal-value groups collapse to
+        # one bucket = the old per-group sort, never worse. All joins
+        # on tags are NULL-SAFE (a null-tag series must survive — the
+        # r10 fill() fuzz lesson).
         from pyspark.sql.window import Window
 
-        part = [F.col(c) for c in tag_cols]
         order_cols = [F.col(col), F.col(time_col)] + [
             F.col(c) for c in companions
         ]
-        w = Window.partitionBy(*part).orderBy(*order_cols)
-        rn = F.row_number().over(w)
-        # count over the SAME ordered spec (full frame): both window
-        # functions share one WindowExec — one sort, one pass (a
-        # spec-less count window would add a second Window operator
-        # and a second pass over every row; measured in §33 notes)
-        n = F.count(F.lit(1)).over(
-            w.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
+        n_buckets = 1024
+        stats = (
+            pts.groupBy(*[F.col(c) for c in tag_cols])
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(col).alias("_lo"),
+                F.max(col).alias("_hi"),
+            )
+            .withColumn(
+                "_idx",
+                F.floor(
+                    F.col("_n") * F.lit(pct) / F.lit(100.0) + F.lit(0.5)
+                ).cast("int"),
+            )
+            # idx out of range (tiny group, small p) → group drops,
+            # same as the bucketed-path when() guard
+            .where((F.col("_idx") >= 1) & (F.col("_idx") <= F.col("_n")))
+        )
+
+        def _tag_join(left, right):
+            if not tag_cols:
+                return left.crossJoin(right)  # 1-row global stats
+            # rename the right side's keys first: both frames descend
+            # from `pts`, so a direct left[t]/right[t] condition is a
+            # self-join ambiguity
+            r = right
+            cond = None
+            for t in tag_cols:
+                r = r.withColumnRenamed(t, f"_r_{t}")
+            for t in tag_cols:
+                c = left[t].eqNullSafe(F.col(f"_r_{t}"))
+                cond = c if cond is None else (cond & c)
+            return left.join(r, cond).drop(
+                *[f"_r_{t}" for t in tag_cols]
+            )
+
+        joined = _tag_join(pts, stats)
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+        bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col(col) - F.col("_lo")) / width).cast("int"),
+                F.lit(n_buckets - 1),
             )
         )
-        idx = F.floor(
-            n * F.lit(pct) / F.lit(100.0) + F.lit(0.5)
-        ).cast("int")
-        sel = (
-            pts.withColumn("_rn", rn)
-            .withColumn("_idx", idx)
-            # idx out of range (tiny group, small p) matches no row →
-            # the group drops, same as the bucketed when() guard
-            .where(F.col("_rn") == F.col("_idx"))
+        bucketed = joined.withColumn("_b", bucket)
+        per_bucket = bucketed.groupBy(
+            *[F.col(c) for c in tag_cols], "_b", "_idx"
+        ).agg(F.count(F.lit(1)).alias("_bn"))
+        wcum = Window.partitionBy(
+            *[F.col(c) for c in tag_cols]
+        ).orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+        per_bucket = per_bucket.withColumn("_cum", F.sum("_bn").over(wcum))
+        targets = per_bucket.where(
+            (F.col("_cum") - F.col("_bn") < F.col("_idx"))
+            & (F.col("_idx") <= F.col("_cum"))
+        ).select(
+            *[F.col(c) for c in tag_cols],
+            F.col("_b").alias("_tb"),
+            (F.col("_idx") - (F.col("_cum") - F.col("_bn")))
+            .cast("int")
+            .alias("_local_idx"),
+        )
+        cand = _tag_join(
+            bucketed.drop("_n", "_lo", "_hi", "_idx"), targets
+        ).where(F.col("_b") == F.col("_tb"))
+        wsel = Window.partitionBy(
+            *[F.col(c) for c in tag_cols]
+        ).orderBy(*order_cols)
+        sel = cand.withColumn("_rn", F.row_number().over(wsel)).where(
+            F.col("_rn") == F.col("_local_idx")
         )
         cols = [F.col(time_col)] + [F.col(c) for c in tag_cols]
         cols.append(F.col(col).alias(fn))
