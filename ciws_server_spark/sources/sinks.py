@@ -699,6 +699,11 @@ def _compact_locked(
         # no append in flight; the set stays valid until a writer
         # commits, which the pre-swap re-capture detects
         before = _visible_file_set(root)
+        # safe point to sweep crashed-append staging debris: a live
+        # append holds the shared write lock while staging, so under
+        # the exclusive lock every surviving .append-* dir is orphaned
+        for stale in glob.glob(root + ".append-*"):
+            shutil.rmtree(stale, ignore_errors=True)
     parts = list(PARTITIONING.get(table, []))
     df = _read_current(spark, root)
     if "batch_id" in df.columns and "batch_id" not in parts:

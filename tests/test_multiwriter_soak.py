@@ -228,3 +228,22 @@ def test_concurrent_mutator_soak(spark, tmp_path):
         sinks.read_table(spark, td, "campus_flow").count()
         == len(got_ab) + len(v_by_time) * copies
     )
+
+
+def test_crashed_append_staging_swept_by_compactor(spark, tmp_path):
+    """A crashed append leaves its private .append-* staging dir; the
+    compactor sweeps it inside its exclusive write-lock section (no
+    append can be staging there), so debris never accumulates. A
+    LIVE append's staging must NOT be sweepable — it holds the shared
+    write lock, which blocks the compactor's exclusive section."""
+    td = str(tmp_path)
+    _append(spark, td, [(T0, "A", 1.0)])
+    root = os.path.join(td, "campus_flow")
+    debris = root + ".append-deadbeef0000"
+    os.makedirs(os.path.join(debris, "buildingID=A"))
+    with open(os.path.join(debris, "buildingID=A", "part-x.parquet"), "w"):
+        pass
+    sinks.compact_table(spark, td, "campus_flow")
+    assert not os.path.exists(debris)
+    # and the live table is intact
+    assert sinks.read_table(spark, td, "campus_flow").count() == 1
