@@ -134,6 +134,65 @@ def test_percentile_companion_bucketed_matches_window_form(spark, flow):
     } == {(r["buildingID"], r["percentile"], r["tempC"]) for r in flat}
 
 
+def test_percentile_bucketed_selection_degenerate_distributions(spark):
+    """The r11 bucketed-selection path (histogram → target bucket →
+    sort candidates) must stay exact on the distributions that stress
+    its bucketing: all-equal values (one fat bucket = the degenerate
+    full-group sort), extreme skew (the nearest-rank index lands in a
+    bucket holding 90% of the rows), negatives spanning zero, and a
+    singleton group. Reference = brute-force nearest-rank in Python."""
+    import datetime as _dt
+
+    rows = []
+    t0 = _dt.datetime(2024, 1, 1)
+    # group E: all-equal values
+    for i in range(50):
+        rows.append((t0 + _dt.timedelta(minutes=i), "E", 7.25, float(i)))
+    # group S: 90 rows of 1.0 + 10 outliers
+    for i in range(90):
+        rows.append((t0 + _dt.timedelta(minutes=i), "S", 1.0, float(i)))
+    for i in range(10):
+        rows.append(
+            (t0 + _dt.timedelta(minutes=200 + i), "S", 100.0 + i, -1.0)
+        )
+    # group N: negatives spanning zero
+    for i in range(21):
+        rows.append(
+            (t0 + _dt.timedelta(minutes=i), "N", float(i - 10), float(i))
+        )
+    # group 1: singleton
+    rows.append((t0, "One", 3.5, 9.0))
+    df = spark.createDataFrame(
+        rows, "time timestamp, buildingID string, flowRate double, "
+        "tempC double"
+    )
+
+    def brute(tag, p):
+        pts = sorted(
+            (v, t, c)
+            for (t, b, v, c) in rows
+            if b == tag and v is not None
+        )
+        idx = int(len(pts) * p / 100.0 + 0.5)
+        if not (1 <= idx <= len(pts)):
+            return None
+        v, t, c = pts[idx - 1]
+        return (t, v, c)
+
+    for p in (1, 10, 50, 90, 99, 100):
+        got = {
+            r["buildingID"]: (r["time"], r["percentile"], r["tempC"])
+            for r in _q(
+                spark, df,
+                f"SELECT percentile(flowRate, {p}), tempC FROM flow "
+                "GROUP BY buildingID",
+            ).collect()
+        }
+        for tag in ("E", "S", "N", "One"):
+            want = brute(tag, p)
+            assert got.get(tag) == want, (p, tag, got.get(tag), want)
+
+
 def test_fill_linear_join_is_null_safe_on_tags(spark, flow):
     df = _q(
         spark, flow,
