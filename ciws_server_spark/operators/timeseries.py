@@ -565,6 +565,25 @@ def influxql_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
 
 
+def influxql_tz_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``tz()`` composed with ``fill()`` (r11): daily buckets
+    aligned to America/Chicago local midnight (06:00 UTC in January —
+    CST), WHERE literals zone-local, empty local days densified to 0.
+    The dense axis is generated on the local wall-clock grid and
+    converted back to UTC instants with the same shift the bucket
+    column uses, so join keys match across DST transitions too."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT count(value) FROM events "
+        "WHERE \"event_type\" = 'purchase' "
+        f"AND time >= '{_START}' AND time <= '{_END}' "
+        "GROUP BY time(1d), event_type fill(0) tz('America/Chicago')"
+    )
+    return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
+
+
 def influxql_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``LIMIT n SLIMIT m`` (n points per series, first m
     series in tag order) through the text front-end."""
@@ -1303,6 +1322,7 @@ QUERIES = {
     "influxql_tema": influxql_tema,
     "influxql_trix": influxql_trix,
     "influxql_fill_linear": influxql_fill_linear,
+    "influxql_tz_fill": influxql_tz_fill,
     "influxql_slimit": influxql_slimit,
     "influxql_difference": influxql_difference,
     "influxql_cumulative_sum": influxql_cumulative_sum,
@@ -1373,6 +1393,7 @@ EXTRA = {
     "influxql_stats_aggs",
     "influxql_subquery",
     "influxql_tema",
+    "influxql_tz_fill",
     "influxql_top",
     "influxql_trix",
     "influxql_week_bucket",
@@ -1852,6 +1873,47 @@ ORACLES = {
                           ELSE NULL END, 6) AS min_value
         FROM win
         ORDER BY time_bucket, event_type
+    """,
+    "influxql_tz_fill": f"""
+        WITH filt AS (
+          SELECT * FROM events
+          WHERE event_type = 'purchase'
+            AND ts >= ((TIMESTAMP '{_START} 00:00:00'
+                        AT TIME ZONE 'America/Chicago') AT TIME ZONE 'UTC')
+            AND ts <= ((TIMESTAMP '{_END} 00:00:00'
+                        AT TIME ZONE 'America/Chicago') AT TIME ZONE 'UTC')
+        ),
+        agg AS (
+          SELECT (((to_timestamp(CAST(floor(epoch(
+                     (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Chicago')
+                     / 86400) AS BIGINT) * 86400) AT TIME ZONE 'UTC')
+                   AT TIME ZONE 'America/Chicago') AT TIME ZONE 'UTC')
+                   AS time_bucket,
+                 event_type,
+                 -- engine fill(0) widens to double (float constant);
+                 -- match the dtype exactly for the hash gate
+                 CAST(COUNT(value) AS DOUBLE) AS count_value
+          FROM filt GROUP BY 1, 2
+        ),
+        axis AS (
+          SELECT s.event_type,
+                 ((b.lb AT TIME ZONE 'America/Chicago') AT TIME ZONE 'UTC')
+                   AS time_bucket
+          FROM (SELECT DISTINCT event_type FROM agg) s,
+               (SELECT unnest(generate_series(
+                  (to_timestamp(CAST(floor(epoch(
+                     TIMESTAMP '{_START} 00:00:00') / 86400) AS BIGINT)
+                     * 86400) AT TIME ZONE 'UTC'),
+                  (to_timestamp(CAST(floor(epoch(
+                     TIMESTAMP '{_END} 00:00:00') / 86400) AS BIGINT)
+                     * 86400) AT TIME ZONE 'UTC'),
+                  INTERVAL 1 DAY)) AS lb) b
+        )
+        SELECT x.time_bucket, x.event_type,
+               COALESCE(a.count_value, 0) AS count_value
+        FROM axis x LEFT JOIN agg a
+          ON a.time_bucket = x.time_bucket AND a.event_type = x.event_type
+        ORDER BY x.time_bucket, x.event_type
     """,
     "influxql_select_arith": """
         SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600)

@@ -32,7 +32,13 @@ Grammar (case-insensitive keywords):
                                              -- combines with SLIMIT)
     [tz('<IANA zone>')]                      -- local-time bucket
                                              -- alignment + local WHERE
-                                             -- literals (not with fill)
+                                             -- literals (plain strings
+                                             -- only: epoch ints and
+                                             -- zone-suffixed strings
+                                             -- stay absolute); fill()
+                                             -- composes — the dense
+                                             -- axis sits on the local
+                                             -- wall-clock grid
 
     item  := "col" | col | agg(col) | agg("col") | agg(*) | * | xform
     agg   := mean|sum|count|min|max|first|last
@@ -672,18 +678,29 @@ def _where_expr(
         # — the totality contract wants the named error here instead.
         # InfluxDB itself rejects non-RFC3339 strings at parse time.
         _validate_time_literal(rhs)
-        # with tz('Zone') time literals are LOCAL wall-clock in that
-        # zone (InfluxQL); to_utc_timestamp reads the literal's wall
-        # time as zone-local and yields the UTC instant
+        # with tz('Zone') PLAIN string literals are LOCAL wall-clock
+        # in that zone (InfluxQL); epoch integers and zone-suffixed
+        # strings ('…Z' / '…+05:00') denote absolute instants and must
+        # NOT be shifted again (shifting them too was an upstream
+        # divergence, fixed r11)
+        is_epoch = em is not None
+        has_zone = bool(re.search(r"(?:Z|[+-]\d{2}:\d{2})$", rhs))
         val = F.lit(rhs).cast("timestamp")
-        if tz:
+        if tz and not is_epoch and not has_zone:
             val = F.to_utc_timestamp(val, tz)
     else:
         val = F.lit(rhs)
-    if is_time and op in (">=", ">"):
-        bounds["lo"] = min(bounds.get("lo", rhs), rhs)
-    if is_time and op in ("<=", "<"):
-        bounds["hi"] = max(bounds.get("hi", rhs), rhs)
+    if is_time and op in (">=", ">", "<=", "<"):
+        # bounds feed the fill() axis: record one canonical NAIVE
+        # shape — local wall-clock under tz() (the axis floors in
+        # local time), naive UTC otherwise — so the lexicographic
+        # min/max below compares like with like even when plain,
+        # epoch and zone-suffixed literals mix in one WHERE
+        b = _canon_bound(rhs, tz, absolute=is_epoch or has_zone)
+        if op in (">=", ">"):
+            bounds["lo"] = min(bounds.get("lo", b), b)
+        else:
+            bounds["hi"] = max(bounds.get("hi", b), b)
     if op == "=":
         return col == val
     if op in ("!=", "<>"):
@@ -731,6 +748,36 @@ def _validate_time_literal(rhs: str) -> None:
         _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
     except ValueError:
         raise InfluxQLError(f"invalid time literal: {rhs!r}") from None
+
+
+def _canon_bound(rhs: str, tz: str | None, *, absolute: bool) -> str:
+    """Normalize a validated time literal to the canonical naive
+    string the fill() axis floors on: LOCAL wall-clock when tz() is
+    set, naive UTC otherwise. ``absolute`` marks literals that denote
+    an instant regardless of tz() (epoch integers, zone-suffixed
+    strings); aware→naive conversions here are total and unambiguous
+    (every instant has exactly one wall time in a zone — ambiguity
+    only exists the other way)."""
+    import datetime as _dt
+
+    s = rhs.strip()
+    fm = re.match(r"^(.*\.\d{6})\d{1,3}(.*)$", s)
+    if fm:  # >6-digit fraction: truncate to µs, as Spark's cast does
+        s = fm.group(1) + fm.group(2)
+    d = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if d.tzinfo is not None or (absolute and tz):
+        if d.tzinfo is None:  # epoch literal rendered as naive UTC
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        if tz:
+            from zoneinfo import ZoneInfo
+
+            d = d.astimezone(ZoneInfo(tz))
+        else:
+            d = d.astimezone(_dt.timezone.utc)
+        d = d.replace(tzinfo=None)
+    return d.strftime(
+        "%Y-%m-%d %H:%M:%S.%f" if d.microsecond else "%Y-%m-%d %H:%M:%S"
+    )
 
 
 def _unquote(tok: str) -> str:
@@ -842,6 +889,7 @@ def _apply_fill(
     tag_cols: list[str],
     time_bounds: dict,
     bucket_offset: int = 0,
+    tz: str | None = None,
 ) -> DataFrame:
     """Densify the bucketed aggregate per series and fill gaps.
 
@@ -852,6 +900,13 @@ def _apply_fill(
     (``fill(previous)``) is last(ignorenulls) over the series window;
     constants are coalesce. Axis size = buckets × series — bounded and
     independent of event count, the 100 TB-safe shape.
+
+    With ``tz()`` the recorded bounds are LOCAL wall-clock strings
+    (canonicalized at WHERE compile), the axis is generated on the
+    naive local grid — the same grid ``_bucket_expr`` floors on — and
+    each bucket start converts to its UTC instant with the SAME
+    ``to_utc_timestamp`` the bucket column uses, so the left-join keys
+    match bit-for-bit across DST transitions.
     """
     from pyspark.sql import Window as W
 
@@ -891,6 +946,11 @@ def _apply_fill(
         )
     else:
         axis = spark.range(1).select(axis_col)
+    if tz:
+        # naive-local axis → UTC instants (see docstring)
+        axis = axis.withColumn(
+            "time_bucket", F.to_utc_timestamp("time_bucket", tz)
+        )
     value_cols = [
         c for c in agg_df.columns if c not in (*tag_cols, "time_bucket")
     ]
@@ -1437,7 +1497,7 @@ def _apply_transform(
         if fill_mode != "none":
             base = _apply_fill(
                 base, fill_mode, bucket_secs, tag_cols, time_bounds,
-                bucket_offset,
+                bucket_offset, tz,
             )
         tkey = "time_bucket"
     else:
@@ -2192,11 +2252,6 @@ def translate(
                     plain_items.append(name)
 
     fill_mode = (m.group("fill") or "none").strip().lower()
-    if tz and fill_mode != "none":
-        # the dense fill axis is generated epoch-aligned; composing it
-        # with local-time bucket alignment needs a zone-aware axis —
-        # refuse rather than emit misaligned buckets
-        raise InfluxQLError("tz() does not compose with fill() (yet)")
     # InfluxQL only sorts on time; direction defaults to ASC. The sort
     # key is the raw time column (no GROUP BY) or the bucket column.
     order_desc = (m.group("order") or "ASC").upper() == "DESC"
@@ -2313,7 +2368,7 @@ def translate(
         if fill_mode != "none":
             out = _apply_fill(
                 out, fill_mode, bucket_secs, tag_cols, time_bounds,
-                bucket_offset,
+                bucket_offset, tz,
             )
         if bucket is not None:
             time_key = "time_bucket"

@@ -794,13 +794,82 @@ def test_tz_clause(spark):
         query_measurement(
             spark, t, "SELECT count(v) FROM m GROUP BY time(1d) tz('Mars')"
         )
-    with pytest.raises(InfluxQLError, match="does not compose"):
-        query_measurement(
-            spark, t,
-            "SELECT count(v) FROM m "
-            "WHERE time >= '2021-03-13' AND time <= '2021-03-14' "
-            "GROUP BY time(1h) fill(0) tz('America/Chicago')",
-        )
+
+
+def test_tz_fill_composes(spark):
+    """tz() + fill() (r11): the dense axis is generated on the LOCAL
+    wall-clock grid and converted back to UTC instants, so buckets
+    stay aligned to local midnight across the DST transition and
+    trailing empty local days densify."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    base = dt.datetime(2021, 3, 13, 0, 0)  # UTC; spring-forward 3/14
+    rows = [(base + dt.timedelta(hours=h), 1.0) for h in range(72)]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    t = {"m": m}
+
+    got = query_measurement(
+        spark, t,
+        "SELECT count(v) FROM m "
+        "WHERE time >= '2021-03-13 00:00:00' "
+        "AND time <= '2021-03-18 00:00:00' "
+        "GROUP BY time(1d) fill(0) tz('America/Chicago')",
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r["count_v"] for r in got}
+    assert by_bucket == {
+        "2021-03-13 06:00:00": 24,  # full CST local day
+        "2021-03-14 06:00:00": 23,  # spring-forward: 23-hour local day
+        "2021-03-15 05:00:00": 19,  # CDT; data ends 3/15 23:00 UTC
+        "2021-03-16 05:00:00": 0,   # filled — axis on LOCAL midnights
+        "2021-03-17 05:00:00": 0,
+        "2021-03-18 05:00:00": 0,
+    }
+
+
+def test_tz_absolute_literals(spark):
+    """Under tz(), epoch-integer and zone-suffixed time literals are
+    ABSOLUTE instants (InfluxQL shifts only plain strings) — r11
+    upstream-parity fix."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    base = dt.datetime(2021, 3, 13, 0, 0)  # UTC
+    rows = [(base + dt.timedelta(hours=h), 1.0) for h in range(72)]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    t = {"m": m}
+
+    # 1615593600 = 2021-03-13 00:00:00 UTC; +2h upper bound
+    got = query_measurement(
+        spark, t,
+        "SELECT v FROM m WHERE time >= 1615593600000000000 "
+        "AND time <= 1615600800000000000 tz('America/Chicago')",
+    ).collect()
+    assert [str(r["time"]) for r in got] == [
+        "2021-03-13 00:00:00",
+        "2021-03-13 01:00:00",
+        "2021-03-13 02:00:00",
+    ]
+
+    got = query_measurement(
+        spark, t,
+        "SELECT v FROM m WHERE time >= '2021-03-13T00:00:00Z' "
+        "AND time <= '2021-03-13T02:00:00Z' tz('America/Chicago')",
+    ).collect()
+    assert len(got) == 3  # zone-suffixed == absolute, not re-shifted
+
+    # epoch bounds still drive a tz-local fill axis (bounds are
+    # re-framed to local wall time at plan time): 00:00Z 3/13 falls in
+    # local day 3/12, so the axis starts at 3/12 06:00Z (CST midnight)
+    got = query_measurement(
+        spark, t,
+        "SELECT count(v) FROM m WHERE time >= 1615593600000000000 "
+        "AND time <= 1615766400000000000 "  # 2021-03-15 00:00:00 UTC
+        "GROUP BY time(1d) fill(0) tz('America/Chicago')",
+    ).collect()
+    buckets = [str(r["time_bucket"]) for r in got]
+    assert buckets[0] == "2021-03-12 06:00:00"
+    assert {str(r["time_bucket"]): r["count_v"] for r in got}[
+        "2021-03-12 06:00:00"
+    ] == 6  # 00:00Z–05:59Z of 3/13 sit in local day 3/12
 
 
 def test_distinct_function(spark, flow):

@@ -268,6 +268,109 @@ def gen_fill_case(r: random.Random):
     return iql, sql, "fill"
 
 
+ZONES = ["America/Chicago", "Asia/Kolkata", "Europe/Berlin", "UTC"]
+
+
+def gen_tz_fill_case(r: random.Random):
+    """tz() + fill() (r11): the dense axis must sit on the LOCAL
+    wall-clock grid and convert back to UTC instants. Two shapes:
+    sub-day buckets over the January minute fixture (constant zone
+    offsets, including Kolkata's half-hour), and time(1d) over the
+    months-spanning daily fixture, whose range crosses the 2024
+    US/EU spring-forward transitions. Local midnights always exist
+    (transitions happen 2-3am), so the Spark and ICU conventions for
+    nonexistent local times never get a chance to diverge."""
+    z = r.choice(ZONES)
+    fill = r.choice(["0", "null", "previous"])
+    tags = ["buildingID"] if r.random() < 0.5 else []
+    if r.random() < 0.5:
+        table, f = "campus_daily", "flowRate"
+        bsec, step_sql, bspec = 86400, "INTERVAL 1 DAY", "1d"
+        base = dt.datetime(2023, 11, 15)
+        lo = base + dt.timedelta(days=r.randrange(0, 60))
+        hi = lo + dt.timedelta(days=r.randrange(30, 200))
+    else:
+        table, f = "campus_flow", r.choice(FIELDS)
+        bucket_min = r.choice([30, 60, 120])
+        bsec = bucket_min * 60
+        step_sql, bspec = f"INTERVAL {bucket_min} MINUTE", f"{bucket_min}m"
+        lo = BASE + dt.timedelta(minutes=r.randrange(0, 120))
+        hi = lo + dt.timedelta(minutes=r.randrange(90, 360))
+    fn = r.choice(["count", "sum", "max", "first", "last"])
+    alias = f"{fn}_{f}"
+
+    def to_utc(naive: str) -> str:
+        return f"(({naive} AT TIME ZONE '{z}') AT TIME ZONE 'UTC')"
+
+    def floor_naive(naive: str) -> str:
+        # to_timestamp returns TIMESTAMPTZ; AT TIME ZONE 'UTC' lands
+        # back on the naive wall-clock value epoch() read
+        return (
+            f"(to_timestamp(CAST(floor(epoch({naive}) / {bsec}) AS "
+            f"BIGINT) * {bsec}) AT TIME ZONE 'UTC')"
+        )
+
+    loc_time = f"((time AT TIME ZONE 'UTC') AT TIME ZONE '{z}')"
+    bucket_sql = to_utc(floor_naive(loc_time))
+    lo_s, hi_s = f"{lo:%Y-%m-%d %H:%M:%S}", f"{hi:%Y-%m-%d %H:%M:%S}"
+    group_iql = [f"time({bspec})"] + tags
+    iql = (
+        f"SELECT {fn}({f}) FROM {table} "
+        f"WHERE time >= '{lo_s}' AND time <= '{hi_s}' "
+        f"GROUP BY {', '.join(group_iql)} fill({fill}) tz('{z}')"
+    )
+    agg_sql = _agg_sql(fn, f)
+    tag_sel = (", " + ", ".join(tags)) if tags else ""
+    tag_x = (", " + ", ".join(f"x.{t}" for t in tags)) if tags else ""
+    series = (
+        f"(SELECT DISTINCT {', '.join(tags)} FROM agg) s,"
+        if tags
+        else ""
+    )
+    join_tags = "".join(
+        f" AND a.{t} IS NOT DISTINCT FROM x.{t}" for t in tags
+    )
+    if fill == "previous":
+        part = (
+            f"PARTITION BY {', '.join('x.' + t for t in tags)} "
+            if tags
+            else ""
+        )
+        val = (
+            f"last_value(a.{alias} IGNORE NULLS) OVER "
+            f"({part}ORDER BY x.time_bucket) AS {alias}"
+        )
+    elif fill == "0":
+        val = f"COALESCE(a.{alias}, 0) AS {alias}"
+    else:
+        val = f"a.{alias} AS {alias}"
+    sql = f"""
+        WITH filt AS (
+          SELECT * FROM {table}
+          WHERE time >= {to_utc(f"TIMESTAMP '{lo_s}'")}
+            AND time <= {to_utc(f"TIMESTAMP '{hi_s}'")}
+        ),
+        agg AS (
+          SELECT {bucket_sql} AS time_bucket, {agg_sql} AS {alias}
+                 {tag_sel}
+          FROM filt GROUP BY {', '.join(['1'] + ['3'] * bool(tags))}
+        ),
+        axis AS (
+          SELECT {("s." + ", s.".join(tags) + ", ") if tags else ""}
+                 {to_utc("b.lb")} AS time_bucket
+          FROM {series}
+               (SELECT unnest(generate_series(
+                  {floor_naive(f"TIMESTAMP '{lo_s}'")},
+                  {floor_naive(f"TIMESTAMP '{hi_s}'")},
+                  {step_sql})) AS lb) b
+        )
+        SELECT x.time_bucket{tag_x}, {val}
+        FROM axis x LEFT JOIN agg a
+          ON a.time_bucket = x.time_bucket{join_tags}
+    """
+    return iql, sql, "tz_fill"
+
+
 def gen_transform_case(r: random.Random):
     """difference / cumulative_sum over a bucketed aggregate, and
     mean-arithmetic select items — per-series window semantics."""
@@ -757,8 +860,10 @@ def gen_calendar_case(r: random.Random):
 def gen_case(r: random.Random):
     """One generated (influxql, duckdb_sql, kind) case."""
     roll = r.random()
-    if roll < 0.14:
+    if roll < 0.12:
         return gen_fill_case(r)
+    if roll < 0.18:
+        return gen_tz_fill_case(r)
     if roll < 0.30:
         return gen_transform_case(r)
     if roll < 0.40:
