@@ -231,11 +231,68 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_WORDS = 8
+
+
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the paragraph-granularity pass of a
+    training-data pipeline (Dolma-style paragraph dedup, adapted to
+    fixed ``_CHUNK_WORDS``-word windows because the synthetic corpus
+    has no paragraph separators): a chunk survives iff it is the
+    FIRST occurrence of that exact text in (doc_id, chunk_idx) order;
+    each document reports its chunk count, surviving count, and the
+    deduplicated text reassembled from its surviving chunks in order.
+
+    Scale shape: chunking is a row-local array expression (split +
+    slice under ``transform`` — one array op per doc, no per-word
+    explode); first-occurrence ranking is ONE shuffle keyed on the
+    chunk text (row_number over tiny per-chunk groups); reassembly is
+    a second shuffle back on doc_id with a per-document collect_list
+    — bounded by document size, the bound every per-doc operator
+    already has. No joins, no driver state. At 100 TB the shuffle key
+    would be (xxhash64(chunk), chunk) to shrink comparator cost —
+    semantically identical.
+    """
+    docs = docs_scan(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.ceil(F.size(words) / F.lit(_CHUNK_WORDS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda j: F.array_join(
+            F.slice(words, j * _CHUNK_WORDS + F.lit(1), F.lit(_CHUNK_WORDS)),
+            " ",
+        ),
+    )
+    ex = docs.select("doc_id", F.posexplode(chunks).alias("ci", "chunk"))
+    rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "ci"))
+    ranked = ex.withColumn("keep", rn == F.lit(1))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("ci", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pipeline_curated_corpus": pipeline_curated_corpus,
     "pipeline_train_split": pipeline_train_split,
     "pipeline_source_quota": pipeline_source_quota,
     "pipeline_pack_sequences": pipeline_pack_sequences,
+    "pipeline_chunk_dedup": pipeline_chunk_dedup,
 }
 
 ORACLES = {
@@ -319,6 +376,36 @@ ORACLES = {
         WHERE rk <= {_QUOTA_PER_SOURCE}
         ORDER BY doc_id
     """,
+    "pipeline_chunk_dedup": f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, j.ci,
+                   array_to_string(
+                     ws[j.ci*{_CHUNK_WORDS}+1 : j.ci*{_CHUNK_WORDS}+{_CHUNK_WORDS}],
+                     ' ') AS chunk
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(0,
+                            CAST(ceil(len(ws)/{_CHUNK_WORDS}.0) AS BIGINT) - 1
+                          )) AS ci) j
+        ),
+        ranked AS (
+            SELECT doc_id, ci, chunk,
+                   row_number() OVER (
+                       PARTITION BY chunk ORDER BY doc_id, ci
+                   ) AS rn
+            FROM chunks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(chunk, ' ' ORDER BY ci)
+                        FILTER (WHERE rn = 1), '') AS dedup_text
+        FROM ranked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
 }
 
 #: r7 rotation: train_split + source_quota (never driver-verified)
@@ -332,8 +419,10 @@ ORACLES = {
 EXTRA: set[str] = {
     # r11 rotation (see tpch.EXTRA for the policy):
     # pipeline_pack_sequences is r10-green and rotates OUT; the
-    # r8/r9-stale rows re-register.
+    # r8/r9-stale rows re-register. chunk_dedup is new this round
+    # (extras tier until its rotation turn).
     "pipeline_pack_sequences",
+    "pipeline_chunk_dedup",
 }
 
 HEADLINE = {"pipeline_curated_corpus"}

@@ -283,9 +283,16 @@ def gen_tz_fill_case(r: random.Random):
     z = r.choice(ZONES)
     fill = r.choice(["0", "null", "previous"])
     tags = ["buildingID"] if r.random() < 0.5 else []
+    calendar = False
     if r.random() < 0.5:
         table, f = "campus_daily", "flowRate"
-        bsec, step_sql, bspec = 86400, "INTERVAL 1 DAY", "1d"
+        if r.random() < 0.4:
+            # calendar months in LOCAL time: date_trunc on the shifted
+            # wall clock, axis steps whole months on month starts
+            calendar = True
+            bsec, step_sql, bspec = None, "INTERVAL 1 MONTH", "1mo"
+        else:
+            bsec, step_sql, bspec = 86400, "INTERVAL 1 DAY", "1d"
         base = dt.datetime(2023, 11, 15)
         lo = base + dt.timedelta(days=r.randrange(0, 60))
         hi = lo + dt.timedelta(days=r.randrange(30, 200))
@@ -303,6 +310,8 @@ def gen_tz_fill_case(r: random.Random):
         return f"(({naive} AT TIME ZONE '{z}') AT TIME ZONE 'UTC')"
 
     def floor_naive(naive: str) -> str:
+        if calendar:
+            return f"date_trunc('month', {naive})"
         # to_timestamp returns TIMESTAMPTZ; AT TIME ZONE 'UTC' lands
         # back on the naive wall-clock value epoch() read
         return (

@@ -205,6 +205,13 @@ def gen_select(r: random.Random) -> str:
     for kw in ("LIMIT", "OFFSET", "SLIMIT", "SOFFSET"):
         if r.random() < 0.2:
             q += f" {kw} {r.choice(['5', '0', '-1'])}"
+    if r.random() < 0.25:
+        # tz(): valid zones must evaluate (incl. composed with fill,
+        # r11); bogus zones must raise the named error
+        q += " tz('{}')".format(r.choice([
+            "America/Chicago", "Asia/Kolkata", "UTC",
+            "Mars/Olympus", "", "America/Nowhere",
+        ]))
     if r.random() < 0.1:
         q = f"SELECT mean(m) FROM ({q}) GROUP BY time(1h)"
     return q
