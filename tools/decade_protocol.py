@@ -62,6 +62,9 @@ FAMILIES = [
     "influxql_companion_selector",
     "influxql_percentile_companion",
     "influxql_show_cardinality",
+    # r11 session-2 addition: chunk-granularity exact dedup (one
+    # chunk-keyed shuffle + window, one doc_id agg — the new text op)
+    "pipeline_chunk_dedup",
 ]
 
 
