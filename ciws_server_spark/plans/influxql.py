@@ -1375,9 +1375,23 @@ def _apply_transform(
     args = [a.strip() for a in _split_commas(xform_m.group(2))]
     inner = args[0]
     im = _AGG_RE.match(inner)
+    # the inner argument must BE a field reference (or agg-of-field):
+    # _AGG_RE's lazy body can swallow garbage, and a raw inner that
+    # isn't identifier-shaped would reach F.col() and leak an
+    # executor/analysis exception instead of the named error
+    # (totality contract; found by the seeded 10k statement fuzz)
+    _ident = r'"[^"]+"|[A-Za-z_]\w*'
     if im:
+        if not re.fullmatch(_ident, im.group(2)):
+            raise InfluxQLError(
+                f"unparseable transform argument: {inner!r}"
+            )
         inner_fn, inner_col = im.group(1).lower(), _unquote(im.group(2))
     else:
+        if not re.fullmatch(_ident, inner):
+            raise InfluxQLError(
+                f"unparseable transform argument: {inner!r}"
+            )
         inner_fn, inner_col = None, _unquote(inner)
 
     # Per-transform parameter parsing -----------------------------

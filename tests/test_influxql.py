@@ -753,6 +753,28 @@ def test_agg_star_applies_to_every_field(spark, flow):
     assert r["mean_coldInFlowRate"] == pytest.approx(59.5)
 
 
+def test_transform_argument_must_be_field_shaped(spark, flow):
+    """Totality regression (r11, found by the seeded 10k statement
+    fuzz once tz() shifted the RNG stream): a transform inner argument
+    that is not identifier-shaped — mutated garbage like
+    ``integral(la\\st(bogusField))``, or _AGG_RE's lazy body
+    swallowing ``mean(f) mean(g)`` — must raise the NAMED error, not
+    reach F.col() and leak AnalysisException."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    t = {"flow": flow}
+    for q in (
+        r"SELECT integral(la\st(bogusField)) FROM flow GROUP BY time(3mo)",
+        "SELECT derivative(mean(f) mean(g)) FROM flow GROUP BY time(1h)",
+        "SELECT integral(mean(*)) FROM flow GROUP BY time(1h)",
+    ):
+        with pytest.raises(InfluxQLError, match="unparseable transform"):
+            query_measurement(spark, t, q)
+
+
 def test_tz_clause(spark):
     """tz('Zone'): WHERE time literals are zone-local; GROUP BY time
     buckets align to local wall time, DST-aware per instant."""
