@@ -848,6 +848,33 @@ def test_tz_fill_composes(spark):
     }
 
 
+def test_tz_fill_linear_interpolates_on_utc_instants(spark):
+    """tz() + fill(linear): the empty local day between two points
+    interpolates on REAL elapsed time between the (DST-uneven) UTC
+    bucket instants — 3/13 06:00Z → 3/14 06:00Z → 3/15 05:00Z, so the
+    middle bucket sits 24h into a 47h span: 10 + 10·(24/47)."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    rows = [
+        (dt.datetime(2021, 3, 13, 12, 0), 10.0),  # local day 3/13
+        (dt.datetime(2021, 3, 15, 12, 0), 20.0),  # local day 3/15 (CDT)
+    ]
+    m = spark.createDataFrame(rows, ["time", "v"])
+    got = query_measurement(
+        spark, {"m": m},
+        "SELECT min(v) FROM m "
+        "WHERE time >= '2021-03-13 00:00:00' "
+        "AND time <= '2021-03-15 23:00:00' "
+        "GROUP BY time(1d) fill(linear) tz('America/Chicago')",
+    ).collect()
+    by_bucket = {str(r["time_bucket"]): r["min_v"] for r in got}
+    assert by_bucket["2021-03-13 06:00:00"] == 10.0
+    assert by_bucket["2021-03-15 05:00:00"] == 20.0
+    assert by_bucket["2021-03-14 06:00:00"] == pytest.approx(
+        10.0 + 10.0 * 24.0 / 47.0, abs=1e-6
+    )
+
+
 def test_tz_absolute_literals(spark):
     """Under tz(), epoch-integer and zone-suffixed time literals are
     ABSOLUTE instants (InfluxQL shifts only plain strings) — r11
