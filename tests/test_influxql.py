@@ -984,6 +984,39 @@ def test_select_into_writes_target(spark, flow, tmp_path):
         )
 
 
+def test_select_into_with_tz_fill(spark, tmp_path):
+    """INTO composed with tz() + fill() (r11): the written rollup
+    carries DST-aware local-midnight bucket instants and the filled
+    empty local days — the localized-dashboard continuous-query
+    shape, end-to-end through the write path."""
+    from ciws_server_spark.plans.influxql import execute_into
+
+    rows = [
+        (dt.datetime(2021, 3, 13, 0, 0) + dt.timedelta(hours=h), "A", 1.0)
+        for h in range(72)
+    ]
+    m = spark.createDataFrame(rows, "time timestamp, buildingID string, v double")
+    got = execute_into(
+        spark,
+        {"m": m},
+        "SELECT count(v) INTO rollup FROM m "
+        "WHERE time >= '2021-03-13 00:00:00' "
+        "AND time <= '2021-03-17 00:00:00' "
+        "GROUP BY time(1d) fill(0) tz('America/Chicago')",
+        str(tmp_path),
+    ).collect()
+    written = spark.read.parquet(str(tmp_path / "rollup"))
+    by_bucket = {str(r["time"]): r["count_v"] for r in written.collect()}
+    assert by_bucket == {
+        "2021-03-13 06:00:00": 24.0,
+        "2021-03-14 06:00:00": 23.0,  # spring-forward local day
+        "2021-03-15 05:00:00": 19.0,
+        "2021-03-16 05:00:00": 0.0,   # filled local days persisted
+        "2021-03-17 05:00:00": 0.0,
+    }
+    assert len(got) == 5
+
+
 def test_exponential_moving_average(spark, flow):
     """EMA: α=2/(n+1) recursion seeded with the first point, emitted
     from the n-th — raw-field form, per-series."""
