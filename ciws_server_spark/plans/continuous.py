@@ -124,9 +124,43 @@ def _cq_interval(body_match) -> tuple[int, int]:
 
 def _floor_epoch(ts: datetime, interval_s: int, offset_s: int) -> int:
     """Epoch-grid bucket floor (InfluxQL alignment: the epoch itself
-    anchors every fixed-duration unit, weeks included)."""
+    anchors every fixed-duration unit, weeks included). Fed a WALL
+    naive datetime (tz CQs), the same arithmetic floors on the local
+    wall-clock grid — exactly the grid ``_bucket_expr`` floors on."""
     epoch = int(ts.replace(tzinfo=timezone.utc).timestamp())
     return ((epoch - offset_s) // interval_s) * interval_s + offset_s
+
+
+def _wall(ts: datetime, tz: str | None) -> datetime:
+    """UTC-naive → zone wall-clock naive (identity without tz). Total
+    and unambiguous: every instant has one wall time in a zone."""
+    if not tz:
+        return ts
+    from zoneinfo import ZoneInfo
+
+    return (
+        ts.replace(tzinfo=timezone.utc)
+        .astimezone(ZoneInfo(tz))
+        .replace(tzinfo=None)
+    )
+
+
+def _wall_to_utc(s: str, tz: str | None) -> str:
+    """Wall-clock boundary string → UTC instant string (identity
+    without tz). Bucket boundaries are floor values (midnights / hour
+    starts), so the DST-ambiguous fold only matters for sub-day
+    intervals in the one repeated hour per year; fold=0 matches the
+    JVM's earlier-offset convention used by ``to_utc_timestamp``."""
+    if not tz:
+        return s
+    from zoneinfo import ZoneInfo
+
+    d = datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+    return (
+        d.replace(tzinfo=ZoneInfo(tz))
+        .astimezone(timezone.utc)
+        .strftime("%Y-%m-%d %H:%M:%S")
+    )
 
 
 def _fmt(epoch_s: int) -> str:
@@ -188,6 +222,19 @@ def create_continuous_query(
         raise InfluxQLError(
             "RESAMPLE FOR must cover at least one GROUP BY time interval"
         )
+    # tz('Zone') in the body: bucket boundaries live on the LOCAL
+    # wall-clock grid, so the CQ's data windows must floor there too
+    # (injected plain literals are parsed as zone-local by the
+    # translator — wall strings are self-consistent end to end).
+    # Validate the zone HERE so a bad CQ fails at CREATE, not at tick.
+    cq_tz = bm.group("tz")
+    if cq_tz:
+        try:
+            from zoneinfo import ZoneInfo
+
+            ZoneInfo(cq_tz)
+        except Exception:
+            raise InfluxQLError(f"unknown time zone: {cq_tz!r}") from None
     state = _load(table_dir)
     if name in state:
         raise InfluxQLError(f"continuous query already exists: {name!r}")
@@ -199,7 +246,10 @@ def create_continuous_query(
         "offset_s": offset_s,
         "every_s": every_s,  # None → tick at the GROUP BY interval
         "for_s": for_s,  # None → append-only forward fill
-        "last_end": _fmt(_floor_epoch(now, interval_s, offset_s)),
+        "tz": cq_tz,  # None → epoch-grid windows (pre-tz records too)
+        # last_end is a WINDOW BOUNDARY: wall-clock string for tz CQs
+        "last_end": _fmt(_floor_epoch(_wall(now, cq_tz), interval_s, offset_s)),
+        # last_tick is SCHEDULING: always UTC epoch cadence
         "last_tick": _fmt(
             _floor_epoch(now, every_s or interval_s, 0)
         ),
@@ -312,7 +362,12 @@ def _run_due_locked(
         )
         if tick_epoch <= last_tick:
             continue  # cadence boundary not crossed yet
-        hi_epoch = _floor_epoch(now, interval_s, offset_s)
+        # window boundaries float on the WALL grid for tz CQs (see
+        # create_continuous_query) — the naive arithmetic below is
+        # then local-grid arithmetic, incl. the FOR subtraction
+        # (a DST day is still 86400 naive seconds on the wall axis)
+        tz = cq.get("tz")
+        hi_epoch = _floor_epoch(_wall(now, tz), interval_s, offset_s)
         last_end_epoch = _floor_epoch(
             datetime.strptime(cq["last_end"], "%Y-%m-%d %H:%M:%S"),
             interval_s,
@@ -333,8 +388,11 @@ def _run_due_locked(
         lo, hi = _fmt(lo_epoch), _fmt(hi_epoch)
         bm = _QUERY_RE.match(cq["query"])
         if for_s is not None:
+            # the TARGET holds UTC instants — convert the wall-clock
+            # recompute window before deleting from it
             _delete_target_range(
-                spark, table_dir, _unquote(bm.group("into")), lo, hi, time_col
+                spark, table_dir, _unquote(bm.group("into")),
+                _wall_to_utc(lo, tz), _wall_to_utc(hi, tz), time_col,
             )
         bounded = _inject_time_range(cq["query"], bm, lo, hi)
         execute_into(spark, tables, bounded, table_dir, time_col)

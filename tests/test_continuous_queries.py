@@ -325,3 +325,122 @@ def test_calendar_cq_named_error(spark, tmp_path):
             "SELECT mean(flowRate) FROM campus_flow GROUP BY time(1h) END",
             table_dir=str(tmp_path), now=dt.datetime(2024, 1, 1),
         )
+
+
+def test_tz_cq_windows_on_local_grid(spark, tmp_path):
+    """A tz('Zone') CQ floors its data windows on the LOCAL wall-clock
+    grid (r11): at 03:00 UTC the Chicago local day is still OPEN —
+    the epoch-grid floor would have appended a 19-hours-early partial
+    bucket that append-mode never revisits (permanent undercount).
+    Boundaries ride the spring-forward transition (3/14 local = 23h)."""
+    table_dir = str(tmp_path)
+    run_influxql(spark, {}, "CREATE DATABASE water", table_dir=table_dir)
+    rows = [
+        (dt.datetime(2021, 3, 13, 0, 0) + dt.timedelta(hours=h), "A", 1.0)
+        for h in range(72)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, buildingID string, v double"
+    )
+    sinks.append_points(df, table_dir, "m")
+    tables = {"m": spark.read.parquet(os.path.join(table_dir, "m"))}
+    run_influxql(
+        spark, tables,
+        "CREATE CONTINUOUS QUERY cq_local ON water BEGIN "
+        "SELECT count(v) INTO rollup FROM m "
+        "GROUP BY time(1d) tz('America/Chicago') END",
+        table_dir=table_dir,
+        now=dt.datetime(2021, 3, 13, 12, 0),  # local day 3/13 open
+    )
+    # 03:00Z on 3/15 = 22:00 local 3/14: local day 3/14 still OPEN —
+    # only local day 3/13 (24 points at 06:00Z) may emit
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2021, 3, 15, 3, 0)
+    )
+    assert ran["cq_local"]["buckets"] == 1
+    target = os.path.join(table_dir, "rollup")
+    got = {
+        str(r["time"]): r["count_v"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"2021-03-13 06:00:00": 24.0}
+    # next UTC-cadence tick: local day 3/14 closed (23h, spring-fwd);
+    # local day 3/15 is still open (it closes at 05:00Z on 3/16)
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2021, 3, 16, 1, 0)
+    )
+    assert ran["cq_local"]["buckets"] == 1
+    got = {
+        str(r["time"]): r["count_v"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        "2021-03-13 06:00:00": 24.0,
+        "2021-03-14 06:00:00": 23.0,
+    }
+    # one more cadence: local day 3/15 closes (data ends 3/15 23:00Z)
+    ran = run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2021, 3, 17, 1, 0)
+    )
+    assert ran["cq_local"]["buckets"] == 1
+    got = {
+        str(r["time"]): r["count_v"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        "2021-03-13 06:00:00": 24.0,
+        "2021-03-14 06:00:00": 23.0,
+        "2021-03-15 05:00:00": 19.0,
+    }
+
+
+def test_tz_cq_resample_for_deletes_utc_window(spark, tmp_path):
+    """RESAMPLE FOR on a tz CQ: the recompute window is computed on
+    the wall grid but the TARGET delete happens on the UTC instants
+    the rollup actually stores — late points upsert, no duplicates."""
+    table_dir = str(tmp_path)
+    run_influxql(spark, {}, "CREATE DATABASE water", table_dir=table_dir)
+    rows = [
+        (dt.datetime(2021, 3, 13, 0, 0) + dt.timedelta(hours=h), "A", 1.0)
+        for h in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, buildingID string, v double"
+    )
+    sinks.append_points(df, table_dir, "m")
+    tables = {"m": spark.read.parquet(os.path.join(table_dir, "m"))}
+    run_influxql(
+        spark, tables,
+        "CREATE CONTINUOUS QUERY cq_for ON water BEGIN "
+        "SELECT count(v) INTO rollup FROM m "
+        "GROUP BY time(1d) tz('America/Chicago') END",
+        table_dir=table_dir,
+        now=dt.datetime(2021, 3, 13, 12, 0),
+    )
+    # hand the record a FOR window so every tick recomputes 2 local days
+    from ciws_server_spark.plans import continuous as C
+
+    state = json.load(open(C._state_path(table_dir)))
+    state["cq_for"]["for_s"] = 2 * 86400
+    json.dump(state, open(C._state_path(table_dir), "w"))
+
+    run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2021, 3, 15, 3, 0)
+    )
+    # late data for local day 3/13 arrives; the next FOR tick must
+    # REPLACE the 3/13 row (upsert via UTC-windowed delete), not stack
+    late = spark.createDataFrame(
+        [(dt.datetime(2021, 3, 13, 7, 30), "A", 1.0)],
+        "time timestamp, buildingID string, v double",
+    )
+    sinks.append_points(late, table_dir, "m")
+    tables = {"m": spark.read.parquet(os.path.join(table_dir, "m"))}
+    run_due_continuous_queries(
+        spark, tables, table_dir, dt.datetime(2021, 3, 16, 1, 0)
+    )
+    out = spark.read.parquet(os.path.join(table_dir, "rollup"))
+    rows_313 = out.where(
+        F.col("time") == dt.datetime(2021, 3, 13, 6, 0)
+    ).collect()
+    assert len(rows_313) == 1  # replaced, not duplicated
+    assert rows_313[0]["count_v"] == 25.0  # 24 + the late point
