@@ -65,6 +65,32 @@ def _from_epoch(e: int) -> dt.datetime:
     )
 
 
+def _wall(t: dt.datetime, tz: str | None) -> dt.datetime:
+    """UTC-naive → zone wall-clock naive (identity without tz)."""
+    if not tz:
+        return t
+    from zoneinfo import ZoneInfo
+
+    return (
+        t.replace(tzinfo=dt.timezone.utc)
+        .astimezone(ZoneInfo(tz))
+        .replace(tzinfo=None)
+    )
+
+
+def _unwall(t: dt.datetime, tz: str | None) -> dt.datetime:
+    """Zone wall-clock naive → UTC-naive instant."""
+    if not tz:
+        return t
+    from zoneinfo import ZoneInfo
+
+    return (
+        t.replace(tzinfo=ZoneInfo(tz))
+        .astimezone(dt.timezone.utc)
+        .replace(tzinfo=None)
+    )
+
+
 class Model:
     """Pure-Python mirror of the on-disk store: {table: [row dict]}.
 
@@ -107,13 +133,15 @@ class Model:
         return existed
 
     # -- INTO / CQ execution ----------------------------------------
-    def run_into(self, src, tgt, fn, bucket_s, by_tag, lo, hi):
+    def run_into(self, src, tgt, fn, bucket_s, by_tag, lo, hi, tz=None):
         groups: dict[tuple, list] = {}
         for r in self.tables.get(src, []):
             t = r["time"]
             if not (lo <= t < hi):
                 continue
-            b = (_epoch(t) // bucket_s) * bucket_s
+            # tz buckets floor on the LOCAL wall grid, emitted as the
+            # UTC instant of the local bucket start (engine parity)
+            b = (_epoch(_wall(t, tz)) // bucket_s) * bucket_s
             key = (b, r.get("buildingID")) if by_tag else (b,)
             groups.setdefault(key, []).append(r.get("flowRate"))
         out = []
@@ -131,7 +159,7 @@ class Model:
                 agg = max(vals)
             else:  # mean — dyadic-grid values: sum exact, /n det.
                 agg = sum(vals) / len(vals)
-            row = {"time": _from_epoch(key[0])}
+            row = {"time": _unwall(_from_epoch(key[0]), tz)}
             if by_tag:
                 row["buildingID"] = key[1]
             row[f"{fn}_flowRate"] = agg
@@ -184,12 +212,15 @@ class Model:
         self.tables[table] = list(best.values())
 
     # -- CQ scheduler (mirrors continuous._run_due_locked) -----------
-    def cq_create(self, name, interval_s, every_s, for_s, now):
+    def cq_create(self, name, interval_s, every_s, for_s, now, tz=None):
         self.cqs[name] = {
             "interval_s": interval_s,
             "every_s": every_s,
             "for_s": for_s,
-            "last_end": (_epoch(now) // interval_s) * interval_s,
+            "tz": tz,
+            # window boundary floors on the WALL grid for tz CQs;
+            # scheduling cadence stays UTC (engine parity)
+            "last_end": (_epoch(_wall(now, tz)) // interval_s) * interval_s,
             "last_tick": (
                 _epoch(now) // (every_s or interval_s)
             )
@@ -202,11 +233,12 @@ class Model:
             interval_s = cq["interval_s"]
             every_s = cq["every_s"] or interval_s
             for_s = cq["for_s"]
+            tz = cq.get("tz")
             tick = (_epoch(now) // every_s) * every_s
             last_tick = (cq["last_tick"] // every_s) * every_s
             if tick <= last_tick:
                 continue
-            hi = (_epoch(now) // interval_s) * interval_s
+            hi = (_epoch(_wall(now, tz)) // interval_s) * interval_s
             last_end = (cq["last_end"] // interval_s) * interval_s
             if for_s is not None:
                 lo = ((hi - for_s) // interval_s) * interval_s
@@ -214,7 +246,8 @@ class Model:
                 lo = last_end
             if hi <= lo:
                 continue
-            lo_dt, hi_dt = _from_epoch(lo), _from_epoch(hi)
+            lo_dt = _unwall(_from_epoch(lo), tz)
+            hi_dt = _unwall(_from_epoch(hi), tz)
             if for_s is not None:
                 self.delete(
                     "campus_flow_hourly",
@@ -222,7 +255,7 @@ class Model:
                 )
             self.run_into(
                 SRC, "campus_flow_hourly", "mean", interval_s, True,
-                lo_dt, hi_dt,
+                lo_dt, hi_dt, tz=tz,
             )
             cq["last_end"] = hi
             cq["last_tick"] = tick
@@ -454,13 +487,18 @@ def run_sequence(
                 resample = " RESAMPLE" + (
                     f" EVERY {every_s // 3600}h" if every_s else ""
                 ) + (f" FOR {for_s // 3600}h" if for_s else "")
+            # Kolkata's +5:30 puts local hour buckets on the :30 UTC
+            # grid — a whole-hour zone would make tz a no-op for 1h
+            # buckets and fuzz nothing
+            tz = rng.choice([None, None, "Asia/Kolkata"])
+            tz_clause = f" tz('{tz}')" if tz else ""
             stmt = (
                 f"CREATE CONTINUOUS QUERY {name} ON ciws{resample} "
                 f"BEGIN SELECT mean(flowRate) INTO campus_flow_hourly "
-                f"FROM {SRC} GROUP BY time(1h), buildingID END"
+                f"FROM {SRC} GROUP BY time(1h), buildingID{tz_clause} END"
             )
             run_influxql(spark, {}, stmt, table_dir=td, now=now[0])
-            model.cq_create(name, 3600, every_s, for_s, now[0])
+            model.cq_create(name, 3600, every_s, for_s, now[0], tz=tz)
         elif op == "cq_tick":
             if not model.cqs:
                 continue

@@ -244,6 +244,10 @@ ADMIN = [
     "DROP RETENTION POLICY p ON d",
     'CREATE CONTINUOUS QUERY c ON d BEGIN SELECT mean(flowRate) INTO m'
     " FROM campus_flow GROUP BY time(1h) END",
+    'CREATE CONTINUOUS QUERY ctz ON d BEGIN SELECT mean(flowRate) INTO m'
+    " FROM campus_flow GROUP BY time(1h) tz('Asia/Kolkata') END",
+    'CREATE CONTINUOUS QUERY cbad ON d BEGIN SELECT mean(flowRate) INTO m'
+    " FROM campus_flow GROUP BY time(1h) tz('Mars/Olympus') END",
     "DROP CONTINUOUS QUERY c ON d",
     "SELECT mean(flowRate) INTO target FROM campus_flow GROUP BY time(1h)",
 ]
