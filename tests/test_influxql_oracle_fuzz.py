@@ -377,6 +377,27 @@ def gen_tz_fill_case(r: random.Random):
         FROM axis x LEFT JOIN agg a
           ON a.time_bucket = x.time_bucket{join_tags}
     """
+    if fill == "0" and fn in ("count", "sum", "max") and r.random() < 0.35:
+        # transform-over-filled-series composition: difference() runs
+        # AFTER fill (InfluxQL fill-first order); the leading axis
+        # bucket has no lag and is skipped (null transform values are
+        # not points)
+        iql = iql.replace(f"SELECT {fn}({f})", f"SELECT difference({fn}({f}))")
+        part = (
+            "PARTITION BY " + ", ".join(tags) + " " if tags else ""
+        )
+        tag_cols = (", " + ", ".join(tags)) if tags else ""
+        sql = f"""
+            WITH dense AS ({sql})
+            SELECT time_bucket{tag_cols},
+                   CAST(v - prev AS DOUBLE) AS difference
+            FROM (
+              SELECT time_bucket{tag_cols}, {alias} AS v,
+                     lag({alias}) OVER ({part}ORDER BY time_bucket) AS prev
+              FROM dense)
+            WHERE prev IS NOT NULL
+        """
+        return iql, sql, "tz_fill_diff"
     return iql, sql, "tz_fill"
 
 
