@@ -249,6 +249,102 @@ def stream_near_dups(
     )
 
 
+CHUNK_INDEX_TABLE = "chunk_index"
+CHUNK_STATS_TABLE = "chunk_dedup_stats"
+
+
+def stream_chunk_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental chunk-exact dedup against a growing corpus index —
+    the streaming plane of ``operators.pipeline.pipeline_chunk_dedup``.
+
+    Each micro-batch chunks its documents with the SAME expressions as
+    the batch operator (``pipeline.chunk_instances``), resolves
+    within-batch first occurrence (row_number over the chunk text,
+    (doc_id, chunk_idx) order), marks instances whose chunk already
+    exists in ``<table_dir>/chunk_index`` as duplicates, appends the
+    per-document stats rows to ``<table_dir>/chunk_dedup_stats`` and
+    the batch's NEW surviving chunks to the index — both
+    overwrite-by-batch, so a replayed batch rewrites itself (the
+    replay reads the pre-crash index minus its own partition, exactly
+    like the LSH index above).
+
+    Semantics: FIRST ARRIVAL wins across batches (within a batch,
+    smallest (doc_id, chunk_idx)). When documents arrive in doc_id
+    order, the accumulated stats table equals the batch operator's
+    output over the union — pinned by the equivalence test.
+
+    Scale shape per batch: one shuffle of the batch's chunks (tiny),
+    one left join against the index on the chunk text — at 100 TB the
+    index is the big side, so this is a shuffle join pruned by the
+    batch's chunk keys; partitioning the index table by a chunk-hash
+    bucket would make it a bucket-local join, same as the banded LSH
+    index."""
+    from ..operators.pipeline import chunk_dedup_stats, chunk_instances
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("pathGlobFilter", "*.json*")
+        .json(landing_dir)
+    )
+    stats_path = os.path.join(table_dir, CHUNK_STATS_TABLE)
+    index_path = os.path.join(table_dir, CHUNK_INDEX_TABLE)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        ex = chunk_instances(batch_df)
+        rn = F.row_number().over(
+            W.partitionBy("chunk").orderBy("doc_id", "ci")
+        )
+        ranked = ex.withColumn("_first", rn == F.lit(1))
+        if _has_parquet(index_path):
+            seen = (
+                spark.read.parquet(index_path)
+                .where(F.col("batch_id") != int(batch_id))
+                .select("chunk")
+                .distinct()
+                .withColumn("_seen", F.lit(True))
+            )
+            ranked = ranked.join(seen, "chunk", "left")
+            keep = F.col("_first") & F.col("_seen").isNull()
+        else:
+            keep = F.col("_first")
+        flagged = ranked.withColumn("keep", keep).localCheckpoint(
+            eager=True
+        )
+        _overwrite_by_batch(chunk_dedup_stats(flagged), stats_path, batch_id)
+        _overwrite_by_batch(
+            flagged.where(F.col("keep")).select("chunk").distinct(),
+            index_path,
+            batch_id,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_chunk_dedup_pass(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """One complete pass: process everything landed, then stop."""
+    stream_chunk_dedup(
+        spark, landing_dir, table_dir, checkpoint_dir
+    ).awaitTermination()
+
+
 def run_near_dup_pass(
     spark: SparkSession,
     landing_dir: str,
