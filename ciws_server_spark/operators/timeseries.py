@@ -584,6 +584,21 @@ def influxql_tz_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translate(ev, q, time_col="ts").orderBy("time_bucket", "event_type")
 
 
+def influxql_show_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SHOW TAG VALUES FROM m WITH KEY IN (k, unknown)`` (r11: all
+    four upstream key forms — =, IN-list, =~, !~): distinct values per
+    named tag key, unknown keys contributing an empty series. One
+    partial-agg'd distinct per key on the pruned single column."""
+    from ..plans.influxql import run_influxql
+
+    ev = table(spark, sf_dir, "events")
+    return run_influxql(
+        spark, {"events": ev},
+        'SHOW TAG VALUES FROM events WITH KEY IN ("event_type", nosuch)',
+        time_col="ts",
+    )
+
+
 def influxql_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``LIMIT n SLIMIT m`` (n points per series, first m
     series in tag order) through the text front-end."""
@@ -1323,6 +1338,7 @@ QUERIES = {
     "influxql_trix": influxql_trix,
     "influxql_fill_linear": influxql_fill_linear,
     "influxql_tz_fill": influxql_tz_fill,
+    "influxql_show_tag_values": influxql_show_tag_values,
     "influxql_slimit": influxql_slimit,
     "influxql_difference": influxql_difference,
     "influxql_cumulative_sum": influxql_cumulative_sum,
@@ -1391,6 +1407,7 @@ EXTRA = {
     "influxql_slimit",
     "influxql_soffset",
     "influxql_stats_aggs",
+    "influxql_show_tag_values",
     "influxql_subquery",
     "influxql_tema",
     "influxql_tz_fill",
@@ -1914,6 +1931,13 @@ ORACLES = {
         FROM axis x LEFT JOIN agg a
           ON a.time_bucket = x.time_bucket AND a.event_type = x.event_type
         ORDER BY x.time_bucket, x.event_type
+    """,
+    "influxql_show_tag_values": """
+        SELECT 'event_type' AS key, event_type AS value
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY key, value
     """,
     "influxql_select_arith": """
         SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600)

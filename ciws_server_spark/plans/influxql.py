@@ -2488,8 +2488,12 @@ _SHOW_RE = re.compile(
     r"|DATABASES|RETENTION\s+POLICIES|SERIES\s+CARDINALITY|SERIES)"
     r"(?:\s+ON\s+(\"[^\"]+\"|\w+))?"
     r"(?:\s+FROM\s+(\S+))?"
-    r"(?:\s+WITH\s+KEY\s*=\s*(\"[^\"]+\"|\w+))?"
-    r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
+    # WITH KEY forms (InfluxQL 1.x): = k | IN (k1, k2) | =~ /re/ | !~ /re/
+    r"(?:\s+WITH\s+KEY\s*(?:=~\s*(?P<kre>/[^/]*/)"
+    r"|!~\s*(?P<knre>/[^/]*/)"
+    r"|=\s*(?P<key>\"[^\"]+\"|\w+)"
+    r"|IN\s*\((?P<kin>[^)]*)\)))?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -2650,11 +2654,11 @@ def _show(
         # the one CARDINALITY that scans: distinct non-null values of
         # one tag column — a partial-agg'd count-distinct on the
         # pruned single-column projection
-        if not m.group(4):
+        if not m.group("key"):
             raise InfluxQLError(
                 'SHOW TAG VALUES CARDINALITY requires WITH KEY = "k"'
             )
-        key = _unquote(m.group(4))
+        key = _unquote(m.group("key"))
         names = (
             [_unquote(m.group(3))] if m.group(3) else sorted(tables)
         )
@@ -2732,8 +2736,8 @@ def _show(
                 F.count(F.lit(1)).cast("bigint").alias("count")
             )
         out = out.orderBy("key")
-        if m.group(5):
-            out = out.limit(int(m.group(5)))
+        if m.group("lim"):
+            out = out.limit(int(m.group("lim")))
         return out
     if not m.group(3) and kind in ("TAG KEYS", "FIELD KEYS"):
         # no FROM: the statement spans every measurement (InfluxQL
@@ -2763,26 +2767,56 @@ def _show(
         raise InfluxQLError(f"unknown measurement: {name!r}")
     dtypes = tables[name].dtypes
     if kind == "TAG VALUES":
-        # SHOW TAG VALUES FROM m WITH KEY = "k" — the one metadata
-        # statement that scans: distinct values of one tag column.
-        # distinct on a low-cardinality tag = one partial-agg'd
-        # shuffle of the pruned single-column projection.
-        if not m.group(4):
-            raise InfluxQLError("SHOW TAG VALUES requires WITH KEY = \"k\"")
-        key = _unquote(m.group(4))
+        # SHOW TAG VALUES FROM m WITH KEY ... — the one metadata
+        # statement that scans: distinct values per named tag column
+        # (a partial-agg'd shuffle of each pruned single-column
+        # projection; the per-key union is over the small key list).
+        # All four upstream key forms: = k | IN (k1, k2) | =~ / !~ /re/
         tag_cols = {
             c for c, t in dtypes if t == "string" and c.lower() != "time"
         }
-        if key not in tag_cols:
-            # InfluxDB 1.x returns an empty series for an unknown
-            # (or field-typed) key rather than erroring — parity
+        if m.group("key"):
+            keys = [_unquote(m.group("key"))]
+        elif m.group("kin") is not None:
+            keys = [
+                _unquote(k.strip())
+                for k in m.group("kin").split(",")
+                if k.strip()
+            ]
+            if not keys:
+                raise InfluxQLError("WITH KEY IN () names no keys")
+        elif m.group("kre") or m.group("knre"):
+            pat = (m.group("kre") or m.group("knre"))[1:-1]
+            if not pat:
+                raise InfluxQLError("empty regex pattern //")
+            try:
+                rx = re.compile(pat)
+            except re.error as exc:
+                raise InfluxQLError(
+                    f"invalid regex /{pat}/: {exc}"
+                ) from None
+            neg = m.group("knre") is not None
+            keys = [
+                c for c in sorted(tag_cols) if bool(rx.search(c)) != neg
+            ]
+        else:
+            raise InfluxQLError("SHOW TAG VALUES requires WITH KEY")
+        # unknown / field-typed keys contribute an empty series rather
+        # than erroring — InfluxDB 1.x parity
+        keys = [k for k in keys if k in tag_cols]
+        if not keys:
             return spark.createDataFrame([], "key STRING, value STRING")
-        return (
+        from functools import reduce
+
+        frames = [
             tables[name]
-            .select(F.lit(key).alias("key"), F.col(key).alias("value"))
+            .select(F.lit(k).alias("key"), F.col(k).alias("value"))
             .where(F.col("value").isNotNull())
             .distinct()
-            .orderBy("value")
+            for k in sorted(set(keys))
+        ]
+        return reduce(lambda a, b: a.unionByName(b), frames).orderBy(
+            "key", "value"
         )
     if kind == "TAG KEYS":
         rows = [

@@ -1162,6 +1162,36 @@ def test_show_tag_values(spark, flow):
     ).collect()
     assert got == []
 
+    # the other three upstream key forms (r11): IN-list, =~, !~
+    got = query_measurement(
+        spark, {"flow": flow},
+        'SHOW TAG VALUES FROM flow WITH KEY IN ("buildingID", nosuch)',
+    ).collect()
+    assert [(r["key"], r["value"]) for r in got] == [
+        ("buildingID", "A"),
+        ("buildingID", "B"),
+    ]
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SHOW TAG VALUES FROM flow WITH KEY =~ /ID$/",
+    ).collect()
+    assert {r["key"] for r in got} == {"buildingID"}
+    got = query_measurement(
+        spark, {"flow": flow},
+        "SHOW TAG VALUES FROM flow WITH KEY !~ /ID$/",
+    ).collect()
+    assert got == []  # buildingID is the only tag key
+    with pytest.raises(InfluxQLError, match="names no keys"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SHOW TAG VALUES FROM flow WITH KEY IN ()",
+        )
+    with pytest.raises(InfluxQLError, match="empty regex"):
+        query_measurement(
+            spark, {"flow": flow},
+            "SHOW TAG VALUES FROM flow WITH KEY =~ //",
+        )
+
 
 def test_calendar_month_bucket(spark):
     """EXTENSION time(1mo): calendar truncation across month/year

@@ -232,6 +232,11 @@ ADMIN = [
     "SHOW TAG KEYS FROM campus_flow",
     "SHOW FIELD KEYS FROM campus_flow",
     "SHOW TAG VALUES FROM campus_flow WITH KEY = buildingID",
+    "SHOW TAG VALUES FROM campus_flow WITH KEY IN (buildingID, missingTag)",
+    "SHOW TAG VALUES FROM campus_flow WITH KEY IN ()",
+    "SHOW TAG VALUES FROM campus_flow WITH KEY =~ /building/",
+    "SHOW TAG VALUES FROM campus_flow WITH KEY !~ /building/",
+    "SHOW TAG VALUES FROM campus_flow WITH KEY =~ /(/",
     "SHOW RETENTION POLICIES",
     "SHOW CONTINUOUS QUERIES",
     "CREATE DATABASE fuzzdb",
