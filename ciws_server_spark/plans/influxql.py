@@ -2762,30 +2762,22 @@ def _show(
         return spark.createDataFrame(
             rows or [], "fieldKey STRING, fieldType STRING"
         )
-    name = _unquote(m.group(3) or "")
-    if name not in tables:
-        raise InfluxQLError(f"unknown measurement: {name!r}")
-    dtypes = tables[name].dtypes
     if kind == "TAG VALUES":
-        # SHOW TAG VALUES FROM m WITH KEY ... — the one metadata
+        # SHOW TAG VALUES [FROM m] WITH KEY ... — the one metadata
         # statement that scans: distinct values per named tag column
         # (a partial-agg'd shuffle of each pruned single-column
-        # projection; the per-key union is over the small key list).
-        # All four upstream key forms: = k | IN (k1, k2) | =~ / !~ /re/
-        tag_cols = {
-            c for c, t in dtypes if t == "string" and c.lower() != "time"
-        }
-        if m.group("key"):
-            keys = [_unquote(m.group("key"))]
-        elif m.group("kin") is not None:
-            keys = [
-                _unquote(k.strip())
-                for k in m.group("kin").split(",")
-                if k.strip()
-            ]
-            if not keys:
-                raise InfluxQLError("WITH KEY IN () names no keys")
-        elif m.group("kre") or m.group("knre"):
+        # projection; the per-(measurement, key) union is small).
+        # All four upstream key forms: = k | IN (k1, k2) | =~ / !~ /re/;
+        # no FROM spans every measurement (flattened-distinct, the same
+        # convention as no-FROM TAG KEYS above).
+        if m.group(3):
+            names = [_unquote(m.group(3))]
+            if names[0] not in tables:
+                raise InfluxQLError(f"unknown measurement: {names[0]!r}")
+        else:
+            names = sorted(tables)
+        rx = neg = None
+        if m.group("kre") or m.group("knre"):
             pat = (m.group("kre") or m.group("knre"))[1:-1]
             if not pat:
                 raise InfluxQLError("empty regex pattern //")
@@ -2796,28 +2788,53 @@ def _show(
                     f"invalid regex /{pat}/: {exc}"
                 ) from None
             neg = m.group("knre") is not None
-            keys = [
-                c for c in sorted(tag_cols) if bool(rx.search(c)) != neg
+        elif m.group("key"):
+            named = [_unquote(m.group("key"))]
+        elif m.group("kin") is not None:
+            named = [
+                _unquote(k.strip())
+                for k in m.group("kin").split(",")
+                if k.strip()
             ]
+            if not named:
+                raise InfluxQLError("WITH KEY IN () names no keys")
         else:
             raise InfluxQLError("SHOW TAG VALUES requires WITH KEY")
-        # unknown / field-typed keys contribute an empty series rather
-        # than erroring — InfluxDB 1.x parity
-        keys = [k for k in keys if k in tag_cols]
-        if not keys:
-            return spark.createDataFrame([], "key STRING, value STRING")
         from functools import reduce
 
-        frames = [
-            tables[name]
-            .select(F.lit(k).alias("key"), F.col(k).alias("value"))
-            .where(F.col("value").isNotNull())
+        frames = []
+        for n in names:
+            tag_cols = {
+                c
+                for c, t in tables[n].dtypes
+                if t == "string" and c.lower() != "time"
+            }
+            if rx is not None:
+                keys = [
+                    c for c in sorted(tag_cols) if bool(rx.search(c)) != neg
+                ]
+            else:
+                # unknown / field-typed keys contribute an empty
+                # series rather than erroring — InfluxDB 1.x parity
+                keys = [k for k in named if k in tag_cols]
+            frames.extend(
+                tables[n]
+                .select(F.lit(k).alias("key"), F.col(k).alias("value"))
+                .where(F.col("value").isNotNull())
+                .distinct()
+                for k in sorted(set(keys))
+            )
+        if not frames:
+            return spark.createDataFrame([], "key STRING, value STRING")
+        return (
+            reduce(lambda a, b: a.unionByName(b), frames)
             .distinct()
-            for k in sorted(set(keys))
-        ]
-        return reduce(lambda a, b: a.unionByName(b), frames).orderBy(
-            "key", "value"
+            .orderBy("key", "value")
         )
+    name = _unquote(m.group(3) or "")
+    if name not in tables:
+        raise InfluxQLError(f"unknown measurement: {name!r}")
+    dtypes = tables[name].dtypes
     if kind == "TAG KEYS":
         rows = [
             (c,)

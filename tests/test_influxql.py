@@ -1985,3 +1985,22 @@ def test_show_cardinality_family(spark, flow):
     assert (
         one('SHOW TAG VALUES CARDINALITY FROM flow WITH KEY = "nope"') == 0
     )
+
+
+def test_show_tag_values_no_from_spans_measurements(spark, flow):
+    """SHOW TAG VALUES without FROM spans every measurement (r11 —
+    was an 'unknown measurement' error), flattened-distinct like the
+    module's no-FROM TAG KEYS convention."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    other = flow.withColumnRenamed("buildingID", "site")
+    got = query_measurement(
+        spark, {"flow": flow, "other": other},
+        "SHOW TAG VALUES WITH KEY =~ /./",
+    ).collect()
+    assert [(r["key"], r["value"]) for r in got] == [
+        ("buildingID", "A"),
+        ("buildingID", "B"),
+        ("site", "A"),
+        ("site", "B"),
+    ]

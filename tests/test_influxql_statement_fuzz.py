@@ -226,6 +226,8 @@ ADMIN = [
     "SHOW TAG KEY CARDINALITY",
     "SHOW FIELD KEY CARDINALITY FROM campus_flow",
     "SHOW TAG VALUES CARDINALITY WITH KEY = buildingID",
+    "SHOW TAG VALUES WITH KEY =~ /./",
+    "SHOW TAG VALUES WITH KEY = buildingID",
     "SHOW TAG VALUES CARDINALITY",
     "SHOW SERIES FROM campus_flow",
     "SHOW TAG KEYS",
