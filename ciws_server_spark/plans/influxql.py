@@ -2497,6 +2497,29 @@ _SHOW_RE = re.compile(
     re.IGNORECASE,
 )
 
+def _show_from_names(tok, tables) -> list[str]:
+    """Resolve a SHOW statement's FROM token: absent → every
+    measurement; /regex/ → the matching measurements (possibly none —
+    upstream returns an empty result for a no-match regex rather than
+    erroring); otherwise an exact name (unknown → named error)."""
+    if tok is None:
+        return sorted(tables)
+    tok = tok.strip()
+    if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
+        pat = tok[1:-1].replace("\\/", "/")
+        if not pat:
+            raise InfluxQLError("empty regex pattern //")
+        try:
+            rx = re.compile(pat)
+        except re.error as exc:
+            raise InfluxQLError(f"invalid regex {tok!r}: {exc}") from None
+        return sorted(n for n in tables if rx.search(n))
+    name = _unquote(tok)
+    if name not in tables:
+        raise InfluxQLError(f"unknown measurement: {name!r}")
+    return [name]
+
+
 #: Logical database name the registry presents. The reference reads
 #: its database name from config (get_hot_intake_interval.py:108-113);
 #: pass a different name through ``query_measurement(database=...)``
@@ -2636,13 +2659,9 @@ def _show(
             [(len(tables),)], "count BIGINT"
         )
     if kind in ("TAG KEY CARDINALITY", "FIELD KEY CARDINALITY"):
-        names = (
-            [_unquote(m.group(3))] if m.group(3) else sorted(tables)
-        )
+        names = _show_from_names(m.group(3), tables)
         seen: set[str] = set()
         for n in names:
-            if n not in tables:
-                raise InfluxQLError(f"unknown measurement: {n!r}")
             for c, t in tables[n].dtypes:
                 if kind.startswith("TAG"):
                     if t == "string" and c.lower() != "time":
@@ -2659,13 +2678,9 @@ def _show(
                 'SHOW TAG VALUES CARDINALITY requires WITH KEY = "k"'
             )
         key = _unquote(m.group("key"))
-        names = (
-            [_unquote(m.group(3))] if m.group(3) else sorted(tables)
-        )
+        names = _show_from_names(m.group(3), tables)
         frames = []
         for n in names:
-            if n not in tables:
-                raise InfluxQLError(f"unknown measurement: {n!r}")
             tag_cols = {
                 c
                 for c, t in tables[n].dtypes
@@ -2698,13 +2713,9 @@ def _show(
         # point written without that tag.
         from functools import reduce
 
-        names = (
-            [_unquote(m.group(3))] if m.group(3) else sorted(tables)
-        )
+        names = _show_from_names(m.group(3), tables)
         frames = []
         for n in names:
-            if n not in tables:
-                raise InfluxQLError(f"unknown measurement: {n!r}")
             t = tables[n]
             tags = sorted(
                 c
@@ -2770,12 +2781,7 @@ def _show(
         # All four upstream key forms: = k | IN (k1, k2) | =~ / !~ /re/;
         # no FROM spans every measurement (flattened-distinct, the same
         # convention as no-FROM TAG KEYS above).
-        if m.group(3):
-            names = [_unquote(m.group(3))]
-            if names[0] not in tables:
-                raise InfluxQLError(f"unknown measurement: {names[0]!r}")
-        else:
-            names = sorted(tables)
+        names = _show_from_names(m.group(3), tables)
         rx = neg = None
         if m.group("kre") or m.group("knre"):
             pat = (m.group("kre") or m.group("knre"))[1:-1]
@@ -2831,20 +2837,22 @@ def _show(
             .distinct()
             .orderBy("key", "value")
         )
-    name = _unquote(m.group(3) or "")
-    if name not in tables:
-        raise InfluxQLError(f"unknown measurement: {name!r}")
-    dtypes = tables[name].dtypes
+    # FROM-qualified TAG KEYS / FIELD KEYS (exact or /regex/ FROM;
+    # multiple regex matches flatten-distinct, the module convention)
+    seen2: dict[str, str] = {}
+    for n in _show_from_names(m.group(3), tables):
+        for c, t in tables[n].dtypes:
+            seen2.setdefault(c, t)
     if kind == "TAG KEYS":
         rows = [
             (c,)
-            for c, t in dtypes
+            for c, t in sorted(seen2.items())
             if t == "string" and c.lower() != "time"
         ]
         return spark.createDataFrame(rows or [], "tagKey STRING")
     rows = [
         (c, _FIELD_TYPES[t.split("(")[0]])
-        for c, t in dtypes
+        for c, t in sorted(seen2.items())
         if t.split("(")[0] in _FIELD_TYPES
     ]
     return spark.createDataFrame(rows or [], "fieldKey STRING, fieldType STRING")

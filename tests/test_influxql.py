@@ -2004,3 +2004,37 @@ def test_show_tag_values_no_from_spans_measurements(spark, flow):
         ("site", "A"),
         ("site", "B"),
     ]
+
+
+def test_show_regex_from(spark, flow):
+    """SHOW ... FROM /regex/ (r11): the FROM token of every SHOW
+    statement accepts a measurement regex, matching none (empty
+    result) to many (flattened-distinct). Exact unknown names still
+    raise; an empty or invalid regex is a named error."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    other = flow.withColumnRenamed("buildingID", "site")
+    t = {"campus_flow": flow, "campus_daily": other}
+    got = query_measurement(spark, t, "SHOW TAG KEYS FROM /^campus/")
+    assert [r["tagKey"] for r in got.collect()] == ["buildingID", "site"]
+    assert (
+        query_measurement(spark, t, "SHOW TAG KEYS FROM /nomatch/").count()
+        == 0
+    )
+    got = query_measurement(
+        spark, t, "SHOW TAG VALUES FROM /daily$/ WITH KEY = site"
+    ).collect()
+    assert [(r["key"], r["value"]) for r in got] == [
+        ("site", "A"),
+        ("site", "B"),
+    ]
+    assert query_measurement(
+        spark, t, "SHOW TAG KEY CARDINALITY FROM /^campus/"
+    ).collect()[0]["count"] == 2
+    with pytest.raises(InfluxQLError, match="empty regex"):
+        query_measurement(spark, t, "SHOW TAG KEYS FROM //")
+    with pytest.raises(InfluxQLError, match="invalid regex"):
+        query_measurement(spark, t, "SHOW SERIES FROM /(/")

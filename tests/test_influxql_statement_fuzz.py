@@ -230,6 +230,11 @@ ADMIN = [
     "SHOW TAG VALUES WITH KEY = buildingID",
     "SHOW TAG VALUES CARDINALITY",
     "SHOW SERIES FROM campus_flow",
+    "SHOW SERIES FROM /^campus/",
+    "SHOW TAG KEYS FROM /^campus/",
+    "SHOW TAG KEYS FROM /(/",
+    "SHOW FIELD KEYS FROM /nomatch/",
+    "SHOW TAG VALUES FROM /^campus/ WITH KEY =~ /building/",
     "SHOW TAG KEYS",
     "SHOW TAG KEYS FROM campus_flow",
     "SHOW FIELD KEYS FROM campus_flow",
