@@ -2487,13 +2487,17 @@ _SHOW_RE = re.compile(
     r"|TAG\s+VALUES\s+CARDINALITY|TAG\s+VALUES"
     r"|DATABASES|RETENTION\s+POLICIES|SERIES\s+CARDINALITY|SERIES)"
     r"(?:\s+ON\s+(\"[^\"]+\"|\w+))?"
-    r"(?:\s+FROM\s+(\S+))?"
+    # SHOW MEASUREMENTS filter: WITH MEASUREMENT =~ /re/ | = name
+    r"(?:\s+WITH\s+MEASUREMENT\s*(?:=~\s*(?P<mre>/[^/]*/)"
+    r"|=\s*(?P<mname>\"[^\"]+\"|\w+)))?"
+    r"(?:\s+FROM\s+(?P<frm>\S+))?"
     # WITH KEY forms (InfluxQL 1.x): = k | IN (k1, k2) | =~ /re/ | !~ /re/
     r"(?:\s+WITH\s+KEY\s*(?:=~\s*(?P<kre>/[^/]*/)"
     r"|!~\s*(?P<knre>/[^/]*/)"
     r"|=\s*(?P<key>\"[^\"]+\"|\w+)"
     r"|IN\s*\((?P<kin>[^)]*)\)))?"
-    r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$",
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?"
+    r"(?:\s+OFFSET\s+(?P<off>\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -2647,8 +2651,29 @@ def _show(
             "replicaN INT, `default` BOOLEAN",
         )
     if kind == "MEASUREMENTS":
+        names = sorted(tables)
+        if m.group("mre"):
+            pat = m.group("mre")[1:-1].replace("\\/", "/")
+            if not pat:
+                raise InfluxQLError("empty regex pattern //")
+            try:
+                rx = re.compile(pat)
+            except re.error as exc:
+                raise InfluxQLError(
+                    f"invalid regex {m.group('mre')!r}: {exc}"
+                ) from None
+            names = [n for n in names if rx.search(n)]
+        elif m.group("mname"):
+            want = _unquote(m.group("mname"))
+            # an unknown exact name is an empty list, not an error —
+            # WITH MEASUREMENT filters the listing (InfluxDB 1.x)
+            names = [n for n in names if n == want]
+        if m.group("off"):
+            names = names[int(m.group("off")):]
+        if m.group("lim"):
+            names = names[: int(m.group("lim"))]
         return spark.createDataFrame(
-            [(n,) for n in sorted(tables)], "name STRING"
+            [(n,) for n in names], "name STRING"
         )
     if kind == "MEASUREMENT CARDINALITY":
         # exact counts throughout the CARDINALITY family (InfluxDB
@@ -2659,7 +2684,7 @@ def _show(
             [(len(tables),)], "count BIGINT"
         )
     if kind in ("TAG KEY CARDINALITY", "FIELD KEY CARDINALITY"):
-        names = _show_from_names(m.group(3), tables)
+        names = _show_from_names(m.group("frm"), tables)
         seen: set[str] = set()
         for n in names:
             for c, t in tables[n].dtypes:
@@ -2678,7 +2703,7 @@ def _show(
                 'SHOW TAG VALUES CARDINALITY requires WITH KEY = "k"'
             )
         key = _unquote(m.group("key"))
-        names = _show_from_names(m.group(3), tables)
+        names = _show_from_names(m.group("frm"), tables)
         frames = []
         for n in names:
             tag_cols = {
@@ -2713,7 +2738,7 @@ def _show(
         # point written without that tag.
         from functools import reduce
 
-        names = _show_from_names(m.group(3), tables)
+        names = _show_from_names(m.group("frm"), tables)
         frames = []
         for n in names:
             t = tables[n]
@@ -2747,10 +2772,12 @@ def _show(
                 F.count(F.lit(1)).cast("bigint").alias("count")
             )
         out = out.orderBy("key")
+        if m.group("off"):
+            out = out.offset(int(m.group("off")))
         if m.group("lim"):
             out = out.limit(int(m.group("lim")))
         return out
-    if not m.group(3) and kind in ("TAG KEYS", "FIELD KEYS"):
+    if not m.group("frm") and kind in ("TAG KEYS", "FIELD KEYS"):
         # no FROM: the statement spans every measurement (InfluxQL
         # returns one group per measurement; flattened-distinct here,
         # the useful shape for a schema browser)
@@ -2781,7 +2808,7 @@ def _show(
         # All four upstream key forms: = k | IN (k1, k2) | =~ / !~ /re/;
         # no FROM spans every measurement (flattened-distinct, the same
         # convention as no-FROM TAG KEYS above).
-        names = _show_from_names(m.group(3), tables)
+        names = _show_from_names(m.group("frm"), tables)
         rx = neg = None
         if m.group("kre") or m.group("knre"):
             pat = (m.group("kre") or m.group("knre"))[1:-1]
@@ -2840,7 +2867,7 @@ def _show(
     # FROM-qualified TAG KEYS / FIELD KEYS (exact or /regex/ FROM;
     # multiple regex matches flatten-distinct, the module convention)
     seen2: dict[str, str] = {}
-    for n in _show_from_names(m.group(3), tables):
+    for n in _show_from_names(m.group("frm"), tables):
         for c, t in tables[n].dtypes:
             seen2.setdefault(c, t)
     if kind == "TAG KEYS":

@@ -2038,3 +2038,32 @@ def test_show_regex_from(spark, flow):
         query_measurement(spark, t, "SHOW TAG KEYS FROM //")
     with pytest.raises(InfluxQLError, match="invalid regex"):
         query_measurement(spark, t, "SHOW SERIES FROM /(/")
+
+
+def test_show_measurements_filters(spark, flow):
+    """SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ | = name, and
+    LIMIT/OFFSET pagination (r11). An unknown exact name filters to an
+    empty list — WITH MEASUREMENT filters the listing, it does not
+    address a measurement."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    t = {"campus_flow": flow, "campus_daily": flow, "other": flow}
+    def names(q):
+        return [r["name"] for r in query_measurement(spark, t, q).collect()]
+
+    assert names("SHOW MEASUREMENTS") == [
+        "campus_daily", "campus_flow", "other",
+    ]
+    assert names("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^campus/") == [
+        "campus_daily", "campus_flow",
+    ]
+    assert names("SHOW MEASUREMENTS WITH MEASUREMENT = other") == ["other"]
+    assert names("SHOW MEASUREMENTS WITH MEASUREMENT = nosuch") == []
+    assert names("SHOW MEASUREMENTS LIMIT 1 OFFSET 1") == ["campus_flow"]
+    with pytest.raises(InfluxQLError, match="invalid regex"):
+        query_measurement(
+            spark, t, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /(/"
+        )

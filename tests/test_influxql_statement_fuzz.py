@@ -219,6 +219,10 @@ def gen_select(r: random.Random) -> str:
 
 ADMIN = [
     "SHOW MEASUREMENTS",
+    "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^campus/",
+    "SHOW MEASUREMENTS WITH MEASUREMENT = campus_flow",
+    "SHOW MEASUREMENTS WITH MEASUREMENT =~ /(/",
+    "SHOW MEASUREMENTS LIMIT 1 OFFSET 1",
     "SHOW DATABASES",
     "SHOW SERIES",
     "SHOW SERIES CARDINALITY",
