@@ -2496,6 +2496,7 @@ _SHOW_RE = re.compile(
     r"|!~\s*(?P<knre>/[^/]*/)"
     r"|=\s*(?P<key>\"[^\"]+\"|\w+)"
     r"|IN\s*\((?P<kin>[^)]*)\)))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+LIMIT\s+(?P<lim>\d+))?"
     r"(?:\s+OFFSET\s+(?P<off>\d+))?\s*;?\s*$",
     re.IGNORECASE,
@@ -2626,6 +2627,7 @@ def _show(
     tables: dict[str, DataFrame],
     m: re.Match,
     database: str = None,
+    time_col: str = "time",
 ) -> DataFrame:
     """InfluxQL metadata statements (SHOW MEASUREMENTS / TAG KEYS /
     FIELD KEYS / DATABASES / RETENTION POLICIES) over the measurement
@@ -2633,6 +2635,32 @@ def _show(
     TAG VALUES)."""
     kind = re.sub(r"\s+", " ", m.group(1).upper())
     db = database or DEFAULT_DATABASE
+    where = m.group("where")
+    if where and kind not in (
+        "SERIES", "SERIES CARDINALITY", "TAG VALUES",
+        "TAG VALUES CARDINALITY",
+    ):
+        raise InfluxQLError(f"WHERE is not supported for SHOW {kind}")
+
+    def _narrow(df: DataFrame) -> DataFrame:
+        # tag/time predicates on the scanning SHOW kinds (upstream
+        # 1.x: SHOW SERIES / TAG VALUES take a WHERE clause); unknown
+        # identifiers null-stamp like every other WHERE
+        if not where:
+            return df
+        return df.where(
+            _where_expr(
+                where, time_col, {}, None, columns=set(df.columns)
+            )
+        )
+
+    def _page(rows: list) -> list:
+        # LIMIT/OFFSET pagination for the driver-side key listings
+        if m.group("off"):
+            rows = rows[int(m.group("off")):]
+        if m.group("lim"):
+            rows = rows[: int(m.group("lim"))]
+        return rows
     if kind == "DATABASES":
         # one logical database per registry (the reference's client
         # connects to a single config-named database)
@@ -2713,7 +2741,7 @@ def _show(
             }
             if key in tag_cols:
                 frames.append(
-                    tables[n]
+                    _narrow(tables[n])
                     .select(F.col(key).alias("value"))
                     .where(F.col("value").isNotNull())
                 )
@@ -2741,7 +2769,7 @@ def _show(
         names = _show_from_names(m.group("frm"), tables)
         frames = []
         for n in names:
-            t = tables[n]
+            t = _narrow(tables[n])
             tags = sorted(
                 c
                 for c, ty in t.dtypes
@@ -2786,17 +2814,17 @@ def _show(
             for c, t in tables[n].dtypes:
                 seen.setdefault(c, t)
         if kind == "TAG KEYS":
-            rows = [
+            rows = _page([
                 (c,)
                 for c, t in sorted(seen.items())
                 if t == "string" and c.lower() != "time"
-            ]
+            ])
             return spark.createDataFrame(rows or [], "tagKey STRING")
-        rows = [
+        rows = _page([
             (c, _FIELD_TYPES[t.split("(")[0]])
             for c, t in sorted(seen.items())
             if t.split("(")[0] in _FIELD_TYPES
-        ]
+        ])
         return spark.createDataFrame(
             rows or [], "fieldKey STRING, fieldType STRING"
         )
@@ -2851,7 +2879,7 @@ def _show(
                 # series rather than erroring — InfluxDB 1.x parity
                 keys = [k for k in named if k in tag_cols]
             frames.extend(
-                tables[n]
+                _narrow(tables[n])
                 .select(F.lit(k).alias("key"), F.col(k).alias("value"))
                 .where(F.col("value").isNotNull())
                 .distinct()
@@ -2871,17 +2899,17 @@ def _show(
         for c, t in tables[n].dtypes:
             seen2.setdefault(c, t)
     if kind == "TAG KEYS":
-        rows = [
+        rows = _page([
             (c,)
             for c, t in sorted(seen2.items())
             if t == "string" and c.lower() != "time"
-        ]
+        ])
         return spark.createDataFrame(rows or [], "tagKey STRING")
-    rows = [
+    rows = _page([
         (c, _FIELD_TYPES[t.split("(")[0]])
         for c, t in sorted(seen2.items())
         if t.split("(")[0] in _FIELD_TYPES
-    ]
+    ])
     return spark.createDataFrame(rows or [], "fieldKey STRING, fieldType STRING")
 
 
@@ -3228,7 +3256,7 @@ def query_measurement(
     query = _resolve_now(query, now)
     sm = _SHOW_RE.match(query)
     if sm:
-        return _show(spark, tables, sm, database=database)
+        return _show(spark, tables, sm, database=database, time_col=time_col)
     sub = _split_subquery(query)
     if sub is not None:
         inner_q, outer_q = sub

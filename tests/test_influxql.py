@@ -2067,3 +2067,47 @@ def test_show_measurements_filters(spark, flow):
         query_measurement(
             spark, t, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /(/"
         )
+
+
+def test_show_where_predicates(spark, flow):
+    """WHERE on the scanning SHOW kinds (r11): SHOW SERIES / TAG
+    VALUES [CARDINALITY] filter points before the distinct; the
+    metadata-only kinds raise a named error."""
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        query_measurement,
+    )
+
+    t = {"flow": flow}
+    got = query_measurement(
+        spark, t, "SHOW SERIES FROM flow WHERE buildingID = 'A'"
+    ).collect()
+    assert [r["key"] for r in got] == ["flow,buildingID=A"]
+    got = query_measurement(
+        spark, t,
+        "SHOW TAG VALUES FROM flow WITH KEY = buildingID "
+        "WHERE buildingID != 'A'",
+    ).collect()
+    assert [(r["key"], r["value"]) for r in got] == [("buildingID", "B")]
+    got = query_measurement(
+        spark, t,
+        "SHOW TAG VALUES CARDINALITY FROM flow WITH KEY = buildingID "
+        "WHERE buildingID = 'A'",
+    ).collect()
+    assert got[0]["count"] == 1
+    with pytest.raises(InfluxQLError, match="WHERE is not supported"):
+        query_measurement(
+            spark, t, "SHOW TAG KEYS FROM flow WHERE buildingID = 'A'"
+        )
+
+
+def test_show_key_listings_paginate(spark, flow):
+    """SHOW TAG KEYS / FIELD KEYS honor LIMIT/OFFSET (r11)."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    other = flow.withColumnRenamed("buildingID", "site")
+    t = {"flow": flow, "other": other}
+    got = query_measurement(spark, t, "SHOW TAG KEYS LIMIT 1 OFFSET 1")
+    assert [r["tagKey"] for r in got.collect()] == ["site"]
+    got = query_measurement(spark, t, "SHOW FIELD KEYS FROM flow LIMIT 2")
+    assert got.count() == 2

@@ -235,6 +235,10 @@ ADMIN = [
     "SHOW TAG VALUES CARDINALITY",
     "SHOW SERIES FROM campus_flow",
     "SHOW SERIES FROM /^campus/",
+    "SHOW SERIES FROM campus_flow WHERE buildingID = 'A'",
+    "SHOW TAG VALUES WITH KEY = buildingID WHERE missingTag = 'x'",
+    "SHOW TAG KEYS WHERE buildingID = 'A'",
+    "SHOW SERIES FROM campus_flow WHERE garbage !!!",
     "SHOW TAG KEYS FROM /^campus/",
     "SHOW TAG KEYS FROM /(/",
     "SHOW FIELD KEYS FROM /nomatch/",
