@@ -689,7 +689,29 @@ def _where_expr(
         if tz and not is_epoch and not has_zone:
             val = F.to_utc_timestamp(val, tz)
     else:
-        val = F.lit(rhs)
+        # type-aware literal: ANSI mode makes a mismatched comparison
+        # (double field vs 'true', numeric field vs a word) a
+        # CAST_INVALID_INPUT at execution — InfluxDB's semantics for a
+        # type-conflicted predicate is "matches no points", so compile
+        # it to FALSE instead (totality; found by probing, fuzz-gap)
+        dtype = columns.get(lhs) if isinstance(columns, dict) else None
+        base = (dtype or "").split("(")[0]
+        if base in (
+            "double", "float", "decimal",
+            "bigint", "int", "smallint", "tinyint",
+        ):
+            try:
+                num = int(rhs) if re.fullmatch(r"-?\d+", rhs) else float(rhs)
+            except ValueError:
+                return F.lit(False)
+            val = F.lit(num)
+        elif base == "boolean":
+            if rhs.lower() in ("true", "false"):
+                val = F.lit(rhs.lower() == "true")
+            else:
+                return F.lit(False)
+        else:
+            val = F.lit(rhs)
     if is_time and op in (">=", ">", "<=", "<"):
         # bounds feed the fill() axis: record one canonical NAIVE
         # shape — local wall-clock under tz() (the axis floors in
@@ -2109,7 +2131,7 @@ def translate(
         out = out.where(
             _where_expr(
                 m.group("where"), time_col, time_bounds, tz,
-                columns=set(df.columns),
+                columns=dict(df.dtypes),
             )
         )
 
@@ -2650,7 +2672,7 @@ def _show(
             return df
         return df.where(
             _where_expr(
-                where, time_col, {}, None, columns=set(df.columns)
+                where, time_col, {}, None, columns=dict(df.dtypes)
             )
         )
 
@@ -3040,7 +3062,7 @@ def _table_columns(spark, sinks, table_dir: str, target: str):
     ghost = 'x' deletes nothing, as InfluxDB does, instead of leaking
     an unresolved-column error."""
     try:
-        return set(sinks.read_table(spark, table_dir, target).columns)
+        return dict(sinks.read_table(spark, table_dir, target).dtypes)
     except Exception:
         return None
 

@@ -2111,3 +2111,25 @@ def test_show_key_listings_paginate(spark, flow):
     assert [r["tagKey"] for r in got.collect()] == ["site"]
     got = query_measurement(spark, t, "SHOW FIELD KEYS FROM flow LIMIT 2")
     assert got.count() == 2
+
+
+def test_type_mismatched_where_matches_nothing(spark, flow):
+    """A type-conflicted WHERE predicate (numeric field vs word /
+    boolean / string; boolean field vs non-boolean) compiles to a
+    no-match condition, never an executor CAST_INVALID_INPUT (r11,
+    found by probing — the fuzz only generated numeric rhs)."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    t = {"flow": flow}
+    for q in (
+        "SELECT count(hotOutFlowRate) FROM flow WHERE hotOutFlowRate > true",
+        "SELECT count(hotOutFlowRate) FROM flow WHERE hotOutFlowRate = 'word'",
+        "SELECT count(hotOutFlowRate) FROM flow WHERE hotOutFlowRate != banana",
+    ):
+        assert query_measurement(spark, t, q).collect()[0][0] == 0
+    # numeric literals (bare, quoted, integral) still compare
+    n = query_measurement(
+        spark, t,
+        "SELECT count(hotOutFlowRate) FROM flow WHERE hotOutFlowRate >= 0",
+    ).collect()[0][0]
+    assert n > 0

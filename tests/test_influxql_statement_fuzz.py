@@ -152,9 +152,16 @@ def gen_where(r: random.Random) -> str:
                 f"{r.choice(TIME_LITS)}"
             )
         elif kind == 2:
+            # includes type-mismatched literals: a numeric field vs a
+            # bare word / boolean / quoted string must compile to a
+            # no-match predicate, never an executor CAST error (r11)
+            rhs = r.choice(
+                [f"{r.uniform(-5, 40):.1f}"] * 3
+                + ["true", "FALSE", "banana", "'word'", "''"]
+            )
             clauses.append(
-                f"{r.choice(FIELDS)} {r.choice(['>', '<', '>=', '<='])} "
-                f"{r.uniform(-5, 40):.1f}"
+                f"{r.choice(FIELDS)} {r.choice(['>', '<', '>=', '<=', '=', '!='])} "
+                f"{rhs}"
             )
         elif kind == 3:
             clauses.append(
