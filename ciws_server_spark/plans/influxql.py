@@ -2814,6 +2814,12 @@ def _show(
                     F.concat_ws(",", F.lit(n), *pairs).alias("key")
                 ).distinct()
             )
+        if not frames:
+            # a no-match regex FROM names zero measurements (the
+            # empty-reduce TypeError here was fuzz-found, r11)
+            if kind == "SERIES CARDINALITY":
+                return spark.createDataFrame([(0,)], "count BIGINT")
+            return spark.createDataFrame([], "key STRING")
         out = reduce(lambda a, b: a.unionByName(b), frames)
         if kind == "SERIES CARDINALITY":
             # exact count here — the store has no sketch registry to

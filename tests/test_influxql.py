@@ -2133,3 +2133,18 @@ def test_type_mismatched_where_matches_nothing(spark, flow):
         "SELECT count(hotOutFlowRate) FROM flow WHERE hotOutFlowRate >= 0",
     ).collect()[0][0]
     assert n > 0
+
+
+def test_show_series_no_match_regex_is_empty(spark, flow):
+    """SHOW SERIES [CARDINALITY] FROM /nomatch/ is an empty result /
+    zero count, not an empty-reduce TypeError (fuzz-found, r11)."""
+    from ciws_server_spark.plans.influxql import query_measurement
+
+    t = {"flow": flow}
+    assert query_measurement(
+        spark, t, "SHOW SERIES FROM /nomatch/"
+    ).count() == 0
+    got = query_measurement(
+        spark, t, "SHOW SERIES CARDINALITY FROM /nomatch/"
+    ).collect()
+    assert got[0]["count"] == 0
