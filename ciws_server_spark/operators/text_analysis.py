@@ -462,6 +462,43 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality proxy without a pretrained LM: mean
+    per-word surprisal (bits) under the corpus's OWN unigram
+    distribution — documents full of rare words score high, boilerplate
+    scores low. The honest self-contained analogue of the
+    perplexity-filter stage every web-scale curation pipeline runs.
+
+    Plan: word explode → hash-agg vocabulary counts (map-side
+    partials; the shuffle carries one row per distinct word), a 1-row
+    total crossJoin (broadcast), a join back on the word, and a per-doc
+    mean. The vocab derivation re-scans the pruned 2-column projection
+    rather than checkpointing the exploded words (word-per-row is
+    larger than the text it came from — opposite call to
+    pack_sequences, whose cut frame is 5 longs/doc). At 100 TB the
+    vocabulary is a table, not a broadcast — the word join is the same
+    shuffle the count already paid, and AQE picks broadcast when the
+    vocab is small (it does at bench SF). No driver state.
+    """
+    docs = docs_scan(spark, sf_dir)
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    bits = F.log2(F.col("total") / F.col("cnt"))
+    return (
+        w.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(bits), 6).alias("bits_per_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
@@ -473,6 +510,7 @@ QUERIES = {
     "text_source_rollup": text_source_rollup,
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 #: Locally oracle-checked, not driver-registered (50-entry budget):
@@ -490,6 +528,8 @@ EXTRA = {
     "text_quality_score",
     "text_rolling_fingerprint",
     "text_tokenize_bpeish",
+    # new r11 session 2 (extras tier until its rotation turn)
+    "text_unigram_logprob",
 }
 
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -723,6 +763,20 @@ ORACLES["text_repetition"] = """
                AS is_repetitive
     FROM t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
     ORDER BY t.doc_id
+"""
+
+ORACLES["text_unigram_logprob"] = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    v AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+    t AS (SELECT SUM(cnt) AS total FROM v)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(AVG(LN(t.total / v.cnt) / LN(2)), 6) AS bits_per_word
+    FROM w JOIN v USING (w) CROSS JOIN t
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
 """
 
 HEADLINE = {"text_quality_score", "text_tokenize_bpeish"}

@@ -147,3 +147,22 @@ def test_streaming_equals_batch_in_arrival_order(spark, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+def test_unigram_logprob_hand_computed(spark, tmp_path):
+    """Corpus 'a a a b': p(a)=3/4, p(b)=1/4. doc0='a a' → 2·log2(4/3)
+    / 2; doc1='a b' → (log2(4/3)+log2(4))/2."""
+    import math
+
+    from ciws_server_spark.operators.text_analysis import (
+        text_unigram_logprob,
+    )
+
+    sf = _mkdocs(tmp_path, ["a a", "a b"])
+    rows = {
+        r["doc_id"]: r for r in text_unigram_logprob(spark, sf).collect()
+    }
+    la = math.log2(4 / 3)
+    assert rows[0]["n_words"] == 2
+    assert rows[0]["bits_per_word"] == round(la, 6)
+    assert rows[1]["bits_per_word"] == round((la + 2.0) / 2, 6)
