@@ -3224,6 +3224,31 @@ def run_influxql(
         return retention.show_retention_policies(
             spark, table_dir, database, rp_show.group("db")
         )
+    from . import users as _users
+
+    for rx, fn, needs_db in (
+        (_users._CREATE_USER_RE, _users.create_user, False),
+        (_users._SET_PW_RE, _users.set_password, False),
+        (_users._DROP_USER_RE, _users.drop_user, False),
+        (_users._GRANT_RE, _users.grant, True),
+        (_users._REVOKE_RE, _users.revoke, True),
+    ):
+        if rx.match(statement):
+            if table_dir is None:
+                raise InfluxQLError(
+                    "user management requires a table_dir (the registry)"
+                )
+            if needs_db:
+                return fn(statement, table_dir, database)
+            return fn(statement, table_dir)
+    if _users._SHOW_USERS_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("SHOW USERS requires a table_dir")
+        return _users.show_users(spark, table_dir)
+    if _users._SHOW_GRANTS_RE.match(statement):
+        if table_dir is None:
+            raise InfluxQLError("SHOW GRANTS requires a table_dir")
+        return _users.show_grants(spark, table_dir, statement)
     if continuous._CREATE_CQ_RE.match(statement):
         if table_dir is None:
             raise InfluxQLError("CREATE CONTINUOUS QUERY requires a table_dir")

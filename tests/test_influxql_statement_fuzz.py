@@ -261,6 +261,16 @@ ADMIN = [
     "SHOW TAG VALUES FROM campus_flow WITH KEY =~ /(/",
     "SHOW RETENTION POLICIES",
     "SHOW CONTINUOUS QUERIES",
+    "CREATE USER fuzzu WITH PASSWORD 'pw'",
+    "CREATE USER fuzzu WITH PASSWORD 'pw' WITH ALL PRIVILEGES",
+    "SET PASSWORD FOR fuzzu = 'pw2'",
+    "GRANT READ ON ciws TO fuzzu",
+    "GRANT ALL PRIVILEGES TO fuzzu",
+    "REVOKE WRITE ON nosuchdb FROM fuzzu",
+    "SHOW USERS",
+    "SHOW GRANTS FOR fuzzu",
+    "SHOW GRANTS FOR ghost",
+    "DROP USER fuzzu",
     "CREATE DATABASE fuzzdb",
     "DROP DATABASE fuzzdb",
     "DELETE FROM campus_flow WHERE time < now()",
