@@ -197,8 +197,13 @@ def revoke(statement: str, table_dir: str, database: str | None) -> str:
     else:
         db = _check_db(m.group("db"), database)
         held = rec["grants"].get(db)
-        if held == priv or priv == "ALL":
+        if priv == "ALL" or held == priv:
             rec["grants"].pop(db, None)  # idempotent, as upstream
+        elif held == "ALL":
+            # upstream demotes: ALL minus READ leaves WRITE (and
+            # vice versa) — privileges are single-valued per (u, db)
+            rec["grants"][db] = "WRITE" if priv == "READ" else "READ"
+        # else: revoking a privilege not held is a no-op
     _store(table_dir, state)
     return name
 

@@ -104,3 +104,23 @@ def test_user_registry_survives_process_boundary(spark, tmp_path):
     state = json.load(open(os.path.join(td, "_users.json")))
     assert set(state) == {"u"}
     assert authenticate(td, "u", "p")
+
+
+def test_revoke_demotes_all(spark, tmp_path):
+    """REVOKE READ from an ALL holder demotes to WRITE (and vice
+    versa) — privileges are single-valued per (user, db), upstream."""
+    td = str(tmp_path)
+    _run(spark, td, "CREATE DATABASE water")
+    _run(spark, td, "CREATE USER u WITH PASSWORD 'p'")
+    _run(spark, td, "GRANT ALL ON water TO u")
+    _run(spark, td, "REVOKE READ ON water FROM u")
+    got = _run(spark, td, "SHOW GRANTS FOR u").collect()
+    assert [(r["database"], r["privilege"]) for r in got] == [
+        ("water", "WRITE")
+    ]
+    _run(spark, td, "GRANT ALL ON water TO u")
+    _run(spark, td, "REVOKE WRITE ON water FROM u")
+    got = _run(spark, td, "SHOW GRANTS FOR u").collect()
+    assert [(r["database"], r["privilege"]) for r in got] == [
+        ("water", "READ")
+    ]
