@@ -2915,11 +2915,16 @@ def _show(
             )
         if not frames:
             return spark.createDataFrame([], "key STRING, value STRING")
-        return (
+        out = (
             reduce(lambda a, b: a.unionByName(b), frames)
             .distinct()
             .orderBy("key", "value")
         )
+        if m.group("off"):
+            out = out.offset(int(m.group("off")))
+        if m.group("lim"):
+            out = out.limit(int(m.group("lim")))
+        return out
     # FROM-qualified TAG KEYS / FIELD KEYS (exact or /regex/ FROM;
     # multiple regex matches flatten-distinct, the module convention)
     seen2: dict[str, str] = {}

@@ -2102,7 +2102,8 @@ def test_show_where_predicates(spark, flow):
 
 
 def test_show_key_listings_paginate(spark, flow):
-    """SHOW TAG KEYS / FIELD KEYS honor LIMIT/OFFSET (r11)."""
+    """SHOW TAG KEYS / FIELD KEYS / TAG VALUES honor LIMIT/OFFSET
+    (r11)."""
     from ciws_server_spark.plans.influxql import query_measurement
 
     other = flow.withColumnRenamed("buildingID", "site")
@@ -2111,6 +2112,11 @@ def test_show_key_listings_paginate(spark, flow):
     assert [r["tagKey"] for r in got.collect()] == ["site"]
     got = query_measurement(spark, t, "SHOW FIELD KEYS FROM flow LIMIT 2")
     assert got.count() == 2
+    got = query_measurement(
+        spark, t,
+        "SHOW TAG VALUES FROM flow WITH KEY = buildingID LIMIT 1 OFFSET 1",
+    ).collect()
+    assert [(r["key"], r["value"]) for r in got] == [("buildingID", "B")]
 
 
 def test_type_mismatched_where_matches_nothing(spark, flow):
