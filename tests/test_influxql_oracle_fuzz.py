@@ -377,7 +377,11 @@ def gen_tz_fill_case(r: random.Random):
         FROM axis x LEFT JOIN agg a
           ON a.time_bucket = x.time_bucket{join_tags}
     """
-    if fill == "0" and fn in ("count", "sum", "max") and r.random() < 0.35:
+    # eligible cases always take the transform composition: the plain
+    # tz_fill shape is already covered by the 0/null/previous fills,
+    # and a 0.35 conditional draw left the diff path at ~1 case per
+    # 1,000 in the evidence runs
+    if fill == "0" and fn in ("count", "sum", "max"):
         # transform-over-filled-series composition: difference() runs
         # AFTER fill (InfluxQL fill-first order); the leading axis
         # bucket has no lag and is skipped (null transform values are
