@@ -41,6 +41,22 @@ Grammar (case-insensitive keywords):
                                              -- wall-clock grid
 
     item  := "col" | col | agg(col) | agg("col") | agg(*) | * | xform
+          |  math-expr                         -- point-wise math calls
+                                               -- (InfluxDB 1.5+): abs,
+                                               -- acos, asin, atan,
+                                               -- atan2(y,x), ceil, cos,
+                                               -- exp, floor, ln,
+                                               -- log(x,b), log2, log10,
+                                               -- pow(x,e), round, sin,
+                                               -- sqrt, tan — over a
+                                               -- field (raw points) or
+                                               -- an aggregate, freely
+                                               -- composed with select
+                                               -- arithmetic; domain
+                                               -- errors (acos(2),
+                                               -- sqrt(-1)) yield NULL,
+                                               -- mirroring InfluxDB's
+                                               -- emit-no-point
     agg   := mean|sum|count|min|max|first|last
           |  spread|stddev|median|mode       -- max−min / sample stddev
                                              -- (rounded 6dp) / middle-
@@ -1881,9 +1897,56 @@ def _apply_transform(
 # calls (not a mix of raw fields and aggregates in one expression).
 _AS_RE = re.compile(r"^(?P<expr>.+?)\s+AS\s+(?P<alias>\"[^\"]+\"|\w+)\s*$",
                     re.IGNORECASE)
+#: Point-wise math functions (InfluxDB 1.5+ "mathematical operators"
+#: surface). Arity-checked at parse time; compiled to the matching
+#: built-in Spark expression (JVM-side, codegen'd — never a UDF).
+#: ``ceil``/``floor`` are cast back to double (Spark returns LONG,
+#: InfluxDB keeps floats float); NaN results (domain errors like
+#: acos(2) or sqrt(-1)) become NULL, mirroring InfluxDB's
+#: emit-no-point for undefined input.
+_MATH_ARITY = {
+    "abs": 1, "acos": 1, "asin": 1, "atan": 1, "atan2": 2, "ceil": 1,
+    "cos": 1, "exp": 1, "floor": 1, "ln": 1, "log": 2, "log2": 1,
+    "log10": 1, "pow": 2, "round": 1, "sin": 1, "sqrt": 1, "tan": 1,
+}
+# longest-first alternation so atan2 wins over atan, log2/log10 over log
+_MATH_NAMES_ALT = (
+    "atan2|acos|asin|atan|abs|ceil|cos|exp|floor|ln|log2|log10|log"
+    "|pow|round|sin|sqrt|tan"
+)
+_MATH_ITEM_RE = re.compile(rf"^(?:{_MATH_NAMES_ALT})\s*\(", re.I)
+
+#: fn → Spark Column builder. Inputs are pre-cast to double by the
+#: caller, so every builder is double → double (ceil/floor cast back
+#: from Spark's LONG; log(x, b) = ln x / ln b because F.log's two-arg
+#: form takes a Python-float base, not a Column).
+_MATH_BUILDERS = {
+    "abs": F.abs,
+    "acos": F.acos,
+    "asin": F.asin,
+    "atan": F.atan,
+    "atan2": F.atan2,
+    "ceil": lambda c: F.ceil(c).cast("double"),
+    "cos": F.cos,
+    "exp": F.exp,
+    "floor": lambda c: F.floor(c).cast("double"),
+    "ln": lambda c: F.log(c),
+    "log": lambda c, b: F.log(c) / F.log(b),
+    "log2": F.log2,
+    "log10": F.log10,
+    "pow": F.pow,
+    "round": lambda c: F.round(c, 0),
+    "sin": F.sin,
+    "sqrt": F.sqrt,
+    "tan": F.tan,
+}
+
 _ARITH_TOK_RE = re.compile(
-    r'\s*(?:(?P<num>\d+\.\d+|\d+)|(?P<call>\w+\s*\(\s*(?:"[^"]+"|\w+|\*)\s*\))'
-    r'|(?P<field>"[^"]+"|\w+)|(?P<op>[+\-*/%()]))'
+    r'\s*(?:(?P<num>\d+\.\d+|\d+)'
+    rf'|(?P<mathopen>(?:{_MATH_NAMES_ALT})\s*\()'
+    r'|(?P<call>\w+\s*\(\s*(?:"[^"]+"|\w+|\*)\s*\))'
+    r'|(?P<field>"[^"]+"|\w+)|(?P<op>[+\-*/%(),]))',
+    re.I,
 )
 _OP_WORD = {"+": "add", "-": "sub", "*": "mul", "/": "div", "%": "mod"}
 
@@ -1898,6 +1961,11 @@ def _arith_tokens(item: str) -> list | None:
         i = m.end()
         if m.group("num") is not None:
             toks.append(("num", m.group("num")))
+        elif m.group("mathopen") is not None:
+            # "abs(" → ("mathopen", "abs"); args parsed recursively
+            toks.append(
+                ("mathopen", m.group("mathopen")[:-1].strip().lower())
+            )
         elif m.group("call") is not None:
             toks.append(("call", m.group("call")))
         elif m.group("field") is not None:
@@ -1948,7 +2016,14 @@ class _Arith:
                 "select expression (InfluxQL restriction)"
             )
         if self.alias is None:
-            self.alias = self._name(self.tree)
+            # a bare math call names its column after the function
+            # alone (InfluxDB: SELECT abs(a) → column "abs");
+            # composites get the descriptive synthetic name
+            self.alias = (
+                self.tree[1]
+                if self.tree[0] == "math"
+                else self._name(self.tree)
+            )
 
     # recursive descent: expr := term ((+|-) term)*, term := factor
     # ((*|/|%) factor)*
@@ -1982,6 +2057,28 @@ class _Arith:
                 raise InfluxQLError("unbalanced parens in select expression")
             self._i += 1
             return node
+        if tok == ("op", "-"):
+            # unary minus: -x ≡ 0 − x (binds at factor level, so
+            # a * -b parses; unary + stays rejected as before)
+            return ("-", ("num", "0"), self._factor())
+        if tok[0] == "mathopen":
+            fn = tok[1]
+            args = [self._expr()]
+            while self._peek() == ("op", ","):
+                self._i += 1
+                args.append(self._expr())
+            if self._peek() != ("op", ")"):
+                raise InfluxQLError(
+                    f"unbalanced parens in {fn}() call"
+                )
+            self._i += 1
+            want = _MATH_ARITY[fn]
+            if len(args) != want:
+                raise InfluxQLError(
+                    f"{fn} takes exactly {want} "
+                    f"argument{'s' if want > 1 else ''}"
+                )
+            return ("math", fn, args)
         if tok[0] == "num":
             return tok
         if tok[0] == "call":
@@ -2000,6 +2097,9 @@ class _Arith:
             self.aggs.append((node[1], node[2]))
         elif node[0] == "field":
             self.fields.append(node[1])
+        elif node[0] == "math":
+            for a in node[2]:
+                self._walk(a)
         elif node[0] in _OP_WORD:
             self._walk(node[1])
             self._walk(node[2])
@@ -2011,6 +2111,8 @@ class _Arith:
             return node[1]
         if node[0] == "agg":
             return f"{node[1]}_{node[2]}"
+        if node[0] == "math":
+            return f"{node[1]}_{self._name(node[2][0])}"
         return (
             f"{self._name(node[1])}_{_OP_WORD[node[0]]}_"
             f"{self._name(node[2])}"
@@ -2025,6 +2127,15 @@ class _Arith:
                 return F.lit(float(node[1]))
             if node[0] in ("field", "agg"):
                 return resolve(node)
+            if node[0] == "math":
+                c = _MATH_BUILDERS[node[1]](
+                    *[build(a).cast("double") for a in node[2]]
+                )
+                # domain error (acos(2), sqrt(-1), 0^-1, …) → NULL:
+                # InfluxDB emits no point for undefined math; NULL is
+                # the relational mirror and what a CASE-guarded
+                # oracle computes
+                return F.when(~F.isnan(c), c)
             left, right = build(node[1]), build(node[2])
             op = node[0]
             if op == "+":
@@ -2055,7 +2166,8 @@ _GRAMMAR_WORDS = frozenset(
         "triple_exponential_moving_average "
         "triple_exponential_derivative holt_winters "
         "holt_winters_with_fit sample histogram time fill as and or "
-        "not"
+        "not abs acos asin atan atan2 ceil cos exp floor ln log log2 "
+        "log10 pow round sin sqrt tan"
     ).split()
 )
 
@@ -2226,9 +2338,14 @@ def translate(
                 f"{um.group(1).lower()} is out of surface: "
                 "reserved-but-unimplemented in InfluxQL 1.x"
             )
-        # arithmetic / AS items must classify BEFORE _AGG_RE: its lazy
-        # body would swallow "mean(a) + mean(b)" as one malformed agg
-        if item != "*" and (_has_top_level_op(item) or _AS_RE.match(item)):
+        # arithmetic / AS / math-call items must classify BEFORE
+        # _AGG_RE: its lazy body would swallow "mean(a) + mean(b)" as
+        # one malformed agg, and pow(v, 2) as a malformed transform
+        if item != "*" and (
+            _has_top_level_op(item)
+            or _AS_RE.match(item)
+            or _MATH_ITEM_RE.match(item)
+        ):
             a = _Arith(item)
             (arith_agg if a.aggs else arith_raw).append(a)
             continue
