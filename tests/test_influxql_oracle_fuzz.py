@@ -891,9 +891,115 @@ def gen_calendar_case(r: random.Random):
     return iql, sql, "agg"
 
 
+#: fn → DuckDB rendering with the engine's NULL-on-domain-error
+#: semantics made explicit (DuckDB THROWS on acos(2)/sqrt(-1)/ln(0),
+#: the engine yields NULL — the CASE guards reconcile the two).
+_MATH_SQL = {
+    "abs": lambda x: f"abs({x})",
+    "ceil": lambda x: f"ceil({x})",
+    "floor": lambda x: f"floor({x})",
+    "round": lambda x: f"round({x})",
+    "exp": lambda x: f"exp({x})",
+    "sin": lambda x: f"sin({x})",
+    "cos": lambda x: f"cos({x})",
+    "tan": lambda x: f"tan({x})",
+    "atan": lambda x: f"atan({x})",
+    "sqrt": lambda x: f"CASE WHEN ({x}) >= 0 THEN sqrt({x}) END",
+    "ln": lambda x: f"CASE WHEN ({x}) > 0 THEN ln({x}) END",
+    "log2": lambda x: f"CASE WHEN ({x}) > 0 THEN log2({x}) END",
+    "log10": lambda x: f"CASE WHEN ({x}) > 0 THEN log10({x}) END",
+    "acos": lambda x: (
+        f"CASE WHEN ({x}) BETWEEN -1 AND 1 THEN acos({x}) END"
+    ),
+    "asin": lambda x: (
+        f"CASE WHEN ({x}) BETWEEN -1 AND 1 THEN asin({x}) END"
+    ),
+}
+
+
+def gen_math_case(r: random.Random):
+    """Point-wise math over a raw field or over an aggregate, with
+    the occasional arithmetic composition / two-arg form."""
+    f = r.choice(FIELDS)
+    where_iql, where_sql = gen_where(r, allow_or=False)
+    w_iql = f" WHERE {where_iql}" if where_iql else ""
+    w_sql = f" WHERE {where_sql}" if where_sql else ""
+    roll = r.random()
+    if roll < 0.25:
+        # two-arg forms over raw points
+        form = r.choice(["pow", "log", "atan2"])
+        if form == "pow":
+            e = r.choice(["2", "3", "-1", "0.5"])
+            iql = f"SELECT pow({f}, {e}) FROM campus_flow{w_iql}"
+            # engine NULLs NaN (neg base, frac exponent); DuckDB
+            # returns NaN for the same input — reconcile via isnan
+            raw = f"pow({f}, {e})"
+            expr = f"CASE WHEN isnan({raw}) THEN NULL ELSE {raw} END"
+            alias = "pow"
+        elif form == "log":
+            b = r.choice(["2", "10"])
+            iql = f"SELECT log({f}, {b}) FROM campus_flow{w_iql}"
+            # engine formula: ln(x)/ln(b)
+            expr = f"CASE WHEN ({f}) > 0 THEN ln({f})/ln({b}.0) END"
+            alias = "log"
+        else:
+            g = FIELDS[1 - FIELDS.index(f)]
+            iql = f"SELECT atan2({f}, {g}) FROM campus_flow{w_iql}"
+            expr = f"atan2({f}, {g})"
+            alias = "atan2"
+        sql = (
+            f"SELECT time, {expr} AS {alias} FROM campus_flow{w_sql}"
+        )
+        return iql, sql, "math"
+    fn = r.choice(sorted(_MATH_SQL))
+    if roll < 0.65:
+        # unary over raw points, sometimes composed arithmetically
+        if r.random() < 0.3:
+            iql = (
+                f"SELECT {fn}({f}) * 2 + 1 AS x FROM campus_flow{w_iql}"
+            )
+            sql = (
+                f"SELECT time, ({_MATH_SQL[fn](f)}) * 2 + 1 AS x "
+                f"FROM campus_flow{w_sql}"
+            )
+        else:
+            iql = f"SELECT {fn}({f}) FROM campus_flow{w_iql}"
+            sql = (
+                f"SELECT time, {_MATH_SQL[fn](f)} AS {fn} "
+                f"FROM campus_flow{w_sql}"
+            )
+        return iql, sql, "math"
+    # math over an aggregate, bucketed
+    agg = r.choice(["mean", "sum", "min", "max"])
+    bucket_min = r.choice([30, 60, 120])
+    tags = ["buildingID"] if r.random() < 0.5 else []
+    group_iql = [f"time({bucket_min}m)"] + tags
+    iql = (
+        f"SELECT {fn}({agg}({f})) FROM campus_flow{w_iql} "
+        f"GROUP BY {', '.join(group_iql)}"
+    )
+    bsec = bucket_min * 60
+    bucket_sql = (
+        f"to_timestamp(CAST(floor(epoch(time) / {bsec}) "
+        f"AS BIGINT) * {bsec})"
+    )
+    agg_expr = _agg_sql(agg, f)
+    sel_tags = (", " + ", ".join(tags)) if tags else ""
+    group_cols = ["1"] + (["3"] if tags else [])
+    sql = (
+        f"SELECT {bucket_sql} AS time_bucket, "
+        f"{_MATH_SQL[fn](agg_expr)} AS {fn}{sel_tags} "
+        f"FROM campus_flow{w_sql} "
+        f"GROUP BY {', '.join(group_cols)}"
+    )
+    return iql, sql, "math"
+
+
 def gen_case(r: random.Random):
     """One generated (influxql, duckdb_sql, kind) case."""
     roll = r.random()
+    if roll < 0.06:
+        return gen_math_case(r)
     if roll < 0.12:
         return gen_fill_case(r)
     if roll < 0.18:
@@ -1001,6 +1107,20 @@ def run_case(fixture, iql: str, sql: str, kind: str) -> None:
     want = canon(
         [dict(zip(duck_cols, r)) for r in duck_rows], cols
     )
+    if kind == "math":
+        # transcendental results (exp, tan, …) differ between JVM
+        # and libm in the last ULP — a RELATIVE error, so compare at
+        # 11 significant digits instead of canon's absolute 6dp
+        # (which is stricter for magnitudes < 1e5, looser above)
+        sig = lambda t: tuple(  # noqa: E731
+            # + 0.0 canonicalizes -0.0 (DuckDB ceil(-0.5) → -0.0,
+            # Spark → 0.0 — equal values, different sort strings)
+            float(f"{v:.11g}") + 0.0 if isinstance(v, float) else v
+            for v in t
+        )
+        key = lambda t: tuple(str(x) for x in t)  # noqa: E731
+        got = sorted((sig(t) for t in got), key=key)
+        want = sorted((sig(t) for t in want), key=key)
     assert got == want, (
         f"mismatch for {iql!r}\n vs {sql!r}\n"
         f"spark({len(got)}): {got[:5]}\n duck({len(want)}): {want[:5]}"

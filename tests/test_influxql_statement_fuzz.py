@@ -82,6 +82,9 @@ TRANSFORMS = ["derivative", "difference", "cumulative_sum", "elapsed",
               "holt_winters", "sample", "histogram", "nosuchfn"]
 DURATIONS = ["10s", "1m", "5m", "1h", "1d", "1w", "1mo", "3mo", "1y",
              "0s", "7x", ""]
+MATH_FNS = ["abs", "acos", "asin", "atan", "atan2", "ceil", "cos",
+            "exp", "floor", "ln", "log", "log2", "log10", "pow",
+            "round", "sin", "sqrt", "tan"]
 FILLS = ["null", "none", "previous", "linear", "0", "3.5", "bogus"]
 TIME_LITS = [
     "'2024-01-01 06:00:00'", "'2024-01-01T06:00:10Z'",
@@ -133,6 +136,16 @@ def gen_field_expr(r: random.Random) -> str:
             return f"{f} {op} {g}"
         return f"mean({f}) {op} mean({g})"
     if kind == 6:
+        if r.random() < 0.4:  # point-wise math calls, incl. bad arity
+            fn = r.choice(MATH_FNS)
+            inner = f"{r.choice(AGGS)}({f})" if r.random() < 0.3 else f
+            arg2 = r.choice([", 2", ", -1", ", 0.5", ", cold", ""])
+            expr = f"{fn}({inner}{arg2})"
+            if r.random() < 0.3:
+                expr = f"{expr} {r.choice(['+', '*', '-'])} 1"
+            if r.random() < 0.2:
+                expr = f"-{expr}"
+            return expr
         return f"{gen_field_expr(r)} AS alias_{r.randrange(5)}"
     return r.choice(["*", "/flow/", "42", "''"])
 
