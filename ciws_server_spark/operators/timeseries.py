@@ -446,6 +446,45 @@ def influxql_select_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("time_bucket", "event_type")
 
 
+def influxql_math_pointwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-wise math functions (InfluxDB 1.5+) over raw points
+    through the text front-end. Catalog restricts itself to the
+    IEEE-exact functions (sqrt is correctly rounded per IEEE 754;
+    abs/ceil/floor/round are exact) so the value-hash comparison is
+    bit-stable; the transcendental tail (sin/exp/ln/pow/...) is
+    covered by the differential fuzz at 11 significant digits."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT sqrt(value) AS root_v, "
+        "floor(value) - ceil(value) AS fc, "
+        "round(value) AS r, "
+        "abs(value - 250) AS dist "
+        "FROM events WHERE event_type = 'purchase' "
+        f"AND time >= '{_START}' AND time <= '{_END}'"
+    )
+    return translate(ev, q, time_col="ts")
+
+
+def influxql_math_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math over aggregates under a calendar-free time bucket:
+    sqrt/round compose with max/min/count post-aggregation (the
+    arith-agg compile path — one hash aggregate, math applied to the
+    combined columns, no second shuffle)."""
+    from ..plans.influxql import translate
+
+    ev = table(spark, sf_dir, "events")
+    q = (
+        "SELECT sqrt(max(value)) AS root_max, "
+        "round(min(value)) AS r_min, "
+        "sqrt(count(value)) AS root_n "
+        "FROM events GROUP BY time(6h), event_type"
+    )
+    out = translate(ev, q, time_col="ts")
+    return out.orderBy("time_bucket", "event_type")
+
+
 def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window aggregate: 6h windows every 3h (each event lands
     in 2 overlapping windows) via Spark's native
@@ -1315,6 +1354,8 @@ QUERIES = {
     "influxql_select_range": influxql_select_range,
     "influxql_group_by_time": influxql_group_by_time,
     "influxql_select_arith": influxql_select_arith,
+    "influxql_math_pointwise": influxql_math_pointwise,
+    "influxql_math_aggregate": influxql_math_aggregate,
     "influxql_regex_predicate": influxql_regex_predicate,
     "influxql_group_by_time_fill": influxql_group_by_time_fill,
     "influxql_derivative": influxql_derivative,
@@ -1396,6 +1437,8 @@ EXTRA = {
     "influxql_integral",
     "influxql_kama",
     "influxql_kaufman_er",
+    "influxql_math_pointwise",
+    "influxql_math_aggregate",
     "influxql_month_bucket",
     "influxql_offset",
     "influxql_order_limit",
@@ -1945,6 +1988,27 @@ ORACLES = {
                event_type,
                MAX(value) - MIN(value) AS value_range,
                CAST(COUNT(value) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY time_bucket, event_type
+    """,
+    "influxql_math_pointwise": f"""
+        SELECT ts,
+               sqrt(value) AS root_v,
+               floor(value) - ceil(value) AS fc,
+               round(value) AS r,
+               abs(value - 250) AS dist
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '{_START}' AND ts <= TIMESTAMP '{_END}'
+    """,
+    "influxql_math_aggregate": """
+        SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600)
+                 AS TIMESTAMP) AS time_bucket,
+               event_type,
+               sqrt(MAX(value)) AS root_max,
+               round(MIN(value)) AS r_min,
+               sqrt(CAST(COUNT(value) AS DOUBLE)) AS root_n
         FROM events
         GROUP BY 1, 2
         ORDER BY time_bucket, event_type
