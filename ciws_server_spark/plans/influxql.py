@@ -3413,6 +3413,65 @@ def run_influxql(
     )
 
 
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN(?P<analyze>\s+ANALYZE)?\s+(?P<stmt>.+?)\s*;?\s*$",
+    re.I | re.DOTALL,
+)
+
+
+def execute_explain(
+    spark,
+    tables: dict[str, DataFrame],
+    stmt: str,
+    *,
+    time_col: str = "time",
+    database: str = None,
+    now=None,
+    analyze: bool = False,
+) -> DataFrame:
+    """InfluxQL ``EXPLAIN [ANALYZE] SELECT ...`` (InfluxDB 1.7+
+    surface): returns one text column named ``QUERY PLAN``, one row
+    per plan line — upstream's result shape. The body is Spark-first:
+    Catalyst's FORMATTED physical plan (scan pushdowns, codegen
+    spans, exchange placement — strictly more informative than
+    upstream's shard/series counts for this engine's execution
+    model). ``ANALYZE`` additionally executes the statement and
+    prepends row-count and wall-time lines, mirroring upstream's
+    execute-and-profile semantics without a listener harness.
+
+    Like upstream, only SELECT can be explained — EXPLAIN of SHOW /
+    DELETE / INTO raises the named error."""
+    if not re.match(r"^\s*SELECT\b", stmt, re.I):
+        raise InfluxQLError("EXPLAIN only supports SELECT statements")
+    qm = _QUERY_RE.match(_resolve_now(stmt, now))
+    if qm and qm.group("into"):
+        raise InfluxQLError(
+            "EXPLAIN of SELECT ... INTO is not supported"
+        )
+    df = query_measurement(
+        spark, tables, stmt, time_col, database=database, now=now
+    )
+    sess = df.sparkSession
+    jqe = df._jdf.queryExecution()
+    mode = sess._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    header = []
+    if analyze:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        n = df.count()
+        header = [
+            f"EXECUTION: rows={n}",
+            f"EXECUTION: wall={_time.perf_counter() - t0:.3f}s",
+        ]
+    lines = [s for s in jqe.explainString(mode).splitlines() if s.strip()]
+    return sess.createDataFrame(
+        [(s,) for s in header + lines], "`QUERY PLAN` STRING"
+    )
+
+
 def query_measurement(
     spark,
     tables: dict[str, DataFrame],
@@ -3429,6 +3488,17 @@ def query_measurement(
     the outer time column) and the SHOW metadata statements.
     """
     query = _resolve_now(query, now)
+    em = _EXPLAIN_RE.match(query)
+    if em:
+        return execute_explain(
+            spark,
+            tables,
+            em.group("stmt"),
+            time_col=time_col,
+            database=database,
+            now=now,
+            analyze=em.group("analyze") is not None,
+        )
     sm = _SHOW_RE.match(query)
     if sm:
         return _show(spark, tables, sm, database=database, time_col=time_col)

@@ -336,6 +336,10 @@ def gen_statement(r: random.Random) -> str:
     else:
         stmt = mutate(r, gen_select(r) if r.random() < 0.7
                       else r.choice(ADMIN))
+    if r.random() < 0.05:
+        # EXPLAIN wraps anything — SELECT plans, everything else is
+        # the named only-SELECT error
+        stmt = r.choice(["EXPLAIN ", "EXPLAIN ANALYZE "]) + stmt
     if r.random() < 0.15:
         stmt = mutate(r, stmt)
     return stmt
