@@ -122,6 +122,16 @@ END``, ``SHOW CONTINUOUS QUERIES``, ``DROP CONTINUOUS QUERY``) live in
 :mod:`.continuous`, dispatched here — the scheduler tick is
 ``continuous.run_due_continuous_queries``.
 
+Ops/admin plane (``SHOW SHARDS`` / ``SHOW SHARD GROUPS`` /
+``DROP SHARD`` over the retention policy's logical shard-group
+windows, ``SHOW QUERIES`` / ``KILL QUERY`` over active streaming
+queries, ``SHOW STATS`` / ``SHOW DIAGNOSTICS``, and the
+``CREATE/DROP SUBSCRIPTION`` + ``SHOW SUBSCRIPTIONS`` registry) lives
+in :mod:`.admin`, dispatched from :func:`run_influxql`.
+``EXPLAIN [ANALYZE] SELECT ...`` returns upstream's one-text-column
+``QUERY PLAN`` shape with Catalyst's formatted physical plan as the
+body (:func:`execute_explain`).
+
 ``fill()`` follows InfluxQL: it requires a closed time range in WHERE
 (the dense bucket axis is generated from those bounds), emits one row
 per (series, bucket), and fills empty buckets with null / the
@@ -3389,6 +3399,32 @@ def run_influxql(
         if table_dir is None:
             raise InfluxQLError("SHOW CONTINUOUS QUERIES requires a table_dir")
         return continuous.show_continuous_queries(spark, table_dir)
+    from . import admin as _admin
+
+    if _admin._SHOW_SHARDS_RE.match(statement):
+        return _admin.show_shards(spark, tables, table_dir, database, time_col)
+    if _admin._SHOW_SHARD_GROUPS_RE.match(statement):
+        return _admin.show_shard_groups(
+            spark, tables, table_dir, database, time_col
+        )
+    if _admin._DROP_SHARD_RE.match(statement):
+        return _admin.drop_shard(
+            spark, tables, statement, table_dir, database, time_col
+        )
+    if _admin._SHOW_QUERIES_RE.match(statement):
+        return _admin.show_queries(spark, tables, database)
+    if _admin._KILL_QUERY_RE.match(statement):
+        return _admin.kill_query(spark, tables, statement)
+    if _admin._SHOW_STATS_RE.match(statement):
+        return _admin.show_stats(spark, tables, table_dir)
+    if _admin._SHOW_DIAGNOSTICS_RE.match(statement):
+        return _admin.show_diagnostics(spark, tables)
+    if _admin._CREATE_SUB_RE.match(statement):
+        return _admin.create_subscription(statement, table_dir, database)
+    if _admin._DROP_SUB_RE.match(statement):
+        return _admin.drop_subscription(statement, table_dir, database)
+    if _admin._SHOW_SUBS_RE.match(statement):
+        return _admin.show_subscriptions(spark, tables, table_dir)
     m = _QUERY_RE.match(statement)
     if m and m.group("into"):
         if table_dir is None:

@@ -238,6 +238,18 @@ def gen_select(r: random.Random) -> str:
 
 
 ADMIN = [
+    "SHOW SHARDS",
+    "SHOW SHARD GROUPS",
+    "DROP SHARD 1",
+    "DROP SHARD 0",
+    "SHOW QUERIES",
+    "KILL QUERY 1",
+    "SHOW STATS",
+    "SHOW DIAGNOSTICS",
+    "SHOW SUBSCRIPTIONS",
+    "CREATE SUBSCRIPTION \"s\" ON ciws.\"autogen\" DESTINATIONS ALL 'http://h:1'",
+    "CREATE SUBSCRIPTION s ON ciws.autogen DESTINATIONS",
+    "DROP SUBSCRIPTION \"s\" ON ciws.\"autogen\"",
     "SHOW MEASUREMENTS",
     "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^campus/",
     "SHOW MEASUREMENTS WITH MEASUREMENT = campus_flow",
