@@ -129,6 +129,123 @@ def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUCKETS = 1_000_000  # resolution of the per-doc uniform draw
+
+
+def domain_mixture(
+    docs: DataFrame,
+    weight_col,
+    budget_chars: float | None = None,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Materialize a target domain mixture with epoching — the step
+    between curation and training: each source's share of the token
+    budget is ``weight / Σweights``, so a small high-quality domain
+    is REPEATED (epochs > 1: every doc emitted floor(e) times plus a
+    deterministic Bernoulli(frac(e)) extra copy) and an over-sized
+    domain is subsampled (epochs < 1).
+
+    * ``weight_col`` — Column giving the per-row mixture weight
+      (usually a function of ``source``); weights are relative.
+    * ``budget_chars`` — total character budget; default = corpus
+      size (pure re-mixing at constant volume).
+
+    Determinism and scale: the per-doc draw is the split-hash
+    convention (first 15 hex digits of md5(salt ‖ doc_id) mod 1e6 —
+    content-local, no RNG state, engine-portable); per-source stats
+    are a 1-row-per-source aggregate broadcast back, so the only
+    full-data operations are one scan (pruned to doc_id/source/
+    n_chars — text is never read) and the explode that IS the
+    output. No shuffle of the corpus itself at any scale.
+
+    Output: (doc_id, source, epochs, copy) — copy = 1..n for the
+    repeated emissions of one document.
+    """
+    base = docs.select(
+        "doc_id", "source", "n_chars", weight_col.alias("wt")
+    )
+    stats = base.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("avail"),
+        F.first("wt").alias("wt"),
+    )
+    # one row per source — checkpoint so the grand-total aggregate
+    # and the epochs projection both reuse it instead of re-scanning
+    # the corpus (2 scans total: stats + probe, both pruned to the
+    # 3 metadata columns)
+    stats = stats.localCheckpoint(eager=True)
+    tot = stats.agg(
+        F.sum("avail").alias("b"), F.sum("wt").alias("sw")
+    )
+    e = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                (
+                    (
+                        F.coalesce(
+                            F.lit(budget_chars).cast("double"),
+                            F.col("b"),
+                        )
+                        * F.col("wt")
+                        / F.col("sw")
+                    )
+                )
+                / F.col("avail")
+            ).alias("epochs"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _MIX_BUCKETS
+    ) / F.lit(float(_MIX_BUCKETS))
+    n_copies = (
+        F.floor("epochs")
+        + F.when(u < F.col("epochs") - F.floor("epochs"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        base.join(F.broadcast(e), "source")
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "epochs",
+            F.explode(F.sequence(F.lit(1).cast("long"), "n_copies")).alias(
+                "copy"
+            ),
+        )
+    )
+
+
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form: even-numbered sources get weight 3, odd weight 1,
+    budget = corpus size — so even sources land near 1.5 epochs (full
+    copy + ~50% deterministic extra) and odd near 0.5 (subsample),
+    exercising both mixture paths."""
+    # plain table scan, NOT docs_scan: mixture reads no text, so
+    # docs_scan's repartition-for-per-row-work would be a pure-
+    # overhead shuffle of the corpus
+    docs = table(spark, sf_dir, "documents")
+    wt = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(3.0)
+    ).otherwise(F.lit(1.0))
+    out = domain_mixture(docs, wt)
+    # epochs stays internal: it's a double whose last-ULP rendering
+    # is engine-specific; the integer copy counts ARE the semantics
+    return out.select("doc_id", "source", "copy")
+
+
 _PACK_BUDGET = 2048  # tokens per packed training sequence
 _PACK_BLOCK = 4096  # doc_ids per prefix-sum block
 _PACK_SUPER = 4096  # blocks per superblock
@@ -309,9 +426,37 @@ QUERIES = {
     "pipeline_source_quota": pipeline_source_quota,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_chunk_dedup": pipeline_chunk_dedup,
+    "pipeline_domain_mixture": pipeline_domain_mixture,
 }
 
 ORACLES = {
+    "pipeline_domain_mixture": f"""
+        WITH stats AS (
+            SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS avail,
+                   CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                        THEN 3.0 ELSE 1.0 END AS wt
+            FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT SUM(avail) AS b, SUM(wt) AS sw FROM stats),
+        e AS (
+            SELECT source, ((b * wt / sw)) / avail AS epochs
+            FROM stats, tot
+        ),
+        d AS (
+            SELECT doc_id, documents.source, epochs,
+                   (('0x' || substr(
+                        md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15
+                    ))::BIGINT % {_MIX_BUCKETS}) / {float(_MIX_BUCKETS)} AS u
+            FROM documents JOIN e USING (source)
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(
+                   1,
+                   CAST(floor(epochs) + CASE WHEN u < epochs - floor(epochs)
+                                             THEN 1 ELSE 0 END AS BIGINT)
+               )) AS BIGINT) AS copy
+        FROM d
+    """,
     "pipeline_curated_corpus": f"""
         WITH quality AS (
             SELECT doc_id, n_tokens, quality_score
@@ -439,6 +584,7 @@ EXTRA: set[str] = {
     # (extras tier until its rotation turn).
     "pipeline_pack_sequences",
     "pipeline_chunk_dedup",
+    "pipeline_domain_mixture",
 }
 
 HEADLINE = {"pipeline_curated_corpus"}
