@@ -406,6 +406,7 @@ def run_sequence(
         "append", "append", "append",  # writes keep the store busy
         "delete", "delete", "drop_series", "into", "into",
         "rp_enforce", "dedupe", "cq", "cq_tick", "drop_rollup",
+        "drop_shard",
     ]
     for i in range(n_ops):
         op = rng.choice(ops)
@@ -508,6 +509,37 @@ def run_sequence(
             now[0] += dt.timedelta(minutes=rng.randrange(30, 600))
             run_due_continuous_queries(spark, tabs, td, now[0])
             model.cq_tick(now[0])
+        elif op == "drop_shard":
+            tabs = sinks.load_tables(spark, td)
+            if not tabs:
+                continue
+            # windows from the MODEL state (store mirrors it by the
+            # compare invariant); shard duration = 7d — the seeded
+            # autogen default and the fuzz's keep-policy default alike
+            shard_s = 604800
+            wins = sorted(
+                {
+                    _epoch(r["time"]) // shard_s
+                    for rows in model.tables.values()
+                    for r in rows
+                }
+            )
+            if not wins:
+                continue
+            sid = rng.randrange(1, len(wins) + 1)
+            n = run_influxql(
+                spark, tabs, f"DROP SHARD {sid}", table_dir=td
+            )
+            start = wins[sid - 1] * shard_s
+            end = start + shard_s
+            m = sum(
+                model.delete(
+                    t,
+                    lambda r: start <= _epoch(r["time"]) < end,
+                )
+                for t in list(model.tables)
+            )
+            assert n == m, f"{ctx}: shard-dropped {n} vs model {m}"
         elif op == "drop_rollup":
             tgt = rng.choice(["rollup_a", "rollup_b"])
             existed = run_influxql(
