@@ -3118,6 +3118,58 @@ def _resolve_into_target(tok: str, table_dir: str) -> str:
     return parts[-1]
 
 
+def _execute_into_backref(
+    spark, tables, m, quals, query: str, table_dir: str, time_col: str
+):
+    """``SELECT ... INTO [db.rp.]:MEASUREMENT FROM /re/`` (InfluxDB
+    backreference): run the statement once per matched source
+    measurement, writing each result into the SAME-NAMED target.
+    Returns a (measurement, written) summary frame — upstream's
+    per-measurement written counts.
+
+    This store keeps one physical layout per measurement (db/rp
+    qualifiers are validated against the registries, not used as
+    namespaces), so a transform-free ``SELECT * INTO :MEASUREMENT``
+    APPENDS a second copy of each point rather than upserting as
+    InfluxDB's point-identity write path would — run
+    ``sinks.dedupe_points`` after a raw self-copy, or use the normal
+    aggregated INTO shapes where the bucketed output doesn't collide
+    with raw rows. Documented divergence, same as the engine-wide
+    append-plus-explicit-dedupe write contract."""
+    from ..sources import sinks
+    from .admin import _session
+
+    frm = m.group("from").strip()
+    if not (
+        (frm.startswith("/") and frm.endswith("/"))
+        or re.fullmatch(r'"[^"]+"|\w+', frm)
+    ):
+        raise InfluxQLError(
+            "INTO :MEASUREMENT requires a single or /regex/ FROM"
+        )
+    names = _show_from_names(frm, tables)
+    stripped = re.sub(r"\s+INTO\s+\S+", "", query, count=1, flags=re.I)
+    written = []
+    for name in names:
+        if quals:
+            # validates db / retention policy; target name is fixed
+            # by the backreference
+            _resolve_into_target(f'{quals}."{name}"', table_dir)
+        one = re.sub(
+            r"(\bFROM\s+)\S+", rf'\g<1>"{name}"', stripped, count=1,
+            flags=re.I,
+        )
+        result = query_measurement(spark, tables, one, time_col)
+        if "time_bucket" in result.columns:
+            result = result.withColumnRenamed("time_bucket", "time")
+        n = result.count()
+        sinks.append_points(result, table_dir, name)
+        written.append((name, n))
+    return _session(spark, tables).createDataFrame(
+        written, "measurement STRING, written BIGINT"
+    )
+
+
 def execute_into(
     spark,
     tables: dict[str, DataFrame],
@@ -3141,6 +3193,15 @@ def execute_into(
     m = _QUERY_RE.match(query)
     if not m or not m.group("into"):
         raise InfluxQLError(f"not an INTO statement: {query!r}")
+    bm = re.fullmatch(
+        r"(?:(?P<quals>\S+)\.)?:MEASUREMENT",
+        m.group("into").strip(),
+        re.IGNORECASE,
+    )
+    if bm:
+        return _execute_into_backref(
+            spark, tables, m, bm.group("quals"), query, table_dir, time_col
+        )
     target = _resolve_into_target(m.group("into"), table_dir)
     stripped = re.sub(r"\s+INTO\s+\S+", "", query, count=1, flags=re.I)
     result = query_measurement(spark, tables, stripped, time_col)
