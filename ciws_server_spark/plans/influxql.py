@@ -398,6 +398,13 @@ _SELECTOR_RE = re.compile(
     re.I,
 )
 _DISTINCT_RE = re.compile(r"""^distinct\s*\(\s*("[^"]+"|\w+)\s*\)$""", re.I)
+# count(distinct(f)) / count(DISTINCT f) — upstream's one legal
+# aggregate nesting
+_COUNT_DISTINCT_RE = re.compile(
+    r"""^count\s*\(\s*distinct\s*"""
+    r"""(?:\(\s*("[^"]+"|\w+)\s*\)|\s+("[^"]+"|\w+))\s*\)$""",
+    re.I,
+)
 _DURATION_RE = re.compile(r"^(\d+)\s*([smhdw])$", re.I)
 # rhs regex literal: body allows \-escapes (incl. \/) per InfluxQL
 _COND_RE = re.compile(
@@ -835,9 +842,44 @@ def _unquote(tok: str) -> str:
     return tok
 
 
-def _agg_column(fn: str, col: str, time_col: str, pct: float | None = None):
+_NUMERIC_DTYPES = {
+    "double", "float", "bigint", "int", "smallint", "tinyint", "decimal",
+}
+
+
+def _is_numeric_dtype(dtype: str | None) -> bool:
+    return dtype is not None and dtype.split("(")[0] in _NUMERIC_DTYPES
+
+
+#: Aggregates whose InfluxDB iterators are numeric-only — over a
+#: string/bool field they see NO points. The engine's relational
+#: mirror: aggregate a typed NULL column, so the group row keeps the
+#: all-null-field convention (count 0 / null value — the same
+#: contract the mutation-fuzz model encodes) instead of leaking an
+#: executor CAST_INVALID_INPUT / AnalysisException.
+_NUMERIC_ONLY_AGGS = {
+    "mean", "sum", "spread", "stddev", "median", "percentile",
+}
+
+
+def _agg_column(
+    fn: str,
+    col: str,
+    time_col: str,
+    pct: float | None = None,
+    dtype: str | None = None,
+):
     fn = fn.lower()
     out_name = f"{fn}_{col}"
+    if (
+        fn in _NUMERIC_ONLY_AGGS
+        and dtype is not None
+        and not _is_numeric_dtype(dtype)
+    ):
+        return F.avg(F.lit(None).cast("double")).alias(out_name)
+    if fn == "count_distinct":
+        # count(distinct(f)) — upstream's one legal agg nesting
+        return F.count_distinct(F.col(col)).alias(out_name)
     if fn == "percentile":
         # InfluxQL nearest-rank: sort ascending, 1-based index
         # floor(n*p/100 + 0.5); out-of-range index → null (matches
@@ -907,10 +949,15 @@ def _agg_column(fn: str, col: str, time_col: str, pct: float | None = None):
         # length reduce finds the longest run; strict > keeps the
         # earlier (smaller) run on ties.
         vals = F.sort_array(F.collect_list(F.col(col)))
+        # typed NULL of the ELEMENT type (get() with an invalid index
+        # is a null of the right type) — mode works on string fields
+        # too, as upstream; a double-cast seed used to throw
+        # DATATYPE_MISMATCH on string measurements
+        tnull = F.get(vals, F.lit(-1))
         init = F.struct(
-            F.lit(None).cast("double").alias("best"),
+            tnull.alias("best"),
             F.lit(0).alias("bestn"),
-            F.lit(None).cast("double").alias("cur"),
+            tnull.alias("cur"),
             F.lit(0).alias("curn"),
         )
 
@@ -1511,6 +1558,21 @@ def _apply_transform(
         # both handled at expression build below
         elif fn == "elapsed":
             unit_secs = 1e-9
+
+    # Numeric-only transforms over a non-numeric field: the field has
+    # no numeric points, so the transform sees an empty sequence —
+    # null the column and let the existing isNotNull point filters
+    # produce the empty result (InfluxDB's numeric iterators simply
+    # find nothing; previously the ANSI cast threw CAST_INVALID_INPUT
+    # on the executor — a totality leak). elapsed is type-agnostic
+    # (it measures time gaps between points that HAVE the field) and
+    # keeps the real column.
+    if (
+        fn != "elapsed"
+        and inner_col in dict(out.dtypes)
+        and not _is_numeric_dtype(dict(out.dtypes)[inner_col])
+    ):
+        out = out.withColumn(inner_col, F.lit(None).cast("double"))
 
     # integral: field-only "aggregate transform" — per-bucket (or
     # whole-range) trapezoid area, so it builds its own base frame
@@ -2359,6 +2421,13 @@ def translate(
             a = _Arith(item)
             (arith_agg if a.aggs else arith_raw).append(a)
             continue
+        cdm = _COUNT_DISTINCT_RE.match(item)
+        if cdm:
+            agg_items.append(
+                ("count_distinct", _unquote(cdm.group(1) or cdm.group(2)),
+                 None)
+            )
+            continue
         tm = _TRANSFORM_RE.match(item)
         sm = _SELECTOR_RE.match(item)
         dm = _DISTINCT_RE.match(item)
@@ -2510,10 +2579,16 @@ def translate(
             for fn, col in a.aggs:
                 components.setdefault((fn, col), f"__arith_{len(components)}")
         grouped = out.groupBy(*group_cols) if group_cols else out.groupBy()
+        dtypes = dict(out.dtypes)
         out = grouped.agg(
-            *[_agg_column(fn, col, time_col, p) for fn, col, p in agg_items],
             *[
-                _agg_column(fn, col, time_col, None).alias(tmp)
+                _agg_column(fn, col, time_col, p, dtypes.get(col))
+                for fn, col, p in agg_items
+            ],
+            *[
+                _agg_column(fn, col, time_col, None, dtypes.get(col)).alias(
+                    tmp
+                )
                 for (fn, col), tmp in components.items()
             ],
         )
@@ -3648,17 +3723,41 @@ def query_measurement(
     if "," in tok:
         # FROM m1, m2 — the explicit multi-measurement list, same
         # union semantics as the regex form
-        names = [_unquote(t.strip()) for t in tok.split(",")]
+        names = [
+            _unquote(_strip_from_qualifiers(t.strip(), database))
+            for t in tok.split(",")
+        ]
         for n in names:
             if n not in tables:
                 raise InfluxQLError(f"unknown measurement: {n!r}")
         return _multi_measurement(
             tables, names, query, m.span("from"), time_col
         )
-    name = _unquote(tok)
+    name = _unquote(_strip_from_qualifiers(tok, database))
     if name not in tables:
         raise InfluxQLError(f"unknown measurement: {name!r}")
     return translate(tables[name], query, time_col=time_col)
+
+
+def _strip_from_qualifiers(tok: str, database: str | None) -> str:
+    """FROM may be qualified the way InfluxDB clients write it —
+    ``db.rp.m``, ``rp.m`` or ``db..m`` (each part quotable). The db
+    qualifier validates against the registered database name; the rp
+    qualifier is accepted unvalidated (query paths carry no registry,
+    and this store keeps one physical layout per measurement — the
+    policy layer is the retention tick, not storage routing). Returns
+    the measurement token; a quoted name containing dots stays one
+    token."""
+    parts = re.findall(r'"[^"]+"|[^".]+', tok.strip())
+    if len(parts) <= 1:
+        return tok
+    if len(parts) > 3:
+        raise InfluxQLError(f"bad FROM measurement: {tok!r}")
+    if len(parts) == 3 or ".." in tok:
+        db = _unquote(parts[0])
+        if db != (database or DEFAULT_DATABASE):
+            raise InfluxQLError(f"unknown database: {db!r}")
+    return parts[-1]
 
 
 def _multi_measurement(

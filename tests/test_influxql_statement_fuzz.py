@@ -48,17 +48,18 @@ def tables(spark):
     rows = [
         (dt.datetime(2024, 1, 1, 6, 0) + dt.timedelta(seconds=4 * i),
          "A" if i % 2 else "B",
-         None if i % 7 == 3 else float(i), float(i) * 0.5)
+         None if i % 7 == 3 else float(i), float(i) * 0.5,
+         # a STRING field: numeric-only aggregates/transforms must
+         # see zero numeric points, never leak an executor cast error
+         None if i % 5 == 1 else f"s{i % 4}")
         for i in range(40)
     ]
-    df = spark.createDataFrame(
-        rows,
-        "time timestamp, buildingID string, flowRate double, tempC double",
+    schema = (
+        "time timestamp, buildingID string, flowRate double, "
+        "tempC double, status string"
     )
-    other = spark.createDataFrame(
-        rows[:10],
-        "time timestamp, buildingID string, flowRate double, tempC double",
-    )
+    df = spark.createDataFrame(rows, schema)
+    other = spark.createDataFrame(rows[:10], schema)
     return {"campus_flow": df, "campus_flow_hourly": other}
 
 
@@ -67,7 +68,7 @@ def tables(spark):
 # Build from a seeded random.Random so the standalone 10k runner can
 # reuse the exact generators without hypothesis.
 
-FIELDS = ["flowRate", "tempC", "bogusField"]
+FIELDS = ["flowRate", "tempC", "bogusField", "status"]
 TAGS = ["buildingID", "missingTag"]
 AGGS = ["mean", "sum", "count", "min", "max", "median", "spread",
         "stddev", "first", "last", "distinct", "mode"]
@@ -101,6 +102,8 @@ def gen_field_expr(r: random.Random) -> str:
     if kind == 1:
         return f'"{f}"'
     if kind == 2:
+        if r.random() < 0.15:
+            return f"count(distinct({f}))"
         return f"{r.choice(AGGS)}({f})"
     if kind == 3:
         fn = r.choice(SELECTORS)
