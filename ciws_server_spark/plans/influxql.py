@@ -868,9 +868,10 @@ def _agg_column(
     time_col: str,
     pct: float | None = None,
     dtype: str | None = None,
+    alias: str | None = None,
 ):
     fn = fn.lower()
-    out_name = f"{fn}_{col}"
+    out_name = alias or f"{fn}_{col}"
     if (
         fn in _NUMERIC_ONLY_AGGS
         and dtype is not None
@@ -2069,6 +2070,7 @@ class _Arith:
     / ("agg", fn, col) / (op, left, right)."""
 
     def __init__(self, item: str):
+        self.text = item  # for exact-duplicate collapse
         am = _AS_RE.match(item)
         expr_text = am.group("expr") if am else item
         self.alias = _unquote(am.group("alias")) if am else None
@@ -2483,6 +2485,39 @@ def translate(
                 if name not in plain_items:
                     plain_items.append(name)
 
+    # Duplicate select items: exact duplicates collapse to one column
+    # (the SELECT f, "f" convention); distinct items whose derived
+    # names collide (percentile at two different p's, two AS x) get
+    # deterministic _2/_3 ordinals — output names stay unique, so no
+    # downstream select/union/compare ever hits COLUMN_ALREADY_EXISTS
+    # (widened-grammar 10k-fuzz find: SELECT stddev(f), stddev(f)
+    # FROM /re/ leaked at the multi-measurement union).
+    _dedup, _seen_items = [], set()
+    for _it in agg_items:
+        if _it not in _seen_items:
+            _seen_items.add(_it)
+            _dedup.append(_it)
+    agg_items = _dedup
+    _used_names: dict[str, int] = {}
+
+    def _claim(name: str) -> str:
+        n = _used_names.get(name, 0) + 1
+        _used_names[name] = n
+        return name if n == 1 else f"{name}_{n}"
+
+    agg_aliases = [
+        _claim(f"{fn.lower()}_{col}") for fn, col, _p in agg_items
+    ]
+    for _group in (arith_agg, arith_raw):
+        _kept, _seen_text = [], set()
+        for a in _group:
+            if a.text in _seen_text:
+                continue
+            _seen_text.add(a.text)
+            a.alias = _claim(a.alias)
+            _kept.append(a)
+        _group[:] = _kept
+
     fill_mode = (m.group("fill") or "none").strip().lower()
     # InfluxQL only sorts on time; direction defaults to ASC. The sort
     # key is the raw time column (no GROUP BY) or the bucket column.
@@ -2582,8 +2617,10 @@ def translate(
         dtypes = dict(out.dtypes)
         out = grouped.agg(
             *[
-                _agg_column(fn, col, time_col, p, dtypes.get(col))
-                for fn, col, p in agg_items
+                _agg_column(
+                    fn, col, time_col, p, dtypes.get(col), agg_aliases[i]
+                )
+                for i, (fn, col, p) in enumerate(agg_items)
             ],
             *[
                 _agg_column(fn, col, time_col, None, dtypes.get(col)).alias(

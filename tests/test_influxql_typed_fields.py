@@ -124,3 +124,32 @@ def test_qualified_from(spark, tables):
     # a QUOTED name containing dots is one token, not qualifiers
     with pytest.raises(InfluxQLError, match="unknown measurement"):
         run_influxql(spark, tables, 'SELECT mean(value) FROM "a.b.c"')
+
+
+def test_duplicate_select_items_unique_columns(spark, tables):
+    """Exact duplicates collapse; distinct items with colliding
+    derived names get _2 ordinals (widened-grammar fuzz find:
+    duplicate aggregates leaked COLUMN_ALREADY_EXISTS at the
+    multi-measurement union)."""
+    out = run_influxql(
+        spark, tables, "SELECT stddev(value), stddev(value) FROM m"
+    )
+    assert out.columns == ["stddev_value"]
+    out = run_influxql(
+        spark, tables,
+        "SELECT percentile(value, 50), percentile(value, 90) FROM m",
+    )
+    assert out.columns == ["percentile_value", "percentile_value_2"]
+    (row,) = out.collect()
+    assert row["percentile_value"] <= row["percentile_value_2"]
+    out = run_influxql(
+        spark, tables,
+        "SELECT mean(value) AS x, count(value) AS x FROM m",
+    )
+    assert out.columns == ["x", "x_2"]
+    out = run_influxql(
+        spark, tables,
+        "SELECT stddev(value), stddev(value) FROM /m/ GROUP BY time(1w)",
+    )
+    assert out.columns == ["measurement", "time_bucket", "stddev_value"]
+    out.collect()  # the union that used to throw
