@@ -246,6 +246,84 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "copy")
 
 
+def global_order(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Assign each row its 1-based GLOBAL rank by ``key_cols`` —
+    scalably: range-partition on the keys, sort within partitions,
+    then a per-partition local index (mapInPandas over the already-
+    sorted stream) plus a broadcast of cumulative partition offsets.
+    Two passes over the data and a #partitions-sized offset frame —
+    never a global single-reducer window (row_number over an
+    unpartitioned Window collapses 100 TB onto one task; this shape
+    is the standard distributed zipWithIndex).
+
+    The output is a pure function of the key values (global rank of
+    unique keys), independent of where the sampled range bounds
+    land, so re-runs and different cluster layouts agree."""
+    import pandas as pd
+
+    part = df.repartitionByRange(*key_cols).sortWithinPartitions(
+        *key_cols
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType: DataFrame.schema is cached on the frame, and
+    # StructType.add mutates in place — appending to it directly
+    # corrupts the frame's own schema object
+    schema = StructType(
+        [
+            StructField(f.name, f.dataType, f.nullable)
+            for f in part.schema.fields
+        ]
+        + [StructField("_pid", LongType()), StructField("_local", LongType())]
+    )
+
+    def index_partition(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_local"] = range(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    indexed = part.mapInPandas(index_partition, schema)
+    counts = indexed.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        (
+            F.sum("_n").over(
+                W.orderBy("_pid").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            )
+        ).alias("_offset"),
+    ).fillna({"_offset": 0})
+    return (
+        indexed.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "position", (F.col("_offset") + F.col("_local")).cast("long")
+        )
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: every pretraining run
+    shuffles its corpus; a reproducible run needs the same order on
+    every cluster layout. Rank docs by the md5 split-hash convention
+    ('order:' salt) — content-local key, scalable two-pass global
+    rank, engine-portable oracle (ROW_NUMBER over the same md5)."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string")))
+    return global_order(
+        docs.select("doc_id", "source", key.alias("shuffle_key")),
+        ["shuffle_key", "doc_id"],
+    ).select("doc_id", "source", "position")
+
+
 _PACK_BUDGET = 2048  # tokens per packed training sequence
 _PACK_BLOCK = 4096  # doc_ids per prefix-sum block
 _PACK_SUPER = 4096  # blocks per superblock
@@ -427,9 +505,18 @@ QUERIES = {
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_chunk_dedup": pipeline_chunk_dedup,
     "pipeline_domain_mixture": pipeline_domain_mixture,
+    "pipeline_shuffle_order": pipeline_shuffle_order,
 }
 
 ORACLES = {
+    "pipeline_shuffle_order": """
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5('order:' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS BIGINT) AS position
+        FROM documents
+    """,
     "pipeline_domain_mixture": f"""
         WITH stats AS (
             SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS avail,
@@ -585,6 +672,7 @@ EXTRA: set[str] = {
     "pipeline_pack_sequences",
     "pipeline_chunk_dedup",
     "pipeline_domain_mixture",
+    "pipeline_shuffle_order",
 }
 
 HEADLINE = {"pipeline_curated_corpus"}
