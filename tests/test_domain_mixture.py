@@ -87,3 +87,24 @@ def test_uniform_weight_default_budget_is_identity_epoch(spark, docs):
     out = domain_mixture(docs, F.lit(1.0))
     assert out.count() == 400
     assert out.agg(F.max("copy")).first()[0] == 1
+
+
+def test_global_order_layout_independent(spark, docs):
+    """position is the global rank of unique keys — identical across
+    partition layouts (the reproducibility contract)."""
+    from pyspark.sql import functions as F
+
+    from ciws_server_spark.operators.pipeline import global_order
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    a = global_order(
+        docs.select("doc_id", key.alias("k")), ["k", "doc_id"]
+    )
+    b = global_order(
+        docs.repartition(13).select("doc_id", key.alias("k")),
+        ["k", "doc_id"],
+    )
+    pa = {r["doc_id"]: r["position"] for r in a.collect()}
+    pb = {r["doc_id"]: r["position"] for r in b.collect()}
+    assert pa == pb
+    assert sorted(pa.values()) == list(range(1, 401))
