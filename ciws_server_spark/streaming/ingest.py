@@ -243,6 +243,7 @@ def stream_line_protocol(
     checkpoint_dir: str,
     schemas: dict[str, dict[str, str]],
     max_files_per_trigger: int | None = None,
+    forward_subscriptions: bool = False,
 ) -> StreamingQuery:
     """Streaming ingest of InfluxDB line-protocol files (``*.lp``) —
     the S8 write format as a continuously-watched landing directory,
@@ -287,6 +288,22 @@ def stream_line_protocol(
             sinks.append_points(
                 pts, table_dir, measurement, batch_id=batch_id
             )
+            if forward_subscriptions:
+                # upstream InfluxDB duplicates every accepted write to
+                # each subscription endpoint; delivery follows the
+                # table append and is at-least-once under batch retry
+                # (same contract as upstream's subscription feed)
+                from .subscriptions import forward_batch
+
+                forward_batch(
+                    pts,
+                    batch_id,
+                    table_dir=table_dir,
+                    measurement=measurement,
+                    tag_cols=[p for p in parts if p != "date"],
+                    field_cols=list(fields),
+                    time_col="time",
+                )
         manifest = (
             parsed.where(F.col("fields").isNull())
             .select(
@@ -315,9 +332,15 @@ def run_line_protocol_pass(
     table_dir: str,
     checkpoint_dir: str,
     schemas: dict[str, dict[str, str]],
+    forward_subscriptions: bool = False,
 ) -> None:
     """One complete line-protocol pass: process everything landed."""
     q = stream_line_protocol(
-        spark, landing_dir, table_dir, checkpoint_dir, schemas
+        spark,
+        landing_dir,
+        table_dir,
+        checkpoint_dir,
+        schemas,
+        forward_subscriptions=forward_subscriptions,
     )
     q.awaitTermination()

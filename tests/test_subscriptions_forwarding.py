@@ -151,3 +151,46 @@ def test_foreachbatch_adapter(spark, batch, tmp_path):
     assert r0["lines"] == r1["lines"] == 3
     # both batches landed as separate files (batch id in the name)
     assert len(_lines(d1)) == 6
+
+
+def test_streaming_line_protocol_forwards(spark, tmp_path):
+    """End-to-end: .lp files land → streaming ingest appends the
+    table AND forwards each accepted write batch to the registered
+    subscription destination."""
+    import glob as _glob
+
+    from ciws_server_spark.sources import sinks
+    from ciws_server_spark.streaming.ingest import run_line_protocol_pass
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_dir = str(tmp_path / "store")
+    os.makedirs(table_dir)
+    dest = str(tmp_path / "dest")
+    run_influxql(
+        spark,
+        {},
+        f'CREATE SUBSCRIPTION "all0" ON ciws."autogen" '
+        f"DESTINATIONS ALL 'file://{dest}'",
+        table_dir=table_dir,
+    )
+    (landing / "a.lp").write_text(
+        "campus_flow,buildingID=A hotOutFlowRate=2.5 1704085200000000000\n"
+        "campus_flow,buildingID=B hotOutFlowRate=7.5 1704085260000000000\n"
+    )
+    run_line_protocol_pass(
+        spark,
+        str(landing),
+        table_dir,
+        str(tmp_path / "ck"),
+        {"campus_flow": {"hotOutFlowRate": "double"}},
+        forward_subscriptions=True,
+    )
+    assert sinks.read_table(spark, table_dir, "campus_flow").count() == 2
+    lines = []
+    for p in sorted(_glob.glob(os.path.join(dest, "*.lp"))):
+        with open(p) as fh:
+            lines += [s for s in fh.read().splitlines() if s]
+    assert len(lines) == 2
+    assert any("buildingID=A" in s and "hotOutFlowRate=2.5" in s
+               for s in lines)
