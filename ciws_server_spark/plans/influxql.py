@@ -1264,6 +1264,13 @@ def _apply_companion_selector(
         raise InfluxQLError(
             "fill() does not apply to a selector with companion fields"
         )
+    if fn == "percentile" and not _is_numeric_dtype(
+        dict(out.dtypes).get(col)
+    ):
+        # numeric-only selector over a string field: zero numeric
+        # points (the bucketed-selection arithmetic below would
+        # otherwise throw DATATYPE_MISMATCH at plan time)
+        out = out.withColumn(col, F.lit(None).cast("double"))
     pts = out.where(F.col(col).isNotNull())
     group_exprs = [F.col(c) for c in tag_cols]
     if bucket_secs is not None:

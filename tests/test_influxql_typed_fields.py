@@ -153,3 +153,15 @@ def test_duplicate_select_items_unique_columns(spark, tables):
     )
     assert out.columns == ["measurement", "time_bucket", "stddev_value"]
     out.collect()  # the union that used to throw
+
+
+def test_percentile_companion_over_string_is_empty(spark, tables):
+    out = run_influxql(
+        spark, tables, "SELECT percentile(note, 50), host FROM m"
+    )
+    assert out.count() == 0
+    out = run_influxql(
+        spark, tables,
+        "SELECT percentile(note, 50), host FROM m GROUP BY time(1h)",
+    )
+    assert out.count() == 0
