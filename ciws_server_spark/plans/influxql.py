@@ -3485,6 +3485,7 @@ def run_influxql(
     time_col: str = "time",
     database: str = None,
     now=None,
+    credentials: tuple[str, str] | None = None,
 ):
     """The server front door: dispatch ONE InfluxQL statement of any
     supported kind — the entry point an HTTP query endpoint would
@@ -3507,6 +3508,20 @@ def run_influxql(
 
     if database is None and table_dir is not None:
         database = registered_database(table_dir)
+    if credentials is not None:
+        # the reference's clients always pass db user/password
+        # (SURVEY §2.11); enforcement is upstream's: authenticate,
+        # then READ/WRITE/admin by statement class. A store with no
+        # users registered runs auth-disabled, as InfluxDB does.
+        if table_dir is None:
+            raise InfluxQLError(
+                "credentials require a table_dir (the user registry)"
+            )
+        from . import users as _users_auth
+
+        _users_auth.authorize(
+            table_dir, credentials[0], credentials[1], statement, database
+        )
     if _CREATE_DB_RE.match(statement):
         if table_dir is None:
             raise InfluxQLError("CREATE DATABASE requires a table_dir")

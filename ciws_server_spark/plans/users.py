@@ -246,3 +246,74 @@ def show_grants(spark, table_dir: str, statement: str):
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------- enforcement
+
+#: statement-prefix → required privilege class. Mirrors InfluxDB 1.x:
+#: queries need READ on the db, data writes need WRITE, and the
+#: cluster-management statements are admin-only.
+_ADMIN_RE = re.compile(
+    r"^\s*(CREATE\s+(DATABASE|RETENTION|CONTINUOUS|USER|SUBSCRIPTION)"
+    r"|DROP\s+(DATABASE|RETENTION|CONTINUOUS|USER|SUBSCRIPTION|SHARD)"
+    r"|ALTER\s+RETENTION|GRANT|REVOKE|SET\s+PASSWORD|KILL\s+QUERY"
+    r"|SHOW\s+(USERS|GRANTS|STATS|DIAGNOSTICS|SHARDS|SHARD\s+GROUPS"
+    r"|QUERIES|SUBSCRIPTIONS))\b",
+    re.IGNORECASE,
+)
+_WRITE_RE = re.compile(
+    r"^\s*(DELETE|DROP\s+(MEASUREMENT|SERIES))\b", re.IGNORECASE
+)
+_INTO_RE = re.compile(r"\bINTO\b", re.IGNORECASE)
+
+
+def required_privilege(statement: str) -> str:
+    """'admin' | 'WRITE' | 'READ' for one statement."""
+    if _ADMIN_RE.match(statement):
+        return "admin"
+    if _WRITE_RE.match(statement) or (
+        re.match(r"^\s*SELECT\b", statement, re.IGNORECASE)
+        and _INTO_RE.search(statement)
+    ):
+        return "WRITE"
+    return "READ"
+
+
+def authorize(
+    table_dir: str,
+    user: str,
+    password: str,
+    statement: str,
+    database: str | None,
+) -> None:
+    """Front-door enforcement: authenticate, then check the
+    statement's required privilege against the user's grants.
+
+    Named errors mirror upstream's HTTP semantics: bad credentials →
+    'authentication failed' (401), a privilege the user lacks →
+    'permission denied' (403). An EMPTY registry means auth is not
+    configured — everything passes, matching InfluxDB's
+    auth-disabled default (and the reference deployments that
+    predate user setup)."""
+    state = _load(table_dir)
+    if not state:
+        return
+    if not authenticate(table_dir, user, password):
+        raise InfluxQLError(f"authentication failed for user {user!r}")
+    rec = state[user]
+    if rec.get("admin"):
+        return
+    need = required_privilege(statement)
+    if need == "admin":
+        raise InfluxQLError(
+            f"permission denied: {user!r} is not admin"
+        )
+    db = database or DEFAULT_DATABASE
+    held = rec.get("grants", {}).get(db)
+    # upstream 1.x privileges are single-valued and independent:
+    # WRITE does not imply READ (and vice versa); ALL covers both
+    if held == "ALL" or held == need:
+        return
+    raise InfluxQLError(
+        f"permission denied: {user!r} lacks {need} on {db!r}"
+    )

@@ -124,3 +124,74 @@ def test_revoke_demotes_all(spark, tmp_path):
     assert [(r["database"], r["privilege"]) for r in got] == [
         ("water", "READ")
     ]
+
+
+def test_front_door_enforcement(spark, tmp_path):
+    """run_influxql(credentials=...): authenticate + READ/WRITE/admin
+    privilege by statement class (upstream 401/403 semantics as named
+    errors); empty registry = auth disabled."""
+    import datetime as dt
+
+    from ciws_server_spark.plans.influxql import run_influxql
+    from ciws_server_spark.sources import sinks
+
+    td = str(tmp_path)
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 6), "A", 1.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, td, "campus_flow")
+    tabs = sinks.load_tables(spark, td)
+
+    # auth-disabled: no users registered → any credentials pass
+    assert run_influxql(
+        spark, tabs, "SELECT flowRate FROM campus_flow",
+        table_dir=td, credentials=("nobody", "x"),
+    ).count() == 1
+
+    run_influxql(spark, {}, "CREATE USER root WITH PASSWORD 'r' "
+                 "WITH ALL PRIVILEGES", table_dir=td)
+    run_influxql(spark, {}, "CREATE USER reader WITH PASSWORD 'p'",
+                 table_dir=td)
+    run_influxql(spark, {}, "GRANT READ ON ciws TO reader", table_dir=td)
+    run_influxql(spark, {}, "CREATE USER writer WITH PASSWORD 'w'",
+                 table_dir=td)
+    run_influxql(spark, {}, "GRANT WRITE ON ciws TO writer", table_dir=td)
+
+    q = "SELECT flowRate FROM campus_flow"
+    # wrong password → authentication failed
+    with pytest.raises(InfluxQLError, match="authentication failed"):
+        run_influxql(spark, tabs, q, table_dir=td,
+                     credentials=("reader", "WRONG"))
+    # reader reads, cannot write or admin
+    assert run_influxql(
+        spark, tabs, q, table_dir=td, credentials=("reader", "p")
+    ).count() == 1
+    with pytest.raises(InfluxQLError, match="lacks WRITE"):
+        run_influxql(spark, tabs, "DELETE FROM campus_flow",
+                     table_dir=td, credentials=("reader", "p"))
+    with pytest.raises(InfluxQLError, match="not admin"):
+        run_influxql(spark, tabs, "SHOW USERS", table_dir=td,
+                     credentials=("reader", "p"))
+    # writer writes (WRITE does not imply READ, as upstream)
+    assert run_influxql(
+        spark, tabs,
+        "DELETE FROM campus_flow WHERE buildingID = 'Z'",
+        table_dir=td, credentials=("writer", "w"),
+    ) == 0
+    with pytest.raises(InfluxQLError, match="lacks READ"):
+        run_influxql(spark, tabs, q, table_dir=td,
+                     credentials=("writer", "w"))
+    # INTO is a write
+    with pytest.raises(InfluxQLError, match="lacks WRITE"):
+        run_influxql(
+            spark, tabs,
+            "SELECT mean(flowRate) INTO r FROM campus_flow "
+            "GROUP BY time(1h)",
+            table_dir=td, credentials=("reader", "p"),
+        )
+    # admin does everything
+    assert run_influxql(
+        spark, tabs, "SHOW USERS", table_dir=td,
+        credentials=("root", "r"),
+    ).count() == 3
