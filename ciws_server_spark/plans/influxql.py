@@ -3335,17 +3335,43 @@ def execute_into(
 
 
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\"[^\"]+\"|\w+)"
+    r"^\s*DELETE"
+    r"(?:\s+FROM\s+(\"[^\"]+\"|/(?:[^/\\]|\\.)*/|\w+))?"
     r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
+def _mutation_targets(spark, tok: str | None, table_dir: str) -> list[str]:
+    """Measurements a DELETE / DROP SERIES applies to: an exact name,
+    a ``/regex/`` over the store's tables, or — FROM absent — every
+    table (upstream: ``DELETE WHERE time < ...`` sweeps the whole
+    database)."""
+    from ..sources import sinks
+
+    if tok is not None and not tok.startswith("/"):
+        return [_unquote(tok)]
+    names = sorted(sinks.load_tables(spark, table_dir))
+    if tok is None:
+        return names
+    pat = tok[1:-1].replace("\\/", "/")
+    if not pat:
+        raise InfluxQLError("empty measurement regex //")
+    try:
+        rx = re.compile(pat)
+    except re.error as exc:
+        raise InfluxQLError(
+            f"invalid measurement regex {tok!r}: {exc}"
+        ) from None
+    return [n for n in names if rx.search(n)]
+
+
 def execute_delete(
     spark, query: str, table_dir: str, time_col: str = "time", now=None
 ) -> int:
-    """Run an InfluxQL ``DELETE FROM <m> [WHERE ...]`` statement
-    against an on-disk partitioned table under ``table_dir``.
+    """Run an InfluxQL ``DELETE [FROM <m>|/re/] [WHERE ...]`` statement
+    against the on-disk partitioned tables under ``table_dir`` (regex
+    or absent FROM sweeps every matching measurement, as upstream).
 
     The WHERE grammar is the query grammar's predicate subset (tag
     equality/regex, time ranges, OR/AND/parens); no WHERE deletes
@@ -3361,16 +3387,21 @@ def execute_delete(
     dm = _DELETE_RE.match(query)
     if not dm:
         raise InfluxQLError(f"not a DELETE statement: {query!r}")
-    target = _unquote(dm.group(1))
-    if dm.group(2):
-        pred = _where_expr(
-            dm.group(2), time_col, {}, columns=_table_columns(
-                spark, sinks, table_dir, target
+    if dm.group(1) is None and dm.group(2) is None:
+        # a bare DELETE is invalid upstream too — refuse to guess
+        raise InfluxQLError("DELETE requires FROM and/or WHERE")
+    total = 0
+    for target in _mutation_targets(spark, dm.group(1), table_dir):
+        if dm.group(2):
+            pred = _where_expr(
+                dm.group(2), time_col, {}, columns=_table_columns(
+                    spark, sinks, table_dir, target
+                )
             )
-        )
-    else:
-        pred = F.lit(True)
-    return sinks.delete_points(spark, table_dir, target, pred)
+        else:
+            pred = F.lit(True)
+        total += sinks.delete_points(spark, table_dir, target, pred)
+    return total
 
 
 def _table_columns(spark, sinks, table_dir: str, target: str):
@@ -3390,7 +3421,8 @@ _DROP_RE = re.compile(
 )
 
 _DROP_SERIES_RE = re.compile(
-    r"^\s*DROP\s+SERIES\s+FROM\s+(\"[^\"]+\"|\w+)"
+    r"^\s*DROP\s+SERIES"
+    r"(?:\s+FROM\s+(\"[^\"]+\"|/(?:[^/\\]|\\.)*/|\w+))?"
     r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -3399,8 +3431,9 @@ _DROP_SERIES_RE = re.compile(
 def execute_drop_series(
     spark, query: str, table_dir: str, time_col: str = "time"
 ) -> int:
-    """InfluxQL ``DROP SERIES FROM <m> [WHERE <tag predicates>]``:
-    remove every point of the matching series. Per InfluxQL, DROP
+    """InfluxQL ``DROP SERIES [FROM <m>|/re/] [WHERE <tag predicates>]``:
+    remove every point of the matching series (regex or absent FROM
+    spans every matching measurement, as upstream). Per InfluxQL, DROP
     SERIES takes TAG predicates only — a time condition is a named
     error (that's DELETE's job). Execution is the same
     snapshot-protocol partial rewrite as DELETE (only files holding
@@ -3411,21 +3444,27 @@ def execute_drop_series(
     dm = _DROP_SERIES_RE.match(query)
     if not dm:
         raise InfluxQLError(f"not a DROP SERIES statement: {query!r}")
-    target = _unquote(dm.group(1))
-    if dm.group(2):
-        if re.search(r'(^|[\s(])"?time"?\s*[<>=!]', dm.group(2), re.I):
-            raise InfluxQLError(
-                "DROP SERIES takes tag predicates only; "
-                "use DELETE FROM for time-bounded removal"
-            )
-        pred = _where_expr(
-            dm.group(2), time_col, {}, columns=_table_columns(
-                spark, sinks, table_dir, target
-            )
+    if dm.group(1) is None and dm.group(2) is None:
+        raise InfluxQLError("DROP SERIES requires FROM and/or WHERE")
+    if dm.group(2) and re.search(
+        r'(^|[\s(])"?time"?\s*[<>=!]', dm.group(2), re.I
+    ):
+        raise InfluxQLError(
+            "DROP SERIES takes tag predicates only; "
+            "use DELETE FROM for time-bounded removal"
         )
-    else:
-        pred = F.lit(True)
-    return sinks.delete_points(spark, table_dir, target, pred)
+    total = 0
+    for target in _mutation_targets(spark, dm.group(1), table_dir):
+        if dm.group(2):
+            pred = _where_expr(
+                dm.group(2), time_col, {}, columns=_table_columns(
+                    spark, sinks, table_dir, target
+                )
+            )
+        else:
+            pred = F.lit(True)
+        total += sinks.delete_points(spark, table_dir, target, pred)
+    return total
 
 
 def execute_drop(spark, query: str, table_dir: str) -> bool:

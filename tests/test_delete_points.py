@@ -399,3 +399,52 @@ def test_delete_partitions_the_table_exactly(spark, tmp_path, pred):
         for r in spark.read.parquet(root).collect()
     )
     assert got_left == want_left
+
+
+def test_delete_regex_and_fromless(spark, tmp_path):
+    """Upstream forms: DELETE FROM /re/, database-wide DELETE WHERE,
+    DROP SERIES FROM /re/ and FROM-less DROP SERIES WHERE — each
+    sweeps every matching measurement; bare DELETE / DROP SERIES are
+    named errors."""
+    import pytest as _pytest
+
+    from ciws_server_spark.plans.influxql import (
+        InfluxQLError,
+        run_influxql,
+    )
+
+    td = str(tmp_path)
+    mk = lambda b: spark.createDataFrame(  # noqa: E731
+        [
+            (dt.datetime(2024, 1, 1, 6), b, 1.0),
+            (dt.datetime(2024, 2, 1, 6), b, 2.0),
+        ],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(mk("A"), td, "campus_flow")
+    sinks.append_points(mk("B"), td, "campus_b")
+    tabs = lambda: sinks.load_tables(spark, td)  # noqa: E731
+
+    n = run_influxql(
+        spark, tabs(),
+        "DELETE FROM /campus/ WHERE buildingID = 'A'", table_dir=td,
+    )
+    assert n == 2
+    n = run_influxql(
+        spark, tabs(), "DELETE WHERE time < '2024-01-15'", table_dir=td
+    )
+    assert n == 1  # campus_b's January point
+    n = run_influxql(
+        spark, tabs(), "DROP SERIES FROM /campus/", table_dir=td
+    )
+    assert n == 1  # the last remaining point
+    n = run_influxql(
+        spark, tabs(), "DROP SERIES WHERE buildingID = 'Z'",
+        table_dir=td,
+    )
+    assert n == 0
+    for bad in ("DELETE", "DROP SERIES"):
+        with _pytest.raises(InfluxQLError, match="requires FROM"):
+            run_influxql(spark, tabs(), bad, table_dir=td)
+    with _pytest.raises(InfluxQLError, match="invalid measurement regex"):
+        run_influxql(spark, tabs(), "DELETE FROM /(/", table_dir=td)

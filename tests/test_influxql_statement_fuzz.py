@@ -241,6 +241,11 @@ def gen_select(r: random.Random) -> str:
 
 
 ADMIN = [
+    "DELETE FROM /^campus/ WHERE buildingID = 'A'",
+    "DELETE WHERE time < '2024-01-01'",
+    "DROP SERIES WHERE buildingID = 'A'",
+    "DELETE",
+    "DROP SERIES",
     "SHOW SHARDS",
     "SHOW SHARD GROUPS",
     "DROP SHARD 1",
