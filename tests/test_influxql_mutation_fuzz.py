@@ -420,12 +420,24 @@ def run_sequence(
             txt, fn = (
                 _rand_pred(rng) if rng.random() < 0.9 else (None, None)
             )
-            stmt = f"DELETE FROM {SRC}" + (
-                f" WHERE {txt}" if txt else ""
-            )
+            form = rng.randrange(4)
+            if form == 2:  # regex FROM sweeps matching measurements
+                stmt = "DELETE FROM /camp/" + (
+                    f" WHERE {txt}" if txt else ""
+                )
+                targets = [t for t in list(model.tables) if "camp" in t]
+            elif form == 3 and txt:  # database-wide DELETE WHERE
+                stmt = f"DELETE WHERE {txt}"
+                targets = list(model.tables)
+            else:
+                stmt = f"DELETE FROM {SRC}" + (
+                    f" WHERE {txt}" if txt else ""
+                )
+                targets = [SRC]
             n = run_influxql(spark, {}, stmt, table_dir=td)
-            m = model.delete(SRC, fn if fn else (lambda r: True))
-            assert n == m, f"{ctx}: deleted {n} vs model {m}"
+            pred = fn if fn else (lambda r: True)
+            m = sum(model.delete(t, pred) for t in targets)
+            assert n == m, f"{ctx}: deleted {n} vs model {m} ({stmt})"
         elif op == "drop_series":
             v = rng.choice("ABC")
             stmt = f"DROP SERIES FROM {SRC} WHERE buildingID = '{v}'"
