@@ -1,0 +1,408 @@
+"""InfluxDB 1.x HTTP wire API: /ping, /query, /write.
+
+The reference's clients never speak InfluxQL text directly — they go
+through influxdb-python, which speaks THIS protocol
+(``GET /query?q=...&db=...&u=...&p=...``, ``POST /write`` with
+line-protocol body, ``GET /ping``). Implementing the wire contract is
+what makes the engine a literal drop-in for those clients.
+
+Per the upload.py convention, the HTTP *front* stays engine-external:
+the engine-owned pieces are the HANDLER functions
+(:class:`InfluxHTTPApi` — pure request-params → (status, body)
+logic, unit-testable without sockets), plus :func:`serve`, a stdlib
+``http.server`` shim for tests and dev deployments.
+
+Wire semantics implemented (and their mapping):
+
+* ``/query`` — ``q`` may hold multiple ``;``-separated statements
+  (quote-aware split); each runs through
+  :func:`~..plans.influxql.run_influxql` with the request's
+  ``db``/``u``/``p``. Authentication / privilege failures are
+  REQUEST-level 401 / 403 (upstream's HTTP codes); other named
+  errors come back in-body as ``{"statement_id": i, "error": ...}``
+  (upstream's runtime-error shape). DataFrame results serialize to
+  the classic JSON: ``{"results": [{"statement_id": i, "series":
+  [{"name", "columns", "values"}]}]}`` with ``time`` first,
+  RFC3339-``Z`` timestamps (or integers per ``epoch=ns|u|ms|s|m|h``),
+  and one series per measurement when the statement fanned out over
+  a regex FROM. Non-frame results (DELETE counts, DROP booleans,
+  CREATE acks) serialize as the empty result object, as upstream
+  does for write-class statements. The response materializes the
+  result (``collect``) — the HTTP contract is a materialization;
+  LIMIT/SLIMIT are the client's size knobs, exactly as with a real
+  InfluxDB.
+* ``/write`` — line-protocol body; ``precision=ns|u|ms|s|m|h``
+  timestamps are rescaled to nanoseconds BEFORE parsing (the parser
+  is fixed-point ns, upstream's default). Field types are inferred
+  per (measurement, field) from line-protocol value syntax
+  (``10i``/quoted/boolean/bare float); CONFLICTING syntaxes across
+  the batch are a 400 ``field type conflict`` — upstream rejects
+  cross-type writes too. Parsed points append through the snapshot
+  protocol (sinks.append_points); success is 204.
+* ``/ping`` — 204, ``X-Influxdb-Version`` advertised by ``serve``.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.influxql import InfluxQLError, run_influxql
+from ..plans.line_protocol import parse_lines, typed_fields
+from . import sinks
+
+_PRECISION_NS = {
+    "ns": 1,
+    "u": 1_000,
+    "us": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    "m": 60 * 1_000_000_000,
+    "h": 3600 * 1_000_000_000,
+}
+
+_VERSION = "1.8-ciws-spark"
+
+
+def split_statements(q: str) -> list[str]:
+    """Split a /query payload on ``;`` outside single-quoted strings."""
+    out, cur, in_q = [], [], False
+    for ch in q:
+        if ch == "'":
+            in_q = not in_q
+            cur.append(ch)
+        elif ch == ";" and not in_q:
+            s = "".join(cur).strip()
+            if s:
+                out.append(s)
+            cur = []
+        else:
+            cur.append(ch)
+    s = "".join(cur).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+def _series_name(stmt: str) -> str:
+    m = re.search(r"\bFROM\s+(\"[^\"]+\"|/(?:[^/\\]|\\.)*/|\S+)", stmt,
+                  re.IGNORECASE)
+    if m:
+        tok = m.group(1).rstrip(";")
+        if tok.startswith('"') and tok.endswith('"'):
+            return tok[1:-1]
+        if tok.startswith("/"):
+            return tok
+        return tok.split(".")[-1]
+    m = re.match(r"\s*SHOW\s+(\w+(?:\s+\w+)?)", stmt, re.IGNORECASE)
+    if m:
+        return m.group(1).lower().replace(" ", "_")
+    return "results"
+
+
+def _json_time(v, epoch: str | None):
+    # Spark returns session-UTC naive datetimes
+    if epoch:
+        div = _PRECISION_NS.get(epoch)
+        if div is None:
+            raise InfluxQLError(f"invalid epoch precision: {epoch!r}")
+        ts = v.replace(tzinfo=timezone.utc)
+        ns = (
+            int(ts.timestamp()) * 1_000_000_000 + ts.microsecond * 1_000
+        )
+        return ns // div
+    s = v.strftime("%Y-%m-%dT%H:%M:%S")
+    if v.microsecond:
+        s += ("%.6f" % (v.microsecond / 1e6))[1:].rstrip("0")
+    return s + "Z"
+
+
+def _json_value(v, epoch: str | None):
+    if isinstance(v, datetime):
+        return _json_time(v, epoch)
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None  # JSON has no NaN/Inf; upstream omits such points
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    return v
+
+
+def serialize_frame(
+    df: DataFrame, name: str, statement_id: int, epoch: str | None
+) -> dict:
+    """DataFrame → one /query result object (InfluxDB JSON shape)."""
+    cols = list(df.columns)
+    # time first, under the wire name "time"
+    tkey = next(
+        (c for c in ("time", "time_bucket", "ts") if c in cols), None
+    )
+    per_measurement = "measurement" in cols and tkey is not None
+    ordered = []
+    if tkey:
+        ordered.append(tkey)
+    ordered += [
+        c for c in cols if c != tkey and c != "measurement"
+    ]
+    rows = df.collect()
+    out_cols = ["time" if c == tkey else c for c in ordered]
+
+    def values_of(subset):
+        return [
+            [_json_value(r[c], epoch) for c in ordered] for r in subset
+        ]
+
+    if per_measurement:
+        series = []
+        for mname in sorted({r["measurement"] for r in rows}):
+            sub = [r for r in rows if r["measurement"] == mname]
+            series.append(
+                {"name": mname, "columns": out_cols,
+                 "values": values_of(sub)}
+            )
+    elif rows:
+        series = [
+            {"name": name, "columns": out_cols, "values": values_of(rows)}
+        ]
+    else:
+        series = None
+    res: dict = {"statement_id": statement_id}
+    if series:
+        res["series"] = series
+    return res
+
+
+class InfluxHTTPApi:
+    """The engine-owned handler logic behind the three endpoints."""
+
+    def __init__(
+        self,
+        spark,
+        table_dir: str,
+        time_col: str = "time",
+        database: str | None = None,
+        now=None,
+    ):
+        self.spark = spark
+        self.table_dir = table_dir
+        self.time_col = time_col
+        self.database = database
+        self.now = now
+
+    # ---------------------------------------------------------- ping
+
+    def handle_ping(self) -> tuple[int, None]:
+        return 204, None
+
+    # --------------------------------------------------------- query
+
+    def handle_query(self, params: dict) -> tuple[int, dict]:
+        q = params.get("q")
+        if not q:
+            return 400, {"error": "missing required parameter 'q'"}
+        creds = None
+        if params.get("u") is not None:
+            creds = (params.get("u"), params.get("p") or "")
+        epoch = params.get("epoch")
+        results = []
+        for i, stmt in enumerate(split_statements(q)):
+            try:
+                tables = sinks.load_tables(self.spark, self.table_dir)
+                res = run_influxql(
+                    self.spark,
+                    tables,
+                    stmt,
+                    table_dir=self.table_dir,
+                    time_col=self.time_col,
+                    database=params.get("db") or self.database,
+                    now=self.now,
+                    credentials=creds,
+                )
+            except InfluxQLError as exc:
+                msg = str(exc)
+                if "authentication failed" in msg:
+                    return 401, {"error": msg}
+                if "permission denied" in msg:
+                    return 403, {"error": msg}
+                results.append({"statement_id": i, "error": msg})
+                continue
+            if isinstance(res, DataFrame):
+                try:
+                    results.append(
+                        serialize_frame(res, _series_name(stmt), i, epoch)
+                    )
+                except InfluxQLError as exc:
+                    return 400, {"error": str(exc)}
+            else:
+                # write-class statements (counts / acks): upstream
+                # returns the bare result object
+                results.append({"statement_id": i})
+        return 200, {"results": results}
+
+    # --------------------------------------------------------- write
+
+    def handle_write(self, params: dict, body: bytes) -> tuple[int, dict | None]:
+        if params.get("u") is not None:
+            from ..plans import users
+
+            try:
+                # /write is the WRITE privilege on the target db —
+                # classified via a representative write statement
+                users.authorize(
+                    self.table_dir,
+                    params.get("u"),
+                    params.get("p") or "",
+                    "DELETE FROM _write_probe",
+                    params.get("db") or self.database,
+                )
+            except InfluxQLError as exc:
+                msg = str(exc)
+                code = 401 if "authentication" in msg else 403
+                return code, {"error": msg}
+        precision = params.get("precision", "ns")
+        mult = _PRECISION_NS.get(precision)
+        if mult is None:
+            return 400, {"error": f"invalid precision: {precision!r}"}
+        try:
+            text = body.decode("utf-8")
+        except UnicodeDecodeError:
+            return 400, {"error": "body is not valid UTF-8"}
+        lines = [
+            self._rescale_ts(s, mult)
+            for s in text.splitlines()
+            if s.strip() and not s.lstrip().startswith("#")
+        ]
+        if not lines:
+            return 400, {"error": "empty write body"}
+        raw = self.spark.createDataFrame(
+            [(s,) for s in lines], "value string"
+        )
+        parsed = parse_lines(raw).localCheckpoint(eager=True)
+        bad = parsed.where(F.col("fields").isNull()).count()
+        if bad:
+            return 400, {
+                "error": f"unable to parse {bad} line(s) of line protocol"
+            }
+        try:
+            schemas = self._infer_schemas(parsed)
+        except InfluxQLError as exc:
+            return 400, {"error": str(exc)}
+        for measurement, fields in sorted(schemas.items()):
+            typed = typed_fields(parsed, measurement, fields)
+            parts = sinks.PARTITIONING.get(measurement, [])
+            tag_cols = [
+                F.col("tags")[p].alias(p) for p in parts if p != "date"
+            ]
+            pts = typed.select(
+                F.coalesce(
+                    F.col("ts"), F.current_timestamp()
+                ).alias(self.time_col),
+                *tag_cols,
+                *[F.col(f) for f in fields],
+            )
+            sinks.append_points(pts, self.table_dir, measurement)
+        return 204, None
+
+    @staticmethod
+    def _rescale_ts(line: str, mult: int) -> str:
+        if mult == 1:
+            return line
+        head, _, tail = line.rstrip().rpartition(" ")
+        if head and re.fullmatch(r"-?\d+", tail):
+            return f"{head} {int(tail) * mult}"
+        return line
+
+    def _infer_schemas(self, parsed) -> dict[str, dict[str, str]]:
+        """(measurement, field) → line-protocol type, inferred from
+        value syntax; conflicting syntaxes are a named error, as
+        upstream rejects cross-type writes. Distributed classify +
+        distinct; the collect is (measurement × field × type) rows —
+        schema-sized, never point-sized."""
+        cls = (
+            parsed.select(
+                "measurement", F.explode("fields").alias("k", "v")
+            )
+            .select(
+                "measurement",
+                "k",
+                F.when(F.col("v").rlike(r"^-?\d+i$"), "integer")
+                .when(F.col("v").rlike(r'^".*"$'), "string")
+                .when(
+                    F.lower("v").isin("t", "true", "f", "false"),
+                    "boolean",
+                )
+                .otherwise("float")
+                .alias("t"),
+            )
+            .distinct()
+            .collect()
+        )
+        schemas: dict[str, dict[str, str]] = {}
+        for r in cls:
+            seen = schemas.setdefault(r["measurement"], {})
+            if r["k"] in seen and seen[r["k"]] != r["t"]:
+                raise InfluxQLError(
+                    f"field type conflict: {r['measurement']}."
+                    f"{r['k']} written as both {seen[r['k']]} "
+                    f"and {r['t']}"
+                )
+            seen[r["k"]] = r["t"]
+        return schemas
+
+
+def serve(api: InfluxHTTPApi, host: str = "127.0.0.1", port: int = 0):
+    """Stdlib dev/test server for the three endpoints. Returns the
+    started ``HTTPServer`` (serve_forever on the caller's thread)."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qsl, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _send(self, status: int, body: dict | None):
+            payload = (
+                json.dumps(body).encode() if body is not None else b""
+            )
+            self.send_response(status)
+            self.send_header("X-Influxdb-Version", _VERSION)
+            if payload:
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            if payload:
+                self.wfile.write(payload)
+
+        def _params(self):
+            u = urlparse(self.path)
+            return u.path, dict(parse_qsl(u.query))
+
+        def do_GET(self):
+            path, params = self._params()
+            if path == "/ping":
+                self._send(*api.handle_ping())
+            elif path == "/query":
+                self._send(*api.handle_query(params))
+            else:
+                self._send(404, {"error": f"not found: {path}"})
+
+        def do_POST(self):
+            path, params = self._params()
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n) if n else b""
+            if path == "/write":
+                self._send(*api.handle_write(params, body))
+            elif path == "/query":
+                # clients may POST form-encoded queries
+                if body and "q" not in params:
+                    params = {
+                        **dict(parse_qsl(body.decode())), **params
+                    }
+                self._send(*api.handle_query(params))
+            else:
+                self._send(404, {"error": f"not found: {path}"})
+
+    return HTTPServer((host, port), Handler)

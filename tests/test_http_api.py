@@ -1,0 +1,215 @@
+"""InfluxDB 1.x HTTP wire API (sources/http_api.py): /query result
+JSON shape, epoch precisions, multi-statement + per-measurement
+series, /write with precision rescale + type inference + conflicts,
+auth mapping to 401/403, and one real socket round-trip through the
+stdlib server."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import threading
+
+import pytest
+
+from ciws_server_spark.sources import sinks
+from ciws_server_spark.sources.http_api import (
+    InfluxHTTPApi,
+    serve,
+    split_statements,
+)
+
+
+@pytest.fixture()
+def api(spark, tmp_path):
+    td = str(tmp_path)
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 6, 0), "A", 2.5),
+            (dt.datetime(2024, 1, 1, 6, 30), "B", 7.5),
+        ],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, td, "campus_flow")
+    return InfluxHTTPApi(spark, td)
+
+
+def test_split_statements():
+    assert split_statements(
+        "SELECT a FROM m; SELECT b FROM m WHERE s = 'x;y';"
+    ) == ["SELECT a FROM m", "SELECT b FROM m WHERE s = 'x;y'"]
+
+
+def test_ping(api):
+    assert api.handle_ping() == (204, None)
+
+
+def test_query_series_shape(api):
+    status, body = api.handle_query(
+        {"q": "SELECT flowRate FROM campus_flow"}
+    )
+    assert status == 200
+    (res,) = body["results"]
+    assert res["statement_id"] == 0
+    (series,) = res["series"]
+    assert series["name"] == "campus_flow"
+    assert series["columns"] == ["time", "flowRate"]
+    assert sorted(series["values"]) == [
+        ["2024-01-01T06:00:00Z", 2.5],
+        ["2024-01-01T06:30:00Z", 7.5],
+    ]
+    json.dumps(body)  # wire-serializable
+
+
+def test_query_epoch_and_aggregate(api):
+    status, body = api.handle_query(
+        {
+            "q": "SELECT mean(flowRate) FROM campus_flow "
+            "GROUP BY time(1h)",
+            "epoch": "s",
+        }
+    )
+    (res,) = body["results"]
+    (series,) = res["series"]
+    assert series["columns"] == ["time", "mean_flowRate"]
+    assert series["values"] == [[1704088800, 5.0]]
+
+
+def test_query_multi_statement_and_inline_error(api):
+    status, body = api.handle_query(
+        {"q": "SELECT flowRate FROM campus_flow; SELECT nope( FROM x"}
+    )
+    assert status == 200
+    r0, r1 = body["results"]
+    assert "series" in r0
+    assert r1["statement_id"] == 1 and "error" in r1
+
+
+def test_query_regex_from_one_series_per_measurement(api, spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 7, 0), "C", 1.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, api.table_dir, "campus_b")
+    status, body = api.handle_query(
+        {"q": "SELECT flowRate FROM /^campus/"}
+    )
+    (res,) = body["results"]
+    names = [s["name"] for s in res["series"]]
+    assert names == ["campus_b", "campus_flow"]
+
+
+def test_query_empty_and_write_class(api):
+    status, body = api.handle_query(
+        {"q": "SELECT flowRate FROM campus_flow WHERE time < '2000-01-01'"}
+    )
+    (res,) = body["results"]
+    assert "series" not in res
+    status, body = api.handle_query(
+        {"q": "DELETE FROM campus_flow WHERE buildingID = 'Z'"}
+    )
+    assert body["results"] == [{"statement_id": 0}]
+
+
+def test_query_auth_codes(api, spark):
+    from ciws_server_spark.plans.influxql import run_influxql
+
+    run_influxql(
+        spark, {}, "CREATE USER reader WITH PASSWORD 'p'",
+        table_dir=api.table_dir,
+    )
+    run_influxql(
+        spark, {}, "GRANT READ ON ciws TO reader",
+        table_dir=api.table_dir,
+    )
+    status, body = api.handle_query(
+        {"q": "SELECT flowRate FROM campus_flow", "u": "reader",
+         "p": "WRONG"}
+    )
+    assert status == 401
+    status, body = api.handle_query(
+        {"q": "DELETE FROM campus_flow", "u": "reader", "p": "p"}
+    )
+    assert status == 403
+    status, body = api.handle_query(
+        {"q": "SELECT flowRate FROM campus_flow", "u": "reader",
+         "p": "p"}
+    )
+    assert status == 200
+
+
+def test_write_infer_types_and_precision(api, spark):
+    body = (
+        "weather,city=SF temp=21.5,hits=3i,ok=true,note=\"hi\" "
+        "1704085200\n"
+        "weather,city=LA temp=25.0 1704085260\n"
+    ).encode()
+    status, resp = api.handle_write({"precision": "s"}, body)
+    assert status == 204, resp
+    got = sinks.read_table(spark, api.table_dir, "weather")
+    # weather has no PARTITIONING entry, so only typed fields land;
+    # assert them + the rescaled second-precision timestamps
+    rows = sorted(got.collect(), key=lambda r: r["time"])
+    assert [r["time"] for r in rows] == [
+        dt.datetime(2024, 1, 1, 5, 0), dt.datetime(2024, 1, 1, 5, 1)
+    ]
+    assert rows[0]["temp"] == 21.5 and rows[0]["hits"] == 3
+    assert rows[0]["ok"] is True and rows[0]["note"] == "hi"
+    assert rows[1]["temp"] == 25.0 and rows[1]["hits"] is None
+
+
+def test_write_type_conflict_and_garbage(api):
+    status, resp = api.handle_write(
+        {}, b"m f=1.5 1\nm f=2i 2\n"
+    )
+    assert status == 400 and "conflict" in resp["error"]
+    status, resp = api.handle_write({}, b"not line protocol at all")
+    assert status == 400
+    status, resp = api.handle_write({}, b"")
+    assert status == 400
+    status, resp = api.handle_write({"precision": "x"}, b"m f=1")
+    assert status == 400
+
+
+def test_real_socket_round_trip(api):
+    import http.client
+
+    srv = serve(api)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("GET", "/ping")
+        r = conn.getresponse()
+        assert r.status == 204
+        assert r.getheader("X-Influxdb-Version")
+        r.read()
+        # the exact GET the reference's client library issues
+        conn.request(
+            "GET",
+            "/query?q=SELECT+mean(flowRate)+FROM+campus_flow"
+            "&db=ciws&epoch=s",
+        )
+        r = conn.getresponse()
+        assert r.status == 200
+        body = json.loads(r.read())
+        # ungrouped mean: single row, no time column on the wire
+        assert body["results"][0]["series"][0]["values"] == [[5.0]]
+        # POST /write then read it back over the wire
+        conn.request(
+            "POST",
+            "/write?precision=s",
+            body=b"wire_m v=1.25 1704085200\n",
+        )
+        r = conn.getresponse()
+        assert r.status == 204
+        r.read()
+        conn.request("GET", "/query?q=SELECT+v+FROM+wire_m")
+        body = json.loads(conn.getresponse().read())
+        assert body["results"][0]["series"][0]["values"] == [
+            ["2024-01-01T05:00:00Z", 1.25]
+        ]
+    finally:
+        srv.shutdown()
+        srv.server_close()
