@@ -191,6 +191,7 @@ class InfluxHTTPApi:
         self.time_col = time_col
         self.database = database
         self.now = now
+        self._write_seq = 0  # ANY-mode subscription round-robin key
 
     # ---------------------------------------------------------- ping
 
@@ -293,9 +294,8 @@ class InfluxHTTPApi:
         for measurement, fields in sorted(schemas.items()):
             typed = typed_fields(parsed, measurement, fields)
             parts = sinks.PARTITIONING.get(measurement, [])
-            tag_cols = [
-                F.col("tags")[p].alias(p) for p in parts if p != "date"
-            ]
+            tag_names = [p for p in parts if p != "date"]
+            tag_cols = [F.col("tags")[p].alias(p) for p in tag_names]
             pts = typed.select(
                 F.coalesce(
                     F.col("ts"), F.current_timestamp()
@@ -304,6 +304,21 @@ class InfluxHTTPApi:
                 *[F.col(f) for f in fields],
             )
             sinks.append_points(pts, self.table_dir, measurement)
+            # upstream duplicates every accepted write to each
+            # subscription endpoint; batch id = a process-local write
+            # sequence (round-robins ANY-mode destinations)
+            from ..streaming.subscriptions import forward_batch
+
+            forward_batch(
+                pts,
+                self._write_seq,
+                table_dir=self.table_dir,
+                measurement=measurement,
+                tag_cols=tag_names,
+                field_cols=list(fields),
+                time_col=self.time_col,
+            )
+        self._write_seq += 1
         return 204, None
 
     @staticmethod

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 import threading
 
 import pytest
@@ -213,3 +214,25 @@ def test_real_socket_round_trip(api):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_write_forwards_to_subscriptions(api, spark, tmp_path):
+    from ciws_server_spark.plans.influxql import run_influxql
+
+    dest = str(tmp_path / "subdest")
+    run_influxql(
+        spark, {},
+        f'CREATE SUBSCRIPTION "s" ON ciws."autogen" '
+        f"DESTINATIONS ALL 'file://{dest}'",
+        table_dir=api.table_dir,
+    )
+    status, _ = api.handle_write(
+        {"precision": "s"}, b"wm v=2.5 1704085200\n"
+    )
+    assert status == 204
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(dest, "*.lp"))
+    assert files
+    content = open(files[0]).read()
+    assert content.startswith("wm v=2.5 ")
