@@ -236,3 +236,25 @@ def test_write_forwards_to_subscriptions(api, spark, tmp_path):
     assert files
     content = open(files[0]).read()
     assert content.startswith("wm v=2.5 ")
+
+
+def test_wire_totality_fuzz(api):
+    """Every statement the grammar fuzz can draw must come back as
+    wire-serializable JSON with an expected status — the HTTP layer
+    inherits the dispatcher's total-function contract (NaN/Inf and
+    arrays have no JSON form; the serializer must handle them, never
+    json.dumps-crash or 500)."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_influxql_statement_fuzz import gen_statement
+
+    for seed in range(120):
+        stmt = gen_statement(random.Random(seed))
+        status, body = api.handle_query({"q": stmt})
+        assert status in (200, 400, 401, 403), (stmt, status)
+        json.dumps(body)  # serializable, whatever came back
+        if status == 200:
+            for res in body["results"]:
+                assert "statement_id" in res
