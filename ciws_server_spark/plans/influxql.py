@@ -2749,11 +2749,16 @@ def translate(
 
 
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+(MEASUREMENT\s+CARDINALITY|MEASUREMENTS"
-    r"|TAG\s+KEY\s+CARDINALITY|TAG\s+KEYS"
-    r"|FIELD\s+KEY\s+CARDINALITY|FIELD\s+KEYS"
-    r"|TAG\s+VALUES\s+CARDINALITY|TAG\s+VALUES"
-    r"|DATABASES|RETENTION\s+POLICIES|SERIES\s+CARDINALITY|SERIES)"
+    # upstream's optional EXACT qualifier on every CARDINALITY kind:
+    # estimated vs exact is a TSI-index distinction — this engine
+    # always computes the exact count, so EXACT is an accepted
+    # synonym (the kind group strips it below)
+    r"^\s*SHOW\s+(MEASUREMENT\s+(?:EXACT\s+)?CARDINALITY|MEASUREMENTS"
+    r"|TAG\s+KEY\s+(?:EXACT\s+)?CARDINALITY|TAG\s+KEYS"
+    r"|FIELD\s+KEY\s+(?:EXACT\s+)?CARDINALITY|FIELD\s+KEYS"
+    r"|TAG\s+VALUES\s+(?:EXACT\s+)?CARDINALITY|TAG\s+VALUES"
+    r"|DATABASES|RETENTION\s+POLICIES"
+    r"|SERIES\s+(?:EXACT\s+)?CARDINALITY|SERIES)"
     r"(?:\s+ON\s+(\"[^\"]+\"|\w+))?"
     # SHOW MEASUREMENTS filter: WITH MEASUREMENT =~ /re/ | = name
     r"(?:\s+WITH\s+MEASUREMENT\s*(?:=~\s*(?P<mre>/[^/]*/)"
@@ -2902,6 +2907,8 @@ def _show(
     registry — schema introspection, driver-side only, no scan (except
     TAG VALUES)."""
     kind = re.sub(r"\s+", " ", m.group(1).upper())
+    # EXACT CARDINALITY ≡ CARDINALITY here (counts are always exact)
+    kind = kind.replace("EXACT CARDINALITY", "CARDINALITY")
     db = database or DEFAULT_DATABASE
     where = m.group("where")
     if where and kind not in (

@@ -266,6 +266,8 @@ ADMIN = [
     "SHOW DATABASES",
     "SHOW SERIES",
     "SHOW SERIES CARDINALITY",
+    "SHOW SERIES EXACT CARDINALITY",
+    "SHOW TAG VALUES EXACT CARDINALITY WITH KEY = buildingID",
     "SHOW MEASUREMENT CARDINALITY",
     "SHOW TAG KEY CARDINALITY",
     "SHOW FIELD KEY CARDINALITY FROM campus_flow",
