@@ -444,3 +444,40 @@ def test_tz_cq_resample_for_deletes_utc_window(spark, tmp_path):
     ).collect()
     assert len(rows_313) == 1  # replaced, not duplicated
     assert rows_313[0]["count_v"] == 25.0  # 24 + the late point
+
+
+def test_cq_with_math_select(spark, tmp_path):
+    """A CQ body may use point-wise math over its aggregate — the
+    grammar additions compose through the scheduler."""
+    import datetime as dt
+
+    from ciws_server_spark.plans.continuous import (
+        run_due_continuous_queries,
+    )
+    from ciws_server_spark.plans.influxql import run_influxql
+    from ciws_server_spark.sources import sinks
+
+    td = str(tmp_path)
+    rows = [
+        (dt.datetime(2024, 1, 1, h), "A", float(h) + 0.3)
+        for h in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, buildingID string, flowRate double"
+    )
+    sinks.append_points(df, td, "campus_flow")
+    run_influxql(
+        spark, {},
+        "CREATE CONTINUOUS QUERY cm ON ciws BEGIN "
+        "SELECT round(mean(flowRate)) AS r INTO cq_math "
+        "FROM campus_flow GROUP BY time(1h) END",
+        table_dir=td, now=dt.datetime(2024, 1, 1, 6),
+    )
+    run_due_continuous_queries(
+        spark, sinks.load_tables(spark, td), td,
+        dt.datetime(2024, 1, 1, 8),
+    )
+    got = sinks.read_table(spark, td, "cq_math").orderBy("time").collect()
+    assert [(r["time"].hour, r["r"]) for r in got] == [
+        (6, 6.0), (7, 7.0),
+    ]
