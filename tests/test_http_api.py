@@ -258,3 +258,10 @@ def test_wire_totality_fuzz(api):
         if status == 200:
             for res in body["results"]:
                 assert "statement_id" in res
+
+
+def test_query_invalid_epoch_is_400(api):
+    status, body = api.handle_query(
+        {"q": "SELECT flowRate FROM campus_flow", "epoch": "centuries"}
+    )
+    assert status == 400 and "epoch" in body["error"]
