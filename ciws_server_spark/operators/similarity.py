@@ -855,6 +855,200 @@ EXTRA = {
 }
 
 
+# ------------------------------------------- IVF-PQ (residual coding)
+
+
+def _ivfpq_round_partials_fn(cents, codebooks):
+    """One Lloyd round of the RESIDUAL codebooks: per Arrow batch,
+    assign each vector to its IVF cell, subtract that centroid, then
+    per subspace emit the same fixed-point partials as
+    _pq_round_partials_fn — coarse assignment and residual-PQ update
+    fused into one scan."""
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)
+    mats = [np.array(cb, dtype=np.float64) for cb in codebooks]
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((m.shape[0], cmat.shape[0]))
+            for d in range(m.shape[1]):
+                diff = m[:, [d]] - cmat[:, d]
+                acc += diff * diff
+            resid = m - cmat[np.argmin(acc, axis=1)]
+            out: dict[str, list] = {
+                "sub": [], "code": [], "pos": [], "s": [], "n": []
+            }
+            for j, cb in enumerate(mats):
+                sv = resid[:, j * _PQ_SUB:(j + 1) * _PQ_SUB]
+                a2 = np.zeros((sv.shape[0], cb.shape[0]))
+                for d in range(sv.shape[1]):
+                    diff = sv[:, [d]] - cb[:, d]
+                    a2 += diff * diff
+                codes = np.argmin(a2, axis=1)
+                scaled = np.floor(sv * _KMEANS_SCALE).astype(np.int64)
+                for c in np.unique(codes):
+                    sel = scaled[codes == c]
+                    sums = sel.sum(axis=0, dtype=np.int64)
+                    out["sub"].extend([j] * sel.shape[1])
+                    out["code"].extend([int(c)] * sel.shape[1])
+                    out["pos"].extend(range(sel.shape[1]))
+                    out["s"].extend(int(x) for x in sums)
+                    out["n"].extend([sel.shape[0]] * sel.shape[1])
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def ivfpq_train(
+    spark: SparkSession,
+    sf_dir: str,
+    kmeans_rounds: int = _KMEANS_ROUNDS,
+    pq_rounds: int = 2,
+):
+    """Train the FAISS-style IVF-PQ index: Lloyd IVF centroids
+    (kmeans_train), then PQ codebooks over the RESIDUALS v − c(v)
+    (residual magnitudes are what's left after the coarse quantizer,
+    so the same code budget buys far less quantization error than
+    PQ on raw vectors). One fused scan per residual round; the same
+    cross-engine-exact fixed-point accumulator throughout. Returns
+    (cents, codebooks)."""
+    cents = kmeans_train(spark, sf_dir, rounds=kmeans_rounds)
+    emb = table(spark, sf_dir, "embeddings")
+    cbs = pq_seed_codebooks()
+    for _ in range(pq_rounds):
+        partials = emb.select("embedding").mapInPandas(
+            _ivfpq_round_partials_fn(cents, cbs),
+            schema="sub int, code int, pos int, s long, n long",
+        )
+        means = partials.groupBy("sub", "code", "pos").agg(
+            (
+                F.sum(F.col("s").cast("decimal(38,0)")).cast("double")
+                * F.lit(_KMEANS_SCALE_INV)
+                / F.sum("n").cast("double")
+            ).alias("m")
+        )
+        got: dict[tuple, dict[int, float]] = {}
+        for r in means.collect():  # model state, ≤ k×dim rows
+            got.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["m"]
+        cbs = [
+            [
+                [got[(j, c)][d] for d in range(_PQ_SUB)]
+                if (j, c) in got
+                else cbs[j][c]
+                for c in range(_PQ_K)
+            ]
+            for j in range(_PQ_M)
+        ]
+    return cents, cbs
+
+
+def ivfpq_encode(
+    df: DataFrame, cents, codebooks, emb_col: str = "embedding"
+) -> DataFrame:
+    """Add (cell, pq_codes): coarse cell + residual codes in ONE
+    Arrow pass. At scale the encoded table is written partitioned by
+    cell, so a search touches nprobe partitions of M-int codes."""
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)
+    mats = [np.array(cb, dtype=np.float64) for cb in codebooks]
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((m.shape[0], cmat.shape[0]))
+            for d in range(m.shape[1]):
+                diff = m[:, [d]] - cmat[:, d]
+                acc += diff * diff
+            sel = np.argmin(acc, axis=1)
+            resid = m - cmat[sel]
+            cols = []
+            for j, cb in enumerate(mats):
+                sv = resid[:, j * _PQ_SUB:(j + 1) * _PQ_SUB]
+                a2 = np.zeros((sv.shape[0], cb.shape[0]))
+                for d in range(sv.shape[1]):
+                    diff = sv[:, [d]] - cb[:, d]
+                    a2 += diff * diff
+                cols.append(np.argmin(a2, axis=1).astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": ids[sel].astype(np.int32),
+                    "pq_codes": list(np.stack(cols, axis=1)),
+                }
+            )
+
+    return df.select("vec_id", emb_col).mapInPandas(
+        enc, "vec_id long, cell int, pq_codes array<int>"
+    )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    cents,
+    codebooks,
+    query: list[float],
+    k: int = _TOP_K,
+    nprobe: int = _NPROBE,
+) -> DataFrame:
+    """IVF-PQ ADC search: probe the ``nprobe`` nearest cells (driver
+    math over k centroids — model state), and inside them score
+    ``|| (q − c_cell) − pq(residual) ||²`` with a PER-CELL literal
+    LUT picked by a when-chain over the probed cells. The cell filter
+    is the partition-pruning predicate at scale; the scan side is
+    pure codegen lookups over the code column; top-k is
+    TakeOrderedAndProject."""
+    q = np.array(query, dtype=np.float64)
+    cmat = {cid: np.array(c) for cid, c in cents}
+    order = sorted(
+        cmat, key=lambda cid: (((q - cmat[cid]) ** 2).sum(), cid)
+    )
+    probes = order[:nprobe]
+
+    def lut_for(cid):
+        rq = q - cmat[cid]
+        parts = []
+        for j, cb in enumerate(codebooks):
+            qj = rq[j * _PQ_SUB:(j + 1) * _PQ_SUB]
+            row = []
+            for cent in cb:
+                s = 0.0
+                for a, b in zip(qj, cent):
+                    s = s + (a - b) * (a - b)
+                row.append(s)
+            parts.append(row)
+        return parts
+
+    dist = None
+    for cid in probes:
+        lut = lut_for(cid)
+        terms = [
+            F.element_at(
+                F.array(*[F.lit(x) for x in lut[j]]),
+                F.element_at(F.col("pq_codes"), j + 1) + F.lit(1),
+            )
+            for j in range(_PQ_M)
+        ]
+        d = terms[0]
+        for t in terms[1:]:
+            d = d + t
+        dist = (
+            F.when(F.col("cell") == cid, d)
+            if dist is None
+            else dist.when(F.col("cell") == cid, d)
+        )
+    return (
+        encoded.where(F.col("cell").isin([int(c) for c in probes]))
+        .select("vec_id", "cell", dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 # ------------------------------------------------- product quantization
 
 _PQ_M = 16  # subspaces (4 dims each: fine-grained enough for the

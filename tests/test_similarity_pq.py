@@ -170,3 +170,130 @@ def test_sim_pq_topk_shape_and_determinism(spark):
     assert len(rows_a) == 50  # 10 queries × top-5
     rows_b = [tuple(r) for r in sim_pq_topk(spark, SF).collect()]
     assert rows_a == rows_b
+
+
+def test_ivfpq_encode_matches_numpy(spark, corpus):
+    from ciws_server_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    rows, ids, mat = corpus
+    cents, cbs = ivfpq_train(spark, SF)
+    enc = (
+        ivfpq_encode(rows, cents, cbs)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    cid = np.array([c for c, _ in cents])
+    cmat = np.array([c for _, c in cents])
+    acc = np.zeros((mat.shape[0], cmat.shape[0]))
+    for d in range(mat.shape[1]):
+        diff = mat[:, [d]] - cmat[:, d]
+        acc += diff * diff
+    sel = np.argmin(acc, axis=1)
+    assert np.array_equal(enc["cell"].to_numpy(), cid[sel])
+    resid = mat - cmat[sel]
+    codes = np.vstack(enc["pq_codes"].to_numpy())
+    for j, cb in enumerate(cbs):
+        cbm = np.array(cb)
+        sv = resid[:, j * _PQ_SUB:(j + 1) * _PQ_SUB]
+        a2 = np.zeros((sv.shape[0], cbm.shape[0]))
+        for d in range(sv.shape[1]):
+            diff = sv[:, [d]] - cbm[:, d]
+            a2 += diff * diff
+        assert np.array_equal(codes[:, j], np.argmin(a2, axis=1)), j
+
+
+def test_ivfpq_residual_coding_beats_raw_pq(spark, corpus):
+    """The architectural claim: PQ over residuals reconstructs with
+    less error than the same code budget over raw vectors."""
+    from ciws_server_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    rows, ids, mat = corpus
+    cents, cbs = ivfpq_train(spark, SF)
+    enc = (
+        ivfpq_encode(rows, cents, cbs).toPandas().sort_values("vec_id")
+    )
+    cmat = {c: np.array(v) for c, v in cents}
+    cbm = [np.array(cb) for cb in cbs]
+    codes = np.vstack(enc["pq_codes"].to_numpy())
+    cells = enc["cell"].to_numpy()
+    recon = np.vstack(
+        [
+            np.concatenate(
+                [cbm[j][codes[i, j]] for j in range(_PQ_M)]
+            )
+            + cmat[cells[i]]
+            for i in range(len(mat))
+        ]
+    )
+    ivfpq_err = ((mat - recon) ** 2).sum(axis=1).mean()
+
+    raw_cbs = pq_train(spark, SF)
+    raw = (
+        pq_encode(rows, raw_cbs).toPandas().sort_values("vec_id")
+    )
+    rcodes = np.vstack(raw["pq_codes"].to_numpy())
+    rcbm = [np.array(cb) for cb in raw_cbs]
+    rrecon = np.vstack(
+        [
+            np.concatenate(
+                [rcbm[j][rcodes[i, j]] for j in range(_PQ_M)]
+            )
+            for i in range(len(mat))
+        ]
+    )
+    raw_err = ((mat - rrecon) ** 2).sum(axis=1).mean()
+    assert ivfpq_err < raw_err, (ivfpq_err, raw_err)
+
+
+def test_ivfpq_topk_probed_cell_correctness(spark, corpus):
+    """ADC top-k within the probed cells must equal a numpy replay
+    of the same LUT arithmetic (bit-exact), and the plan must filter
+    on cell + TakeOrderedAndProject."""
+    from ciws_server_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    rows, ids, mat = corpus
+    cents, cbs = ivfpq_train(spark, SF)
+    enc = ivfpq_encode(rows, cents, cbs).localCheckpoint(eager=True)
+    q = [float(x) for x in mat[3]]
+    out = ivfpq_topk(enc, cents, cbs, q, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = [(r["vec_id"], r["adc_dist"]) for r in out.collect()]
+
+    # numpy replay
+    qn = np.array(q)
+    cmat = {c: np.array(v) for c, v in cents}
+    order = sorted(
+        cmat, key=lambda cid: (((qn - cmat[cid]) ** 2).sum(), cid)
+    )
+    probes = set(order[:2])
+    pdf = enc.toPandas()
+    cand = pdf[pdf["cell"].isin(probes)]
+    def adc(row):
+        rq = qn - cmat[row["cell"]]
+        s = 0.0
+        for j, cb in enumerate(cbs):
+            qj = rq[j * _PQ_SUB:(j + 1) * _PQ_SUB]
+            cent = np.array(cb)[row["pq_codes"][j]]
+            t = 0.0
+            for a, b in zip(qj, cent):
+                t = t + (a - b) * (a - b)
+            s += t
+        return s
+    want = sorted(
+        ((int(r["vec_id"]), adc(r)) for _, r in cand.iterrows()),
+        key=lambda t: (t[1], t[0]),
+    )[:5]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (gv, gd), (wv, wd) in zip(got, want):
+        assert gd == pytest.approx(wd, rel=1e-12)
