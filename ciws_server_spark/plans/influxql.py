@@ -3274,15 +3274,24 @@ def _execute_into_backref(
             "INTO :MEASUREMENT requires a single or /regex/ FROM"
         )
     names = _show_from_names(frm, tables)
-    stripped = re.sub(r"\s+INTO\s+\S+", "", query, count=1, flags=re.I)
+    # rewrite using the ALREADY-MATCHED spans (never a fresh \S+
+    # regex over the text — a FROM token the parser matched partially
+    # would leave corrupting fragments behind): splice the target
+    # name into the FROM span, then drop the INTO clause by its
+    # exact matched target text
+    f_start, f_end = m.span("from")
     written = []
     for name in names:
         if quals:
             # validates db / retention policy; target name is fixed
             # by the backreference
             _resolve_into_target(f'{quals}."{name}"', table_dir)
+        spliced = query[:f_start] + f'"{name}"' + query[f_end:]
         one = re.sub(
-            r"(\bFROM\s+)\S+", rf'\g<1>"{name}"', stripped, count=1,
+            r"\s+INTO\s+" + re.escape(m.group("into")),
+            "",
+            spliced,
+            count=1,
             flags=re.I,
         )
         result = query_measurement(spark, tables, one, time_col)
@@ -3329,7 +3338,10 @@ def execute_into(
             spark, tables, m, bm.group("quals"), query, table_dir, time_col
         )
     target = _resolve_into_target(m.group("into"), table_dir)
-    stripped = re.sub(r"\s+INTO\s+\S+", "", query, count=1, flags=re.I)
+    stripped = re.sub(
+        r"\s+INTO\s+" + re.escape(m.group("into")), "", query,
+        count=1, flags=re.I,
+    )
     result = query_measurement(spark, tables, stripped, time_col)
     if "time_bucket" in result.columns:
         result = result.withColumnRenamed("time_bucket", "time")

@@ -298,6 +298,13 @@ def authorize(
     state = _load(table_dir)
     if not state:
         return
+    if user is None:
+        # upstream returns 401 for credential-less requests the
+        # moment auth is enabled — a missing 'u' param is an
+        # authentication failure, never a bypass
+        raise InfluxQLError(
+            "authentication failed: credentials required"
+        )
     if not authenticate(table_dir, user, password):
         raise InfluxQLError(f"authentication failed for user {user!r}")
     rec = state[user]

@@ -37,8 +37,11 @@ Wire semantics implemented (and their mapping):
   per (measurement, field) from line-protocol value syntax
   (``10i``/quoted/boolean/bare float); CONFLICTING syntaxes across
   the batch are a 400 ``field type conflict`` — upstream rejects
-  cross-type writes too. Parsed points append through the snapshot
-  protocol (sinks.append_points); success is 204.
+  cross-type writes too. EVERY tag key in the batch persists as a
+  string column (tags listed in ``sinks.PARTITIONING`` double as
+  partition columns; the rest are plain columns — no tag is ever
+  dropped). Parsed points append through the snapshot protocol
+  (sinks.append_points); success is 204.
 * ``/ping`` — 204, ``X-Influxdb-Version`` advertised by ``serve``.
 """
 
@@ -47,7 +50,7 @@ from __future__ import annotations
 import json
 import math
 import re
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -67,11 +70,24 @@ _PRECISION_NS = {
 
 _VERSION = "1.8-ciws-spark"
 
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
 
 def split_statements(q: str) -> list[str]:
-    """Split a /query payload on ``;`` outside single-quoted strings."""
+    """Split a /query payload on ``;`` outside single-quoted strings.
+
+    Backslash escapes inside a string literal (InfluxQL's ``\\'``)
+    are skipped, so ``WHERE tag = 'it\\'s'`` doesn't flip the
+    in-string state and mis-split on a later semicolon."""
     out, cur, in_q = [], [], False
-    for ch in q:
+    i = 0
+    while i < len(q):
+        ch = q[i]
+        if in_q and ch == "\\" and i + 1 < len(q):
+            cur.append(ch)
+            cur.append(q[i + 1])
+            i += 2
+            continue
         if ch == "'":
             in_q = not in_q
             cur.append(ch)
@@ -82,6 +98,7 @@ def split_statements(q: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     s = "".join(cur).strip()
     if s:
         out.append(s)
@@ -111,9 +128,11 @@ def _json_time(v, epoch: str | None):
         if div is None:
             raise InfluxQLError(f"invalid epoch precision: {epoch!r}")
         ts = v.replace(tzinfo=timezone.utc)
-        ns = (
-            int(ts.timestamp()) * 1_000_000_000 + ts.microsecond * 1_000
-        )
+        # floor semantics throughout: exact microsecond count from
+        # the epoch (timedelta floor-division — no float round-trip,
+        # correct for pre-1970 sub-second timestamps), then floor to
+        # the requested precision
+        ns = (ts - _EPOCH) // timedelta(microseconds=1) * 1_000
         return ns // div
     s = v.strftime("%Y-%m-%dT%H:%M:%S")
     if v.microsecond:
@@ -204,9 +223,11 @@ class InfluxHTTPApi:
         q = params.get("q")
         if not q:
             return 400, {"error": "missing required parameter 'q'"}
-        creds = None
-        if params.get("u") is not None:
-            creds = (params.get("u"), params.get("p") or "")
+        # ALWAYS run the front door through the authorize gate —
+        # when the user registry is non-empty, a request with no 'u'
+        # param must 401 (upstream's auth-enabled behavior), never
+        # bypass enforcement; an empty registry runs auth-disabled.
+        creds = (params.get("u"), params.get("p") or "")
         epoch = params.get("epoch")
         results = []
         for i, stmt in enumerate(split_statements(q)):
@@ -246,23 +267,25 @@ class InfluxHTTPApi:
     # --------------------------------------------------------- write
 
     def handle_write(self, params: dict, body: bytes) -> tuple[int, dict | None]:
-        if params.get("u") is not None:
-            from ..plans import users
+        from ..plans import users
 
-            try:
-                # /write is the WRITE privilege on the target db —
-                # classified via a representative write statement
-                users.authorize(
-                    self.table_dir,
-                    params.get("u"),
-                    params.get("p") or "",
-                    "DELETE FROM _write_probe",
-                    params.get("db") or self.database,
-                )
-            except InfluxQLError as exc:
-                msg = str(exc)
-                code = 401 if "authentication" in msg else 403
-                return code, {"error": msg}
+        try:
+            # /write is the WRITE privilege on the target db —
+            # classified via a representative write statement. The
+            # gate ALWAYS runs: with users registered, a request
+            # lacking 'u' is a 401 (upstream auth-enabled behavior);
+            # an empty registry passes (auth-disabled).
+            users.authorize(
+                self.table_dir,
+                params.get("u"),
+                params.get("p") or "",
+                "DELETE FROM _write_probe",
+                params.get("db") or self.database,
+            )
+        except InfluxQLError as exc:
+            msg = str(exc)
+            code = 401 if "authentication" in msg else 403
+            return code, {"error": msg}
         precision = params.get("precision", "ns")
         mult = _PRECISION_NS.get(precision)
         if mult is None:
@@ -291,10 +314,28 @@ class InfluxHTTPApi:
             schemas = self._infer_schemas(parsed)
         except InfluxQLError as exc:
             return 400, {"error": str(exc)}
+        # EVERY tag in the batch persists as a string column — the
+        # line-protocol contract (a tag not in the measurement's
+        # partition layout is still data, never silently dropped).
+        # The collect is (measurement × tag-key) rows: schema-sized.
+        tags_by_m: dict[str, set[str]] = {}
+        for r in (
+            parsed.select(
+                "measurement", F.explode(F.map_keys("tags")).alias("k")
+            )
+            .distinct()
+            .collect()
+        ):
+            tags_by_m.setdefault(r["measurement"], set()).add(r["k"])
         for measurement, fields in sorted(schemas.items()):
             typed = typed_fields(parsed, measurement, fields)
             parts = sinks.PARTITIONING.get(measurement, [])
-            tag_names = [p for p in parts if p != "date"]
+            # partition tags first (present even when a line omits
+            # them — partitionBy needs the column), then the rest
+            part_tags = [p for p in parts if p != "date"]
+            tag_names = part_tags + sorted(
+                tags_by_m.get(measurement, set()) - set(part_tags)
+            )
             tag_cols = [F.col("tags")[p].alias(p) for p in tag_names]
             pts = typed.select(
                 F.coalesce(

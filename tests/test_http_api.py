@@ -148,12 +148,14 @@ def test_write_infer_types_and_precision(api, spark):
     status, resp = api.handle_write({"precision": "s"}, body)
     assert status == 204, resp
     got = sinks.read_table(spark, api.table_dir, "weather")
-    # weather has no PARTITIONING entry, so only typed fields land;
-    # assert them + the rescaled second-precision timestamps
+    # weather has no PARTITIONING entry: tags persist as plain
+    # string columns (never dropped), plus the typed fields and the
+    # rescaled second-precision timestamps
     rows = sorted(got.collect(), key=lambda r: r["time"])
     assert [r["time"] for r in rows] == [
         dt.datetime(2024, 1, 1, 5, 0), dt.datetime(2024, 1, 1, 5, 1)
     ]
+    assert [r["city"] for r in rows] == ["SF", "LA"]
     assert rows[0]["temp"] == 21.5 and rows[0]["hits"] == 3
     assert rows[0]["ok"] is True and rows[0]["note"] == "hi"
     assert rows[1]["temp"] == 25.0 and rows[1]["hits"] is None
@@ -265,3 +267,74 @@ def test_query_invalid_epoch_is_400(api):
         {"q": "SELECT flowRate FROM campus_flow", "epoch": "centuries"}
     )
     assert status == 400 and "epoch" in body["error"]
+
+
+def test_split_statements_escaped_quote():
+    # InfluxQL \' escape inside a string literal must not flip the
+    # in-string state (r12 ADVICE): the ; inside the literal is data
+    assert split_statements(
+        "SELECT a FROM m WHERE s = 'it\\'s; fine'; SELECT b FROM m"
+    ) == ["SELECT a FROM m WHERE s = 'it\\'s; fine'", "SELECT b FROM m"]
+
+
+def test_auth_required_when_users_registered(api, spark):
+    """Credential-LESS requests are 401 the moment a user exists —
+    the upstream auth-enabled contract (r12 ADVICE high: omitting
+    'u' must never bypass the gate)."""
+    from ciws_server_spark.plans.influxql import run_influxql
+
+    # auth disabled (empty registry): anonymous access passes
+    status, _ = api.handle_query({"q": "SELECT flowRate FROM campus_flow"})
+    assert status == 200
+    status, _ = api.handle_write({}, b"m f=1 1704085200000000000\n")
+    assert status == 204
+
+    run_influxql(
+        spark, {}, "CREATE USER boss WITH PASSWORD 'pw' WITH ALL PRIVILEGES",
+        table_dir=api.table_dir,
+    )
+    # now: no credentials -> 401 on BOTH endpoints, read or admin
+    status, body = api.handle_query({"q": "SELECT flowRate FROM campus_flow"})
+    assert status == 401, body
+    status, body = api.handle_query({"q": "DROP DATABASE ciws"})
+    assert status == 401, body
+    status, body = api.handle_write({}, b"m f=2 1704085200000000000\n")
+    assert status == 401, body
+    # valid credentials still pass
+    status, _ = api.handle_query(
+        {"q": "SELECT flowRate FROM campus_flow", "u": "boss", "p": "pw"}
+    )
+    assert status == 200
+    status, _ = api.handle_write(
+        {"u": "boss", "p": "pw"}, b"m f=3 1704085200000000000\n"
+    )
+    assert status == 204
+
+
+def test_write_persists_unregistered_tags(api, spark):
+    """Tags outside the measurement's PARTITIONING list (or on a
+    measurement with no entry at all) persist as string columns —
+    never silently dropped (r12 ADVICE medium)."""
+    body = (
+        "campus_flow,buildingID=C,host=h1 flowRate=1.5 1704085200\n"
+        "campus_flow,buildingID=C flowRate=2.5 1704085260\n"
+    ).encode()
+    status, resp = api.handle_write({"precision": "s"}, body)
+    assert status == 204, resp
+    got = sinks.read_table(spark, api.table_dir, "campus_flow")
+    rows = {r["flowRate"]: r for r in got.collect() if r["flowRate"] in (1.5, 2.5)}
+    assert rows[1.5]["buildingID"] == "C" and rows[1.5]["host"] == "h1"
+    assert rows[2.5]["host"] is None  # absent tag -> null, row kept
+
+
+def test_json_time_pre1970_floor():
+    """Epoch conversion floors (r12 ADVICE): a pre-1970 sub-second
+    timestamp must not round toward zero."""
+    from ciws_server_spark.sources.http_api import _json_time
+
+    v = dt.datetime(1969, 12, 31, 23, 59, 59, 500000)
+    assert _json_time(v, "ns") == -500_000_000
+    assert _json_time(v, "s") == -1  # floor, not trunc-to-0
+    v2 = dt.datetime(1970, 1, 1, 0, 0, 0, 250000)
+    assert _json_time(v2, "ms") == 250
+    assert _json_time(v2, "s") == 0

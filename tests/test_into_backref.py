@@ -92,3 +92,27 @@ def test_backref_no_match_regex_writes_nothing(spark, store):
     )
     assert out.count() == 0
     assert sinks.read_table(spark, store, "campus_a").count() == 2
+
+
+def test_backref_from_rewrite_uses_matched_span(spark, store):
+    """r12 ADVICE: the per-measurement rewrite splices the target
+    into the parser's matched FROM span (never a fresh \\S+ regex
+    that could leave fragments); a FROM token the grammar cannot
+    match (whitespace inside a regex) is a clean named error."""
+    tabs = sinks.load_tables(spark, store)
+    with pytest.raises(InfluxQLError, match="unparseable|INTO"):
+        run_influxql(
+            spark, tabs,
+            "SELECT mean(flowRate) INTO :MEASUREMENT FROM /a b/ "
+            "GROUP BY time(1h)",
+            table_dir=store,
+        )
+    # a WHERE clause after the FROM survives the splice intact
+    out = run_influxql(
+        spark, tabs,
+        "SELECT mean(flowRate) INTO :MEASUREMENT FROM /^campus_/ "
+        "WHERE buildingID = 'X' GROUP BY time(1h)",
+        table_dir=store,
+    )
+    rows = {r["measurement"]: r["written"] for r in out.collect()}
+    assert rows == {"campus_a": 1, "campus_b": 1}
