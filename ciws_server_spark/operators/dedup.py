@@ -745,19 +745,23 @@ QUERIES = {
 #: driver-verified) rotates in; exact/normalized/prefix dedup
 #: (driver-green r1-r6) yield slots.
 EXTRA = {
-    # r11 rotation (see tpch.EXTRA for the policy): minhash/clusters/
-    # ngram_jaccard/verify-twins are r10-green and rotate OUT; the
-    # r9-green exact/normalized/prefix/simhash re-register.
-    # dedup_embedding_cosine/lsh stay permanently extra (vacuous at
-    # the 0.9 production threshold; the *_verify twins at 0.3 are the
+    # r12 rotation (stalest-50 policy, see this comment's history in
+    # git): the registered set = the 50 stalest driver-grade records —
+    # this round that's the 9 never-driver-verified catalog queries +
+    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
+    # join_anti variant, the full r9 tier, and the alphabetical head
+    # of the r10 tier. Everything r11-green rotates OUT to extras
+    # (still oracle-checked every test run by
+    # tests/test_extra_oracle.py and tools/check_correctness.py).
+    # dedup_embedding_cosine/lsh stay permanently extra (vacuous at the
+    # 0.9 production threshold; the *_verify twins at 0.3 are the
     # non-vacuous forms).
-    "dedup_clusters",
     "dedup_embedding_cosine",
-    "dedup_embedding_cosine_verify",
     "dedup_embedding_lsh",
-    "dedup_embedding_lsh_verify",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "dedup_ngram_prefix",
+    "dedup_normalized",
+    "dedup_simhash",
 }
 
 # --- DuckDB oracle SQL ------------------------------------------------

@@ -363,21 +363,22 @@ QUERIES = {
     "mm_image_features_stub": mm_image_features_stub,
 }
 
-#: Locally oracle-checked, not driver-registered (50-entry budget):
-#: mm_resize drives the identical mapInPandas binary-batch plumbing.
-#: r7 rotation: mm_image_features_stub (never driver-verified — pins
-#: the deterministic codec branch under its own oracle) rotates in;
-#: manifest + modality rollup (driver-green r1-r6) yield slots.
-# r8 rotation: mm_frame_sample (stale since r2) rotates IN;
-# mm_byte_stats and mm_resize (driver-green r2-r7) yield slots.
-# r9 rotation (see tpch.EXTRA for the policy): the r8-green pair
-# rotates OUT; byte_stats / resize / manifest / modality_rollup
-# (stale since r6/r7) rotate IN.
-# r10 rotation (see tpch.EXTRA for the policy): all mm rows are
-# r9-green, so the whole module yields its slots this round.
-EXTRA: set[str] = set()
-# r11 rotation (see tpch.EXTRA for the policy): every multimodal row
-# is r8/r9-stale, so the whole module registers this round.
+EXTRA = {
+    # r12 rotation (stalest-50 policy, see this comment's history in
+    # git): the registered set = the 50 stalest driver-grade records —
+    # this round that's the 9 never-driver-verified catalog queries +
+    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
+    # join_anti variant, the full r9 tier, and the alphabetical head
+    # of the r10 tier. Everything r11-green rotates OUT to extras
+    # (still oracle-checked every test run by
+    # tests/test_extra_oracle.py and tools/check_correctness.py).
+    "mm_byte_stats",
+    "mm_frame_sample",
+    "mm_image_features_stub",
+    "mm_manifest",
+    "mm_modality_rollup",
+    "mm_resize",
+}
 
 _MODALITY_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"

@@ -508,6 +508,21 @@ QUERIES = {
     "pipeline_shuffle_order": pipeline_shuffle_order,
 }
 
+EXTRA = {
+    # r12 rotation (stalest-50 policy, see this comment's history in
+    # git): the registered set = the 50 stalest driver-grade records —
+    # this round that's the 9 never-driver-verified catalog queries +
+    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
+    # join_anti variant, the full r9 tier, and the alphabetical head
+    # of the r10 tier. Everything r11-green rotates OUT to extras
+    # (still oracle-checked every test run by
+    # tests/test_extra_oracle.py and tools/check_correctness.py).
+    "pipeline_curated_corpus",
+    "pipeline_pack_sequences",
+    "pipeline_source_quota",
+    "pipeline_train_split",
+}
+
 ORACLES = {
     "pipeline_shuffle_order": """
         SELECT doc_id, source,
@@ -657,22 +672,5 @@ ORACLES = {
 }
 
 #: r7 rotation: train_split + source_quota (never driver-verified)
-#: rotate in; all three pipeline queries are now driver-registered.
-# r8 rotation: pipeline_curated_corpus (driver-green r2-r7, deepest
-# history in this module) yields its slot to the stale-extras cohort;
-# train_split and source_quota keep the module's curation machinery
-# under driver-grade checks.
-# r9 rotation (see tpch.EXTRA for the policy): the r8-green pair
-# rotates OUT; pipeline_curated_corpus (stale since r7) rotates IN.
-EXTRA: set[str] = {
-    # r11 rotation (see tpch.EXTRA for the policy):
-    # pipeline_pack_sequences is r10-green and rotates OUT; the
-    # r8/r9-stale rows re-register. chunk_dedup is new this round
-    # (extras tier until its rotation turn).
-    "pipeline_pack_sequences",
-    "pipeline_chunk_dedup",
-    "pipeline_domain_mixture",
-    "pipeline_shuffle_order",
-}
 
 HEADLINE = {"pipeline_curated_corpus"}

@@ -842,16 +842,23 @@ QUERIES = {
 #: (buckets→pairs, cells→topk) so the machinery is still driver-
 #: verified through its consumer.
 EXTRA = {
-    # r11 rotation (see tpch.EXTRA for the policy): the r8-stale IVF/
-    # multitable rows register; the r9-green rows stay out one more
-    # round. sim_lsh_pairs stays permanently extra (vacuous at the
-    # 0.5 production threshold; sim_lsh_pairs_verify is the
-    # non-vacuous form).
-    "sim_brute_topk",
-    "sim_ivf_trained_topk",
-    "sim_lsh_buckets",
-    "sim_lsh_multitable_pairs",
+    # r12 rotation (stalest-50 policy, see this comment's history in
+    # git): the registered set = the 50 stalest driver-grade records —
+    # this round that's the 9 never-driver-verified catalog queries +
+    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
+    # join_anti variant, the full r9 tier, and the alphabetical head
+    # of the r10 tier. Everything r11-green rotates OUT to extras
+    # (still oracle-checked every test run by
+    # tests/test_extra_oracle.py and tools/check_correctness.py).
+    # sim_lsh_pairs stays permanently extra (vacuous at the 0.5
+    # production threshold; sim_lsh_pairs_verify is the non-vacuous
+    # form).
+    "sim_ivf_cells",
+    "sim_ivf_kmeans",
+    "sim_ivf_topk",
+    "sim_lsh_multitable_buckets",
     "sim_lsh_pairs",
+    "sim_lsh_pairs_verify",
 }
 
 
@@ -1046,6 +1053,85 @@ def ivfpq_topk(
         .select("vec_id", "cell", dist.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(k)
+    )
+
+
+def _fold_l2(a: list[float], b: list[float]) -> float:
+    """Driver-side L2² as an explicit LEFT FOLD — the exact FP
+    addition order the oracle SQL's ``+`` chains replay (np.sum's
+    pairwise summation would differ in the last ulp)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + (x - y) * (x - y)
+    return s
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN end-to-end: train coarse centroids + residual
+    codebooks (ivfpq_train), encode the corpus once (at scale the
+    encoded table is written partitioned BY CELL — nprobe cells is a
+    partition-pruning predicate), then answer the ``_N_QUERIES``
+    demo queries with per-cell literal ADC LUTs (driver math over
+    model state, pure codegen lookups scan-side) and one window
+    rank. Oracle-registered (r12): the DuckDB oracle replays the
+    coarse Lloyd rounds, the residual codebook rounds, the encoding
+    and the per-cell LUT scoring bit-for-bit — see
+    ``_ivfpq_topk_oracle_sql``."""
+    cents, cbs = ivfpq_train(spark, sf_dir)
+    cmat = {cid: c for cid, c in cents}
+    emb = table(spark, sf_dir, "embeddings")
+    encoded = ivfpq_encode(emb, cents, cbs).localCheckpoint(eager=True)
+    qrows = sorted(
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    scored = None
+    for r in qrows:
+        q = [float(x) for x in r["embedding"]]
+        order = sorted(
+            ((_fold_l2(q, c), cid) for cid, c in cents)
+        )
+        probes = [cid for _, cid in order[:_NPROBE]]
+        dist = None
+        for cid in probes:
+            rq = [a - b for a, b in zip(q, cmat[cid])]
+            terms = []
+            for j, cb in enumerate(cbs):
+                qj = rq[j * _PQ_SUB:(j + 1) * _PQ_SUB]
+                terms.append(
+                    F.element_at(
+                        F.array(*[F.lit(_fold_l2(qj, cent)) for cent in cb]),
+                        F.element_at(F.col("pq_codes"), j + 1) + F.lit(1),
+                    )
+                )
+            d = terms[0]
+            for t in terms[1:]:
+                d = d + t
+            dist = (
+                F.when(F.col("cell") == cid, d)
+                if dist is None
+                else dist.when(F.col("cell") == cid, d)
+            )
+        one = encoded.where(
+            F.col("cell").isin([int(c) for c in probes])
+        ).select(
+            F.lit(int(r["vec_id"])).alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell"),
+            F.round(dist, 6).alias("adc_dist"),
+        )
+        scored = one if scored is None else scored.unionByName(one)
+    scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cell", "adc_dist", "rk")
+        .orderBy("query_id", "rk")
     )
 
 
@@ -1268,10 +1354,11 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the _N_QUERIES query vectors with one scored scan + per-query
     rank (the brute-topk output shape, distances instead of cosines).
 
-    Like the HLL sketches, this is deliberately NOT oracle-registered:
-    the result is algorithm-specific (quantized distances), pinned
-    instead by bit-identity/determinism/recall tests
-    (tests/test_similarity_pq.py)."""
+    Oracle-registered (r12): the whole chain is deterministic —
+    md5-seeded codebooks, fixed-point Lloyd rounds, argmin encoding,
+    literal ADC LUTs — so the DuckDB oracle replays every stage
+    bit-for-bit (``_pq_topk_oracle_sql``); recall/bit-identity pins
+    live in tests/test_similarity_pq.py."""
     cbs = pq_train(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
     # the encoded corpus is the persisted index at scale; checkpoint
@@ -1432,6 +1519,237 @@ def _trained_topk_oracle_sql(rounds: int = _KMEANS_ROUNDS) -> str:
     """
 
 
+def _pq_seed_values_sql() -> str:
+    """The md5 seed codebooks as literal VALUES rows (sub, code,
+    c1..c4) — ``repr`` round-trips every double exactly."""
+    rows = []
+    for j, cb in enumerate(pq_seed_codebooks()):
+        for c, cent in enumerate(cb):
+            vals = ", ".join(repr(x) for x in cent)
+            rows.append(f"({j}, {c}, {vals})")
+    return ",\n          ".join(rows)
+
+
+def _sub_chain(a: str, b: str) -> str:
+    """4-dim L2² between column prefixes as an explicit left-to-right
+    ``+`` chain — the FP addition order the engine folds in."""
+    return " + ".join(
+        f"({a}{d} - {b}{d}) * ({a}{d} - {b}{d})"
+        for d in range(1, _PQ_SUB + 1)
+    )
+
+
+def _pq_cb_ctes(
+    pfx: str, sv: str, rounds: int = _PQ_ROUNDS
+) -> tuple[list[str], str]:
+    """CTE chain training the per-subspace codebooks over subvector
+    CTE ``sv`` (vec_id, sub, v1..v{_PQ_SUB}): md5 seed literals, then
+    per round an argmin assignment (ROW_NUMBER with the (dist, code)
+    tiebreak — np.argmin's first-minimum), the exact fixed-point
+    means (see _KMEANS_SCALE), and a COALESCE grid so a code that
+    loses all members keeps its previous centroid (pq_train's
+    semantics). Returns (ctes, final_codebook_cte_name)."""
+    mean_cols = ", ".join(
+        f"CAST(SUM(CAST(FLOOR(v.v{d} * {_KMEANS_SCALE!r}) AS BIGINT))"
+        f" AS DOUBLE) * {_KMEANS_SCALE_INV!r}"
+        f" / CAST(COUNT(*) AS DOUBLE) AS m{d}"
+        for d in range(1, _PQ_SUB + 1)
+    )
+    dist = _sub_chain("v.v", "c.c")
+    cols = ", ".join(f"c{d}" for d in range(1, _PQ_SUB + 1))
+    ctes = [
+        f"{pfx}cb0(sub, code, {cols}) AS (VALUES {_pq_seed_values_sql()})"
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"{pfx}cb{r - 1}"
+        ctes.append(
+            f"{pfx}asg{r} AS (SELECT vec_id, sub, code FROM ("
+            f"SELECT v.vec_id, v.sub, c.code, ROW_NUMBER() OVER ("
+            f"PARTITION BY v.vec_id, v.sub ORDER BY {dist}, c.code) AS rn"
+            f" FROM {sv} v JOIN {prev} c ON c.sub = v.sub) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"{pfx}mn{r} AS (SELECT a.sub, a.code, {mean_cols}"
+            f" FROM {sv} v JOIN {pfx}asg{r} a"
+            f" ON a.vec_id = v.vec_id AND a.sub = v.sub"
+            f" GROUP BY a.sub, a.code)"
+        )
+        coal = ", ".join(
+            f"COALESCE(m.m{d}, g.c{d}) AS c{d}"
+            for d in range(1, _PQ_SUB + 1)
+        )
+        ctes.append(
+            f"{pfx}cb{r} AS (SELECT g.sub, g.code, {coal}"
+            f" FROM {prev} g LEFT JOIN {pfx}mn{r} m"
+            f" ON m.sub = g.sub AND m.code = g.code)"
+        )
+    return ctes, f"{pfx}cb{rounds}"
+
+
+def _pq_pivot_chain() -> tuple[str, str]:
+    """(pivot column list, left-fold sum chain) for the per-subspace
+    ADC parts — the pivot forces the j=0..M-1 addition order the
+    engine's literal-term chain uses (SUM() would be order-free)."""
+    piv = ", ".join(
+        f"MAX(CASE WHEN sub = {j} THEN part END) AS p{j}"
+        for j in range(_PQ_M)
+    )
+    chain = " + ".join(f"p{j}" for j in range(_PQ_M))
+    return piv, chain
+
+
+def _pq_topk_oracle_sql() -> str:
+    """sim_pq_topk oracle: replay seed codebooks → 2 fixed-point
+    Lloyd rounds per subspace → argmin encoding → per-query ADC LUT
+    → top-k, every FP operation in the engine's exact order."""
+    sub_cols = ", ".join(
+        f"e[sub * {_PQ_SUB} + {d}] AS v{d}"
+        for d in range(1, _PQ_SUB + 1)
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        f"js AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub)",
+        f"sv AS (SELECT vec_id, sub, {sub_cols} FROM e CROSS JOIN js)",
+    ]
+    cb_ctes, cbf = _pq_cb_ctes("pq", "sv")
+    ctes += cb_ctes
+    dist = _sub_chain("v.v", "c.c")
+    ctes.append(
+        f"codes AS (SELECT vec_id, sub, code FROM ("
+        f"SELECT v.vec_id, v.sub, c.code, ROW_NUMBER() OVER ("
+        f"PARTITION BY v.vec_id, v.sub ORDER BY {dist}, c.code) AS rn"
+        f" FROM sv v JOIN {cbf} c ON c.sub = v.sub) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"lut AS (SELECT v.vec_id AS query_id, c.sub, c.code,"
+        f" {dist} AS part FROM sv v JOIN {cbf} c ON c.sub = v.sub"
+        f" WHERE v.vec_id < {_N_QUERIES})"
+    )
+    ctes.append(
+        "parts AS (SELECT l.query_id, n.vec_id AS neighbor_id,"
+        " l.sub, l.part FROM codes n"
+        " JOIN lut l ON l.sub = n.sub AND l.code = n.code)"
+    )
+    piv, chain = _pq_pivot_chain()
+    ctes.append(
+        f"piv AS (SELECT query_id, neighbor_id, {piv}"
+        " FROM parts GROUP BY query_id, neighbor_id)"
+    )
+    ctes.append(
+        f"scored AS (SELECT query_id, neighbor_id,"
+        f" ROUND({chain}, 6) AS adc_dist"
+        " FROM piv WHERE query_id != neighbor_id)"
+    )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT query_id, neighbor_id, adc_dist, rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+          FROM scored
+        )
+        WHERE rk <= {_TOP_K}
+        ORDER BY query_id, rk
+    """
+
+
+def _ivfpq_topk_oracle_sql() -> str:
+    """sim_ivfpq_topk oracle: the coarse-quantizer Lloyd rounds
+    (shared _kmeans_ctes), residual subvectors v − c(v) per subspace
+    (literal-index UNION ALL branches — SQL can't index m{i} columns
+    dynamically), residual codebook training, encoding, per-(query,
+    probed-cell) LUTs, and the same pivot-forced addition order."""
+    kctes, dist_chain, _ = _kmeans_ctes()
+    r_ = _KMEANS_ROUNDS
+    # MATERIALIZE the shared stages: without the hint DuckDB
+    # re-inlines the whole Lloyd chain into each of the 16 UNION
+    # branches (and each downstream reference), which is
+    # combinatorial — measured as a >100s hang at sf0.001 vs <2s
+    # materialized
+    ctes = [
+        c.replace(f"a{r_} AS (", f"a{r_} AS MATERIALIZED (", 1)
+        .replace(f"c{r_} AS (", f"c{r_} AS MATERIALIZED (", 1)
+        for c in kctes
+    ]
+    branches = []
+    for j in range(_PQ_M):
+        cols = ", ".join(
+            f"a.e[{j * _PQ_SUB + d}] - c.m{j * _PQ_SUB + d} AS v{d}"
+            for d in range(1, _PQ_SUB + 1)
+        )
+        branches.append(
+            f"SELECT a.vec_id, a.cell, {j} AS sub, {cols}"
+            f" FROM a{r_} a JOIN c{r_} c ON c.cell = a.cell"
+        )
+    ctes.append(
+        "rsv AS MATERIALIZED (" + " UNION ALL ".join(branches) + ")"
+    )
+    cb_ctes, cbf = _pq_cb_ctes("rpq", "rsv")
+    ctes += [
+        c.replace(" AS (SELECT", " AS MATERIALIZED (SELECT", 1)
+        for c in cb_ctes
+    ]
+    dist = _sub_chain("v.v", "c.c")
+    ctes.append(
+        f"codes AS MATERIALIZED (SELECT vec_id, cell, sub, code FROM ("
+        f"SELECT v.vec_id, v.cell, v.sub, c.code, ROW_NUMBER() OVER ("
+        f"PARTITION BY v.vec_id, v.sub ORDER BY {dist}, c.code) AS rn"
+        f" FROM rsv v JOIN {cbf} c ON c.sub = v.sub) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"qd AS (SELECT v.vec_id AS query_id, c.cell, {dist_chain} AS dist"
+        f" FROM e v CROSS JOIN c{r_} c WHERE v.vec_id < {_N_QUERIES})"
+    )
+    ctes.append(
+        f"probe AS (SELECT query_id, cell FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY dist, cell) AS rn FROM qd) WHERE rn <= {_NPROBE})"
+    )
+    branches = []
+    for j in range(_PQ_M):
+        cols = ", ".join(
+            f"q.e[{j * _PQ_SUB + d}] - c.m{j * _PQ_SUB + d} AS v{d}"
+            for d in range(1, _PQ_SUB + 1)
+        )
+        branches.append(
+            f"SELECT p.query_id, p.cell, {j} AS sub, {cols}"
+            f" FROM probe p JOIN e q ON q.vec_id = p.query_id"
+            f" JOIN c{r_} c ON c.cell = p.cell"
+        )
+    ctes.append("qrs AS (" + " UNION ALL ".join(branches) + ")")
+    ctes.append(
+        f"lut AS (SELECT v.query_id, v.cell, v.sub, c.code,"
+        f" {dist} AS part FROM qrs v JOIN {cbf} c ON c.sub = v.sub)"
+    )
+    ctes.append(
+        "parts AS (SELECT l.query_id, n.vec_id AS neighbor_id, n.cell,"
+        " l.sub, l.part FROM codes n JOIN lut l"
+        " ON l.cell = n.cell AND l.sub = n.sub AND l.code = n.code)"
+    )
+    piv, chain = _pq_pivot_chain()
+    ctes.append(
+        f"piv AS (SELECT query_id, neighbor_id, cell, {piv}"
+        " FROM parts GROUP BY query_id, neighbor_id, cell)"
+    )
+    ctes.append(
+        f"scored AS (SELECT query_id, neighbor_id, cell,"
+        f" ROUND({chain}, 6) AS adc_dist"
+        " FROM piv WHERE query_id != neighbor_id)"
+    )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT query_id, neighbor_id, cell, adc_dist, rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+          FROM scored
+        )
+        WHERE rk <= {_TOP_K}
+        ORDER BY query_id, rk
+    """
+
+
 def _ivf_assign_sql() -> str:
     """CTE body: vec_id, e, cell — mirrors _ivf_cell_col exactly."""
     dists = ", ".join(_dist_sql(c) for c in ivf_centroids())
@@ -1490,6 +1808,14 @@ def scale_oracles(n_rows: int) -> dict:
     return out
 
 
+# r12 (VERDICT r11 ask #1): the PQ family is oracle-registered — the
+# whole train→encode→ADC→rank chain is deterministic (md5 seeds,
+# fixed-point Lloyd, literal LUTs), so DuckDB replays it bit-for-bit.
+# Appended here (not in the mid-file dict literal) because the
+# functions are defined below that dict.
+QUERIES["sim_pq_topk"] = sim_pq_topk
+QUERIES["sim_ivfpq_topk"] = sim_ivfpq_topk
+
 ORACLES = {
     "sim_brute_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1538,6 +1864,8 @@ ORACLES = {
     """,
     "sim_ivf_kmeans": _kmeans_oracle_sql(),
     "sim_ivf_trained_topk": _trained_topk_oracle_sql(),
+    "sim_pq_topk": _pq_topk_oracle_sql(),
+    "sim_ivfpq_topk": _ivfpq_topk_oracle_sql(),
     "sim_ivf_cells": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         assigned AS ({_ivf_assign_sql()})

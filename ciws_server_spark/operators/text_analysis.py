@@ -520,16 +520,19 @@ QUERIES = {
 #: driver-verified) rotate in; quality/lang-id/tokenizer/rolling
 #: fingerprint (driver-green r1-r6) yield slots.
 EXTRA = {
-    # r11 rotation (see tpch.EXTRA for the policy): the r8-stale rows
-    # (fingerprint/pii/repetition/source_rollup/token_count) register;
-    # the r9-green rows stay out one more round.
-    "text_decontaminate",
-    "text_lang_id",
-    "text_quality_score",
-    "text_rolling_fingerprint",
-    "text_tokenize_bpeish",
-    # new r11 session 2 (extras tier until its rotation turn)
-    "text_unigram_logprob",
+    # r12 rotation (stalest-50 policy, see this comment's history in
+    # git): the registered set = the 50 stalest driver-grade records —
+    # this round that's the 9 never-driver-verified catalog queries +
+    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
+    # join_anti variant, the full r9 tier, and the alphabetical head
+    # of the r10 tier. Everything r11-green rotates OUT to extras
+    # (still oracle-checked every test run by
+    # tests/test_extra_oracle.py and tools/check_correctness.py).
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_repetition",
+    "text_source_rollup",
+    "text_token_count",
 }
 
 _STOP_LIST_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"

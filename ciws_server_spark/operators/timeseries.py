@@ -1418,16 +1418,16 @@ QUERIES = {
 #: stale-users, retention, as-of backward) yield their slots and stay
 #: oracle-checked here by tests/test_extra_oracle.py.
 EXTRA = {
-    # r11 rotation (see tpch.EXTRA for the policy): the three
-    # never-driver-verified r10 selector additions (top_per_tag,
-    # companion_selector, percentile_companion) register, plus the
-    # r8/r9-stale tier; the full r10-green InfluxQL tail rotates OUT
-    # to extras (still oracle-checked locally every test run by
-    # tests/test_extra_oracle.py).
-    "influxql_cmo",
-    "influxql_cumulative_sum",
-    "influxql_dema",
-    "influxql_derivative_quarter",
+    # r12 rotation (stalest-50 policy, see this comment's history in
+    # git): the registered set = the 50 stalest driver-grade records —
+    # this round that's the 9 never-driver-verified catalog queries +
+    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
+    # join_anti variant, the full r9 tier, and the alphabetical head
+    # of the r10 tier. Everything r11-green rotates OUT to extras
+    # (still oracle-checked every test run by
+    # tests/test_extra_oracle.py and tools/check_correctness.py).
+    "influxql_companion_selector",
+    "influxql_derivative",
     "influxql_difference",
     "influxql_elapsed",
     "influxql_ema",
@@ -1437,38 +1437,33 @@ EXTRA = {
     "influxql_integral",
     "influxql_kama",
     "influxql_kaufman_er",
-    "influxql_math_pointwise",
-    "influxql_math_aggregate",
     "influxql_month_bucket",
+    "influxql_moving_average",
     "influxql_offset",
     "influxql_order_limit",
     "influxql_percentile",
+    "influxql_percentile_companion",
+    "influxql_quarter_bucket",
     "influxql_regex_predicate",
     "influxql_rsi",
     "influxql_select_arith",
-    "influxql_show_cardinality",
+    "influxql_select_range",
     "influxql_slimit",
     "influxql_soffset",
     "influxql_stats_aggs",
-    "influxql_show_tag_values",
     "influxql_subquery",
     "influxql_tema",
-    "influxql_tz_fill",
     "influxql_top",
+    "influxql_top_per_tag",
     "influxql_trix",
     "influxql_week_bucket",
-    "ts_asof_join",
+    "ts_asof_join_forward",
+    "ts_asof_join_nearest",
     "ts_derived_rate",
-    "ts_gap_fill",
-    "ts_json_extract",
-    "ts_latest_event_per_user",
+    "ts_funnel",
     "ts_m4_downsample",
-    "ts_range_join_buckets",
-    "ts_retention_plan",
-    "ts_sessionize",
-    "ts_stale_users",
-    "ts_time_bucket_agg",
-    "ts_tumbling_window",
+    "ts_sliding_window",
+    "ts_tag_time_range",
 }
 
 _DSUM_VALUE = (

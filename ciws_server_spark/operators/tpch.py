@@ -1059,29 +1059,29 @@ QUERIES = {
 #: tests/test_extra_oracle.py with the identical
 #: row/schema/value-hash comparison.
 EXTRA = {
-    # r11 rotation: the driver budget (<=50) registers the 50 STALEST
-    # driver-grade records each round (staleness = last round with a
-    # green CORRECTNESS_r{N} row; never-green sorts first; ties break
-    # alphabetically). r11's stalest are the 3 never-driver-verified
-    # r10 selector additions + the 25 r8-greens + the 22
-    # alphabetically-first r9-greens. The r10-green rows here
-    # (conditional_agg, window_running_revenue, suite q6-q22) rotate
-    # OUT (still oracle-checked locally every test run by
-    # tests/test_extra_oracle.py — the identical comparison).
-    # join_anti_customers_without_orders is vacuous on this fixture
-    # (0 rows — the date-restricted variant is the non-vacuous form);
-    # permanently extra.
-    "conditional_agg_order_mix",
-    "join_anti_customers_without_orders",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "scalar_string_functions",
-    "setop_nations_with_both",
-    "setop_nations_without_suppliers",
-    "subquery_above_avg_balance",
-    "subquery_exists_late_ship",
-    "subquery_scalar_brand_premium",
-    "topk_orders_per_segment",
+    # r12 rotation (stalest-50 policy, see this comment's history in
+    # git): the registered set = the 50 stalest driver-grade records —
+    # this round that's the 9 never-driver-verified catalog queries +
+    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
+    # join_anti variant, the full r9 tier, and the alphabetical head
+    # of the r10 tier. Everything r11-green rotates OUT to extras
+    # (still oracle-checked every test run by
+    # tests/test_extra_oracle.py and tools/check_correctness.py).
+    "crypto_hashes",
+    "cube_order_stats",
+    "date_functions_orders",
+    "distinct_agg_customers",
+    "grouping_sets_orders",
+    "join_anti_customers_no_recent_orders",
+    "join_outer_supplier_coverage",
+    "join_semi_customers_with_orders",
+    "percentile_prices",
+    "pivot_order_priority",
+    "q1_pricing_summary",
+    "rollup_pricing",
+    "salted_high_cardinality_agg",
+    "union_all_keys",
+    "window_rank_customers",
     "window_running_revenue",
 }
 

@@ -582,11 +582,15 @@ QUERIES = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
 }
 
-#: r10 rotation: every suite query is maximally stale (never
-#: driver-verified) and registers this round per the stalest-50 policy.
-EXTRA: set[str] = {
-    # r11 rotation (see tpch.EXTRA for the policy): the whole suite
-    # is r10-green and rotates OUT this round.
+EXTRA = {
+    # r12 rotation (stalest-50 policy, see this comment's history in
+    # git): the registered set = the 50 stalest driver-grade records —
+    # this round that's the 9 never-driver-verified catalog queries +
+    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
+    # join_anti variant, the full r9 tier, and the alphabetical head
+    # of the r10 tier. Everything r11-green rotates OUT to extras
+    # (still oracle-checked every test run by
+    # tests/test_extra_oracle.py and tools/check_correctness.py).
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
@@ -600,6 +604,7 @@ EXTRA: set[str] = {
     "q7_volume_shipping",
     "q8_national_market_share",
 }
+
 
 HEADLINE: set[str] = set()
 

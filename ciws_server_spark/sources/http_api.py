@@ -27,10 +27,14 @@ Wire semantics implemented (and their mapping):
   and one series per measurement when the statement fanned out over
   a regex FROM. Non-frame results (DELETE counts, DROP booleans,
   CREATE acks) serialize as the empty result object, as upstream
-  does for write-class statements. The response materializes the
-  result (``collect``) — the HTTP contract is a materialization;
-  LIMIT/SLIMIT are the client's size knobs, exactly as with a real
-  InfluxDB.
+  does for write-class statements. The default response
+  materializes the result (``collect``) — LIMIT/SLIMIT are the
+  client's size knobs; ``chunked=true`` (+ optional ``chunk_size``,
+  default 10000) streams newline-delimited response envelopes
+  backed by ``toLocalIterator`` instead, so a result larger than
+  driver memory flows through without ever materializing
+  (upstream's chunked shape: ``partial: true`` on a series whose
+  rows continue in the next chunk).
 * ``/write`` — line-protocol body; ``precision=ns|u|ms|s|m|h``
   timestamps are rescaled to nanoseconds BEFORE parsing (the parser
   is fixed-point ns, upstream's default). Field types are inferred
@@ -154,20 +158,9 @@ def serialize_frame(
     df: DataFrame, name: str, statement_id: int, epoch: str | None
 ) -> dict:
     """DataFrame → one /query result object (InfluxDB JSON shape)."""
-    cols = list(df.columns)
     # time first, under the wire name "time"
-    tkey = next(
-        (c for c in ("time", "time_bucket", "ts") if c in cols), None
-    )
-    per_measurement = "measurement" in cols and tkey is not None
-    ordered = []
-    if tkey:
-        ordered.append(tkey)
-    ordered += [
-        c for c in cols if c != tkey and c != "measurement"
-    ]
+    ordered, out_cols, per_measurement, tkey = _frame_wire_cols(df)
     rows = df.collect()
-    out_cols = ["time" if c == tkey else c for c in ordered]
 
     def values_of(subset):
         return [
@@ -192,6 +185,78 @@ def serialize_frame(
     if series:
         res["series"] = series
     return res
+
+
+def _frame_wire_cols(df: DataFrame) -> tuple[list, list, bool, str]:
+    """(ordered source cols, wire col names, per_measurement, tkey) —
+    the column-ordering contract shared by the materializing and the
+    chunked serializer."""
+    cols = list(df.columns)
+    tkey = next(
+        (c for c in ("time", "time_bucket", "ts") if c in cols), None
+    )
+    per_measurement = "measurement" in cols and tkey is not None
+    ordered = []
+    if tkey:
+        ordered.append(tkey)
+    ordered += [c for c in cols if c != tkey and c != "measurement"]
+    out_cols = ["time" if c == tkey else c for c in ordered]
+    return ordered, out_cols, per_measurement, tkey
+
+
+def serialize_frame_chunks(
+    df: DataFrame,
+    name: str,
+    statement_id: int,
+    epoch: str | None,
+    chunk_size: int,
+):
+    """DataFrame → iterator of /query result objects, ``chunk_size``
+    rows per chunk — upstream's ``chunked=true`` shape (one complete
+    ``{"statement_id", "series": [...]}`` object per chunk, with
+    ``partial: true`` on a series whose rows continue in the next
+    chunk). Backed by ``toLocalIterator``: the driver holds ONE
+    partition at a time, never the whole result — the knob that lets
+    a client stream a result bigger than driver memory. A regex
+    fan-out result is ordered by measurement first so each chunk
+    holds rows of exactly one series (chunks cut at series
+    boundaries, as upstream does)."""
+    ordered, out_cols, per_measurement, tkey = _frame_wire_cols(df)
+    if per_measurement:
+        df = df.orderBy("measurement")
+
+    def chunk_obj(mname, vals, partial):
+        s: dict = {"name": mname, "columns": out_cols, "values": vals}
+        if partial:
+            s["partial"] = True
+        return {"statement_id": statement_id, "series": [s]}
+
+    pending = None  # (series_name, values) flushed but not yet emitted
+    cur_name, buf = None, []
+    emitted = False
+    for row in df.toLocalIterator():
+        mname = row["measurement"] if per_measurement else name
+        if cur_name is None:
+            cur_name = mname
+        if mname != cur_name or len(buf) >= chunk_size:
+            if pending is not None:
+                # the pending chunk is partial iff the same series
+                # continues right after it
+                yield chunk_obj(
+                    pending[0], pending[1], pending[0] == cur_name
+                )
+                emitted = True
+            pending = (cur_name, buf)
+            cur_name, buf = mname, []
+        buf.append([_json_value(row[c], epoch) for c in ordered])
+    if pending is not None:
+        yield chunk_obj(pending[0], pending[1], pending[0] == cur_name)
+        emitted = True
+    if buf:
+        yield chunk_obj(cur_name, buf, False)
+    elif not emitted:
+        # empty result: one bare result object, as the unchunked path
+        yield {"statement_id": statement_id}
 
 
 class InfluxHTTPApi:
@@ -263,6 +328,84 @@ class InfluxHTTPApi:
                 # returns the bare result object
                 results.append({"statement_id": i})
         return 200, {"results": results}
+
+    def handle_query_chunked(self, params: dict):
+        """``chunked=true`` /query: returns ``(status, iterator)``
+        where the iterator yields one response envelope
+        (``{"results": [...]}``) per chunk — upstream streams these
+        newline-delimited. ``chunk_size`` (default 10000) rows per
+        chunk. Authentication / privilege are decided for EVERY
+        statement up front (the status line must be known before
+        streaming starts); runtime errors stream in-body, as
+        upstream's chunked mode does. Frames stream through
+        ``serialize_frame_chunks`` (toLocalIterator) — the driver
+        never materializes the full result."""
+        q = params.get("q")
+        if not q:
+            return 400, iter(
+                [{"error": "missing required parameter 'q'"}]
+            )
+        try:
+            size = int(params.get("chunk_size") or 10000)
+            if size <= 0:
+                raise ValueError
+        except ValueError:
+            return 400, iter(
+                [{"error": f"invalid chunk_size: "
+                           f"{params.get('chunk_size')!r}"}]
+            )
+        epoch = params.get("epoch")
+        if epoch is not None and epoch not in _PRECISION_NS:
+            return 400, iter(
+                [{"error": f"invalid epoch precision: {epoch!r}"}]
+            )
+        stmts = split_statements(q)
+        db = params.get("db") or self.database
+        # pre-authorize every statement: request-level 401/403 come
+        # before the first streamed byte
+        from ..plans import users
+
+        for stmt in stmts:
+            try:
+                users.authorize(
+                    self.table_dir,
+                    params.get("u"),
+                    params.get("p") or "",
+                    stmt,
+                    db,
+                )
+            except InfluxQLError as exc:
+                msg = str(exc)
+                code = 401 if "authentication" in msg else 403
+                return code, iter([{"error": msg}])
+
+        def gen():
+            for i, stmt in enumerate(stmts):
+                try:
+                    tables = sinks.load_tables(self.spark, self.table_dir)
+                    res = run_influxql(
+                        self.spark,
+                        tables,
+                        stmt,
+                        table_dir=self.table_dir,
+                        time_col=self.time_col,
+                        database=db,
+                        now=self.now,
+                    )
+                except InfluxQLError as exc:
+                    yield {"results": [
+                        {"statement_id": i, "error": str(exc)}
+                    ]}
+                    continue
+                if isinstance(res, DataFrame):
+                    for obj in serialize_frame_chunks(
+                        res, _series_name(stmt), i, epoch, size
+                    ):
+                        yield {"results": [obj]}
+                else:
+                    yield {"results": [{"statement_id": i}]}
+
+        return 200, gen()
 
     # --------------------------------------------------------- write
 
@@ -432,6 +575,23 @@ def serve(api: InfluxHTTPApi, host: str = "127.0.0.1", port: int = 0):
             if payload:
                 self.wfile.write(payload)
 
+        def _send_stream(self, status: int, chunks):
+            # newline-delimited JSON envelopes (upstream's chunked
+            # transfer); HTTP/1.0 connection-close delimits the body
+            self.send_response(status)
+            self.send_header("X-Influxdb-Version", _VERSION)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            for obj in chunks:
+                self.wfile.write(json.dumps(obj).encode() + b"\n")
+                self.wfile.flush()
+
+        def _query(self, params):
+            if params.get("chunked") == "true":
+                self._send_stream(*api.handle_query_chunked(params))
+            else:
+                self._send(*api.handle_query(params))
+
         def _params(self):
             u = urlparse(self.path)
             return u.path, dict(parse_qsl(u.query))
@@ -441,7 +601,7 @@ def serve(api: InfluxHTTPApi, host: str = "127.0.0.1", port: int = 0):
             if path == "/ping":
                 self._send(*api.handle_ping())
             elif path == "/query":
-                self._send(*api.handle_query(params))
+                self._query(params)
             else:
                 self._send(404, {"error": f"not found: {path}"})
 
@@ -457,7 +617,7 @@ def serve(api: InfluxHTTPApi, host: str = "127.0.0.1", port: int = 0):
                     params = {
                         **dict(parse_qsl(body.decode())), **params
                     }
-                self._send(*api.handle_query(params))
+                self._query(params)
             else:
                 self._send(404, {"error": f"not found: {path}"})
 

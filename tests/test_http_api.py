@@ -338,3 +338,142 @@ def test_json_time_pre1970_floor():
     v2 = dt.datetime(1970, 1, 1, 0, 0, 0, 250000)
     assert _json_time(v2, "ms") == 250
     assert _json_time(v2, "s") == 0
+
+
+def test_query_chunked_streams_large_result(api, spark):
+    """r12 VERDICT ask #4: chunked=true streams a >=100k-row result
+    through serialize_frame_chunks (toLocalIterator) without
+    materializing it; chunk boundaries and partial flags follow
+    upstream's shape."""
+    import pyspark.sql.functions as F
+
+    big = spark.range(120_000).select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("time"),
+        F.col("id").cast("double").alias("v"),
+    )
+    sinks.append_points(big, api.table_dir, "big_m")
+    status, chunks = api.handle_query_chunked(
+        {"q": "SELECT v FROM big_m", "chunk_size": "10000"}
+    )
+    assert status == 200
+    n_rows, n_chunks, partials = 0, 0, []
+    v_sum, v_min, v_max = 0.0, None, None
+    for env in chunks:
+        (res,) = env["results"]
+        assert res["statement_id"] == 0
+        (s,) = res["series"]
+        assert s["name"] == "big_m"
+        assert s["columns"] == ["time", "v"]
+        assert len(s["values"]) <= 10000
+        vs = [row[1] for row in s["values"]]
+        v_sum += sum(vs)
+        v_min = min(vs) if v_min is None else min(v_min, min(vs))
+        v_max = max(vs) if v_max is None else max(v_max, max(vs))
+        n_rows += len(s["values"])
+        n_chunks += 1
+        partials.append(bool(s.get("partial")))
+        json.dumps(env)
+    assert n_rows == 120_000 and n_chunks == 12
+    # every chunk but the last continues the same series
+    assert partials == [True] * 11 + [False]
+    # every row arrived exactly once (sum pins the multiset)
+    assert (v_min, v_max) == (0.0, 119999.0)
+    assert v_sum == 119999.0 * 120000 / 2
+
+
+def test_query_chunked_semantics(api, spark):
+    """Chunk cuts at series boundaries (regex fan-out), empty
+    results, statement errors in-stream, request-level auth up
+    front."""
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 7, 0), "C", 1.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, api.table_dir, "campus_b")
+    # regex fan-out: one chunk per measurement, never mixed
+    status, chunks = api.handle_query_chunked(
+        {"q": "SELECT flowRate FROM /^campus/", "chunk_size": "10000"}
+    )
+    assert status == 200
+    names = []
+    for env in chunks:
+        (res,) = env["results"]
+        for s in res["series"]:
+            names.append(s["name"])
+            assert not s.get("partial")
+    assert names == ["campus_b", "campus_flow"]
+    # empty result -> one bare result object
+    status, chunks = api.handle_query_chunked(
+        {"q": "SELECT flowRate FROM campus_flow WHERE time < '2000-01-01'"}
+    )
+    assert [e["results"][0] for e in chunks] == [{"statement_id": 0}]
+    # statement error streams in-body; later statements still run
+    status, chunks = api.handle_query_chunked(
+        {"q": "SELECT nope( FROM x; SELECT flowRate FROM campus_flow"}
+    )
+    got = list(chunks)
+    assert "error" in got[0]["results"][0]
+    assert got[1]["results"][0]["series"][0]["name"] == "campus_flow"
+    # bad chunk_size / epoch are request-level 400s
+    status, body = api.handle_query_chunked(
+        {"q": "SELECT flowRate FROM campus_flow", "chunk_size": "zero"}
+    )
+    assert status == 400 and "chunk_size" in next(iter(body))["error"]
+    status, body = api.handle_query_chunked(
+        {"q": "SELECT flowRate FROM campus_flow", "epoch": "eons"}
+    )
+    assert status == 400
+
+
+def test_query_chunked_auth_up_front(api, spark):
+    from ciws_server_spark.plans.influxql import run_influxql
+
+    run_influxql(
+        spark, {}, "CREATE USER reader WITH PASSWORD 'p'",
+        table_dir=api.table_dir,
+    )
+    run_influxql(
+        spark, {}, "GRANT READ ON ciws TO reader", table_dir=api.table_dir,
+    )
+    # no credentials -> 401 before any streaming
+    status, body = api.handle_query_chunked(
+        {"q": "SELECT flowRate FROM campus_flow"}
+    )
+    assert status == 401
+    # privilege failure on ANY statement -> request-level 403
+    status, body = api.handle_query_chunked(
+        {"q": "SELECT flowRate FROM campus_flow; DELETE FROM campus_flow",
+         "u": "reader", "p": "p"}
+    )
+    assert status == 403
+    status, chunks = api.handle_query_chunked(
+        {"q": "SELECT flowRate FROM campus_flow", "u": "reader", "p": "p"}
+    )
+    assert status == 200 and list(chunks)
+
+
+def test_query_chunked_over_socket(api):
+    import http.client
+    import threading as _t
+
+    srv = serve(api)
+    t = _t.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.request(
+            "GET",
+            "/query?q=SELECT+flowRate+FROM+campus_flow"
+            "&chunked=true&chunk_size=1",
+        )
+        r = conn.getresponse()
+        assert r.status == 200
+        lines = [ln for ln in r.read().decode().splitlines() if ln]
+        envs = [json.loads(ln) for ln in lines]
+        assert len(envs) == 2  # 2 rows, chunk_size=1
+        assert envs[0]["results"][0]["series"][0]["partial"] is True
+        assert "partial" not in envs[1]["results"][0]["series"][0]
+    finally:
+        srv.shutdown()
+        srv.server_close()
