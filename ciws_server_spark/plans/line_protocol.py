@@ -141,9 +141,17 @@ def parse_lines(lines: DataFrame, col: str = "value") -> DataFrame:
         )
         return F.map_from_entries(deduped)
 
-    # a valid field set has at least one '=' pair
+    # a valid line: EVERY field pair (and every tag pair, when tags
+    # are present) is key=value with a non-empty key and value — a
+    # half-malformed set ('w=1,,x' or ',host=h1') is the whole line
+    # rejected, as upstream's parser does. (Wire-fuzz-found, r12: a
+    # keyless fragment minted a field named '9.568' whose column
+    # reference later crashed the write path.)
+    _pair_ok = lambda kv: kv.rlike("^[^=]+=.+$")  # noqa: E731
+    pairs_ok = F.forall(F.split(field_str, ","), _pair_ok)
+    tags_ok = tag_str.isNull() | F.forall(F.split(tag_str, ","), _pair_ok)
     fields = F.when(
-        field_str.isNotNull() & field_str.contains("="), to_map(field_str)
+        field_str.isNotNull() & pairs_ok & tags_ok, to_map(field_str)
     )
     passthrough = [c for c in lines.columns if c != col]
     out = (

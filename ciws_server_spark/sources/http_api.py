@@ -54,7 +54,8 @@ from __future__ import annotations
 import json
 import math
 import re
-from datetime import datetime, timedelta, timezone
+from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -147,6 +148,13 @@ def _json_time(v, epoch: str | None):
 def _json_value(v, epoch: str | None):
     if isinstance(v, datetime):
         return _json_time(v, epoch)
+    if isinstance(v, date):
+        # the derived `date` PARTITION column surfaces through
+        # SELECT * — ISO text, never a json.dumps TypeError
+        # (goldens-found, r12)
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return float(v)
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
         return None  # JSON has no NaN/Inf; upstream omits such points
     if isinstance(v, (list, tuple)):
@@ -437,11 +445,14 @@ class InfluxHTTPApi:
             text = body.decode("utf-8")
         except UnicodeDecodeError:
             return 400, {"error": "body is not valid UTF-8"}
-        lines = [
-            self._rescale_ts(s, mult)
-            for s in text.splitlines()
-            if s.strip() and not s.lstrip().startswith("#")
-        ]
+        try:
+            lines = [
+                self._rescale_ts(s, mult)
+                for s in text.splitlines()
+                if s.strip() and not s.lstrip().startswith("#")
+            ]
+        except InfluxQLError as exc:
+            return 400, {"error": str(exc)}
         if not lines:
             return 400, {"error": "empty write body"}
         raw = self.spark.createDataFrame(
@@ -487,7 +498,13 @@ class InfluxHTTPApi:
                 *tag_cols,
                 *[F.col(f) for f in fields],
             )
-            sinks.append_points(pts, self.table_dir, measurement)
+            try:
+                sinks.append_points(pts, self.table_dir, measurement)
+            except sinks.SchemaConflict as exc:
+                # a field whose line-protocol type conflicts with the
+                # TABLE's recorded type (not just intra-batch) is
+                # upstream's 400 'field type conflict', never a 500
+                return 400, {"error": f"field type conflict: {exc}"}
             # upstream duplicates every accepted write to each
             # subscription endpoint; batch id = a process-local write
             # sequence (round-robins ANY-mode destinations)
@@ -507,11 +524,23 @@ class InfluxHTTPApi:
 
     @staticmethod
     def _rescale_ts(line: str, mult: int) -> str:
-        if mult == 1:
-            return line
+        """Rescale a trailing timestamp to nanoseconds and enforce
+        upstream's int64-ns bound: InfluxDB timestamps are int64
+        nanoseconds, so a value that overflows after rescale is a 400
+        parse error — never stored. (Wire-fuzz-found, r12: an
+        unbounded rescale stored year-230128 points that crashed
+        every later collect of the table, and a raw out-of-int64 ns
+        leaked an ANSI CAST_OVERFLOW as a 500.)"""
         head, _, tail = line.rstrip().rpartition(" ")
         if head and re.fullmatch(r"-?\d+", tail):
-            return f"{head} {int(tail) * mult}"
+            ns = int(tail) * mult
+            if not (-(2**63) <= ns < 2**63):
+                raise InfluxQLError(
+                    f"unable to parse timestamp {tail!r}: value out of"
+                    f" range at precision"
+                )
+            if mult != 1:
+                return f"{head} {ns}"
         return line
 
     def _infer_schemas(self, parsed) -> dict[str, dict[str, str]]:

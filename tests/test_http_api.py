@@ -477,3 +477,23 @@ def test_query_chunked_over_socket(api):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_write_rejects_half_malformed_pairs(api):
+    """Wire-fuzz finds (r12): a field fragment without '=' or an
+    empty tag pair rejects the LINE (400), never mints a bogus
+    column; out-of-int64-ns timestamps are 400s."""
+    status, resp = api.handle_write(
+        {}, b"weather,buildingID=A w=-2,,9.568,flowRate=36i 1347688299\n"
+    )
+    assert status == 400 and "parse" in resp["error"]
+    status, resp = api.handle_write({}, b"m,host= v=1\n")
+    assert status == 400
+    status, resp = api.handle_write({}, b"m,=x v=1\n")
+    assert status == 400
+    status, resp = api.handle_write({}, b"m v=\n")
+    assert status == 400
+    status, resp = api.handle_write(
+        {"precision": "h"}, b"m v=1 1999999999\n"
+    )
+    assert status == 400 and "out of range" in resp["error"]
