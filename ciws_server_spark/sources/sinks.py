@@ -864,6 +864,45 @@ def delete_points(
         return _delete_locked(spark, table_dir, table, root, pred)
 
 
+def _link_tree_except(current: str, tmp: str, affected_real: set) -> int:
+    """Hardlink every file under the CURRENT version dir into the new
+    snapshot build ``tmp``, except the ``affected_real`` paths being
+    rewritten. Returns files linked.
+
+    This is the snapshot store's commit primitive and its known scale
+    bound: O(#table files) per delete-class commit, with a hardlink
+    constant — tools/experiments/commit_cost_curve.py pins the
+    measured curve (see BENCH_NOTES). ``current`` must be the
+    realpath'd version dir: every entry under it is a regular file
+    (appends rename real part files in, compaction and prior deletes
+    write/link real files), so the entry path IS its canonical path
+    and the membership test needs no per-file realpath() syscall
+    chain. The operational bound at scale is compaction cadence — a
+    compacted table holds O(#partitions) files, so the walk stays
+    proportional to the partition count, not to append history; a
+    multi-host object-store deployment swaps this for a transaction
+    log's O(changed-files) manifest delta (README multi-writer
+    contract)."""
+    n = 0
+    for dirpath, _dirs, files in os.walk(current):
+        rel = os.path.relpath(dirpath, current)
+        dst_dir = tmp if rel == "." else os.path.join(tmp, rel)
+        made = False
+        for fname in files:
+            fp = os.path.join(dirpath, fname)
+            if fp in affected_real:
+                continue
+            if not made:
+                os.makedirs(dst_dir, exist_ok=True)
+                made = True
+            try:
+                os.link(fp, os.path.join(dst_dir, fname))
+            except OSError:
+                shutil.copy2(fp, os.path.join(dst_dir, fname))
+            n += 1
+    return n
+
+
 def _delete_locked(spark, table_dir, table, root, pred) -> int:
     recover_compaction(table_dir, table)
     if not os.path.isdir(root):
@@ -901,18 +940,7 @@ def _delete_locked(spark, table_dir, table, root, pred) -> int:
     current = os.path.realpath(root)
     # 1. untouched files: hardlink into the new version (copy2 on
     # filesystems without link support)
-    for dirpath, _dirs, files in os.walk(current):
-        rel = os.path.relpath(dirpath, current)
-        for fname in files:
-            fp = os.path.join(dirpath, fname)
-            if os.path.realpath(fp) in affected_real:
-                continue
-            dst_dir = tmp if rel == "." else os.path.join(tmp, rel)
-            os.makedirs(dst_dir, exist_ok=True)
-            try:
-                os.link(fp, os.path.join(dst_dir, fname))
-            except OSError:
-                shutil.copy2(fp, os.path.join(dst_dir, fname))
+    _link_tree_except(current, tmp, affected_real)
     os.makedirs(tmp, exist_ok=True)  # all-files-affected case
     # 2. survivors of the affected files, rewritten with the table's
     # partition layout and merged into the snapshot build. Scan ONLY
