@@ -27,6 +27,14 @@ Modes, as upstream: ``ALL`` posts every batch to every destination;
 ``ANY`` load-balances — deterministic round-robin by batch id, so a
 re-run of the same batch sequence picks the same destinations (the
 engine's no-RNG determinism contract).
+
+Delivery is BEST-EFFORT, as upstream's subscriber service: an
+unreachable or erroring endpoint never fails the write — the chunk
+for that destination is dropped and counted (``failed_posts`` in the
+returned totals), mirroring upstream's drop-and-log when its
+subscriber buffer can't deliver. Within a healthy endpoint the
+contract is at-least-once per micro-batch (batch replay re-posts),
+with deterministic chunk names making file:// re-delivery idempotent.
 """
 
 from __future__ import annotations
@@ -110,7 +118,9 @@ def forward_batch(
         pid = TaskContext.get().partitionId()
         chunks = [pdf for pdf in iterator if len(pdf)]
         if not chunks:
-            yield pd.DataFrame({"posts": [0], "lines": [0]})
+            yield pd.DataFrame(
+                {"posts": [0], "lines": [0], "failed": [0]}
+            )
             return
         body = "\n".join(
             s for pdf in chunks for s in pdf["line"].tolist()
@@ -118,17 +128,31 @@ def forward_batch(
         payload = (body + "\n").encode()
         n_lines = sum(len(pdf) for pdf in chunks)
         posts = 0
+        failed = 0
         for url in dests:
-            _post_chunk(url, payload, batch_id, pid)
-            posts += 1
+            try:
+                _post_chunk(url, payload, batch_id, pid)
+                posts += 1
+            except Exception:
+                # an unreachable/erroring endpoint NEVER fails the
+                # write — upstream's subscriber service drops and
+                # logs when it can't deliver (buffer overflow has
+                # the same contract); the failure surfaces in the
+                # returned counts, not as a write error
+                # (wire-fuzz-found, r12: a dead http:// destination
+                # 500'd the whole /write)
+                failed += 1
         yield pd.DataFrame(
-            {"posts": [posts], "lines": [n_lines * posts]}
+            {"posts": [posts], "lines": [n_lines * posts],
+             "failed": [failed]}
         )
 
     totals = (
-        lines.mapInPandas(send, "posts long, lines long")
+        lines.mapInPandas(send, "posts long, lines long, failed long")
         .agg(
-            F.sum("posts").alias("p"), F.sum("lines").alias("l")
+            F.sum("posts").alias("p"),
+            F.sum("lines").alias("l"),
+            F.sum("failed").alias("f"),
         )
         .first()
     )
@@ -136,6 +160,7 @@ def forward_batch(
         "destinations": len(dests),
         "posts": int(totals["p"] or 0),
         "lines": int(totals["l"] or 0),
+        "failed_posts": int(totals["f"] or 0),
     }
 
 

@@ -497,3 +497,33 @@ def test_write_rejects_half_malformed_pairs(api):
         {"precision": "h"}, b"m v=1 1999999999\n"
     )
     assert status == 400 and "out of range" in resp["error"]
+
+
+def test_write_survives_dead_subscription_endpoint(api, spark):
+    """Wire-fuzz find (r12): an unreachable subscription destination
+    must never fail the write — upstream's subscriber service drops
+    and logs; the 204 stands and failed posts are counted."""
+    from ciws_server_spark.plans.influxql import run_influxql
+    from ciws_server_spark.streaming.subscriptions import forward_batch
+
+    run_influxql(
+        spark, {},
+        'CREATE SUBSCRIPTION "dead" ON ciws."autogen" '
+        "DESTINATIONS ALL 'http://127.0.0.1:1/nope'",
+        table_dir=api.table_dir,
+    )
+    status, resp = api.handle_write(
+        {"precision": "s"}, b"sub_m v=7.5 1704085200\n"
+    )
+    assert status == 204, resp
+    got = sinks.read_table(spark, api.table_dir, "sub_m")
+    assert [r["v"] for r in got.collect()] == [7.5]
+    # the counts surface the failure
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 6, 0), 1.0)], "time timestamp, v double"
+    ).coalesce(1)
+    totals = forward_batch(
+        df, 0, table_dir=api.table_dir, measurement="sub_m",
+        tag_cols=[], field_cols=["v"],
+    )
+    assert totals["failed_posts"] >= 1 and totals["posts"] == 0

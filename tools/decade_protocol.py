@@ -65,6 +65,12 @@ FAMILIES = [
     # r11 session-2 addition: chunk-granularity exact dedup (one
     # chunk-keyed shuffle + window, one doc_id agg — the new text op)
     "pipeline_chunk_dedup",
+    # r12 additions (judge r11 ask #1): the PQ family, now
+    # oracle-registered — codebook training scans + literal-LUT ADC
+    # scoring; a super-linear stage in either would hide without a
+    # decade row
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -158,10 +158,13 @@ def main() -> None:
             assert status in (200, 400, 401, 403), (stmt, status, body)
             counts[f"q{status}"] += 1
             # any user the fuzz registered flips the store to
-            # auth-enabled — wipe so coverage stays on the data plane
-            ufile = os.path.join(api.table_dir, "_users.json")
-            if os.path.exists(ufile):
-                os.remove(ufile)
+            # auth-enabled, and any subscription it registered makes
+            # every later write attempt (slow, dead) deliveries —
+            # wipe both so coverage stays on the data plane
+            for sidecar in ("_users.json", "_subscriptions.json"):
+                sfile = os.path.join(api.table_dir, sidecar)
+                if os.path.exists(sfile):
+                    os.remove(sfile)
 
             if i % 5 == 0:
                 counts["writes"] += 1
