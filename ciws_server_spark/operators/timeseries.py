@@ -626,8 +626,9 @@ def influxql_tz_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def influxql_show_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``SHOW TAG VALUES FROM m WITH KEY IN (k, unknown)`` (r11: all
     four upstream key forms — =, IN-list, =~, !~): distinct values per
-    named tag key, unknown keys contributing an empty series. One
-    partial-agg'd distinct per key on the pruned single column."""
+    (measurement, key) group — upstream's per-measurement shape as of
+    r12 — unknown keys contributing an empty series. One partial-agg'd
+    distinct per key on the pruned single column."""
     from ..plans.influxql import run_influxql
 
     ev = table(spark, sf_dir, "events")
@@ -1971,11 +1972,12 @@ ORACLES = {
         ORDER BY x.time_bucket, x.event_type
     """,
     "influxql_show_tag_values": """
-        SELECT 'event_type' AS key, event_type AS value
+        SELECT 'events' AS measurement, 'event_type' AS key,
+               event_type AS value
         FROM events
         WHERE event_type IS NOT NULL
-        GROUP BY 1, 2
-        ORDER BY key, value
+        GROUP BY 1, 2, 3
+        ORDER BY measurement, key, value
     """,
     "influxql_select_arith": """
         SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600)

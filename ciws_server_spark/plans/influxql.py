@@ -3086,37 +3086,42 @@ def _show(
         if m.group("lim"):
             out = out.limit(int(m.group("lim")))
         return out
-    if not m.group("frm") and kind in ("TAG KEYS", "FIELD KEYS"):
-        # no FROM: the statement spans every measurement (InfluxQL
-        # returns one group per measurement; flattened-distinct here,
-        # the useful shape for a schema browser)
-        seen: dict[str, str] = {}
-        for n in sorted(tables):
-            for c, t in tables[n].dtypes:
-                seen.setdefault(c, t)
-        if kind == "TAG KEYS":
-            rows = _page([
-                (c,)
-                for c, t in sorted(seen.items())
-                if t == "string" and c.lower() != "time"
-            ])
-            return spark.createDataFrame(rows or [], "tagKey STRING")
-        rows = _page([
-            (c, _FIELD_TYPES[t.split("(")[0]])
-            for c, t in sorted(seen.items())
-            if t.split("(")[0] in _FIELD_TYPES
-        ])
-        return spark.createDataFrame(
-            rows or [], "fieldKey STRING, fieldType STRING"
+    if kind in ("TAG KEYS", "FIELD KEYS"):
+        # one group PER MEASUREMENT (upstream's shape — the wire
+        # serializer turns the measurement column into per-series
+        # names), with LIMIT/OFFSET paging keys WITHIN each
+        # measurement, as InfluxDB 1.x documents. r12: replaced the
+        # earlier flattened-distinct convention — drop-in clients
+        # (influxdb-python schema browsing) expect the grouped form.
+        rows: list = []
+        for n in _show_from_names(m.group("frm"), tables):
+            if kind == "TAG KEYS":
+                per = [
+                    (n, c)
+                    for c, t in sorted(tables[n].dtypes)
+                    if t == "string" and c.lower() != "time"
+                ]
+            else:
+                per = [
+                    (n, c, _FIELD_TYPES[t.split("(")[0]])
+                    for c, t in sorted(tables[n].dtypes)
+                    if t.split("(")[0] in _FIELD_TYPES
+                ]
+            rows.extend(_page(per))
+        schema = (
+            "measurement STRING, tagKey STRING"
+            if kind == "TAG KEYS"
+            else "measurement STRING, fieldKey STRING, fieldType STRING"
         )
+        return spark.createDataFrame(rows or [], schema)
     if kind == "TAG VALUES":
         # SHOW TAG VALUES [FROM m] WITH KEY ... — the one metadata
         # statement that scans: distinct values per named tag column
         # (a partial-agg'd shuffle of each pruned single-column
         # projection; the per-(measurement, key) union is small).
         # All four upstream key forms: = k | IN (k1, k2) | =~ / !~ /re/;
-        # no FROM spans every measurement (flattened-distinct, the same
-        # convention as no-FROM TAG KEYS above).
+        # no FROM spans every measurement, one group per measurement
+        # (upstream's shape; r12 replaced the flattened convention).
         names = _show_from_names(m.group("frm"), tables)
         rx = neg = None
         if m.group("kre") or m.group("knre"):
@@ -3161,42 +3166,41 @@ def _show(
                 keys = [k for k in named if k in tag_cols]
             frames.extend(
                 _narrow(tables[n])
-                .select(F.lit(k).alias("key"), F.col(k).alias("value"))
+                .select(
+                    F.lit(n).alias("measurement"),
+                    F.lit(k).alias("key"),
+                    F.col(k).alias("value"),
+                )
                 .where(F.col("value").isNotNull())
                 .distinct()
                 for k in sorted(set(keys))
             )
         if not frames:
-            return spark.createDataFrame([], "key STRING, value STRING")
+            return spark.createDataFrame(
+                [], "measurement STRING, key STRING, value STRING"
+            )
         out = (
             reduce(lambda a, b: a.unionByName(b), frames)
             .distinct()
-            .orderBy("key", "value")
+            .orderBy("measurement", "key", "value")
         )
-        if m.group("off"):
-            out = out.offset(int(m.group("off")))
-        if m.group("lim"):
-            out = out.limit(int(m.group("lim")))
+        if m.group("off") or m.group("lim"):
+            # upstream pages tag values WITHIN each measurement
+            from pyspark.sql import Window as W
+
+            rn = F.row_number().over(
+                W.partitionBy("measurement").orderBy("key", "value")
+            )
+            out = out.withColumn("_rn", rn)
+            lo = int(m.group("off") or 0)
+            out = out.where(F.col("_rn") > lo)
+            if m.group("lim"):
+                out = out.where(
+                    F.col("_rn") <= lo + int(m.group("lim"))
+                )
+            out = out.drop("_rn").orderBy("measurement", "key", "value")
         return out
-    # FROM-qualified TAG KEYS / FIELD KEYS (exact or /regex/ FROM;
-    # multiple regex matches flatten-distinct, the module convention)
-    seen2: dict[str, str] = {}
-    for n in _show_from_names(m.group("frm"), tables):
-        for c, t in tables[n].dtypes:
-            seen2.setdefault(c, t)
-    if kind == "TAG KEYS":
-        rows = _page([
-            (c,)
-            for c, t in sorted(seen2.items())
-            if t == "string" and c.lower() != "time"
-        ])
-        return spark.createDataFrame(rows or [], "tagKey STRING")
-    rows = _page([
-        (c, _FIELD_TYPES[t.split("(")[0]])
-        for c, t in sorted(seen2.items())
-        if t.split("(")[0] in _FIELD_TYPES
-    ])
-    return spark.createDataFrame(rows or [], "fieldKey STRING, fieldType STRING")
+    raise InfluxQLError(f"unsupported SHOW statement: {kind!r}")
 
 
 def _split_subquery(query: str) -> tuple[str, str] | None:

@@ -203,7 +203,11 @@ def _frame_wire_cols(df: DataFrame) -> tuple[list, list, bool, str]:
     tkey = next(
         (c for c in ("time", "time_bucket", "ts") if c in cols), None
     )
-    per_measurement = "measurement" in cols and tkey is not None
+    # a `measurement` column always splits into one series per
+    # measurement (regex fan-outs AND the SHOW TAG/FIELD KEYS / TAG
+    # VALUES metadata frames — upstream names each series after the
+    # measurement)
+    per_measurement = "measurement" in cols
     ordered = []
     if tkey:
         ordered.append(tkey)

@@ -2009,8 +2009,9 @@ def test_show_tag_values_no_from_spans_measurements(spark, flow):
 def test_show_regex_from(spark, flow):
     """SHOW ... FROM /regex/ (r11): the FROM token of every SHOW
     statement accepts a measurement regex, matching none (empty
-    result) to many (flattened-distinct). Exact unknown names still
-    raise; an empty or invalid regex is a named error."""
+    result) to many (one group per measurement — upstream's shape,
+    r12). Exact unknown names still raise; an empty or invalid regex
+    is a named error."""
     from ciws_server_spark.plans.influxql import (
         InfluxQLError,
         query_measurement,
@@ -2019,7 +2020,10 @@ def test_show_regex_from(spark, flow):
     other = flow.withColumnRenamed("buildingID", "site")
     t = {"campus_flow": flow, "campus_daily": other}
     got = query_measurement(spark, t, "SHOW TAG KEYS FROM /^campus/")
-    assert [r["tagKey"] for r in got.collect()] == ["buildingID", "site"]
+    assert [(r["measurement"], r["tagKey"]) for r in got.collect()] == [
+        ("campus_daily", "site"),
+        ("campus_flow", "buildingID"),
+    ]
     assert (
         query_measurement(spark, t, "SHOW TAG KEYS FROM /nomatch/").count()
         == 0
@@ -2102,21 +2106,35 @@ def test_show_where_predicates(spark, flow):
 
 
 def test_show_key_listings_paginate(spark, flow):
-    """SHOW TAG KEYS / FIELD KEYS / TAG VALUES honor LIMIT/OFFSET
-    (r11)."""
+    """SHOW TAG KEYS / FIELD KEYS / TAG VALUES honor LIMIT/OFFSET —
+    applied WITHIN each measurement, as upstream documents (r12; the
+    r11 form paged the flattened list)."""
     from ciws_server_spark.plans.influxql import query_measurement
 
-    other = flow.withColumnRenamed("buildingID", "site")
-    t = {"flow": flow, "other": other}
+    import pyspark.sql.functions as F
+
+    two_tags = flow.withColumn("room", F.lit("R1"))
+    t = {"flow": flow, "other": two_tags}
+    # per-measurement paging: flow has ONE tag key, so OFFSET 1
+    # exhausts it; other's second key (sorted) survives
     got = query_measurement(spark, t, "SHOW TAG KEYS LIMIT 1 OFFSET 1")
-    assert [r["tagKey"] for r in got.collect()] == ["site"]
+    assert [(r["measurement"], r["tagKey"]) for r in got.collect()] == [
+        ("other", "room")
+    ]
+    got = query_measurement(spark, t, "SHOW TAG KEYS LIMIT 1")
+    assert [(r["measurement"], r["tagKey"]) for r in got.collect()] == [
+        ("flow", "buildingID"),
+        ("other", "buildingID"),
+    ]
     got = query_measurement(spark, t, "SHOW FIELD KEYS FROM flow LIMIT 2")
     assert got.count() == 2
     got = query_measurement(
         spark, t,
         "SHOW TAG VALUES FROM flow WITH KEY = buildingID LIMIT 1 OFFSET 1",
     ).collect()
-    assert [(r["key"], r["value"]) for r in got] == [("buildingID", "B")]
+    assert [(r["measurement"], r["key"], r["value"]) for r in got] == [
+        ("flow", "buildingID", "B")
+    ]
 
 
 def test_type_mismatched_where_matches_nothing(spark, flow):

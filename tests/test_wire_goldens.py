@@ -7,13 +7,12 @@ SHOW metadata series, multi-statement ids, in-body statement errors,
 empty results, write-class acks, 400/401/403 bodies, and the chunked
 envelope with its partial flag.
 
+SHOW TAG KEYS / FIELD KEYS / TAG VALUES serialize as upstream does:
+one series PER MEASUREMENT, named after it (r12 — the engine's SHOW
+frames carry the measurement dimension and the serializer splits on
+it, replacing the earlier flattened convention).
+
 Documented divergences from upstream 1.x, pinned as OUR bytes:
-* SHOW TAG KEYS / FIELD KEYS / TAG VALUES serialize as ONE flattened
-  series (named tag_keys / field_keys / tag_values) rather than
-  upstream's one-series-per-measurement — the engine's SHOW frames
-  are flattened-distinct (plans/influxql.py documents the schema-
-  browser rationale), so the measurement dimension isn't available
-  at serialize time.
 * SHOW SERIES carries a series name ("series"); upstream emits an
   unnamed series.
 * Raw selects serialize in plan order; goldens use the explicit
@@ -74,12 +73,12 @@ GOLDENS = [
     ("show_measurements", {"q": "SHOW MEASUREMENTS"}, 200,
      '{"results":[{"series":[{"columns":["name"],"name":"measurements","values":[["campus_flow"],["sys_load"]]}],"statement_id":0}]}'),
     ("show_tag_keys", {"q": "SHOW TAG KEYS"}, 200,
-     '{"results":[{"series":[{"columns":["tagKey"],"name":"tag_keys","values":[["buildingID"],["host"]]}],"statement_id":0}]}'),
+     '{"results":[{"series":[{"columns":["tagKey"],"name":"campus_flow","values":[["buildingID"]]},{"columns":["tagKey"],"name":"sys_load","values":[["host"]]}],"statement_id":0}]}'),
     ("show_field_keys", {"q": "SHOW FIELD KEYS"}, 200,
-     '{"results":[{"series":[{"columns":["fieldKey","fieldType"],"name":"field_keys","values":[["flowRate","float"],["load","float"]]}],"statement_id":0}]}'),
+     '{"results":[{"series":[{"columns":["fieldKey","fieldType"],"name":"campus_flow","values":[["flowRate","float"]]},{"columns":["fieldKey","fieldType"],"name":"sys_load","values":[["load","float"]]}],"statement_id":0}]}'),
     ("show_tag_values",
      {"q": 'SHOW TAG VALUES WITH KEY = "buildingID"'}, 200,
-     '{"results":[{"series":[{"columns":["key","value"],"name":"tag_values","values":[["buildingID","A"],["buildingID","B"]]}],"statement_id":0}]}'),
+     '{"results":[{"series":[{"columns":["key","value"],"name":"campus_flow","values":[["buildingID","A"],["buildingID","B"]]}],"statement_id":0}]}'),
     ("show_retention_policies", {"q": "SHOW RETENTION POLICIES"}, 200,
      '{"results":[{"series":[{"columns":["name","duration","shardGroupDuration","replicaN","default"],"name":"retention_policies","values":[["autogen","0s","168h0m0s",1,true]]}],"statement_id":0}]}'),
     ("show_series", {"q": "SHOW SERIES"}, 200,
