@@ -441,6 +441,15 @@ class InfluxHTTPApi:
             msg = str(exc)
             code = 401 if "authentication" in msg else 403
             return code, {"error": msg}
+        if params.get("db"):
+            from ..plans.influxql import registered_database
+
+            known = self.database or registered_database(self.table_dir)
+            if params["db"] != known:
+                # upstream 404s a write naming an unknown database
+                return 404, {
+                    "error": f"database not found: \"{params['db']}\""
+                }
         precision = params.get("precision", "ns")
         mult = _PRECISION_NS.get(precision)
         if mult is None:
@@ -485,6 +494,7 @@ class InfluxHTTPApi:
             .collect()
         ):
             tags_by_m.setdefault(r["measurement"], set()).add(r["k"])
+        appended = 0
         for measurement, fields in sorted(schemas.items()):
             typed = typed_fields(parsed, measurement, fields)
             parts = sinks.PARTITIONING.get(measurement, [])
@@ -507,8 +517,16 @@ class InfluxHTTPApi:
             except sinks.SchemaConflict as exc:
                 # a field whose line-protocol type conflicts with the
                 # TABLE's recorded type (not just intra-batch) is
-                # upstream's 400 'field type conflict', never a 500
-                return 400, {"error": f"field type conflict: {exc}"}
+                # upstream's 400 'field type conflict', never a 500;
+                # when earlier measurements of this batch already
+                # appended, it's upstream's 'partial write'
+                prefix = (
+                    "partial write: " if appended else ""
+                )
+                return 400, {
+                    "error": f"{prefix}field type conflict: {exc}"
+                }
+            appended += 1
             # upstream duplicates every accepted write to each
             # subscription endpoint; batch id = a process-local write
             # sequence (round-robins ANY-mode destinations)

@@ -527,3 +527,27 @@ def test_write_survives_dead_subscription_endpoint(api, spark):
         tag_cols=[], field_cols=["v"],
     )
     assert totals["failed_posts"] >= 1 and totals["posts"] == 0
+
+
+def test_write_db_not_found_and_partial_write(api, spark):
+    """Upstream /write parity (r12): an unknown db param is a 404
+    'database not found'; a type conflict AFTER earlier measurements
+    of the batch appended reports 'partial write:'."""
+    status, resp = api.handle_write(
+        {"db": "nope"}, b"m f=1 1704067200000000000\n"
+    )
+    assert status == 404 and "database not found" in resp["error"]
+    status, _ = api.handle_write(
+        {"db": "ciws", "precision": "s"}, b"pw_m f=1.5 1704067200\n"
+    )
+    assert status == 204
+    # batch touching two measurements: aaa_m appends cleanly first
+    # (sorted order), then pw_m's int write conflicts with its float
+    status, resp = api.handle_write(
+        {"precision": "s"},
+        b"aaa_m v=1 1704067300\npw_m f=2i 1704067300\n",
+    )
+    assert status == 400
+    assert resp["error"].startswith("partial write: "), resp
+    got = sinks.read_table(spark, api.table_dir, "aaa_m").count()
+    assert got == 1  # the partial write landed, as upstream
