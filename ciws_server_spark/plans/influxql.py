@@ -3245,7 +3245,7 @@ def _resolve_into_target(tok: str, table_dir: str) -> str:
             raise InfluxQLError(
                 f"unknown retention policy: {parts[-2]!r}"
             )
-    return parts[-1]
+    return _safe_table(parts[-1])
 
 
 def _execute_into_backref(
@@ -3365,6 +3365,20 @@ _DELETE_RE = re.compile(
 )
 
 
+def _safe_table(name: str) -> str:
+    """Storage-boundary name check as a NAMED error: a measurement
+    maps to one path component, so a quoted hostile name
+    (``"../x"``, ``"tar/get"``) must never reach path construction —
+    DROP/DELETE would otherwise operate OUTSIDE the store root
+    (wire-fuzz-found, r12)."""
+    from ..sources import sinks
+
+    try:
+        return sinks.validate_table(name)
+    except ValueError as exc:
+        raise InfluxQLError(str(exc)) from None
+
+
 def _mutation_targets(spark, tok: str | None, table_dir: str) -> list[str]:
     """Measurements a DELETE / DROP SERIES applies to: an exact name,
     a ``/regex/`` over the store's tables, or — FROM absent — every
@@ -3373,7 +3387,7 @@ def _mutation_targets(spark, tok: str | None, table_dir: str) -> list[str]:
     from ..sources import sinks
 
     if tok is not None and not tok.startswith("/"):
-        return [_unquote(tok)]
+        return [_safe_table(_unquote(tok))]
     names = sorted(sinks.load_tables(spark, table_dir))
     if tok is None:
         return names
@@ -3506,7 +3520,7 @@ def execute_drop(spark, query: str, table_dir: str) -> bool:
     dm = _DROP_RE.match(query)
     if not dm:
         raise InfluxQLError(f"not a DROP MEASUREMENT statement: {query!r}")
-    name = _unquote(dm.group(1))
+    name = _safe_table(_unquote(dm.group(1)))
     root = os.path.join(table_dir, name)
     if not os.path.lexists(root):
         return False

@@ -481,6 +481,14 @@ class InfluxHTTPApi:
             schemas = self._infer_schemas(parsed)
         except InfluxQLError as exc:
             return 400, {"error": str(exc)}
+        for measurement in schemas:
+            try:
+                # a measurement maps to one path component in this
+                # store — path-hostile names are a 400, never a
+                # directory escape (wire-fuzz-found, r12)
+                sinks.validate_table(measurement)
+            except ValueError as exc:
+                return 400, {"error": str(exc)}
         # EVERY tag in the batch persists as a string column — the
         # line-protocol contract (a tag not in the measurement's
         # partition layout is still data, never silently dropped).

@@ -135,6 +135,33 @@ PARTITIONING = {
 }
 
 
+class InvalidTableName(ValueError):
+    """A measurement name that cannot be a single path component —
+    refused at the storage boundary (wire-fuzz-found, r12: a mutated
+    ``INTO tar/get`` statement sprayed table sidecars into a nested
+    directory, and a hostile ``DROP MEASUREMENT "../x"`` would have
+    escaped the store root entirely)."""
+
+
+def validate_table(table: str) -> str:
+    """The storage boundary's name rule: a measurement maps to ONE
+    directory component under the store root. Upstream InfluxDB keys
+    measurements in an index so any byte string works; this engine
+    maps them to paths, so path-hostile names (separators, NUL,
+    ``.``/``..``, empty) are a named error — the documented
+    divergence for slash-bearing measurement names."""
+    if (
+        not table
+        or table in (".", "..")
+        or "/" in table
+        or "\\" in table
+        or "\x00" in table
+        or os.sep in table
+    ):
+        raise InvalidTableName(f"invalid measurement name: {table!r}")
+    return table
+
+
 class SchemaConflict(ValueError):
     """A field arrived with a different type than the table recorded
     for that name — refused at append time, before any file is
@@ -257,6 +284,7 @@ def append_points(
     under the write lock, and a same-name/different-type write raises
     :class:`SchemaConflict` before touching storage.
     """
+    validate_table(table)
     parts = PARTITIONING.get(table, [])
     out = df
     if "date" in parts:

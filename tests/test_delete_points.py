@@ -448,3 +448,41 @@ def test_delete_regex_and_fromless(spark, tmp_path):
             run_influxql(spark, tabs(), bad, table_dir=td)
     with _pytest.raises(InfluxQLError, match="invalid measurement regex"):
         run_influxql(spark, tabs(), "DELETE FROM /(/", table_dir=td)
+
+
+def test_path_hostile_measurement_names_rejected(spark, tmp_path):
+    """Wire-fuzz find (r12): a measurement maps to ONE path component
+    — quoted hostile names ('tar/get', '../x') are named errors at
+    every mutation entry point, never a directory escape."""
+    import datetime as dt
+
+    import pytest
+
+    from ciws_server_spark.plans.influxql import InfluxQLError, run_influxql
+    from ciws_server_spark.sources import sinks
+
+    td = str(tmp_path)
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 6, 0), "A", 1.0)],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, td, "campus_flow")
+    tabs = sinks.load_tables(spark, td)
+    for stmt in (
+        'DROP MEASUREMENT "../escape"',
+        'DELETE FROM "../escape" WHERE buildingID = \'A\'',
+        "SELECT mean(flowRate) INTO \"tar/get\" FROM campus_flow "
+        "GROUP BY time(1h)",
+    ):
+        with pytest.raises(InfluxQLError, match="invalid measurement"):
+            run_influxql(spark, tabs, stmt, table_dir=td)
+    # storage-boundary defense in depth
+    with pytest.raises(sinks.InvalidTableName):
+        sinks.append_points(df, td, "tar/get")
+    with pytest.raises(sinks.InvalidTableName):
+        sinks.append_points(df, td, "..")
+    # nothing escaped the store root
+    import os
+
+    assert not os.path.lexists(os.path.join(td, "..", "escape"))
+    assert not os.path.lexists(os.path.join(td, "tar"))

@@ -551,3 +551,13 @@ def test_write_db_not_found_and_partial_write(api, spark):
     assert resp["error"].startswith("partial write: "), resp
     got = sinks.read_table(spark, api.table_dir, "aaa_m").count()
     assert got == 1  # the partial write landed, as upstream
+
+
+def test_write_rejects_path_hostile_measurement(api):
+    """Wire-fuzz find (r12): a line-protocol measurement containing a
+    path separator is a 400, never a nested directory in the store."""
+    status, resp = api.handle_write({}, b"tar/get v=1 1704067200000000000\n")
+    assert status == 400 and "invalid measurement" in resp["error"]
+    import os
+
+    assert not os.path.lexists(os.path.join(api.table_dir, "tar"))
