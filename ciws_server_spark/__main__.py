@@ -48,6 +48,15 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("tick", help="CQ + retention maintenance tick")
     s.add_argument("--tables", required=True)
+    s.add_argument(
+        "--compact-threshold",
+        type=int,
+        default=0,
+        help="auto-compact any table whose visible file count is at "
+        "or over this bound (0 = off); keeps the O(#files) "
+        "append-time manifest walk bounded (BENCH_NOTES §52: "
+        "compact before ~1M files)",
+    )
 
     args = p.parse_args(argv)
 
@@ -92,7 +101,14 @@ def main(argv: list[str] | None = None) -> int:
         tables = sinks.load_tables(spark, args.tables)
         ran = run_due_continuous_queries(spark, tables, args.tables, now)
         dropped = enforce_retention(spark, args.tables, now)
-        print(f"tick: cqs={ran!r} retention={dropped!r}", flush=True)
+        compacted = sinks.auto_compact(
+            spark, args.tables, args.compact_threshold
+        )
+        print(
+            f"tick: cqs={ran!r} retention={dropped!r} "
+            f"compacted={compacted!r}",
+            flush=True,
+        )
         return 0
     return 2  # pragma: no cover
 

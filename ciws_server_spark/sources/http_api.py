@@ -163,12 +163,32 @@ def _json_value(v, epoch: str | None):
 
 
 def serialize_frame(
-    df: DataFrame, name: str, statement_id: int, epoch: str | None
+    df: DataFrame, name: str, statement_id: int, epoch: str | None,
+    max_rows: int = 0,
 ) -> dict:
-    """DataFrame → one /query result object (InfluxDB JSON shape)."""
+    """DataFrame → one /query result object (InfluxDB JSON shape).
+
+    ``max_rows`` > 0 is upstream's httpd ``max-row-limit``: the
+    response carries at most that many rows and the truncated series
+    is stamped ``"partial": true`` (upstream's non-chunked truncation
+    marker). The cap is applied as ``df.limit(max_rows + 1)`` so
+    Catalyst plans a CollectLimit — the driver materializes at most
+    cap+1 rows, never the unbounded result (the whole point of the
+    knob: an accidental ``SELECT * FROM huge`` can't buffer the table
+    on the driver). A regex fan-out result is ordered by measurement
+    first when a cap is set, so the cut lands in the LAST series and
+    exactly one series is marked partial, as upstream does."""
     # time first, under the wire name "time"
     ordered, out_cols, per_measurement, tkey = _frame_wire_cols(df)
-    rows = df.collect()
+    if max_rows and max_rows > 0:
+        if per_measurement:
+            df = df.orderBy("measurement")
+        rows = df.limit(max_rows + 1).collect()
+        truncated = len(rows) > max_rows
+        rows = rows[:max_rows]
+    else:
+        rows = df.collect()
+        truncated = False
 
     def values_of(subset):
         return [
@@ -191,6 +211,9 @@ def serialize_frame(
         series = None
     res: dict = {"statement_id": statement_id}
     if series:
+        if truncated:
+            # measurement-ordered cut: only the last series was cut
+            series[-1]["partial"] = True
         res["series"] = series
     return res
 
@@ -281,12 +304,18 @@ class InfluxHTTPApi:
         time_col: str = "time",
         database: str | None = None,
         now=None,
+        max_row_limit: int = 0,
     ):
         self.spark = spark
         self.table_dir = table_dir
         self.time_col = time_col
         self.database = database
         self.now = now
+        # upstream httpd [http] max-row-limit: cap on rows in a
+        # NON-chunked /query response (0 = unlimited, upstream's
+        # default). chunked=true is exempt, exactly as upstream —
+        # streaming is the sanctioned way to pull a big result.
+        self.max_row_limit = int(max_row_limit)
         self._write_seq = 0  # ANY-mode subscription round-robin key
 
     # ---------------------------------------------------------- ping
@@ -331,7 +360,10 @@ class InfluxHTTPApi:
             if isinstance(res, DataFrame):
                 try:
                     results.append(
-                        serialize_frame(res, _series_name(stmt), i, epoch)
+                        serialize_frame(
+                            res, _series_name(stmt), i, epoch,
+                            max_rows=self.max_row_limit,
+                        )
                     )
                 except InfluxQLError as exc:
                     return 400, {"error": str(exc)}
@@ -637,13 +669,27 @@ def serve(api: InfluxHTTPApi, host: str = "127.0.0.1", port: int = 0):
         def _send_stream(self, status: int, chunks):
             # newline-delimited JSON envelopes (upstream's chunked
             # transfer); HTTP/1.0 connection-close delimits the body
-            self.send_response(status)
-            self.send_header("X-Influxdb-Version", _VERSION)
-            self.send_header("Content-Type", "application/json")
-            self.end_headers()
-            for obj in chunks:
-                self.wfile.write(json.dumps(obj).encode() + b"\n")
-                self.wfile.flush()
+            try:
+                self.send_response(status)
+                self.send_header("X-Influxdb-Version", _VERSION)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                for obj in chunks:
+                    self.wfile.write(json.dumps(obj).encode() + b"\n")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                # client dropped mid-stream: close the generator NOW
+                # (GeneratorExit unwinds serialize_frame_chunks, which
+                # drops its toLocalIterator — PySpark's local-iterator
+                # finalizer signals the JVM to stop serving partitions,
+                # so the Spark job drains bounded instead of running
+                # to completion against a dead socket). The handler
+                # thread returns normally; the server keeps serving.
+                pass
+            finally:
+                close = getattr(chunks, "close", None)
+                if close is not None:
+                    close()
 
         def _query(self, params):
             if params.get("chunked") == "true":

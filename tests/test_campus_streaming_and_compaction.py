@@ -458,3 +458,76 @@ def test_snapshot_swap_live_concurrent_readers(spark, tmp_path):
         t.join(timeout=30)
     assert not bad, bad[:5]
     assert counts["ok"] > 0  # the reader actually raced the swaps
+
+
+def test_auto_compact_keeps_long_append_run_bounded(spark, tmp_path):
+    """r12 VERDICT ask #8: the §52 commit-cost bound ("compact before
+    ~1M files") enforced automatically. A long run of small appends
+    interleaved with maintenance ticks (sinks.auto_compact at a tiny
+    threshold) must keep the table's visible file count bounded by
+    threshold + one append's worth of files — never growing with the
+    number of appends — and preserve every row."""
+    import datetime as dt
+
+    from ciws_server_spark.sources import sinks
+
+    td = str(tmp_path)
+    threshold = 6
+    max_seen, per_append = 0, None
+    for i in range(24):
+        df = spark.createDataFrame(
+            [
+                (
+                    dt.datetime(2024, 1, 1, 6, 0) + dt.timedelta(minutes=i),
+                    f"B{i % 2}",
+                    float(i),
+                )
+            ],
+            "time timestamp, buildingID string, flowRate double",
+        )
+        sinks.append_points(df, td, "campus_flow")
+        n = sinks.table_file_count(td, "campus_flow")
+        if per_append is None:
+            per_append = n  # files one append contributes
+        max_seen = max(max_seen, n)
+        compacted = sinks.auto_compact(spark, td, threshold)
+        if n >= threshold:
+            assert "campus_flow" in compacted
+        else:
+            assert "campus_flow" not in compacted
+    # bounded: the count right after any append never exceeds the
+    # threshold plus one append's contribution (24 un-compacted
+    # appends would sit at ~24× per_append)
+    assert max_seen <= threshold + per_append
+    # and the data survived every rewrite
+    got = sinks.read_table(spark, td, "campus_flow")
+    assert got.count() == 24
+    assert got.agg({"flowRate": "sum"}).collect()[0][0] == sum(range(24))
+    # below-threshold store: a tick is a no-op
+    assert sinks.auto_compact(spark, td, 10_000) == {}
+    # threshold 0 = off
+    assert sinks.auto_compact(spark, td, 0) == {}
+
+
+def test_tick_cli_runs_auto_compact(spark, tmp_path):
+    """The maintenance tick wires the threshold through: ``tick
+    --compact-threshold 1`` compacts an over-bound table."""
+    import datetime as dt
+
+    from ciws_server_spark.sources import sinks
+
+    from ciws_server_spark.__main__ import main
+    from ciws_server_spark.sources import sinks
+
+    td = str(tmp_path)
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 6, i), "A", float(i))],
+            "time timestamp, buildingID string, flowRate double",
+        )
+        sinks.append_points(df, td, "campus_flow")
+    before = sinks.table_file_count(td, "campus_flow")
+    assert main(["tick", "--tables", td, "--compact-threshold", "1"]) == 0
+    after = sinks.table_file_count(td, "campus_flow")
+    assert after < before
+    assert sinks.read_table(spark, td, "campus_flow").count() == 3

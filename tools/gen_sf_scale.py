@@ -59,10 +59,16 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tmp", "sf1",
     )
+    # Optional 3rd arg: comma-separated table subset (e.g. "documents,events")
+    # for very large factors where only a few families need scale evidence —
+    # a full factor-1000 lineitem would be ~12 GB nobody reads.
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
     def write(name: str, sql: str) -> None:
+        if only is not None and name not in only:
+            return
         path = os.path.join(out_dir, f"{name}.parquet")
         # modest row groups: Spark parallelizes a scan at row-group
         # granularity, and a single-group file would serialize heavy
