@@ -57,9 +57,14 @@ def headline_queries() -> dict:
 # floor×1.3 the artifact is stamped "load_suspect": true — numbers are
 # still reported, but flagged as not comparable round-over-round.
 
-_CANARY_FLOOR_FILE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "tools", "canary_floor.json"
+# All floor/history sidecars live here; tests point it at a tmp dir
+# via SPARK_GRAFT_FLOOR_DIR so synthetic-load runs can't poison the
+# repo's pinned quiet floors.
+_FLOOR_DIR = os.environ.get(
+    "SPARK_GRAFT_FLOOR_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"),
 )
+_CANARY_FLOOR_FILE = os.path.join(_FLOOR_DIR, "canary_floor.json")
 _CANARY_ROWS = 400_000_000
 #: Calibrated on this box (round 8): idle fresh-JVM min-of-3 canary
 #: readings span 0.14-0.22s (~1.55× — JIT/GC state, not load), while
@@ -169,9 +174,7 @@ def canary_guard(spark) -> tuple[dict, float]:
 # and BOTH anchors drift together, the round-over-round reader sees
 # regime, not regression, without any archaeology.
 
-_ANCHOR_HISTORY_FILE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "tools", "anchor_history.json"
-)
+_ANCHOR_HISTORY_FILE = os.path.join(_FLOOR_DIR, "anchor_history.json")
 _ANCHOR_HISTORY_MAX = 20
 _ANCHOR_QUERY = "crypto_hashes"
 
@@ -224,6 +227,9 @@ def _spark_anchor_time(spark, sf_dir: str) -> float:
         ).collect()
         return time.perf_counter() - t0
 
+    once()  # warm codegen/JIT: the anchor measures the box, not the
+    # first-use compilation — otherwise the sweep's FIRST anchor
+    # window reads systematically hot and over-normalizes
     return _median3(once)
 
 
@@ -245,14 +251,29 @@ def _anchor_history(sf_key: str) -> dict:
 
 
 def measure_anchors(spark, sf_dir: str) -> dict:
-    """Measure both anchors; update the rolling history; return the
-    artifact fragment (raw readings, floors, regime index)."""
-    spark_sec = _spark_anchor_time(spark, sf_dir)
-    duck_sec = _duckdb_anchor_time(sf_dir)
+    """One anchor window (compat shim): measure, record, report."""
+    pair = (_spark_anchor_time(spark, sf_dir), _duckdb_anchor_time(sf_dir))
+    return anchors_report(sf_dir, {"post": pair})
+
+
+def anchors_report(sf_dir: str, windows: dict[str, tuple]) -> dict:
+    """Fold one or more same-sweep anchor windows (``pre``/``mid``/
+    ``post`` → (spark_sec, duckdb_sec)) into the artifact fragment.
+
+    r12 lesson (§54 addendum): ONE post-sweep anchor window can land
+    in a calm moment of an otherwise-elevated sweep — the closing
+    24.5s read carried regime_index ≈ 1 while every query ran ~1.33×
+    hot. Sampling the pair before, mid-suite, and after makes the
+    regime index the MAX over windows: ambient load anywhere in the
+    sweep shows up in at least one window. Only the least-loaded
+    window's readings enter the rolling history (a loaded window must
+    not ratchet the floor upward)."""
     sf_key = f"sf{_sf_of(sf_dir)}"
     hist = _anchor_history(sf_key)
-    hist["spark"] = (hist["spark"] + [spark_sec])[-_ANCHOR_HISTORY_MAX:]
-    hist["duckdb"] = (hist["duckdb"] + [duck_sec])[-_ANCHOR_HISTORY_MAX:]
+    best_spark = min(v[0] for v in windows.values())
+    best_duck = min(v[1] for v in windows.values())
+    hist["spark"] = (hist["spark"] + [best_spark])[-_ANCHOR_HISTORY_MAX:]
+    hist["duckdb"] = (hist["duckdb"] + [best_duck])[-_ANCHOR_HISTORY_MAX:]
     store = hist.pop("_all")
     store[sf_key] = {"spark": hist["spark"], "duckdb": hist["duckdb"]}
     store["query"] = _ANCHOR_QUERY
@@ -263,19 +284,115 @@ def measure_anchors(spark, sf_dir: str) -> dict:
         pass  # read-only checkout: anchor degrades to raw readings
     spark_floor = _floor_of(hist["spark"])
     duck_floor = _floor_of(hist["duckdb"])
-    # regime index: how much slower this window runs vs the box's
-    # recent norm, by the independent engine's reading (DuckDB moves
-    # only with the box) cross-checked against the Spark anchor; the
-    # max of the two ratios is the conservative normalizer.
-    idx = max(spark_sec / spark_floor, duck_sec / duck_floor, 1.0)
-    return {
+    # regime index per window: how much slower that window ran vs the
+    # box's recent norm, by the independent engine's reading (DuckDB
+    # moves only with the box) cross-checked against the Spark
+    # anchor; max of the two ratios per window, max over windows.
+    per_window = {}
+    for label, (s, d) in windows.items():
+        per_window[label] = {
+            "spark_sec": s,
+            "duckdb_sec": d,
+            "regime_index": round(
+                max(s / spark_floor, d / duck_floor, 1.0), 3
+            ),
+        }
+    idx = max(w["regime_index"] for w in per_window.values())
+    out = {
         "query": _ANCHOR_QUERY,
-        "spark_sec": spark_sec,
         "spark_floor_sec": round(spark_floor, 3),
-        "duckdb_sec": duck_sec,
         "duckdb_floor_sec": round(duck_floor, 3),
-        "regime_index": round(idx, 3),
+        "windows": per_window,
+        "regime_index": idx,
     }
+    # compat keys: the post (or only) window's raw readings
+    last = per_window.get("post") or next(iter(per_window.values()))
+    out["spark_sec"] = last["spark_sec"]
+    out["duckdb_sec"] = last["duckdb_sec"]
+    return out
+
+
+# --- per-query quiet-floor inflation detector -------------------------
+#
+# Round-12 lesson (§54 addendum): a sweep can run UNIFORMLY ~1.33×
+# elevated while both the pure-CPU canary and the post-sweep anchor
+# window read calm — the ambient load was visible only in the 25
+# query timings themselves. So the queries become the canary: each
+# query keeps a rolling history of warm readings from UNFLAGGED
+# sweeps (tools/query_floor.json, 25th-percentile floor like the
+# canary), and a sweep whose MEDIAN per-query inflation vs those
+# floors exceeds the threshold stamps load_suspect — a single real
+# regression moves one ratio and leaves the median alone; only a
+# regime shift moves the median of 25 independent plans.
+
+_QUERY_FLOOR_FILE = os.path.join(_FLOOR_DIR, "query_floor.json")
+_QUERY_FLOOR_MAX = 20
+_QUERY_FLOOR_MIN_HISTORY = 3
+_INFLATION_THRESHOLD = 1.25
+_INFLATION_MIN_QUERIES = 5
+
+
+def _query_floor_store() -> dict:
+    try:
+        with open(_QUERY_FLOOR_FILE) as f:
+            d = json.load(f)
+        return d if isinstance(d, dict) else {}
+    except Exception:
+        return {}
+
+
+def detect_uniform_inflation(
+    timings: dict[str, float],
+    floors: dict[str, list],
+    threshold: float = _INFLATION_THRESHOLD,
+) -> dict:
+    """Median per-query inflation vs the pinned quiet floors.
+
+    Stamps ``loaded`` only from the MEDIAN: robust to any one query
+    genuinely regressing (that's a code signal, reported per-query)
+    and to any one floor being stale. Queries without enough history
+    are skipped; below ``_INFLATION_MIN_QUERIES`` comparable queries
+    the detector abstains (``loaded: false``, median ``None``)."""
+    ratios: dict[str, float] = {}
+    for q, t in timings.items():
+        h = floors.get(q) or []
+        if len(h) >= _QUERY_FLOOR_MIN_HISTORY:
+            f = _floor_of([float(x) for x in h])
+            if f > 0:
+                ratios[q] = t / f
+    out = {
+        "n_compared": len(ratios),
+        "threshold": threshold,
+        "median_inflation": None,
+        "loaded": False,
+    }
+    if len(ratios) >= _INFLATION_MIN_QUERIES:
+        med = sorted(ratios.values())[len(ratios) // 2]
+        out["median_inflation"] = round(med, 3)
+        out["loaded"] = bool(med > threshold)
+        worst = sorted(ratios, key=ratios.get, reverse=True)[:3]
+        out["worst"] = {q: round(ratios[q], 3) for q in worst}
+    return out
+
+
+def record_query_floors(
+    sf_key: str, timings: dict[str, float], flagged: bool
+) -> None:
+    """Fold this sweep's warm readings into the rolling per-query
+    history — UNLESS any detector flagged the sweep (a loaded sweep
+    must not ratchet the quiet floors upward, the same hygiene rule
+    as the canary history)."""
+    if flagged:
+        return
+    store = _query_floor_store()
+    per_sf = store.setdefault(sf_key, {})
+    for q, t in timings.items():
+        per_sf[q] = (per_sf.get(q, []) + [t])[-_QUERY_FLOOR_MAX:]
+    try:
+        with open(_QUERY_FLOOR_FILE, "w") as f:
+            json.dump(store, f)
+    except OSError:
+        pass  # read-only checkout: detector degrades to session-local
 
 
 # --- ingest-path benchmark -------------------------------------------
@@ -440,7 +557,21 @@ def main() -> None:
     cold: dict[str, float] = {}
     if args.ingest_only:
         qs = {}
-    for name, fn in qs.items():
+
+    def anchor_pair() -> tuple:
+        return (
+            _spark_anchor_time(spark, args.sf_dir),
+            _duckdb_anchor_time(args.sf_dir),
+        )
+
+    anchor_windows: dict[str, tuple] = {}
+    anchor_err = None
+    try:
+        anchor_windows["pre"] = anchor_pair()
+    except Exception as exc:  # noqa: BLE001 — anchor must not kill bench
+        anchor_err = f"{type(exc).__name__}: {exc}"
+    mid_at = len(qs) // 2 if len(qs) >= 4 else -1
+    for q_idx, (name, fn) in enumerate(qs.items()):
         best = float("inf")
         # warm = best of the runs AFTER the first: the cold reading is
         # never reused as the warm number, so the two are always
@@ -469,28 +600,55 @@ def main() -> None:
             f"# {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s)",
             file=sys.stderr,
         )
+        if q_idx + 1 == mid_at:
+            try:
+                anchor_windows["mid"] = anchor_pair()
+            except Exception as exc:  # noqa: BLE001
+                anchor_err = anchor_err or f"{type(exc).__name__}: {exc}"
 
     canary_post, _ = canary_guard(spark)
-    load_suspect = canary_pre["loaded"] or canary_post["loaded"]
-    print(
-        f"# canary(post): {canary_post['sec']:.3f}s"
-        f"{' — artifact stamped load_suspect' if load_suspect else ''}",
-        file=sys.stderr,
-    )
+    print(f"# canary(post): {canary_post['sec']:.3f}s", file=sys.stderr)
 
     try:
-        anchor = measure_anchors(spark, args.sf_dir)
+        anchor_windows["post"] = anchor_pair()
+        anchor = anchors_report(args.sf_dir, anchor_windows)
     except Exception as exc:  # noqa: BLE001 — anchor must not kill bench
-        anchor = {"error": f"{type(exc).__name__}: {exc}"}
+        anchor = {"error": anchor_err or f"{type(exc).__name__}: {exc}"}
     if "regime_index" in anchor:
+        wins = " ".join(
+            f"{k}={w['regime_index']:.3f}"
+            for k, w in anchor["windows"].items()
+        )
         print(
-            f"# anchor: spark {anchor['spark_sec']:.3f}s "
-            f"(floor {anchor['spark_floor_sec']:.3f}s), duckdb "
-            f"{anchor['duckdb_sec']:.3f}s "
-            f"(floor {anchor['duckdb_floor_sec']:.3f}s) → regime index "
+            f"# anchor windows: {wins} (floors spark "
+            f"{anchor['spark_floor_sec']:.3f}s / duckdb "
+            f"{anchor['duckdb_floor_sec']:.3f}s) → regime index "
             f"{anchor['regime_index']:.3f}",
             file=sys.stderr,
         )
+
+    # the queries themselves as the canary (r12 §54 lesson): median
+    # per-query inflation vs the pinned quiet floors
+    sf_key = f"sf{sf}"
+    inflation = detect_uniform_inflation(
+        timings, _query_floor_store().get(sf_key, {})
+    )
+    load_suspect = (
+        canary_pre["loaded"]
+        or canary_post["loaded"]
+        or inflation["loaded"]
+    )
+    record_query_floors(sf_key, timings, load_suspect)
+    if inflation["median_inflation"] is not None:
+        print(
+            f"# query-floor inflation: median "
+            f"{inflation['median_inflation']:.3f}× over "
+            f"{inflation['n_compared']} queries"
+            f"{' — artifact stamped load_suspect' if inflation['loaded'] else ''}",
+            file=sys.stderr,
+        )
+    if load_suspect:
+        print("# artifact stamped load_suspect", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -508,6 +666,7 @@ def main() -> None:
             "threshold": _CANARY_THRESHOLD,
         },
         "load_suspect": load_suspect,
+        "inflation": inflation,
         "anchor": anchor,
         # headline corrected to the box's recent-norm regime: divide
         # by how much slower this window's paired anchors ran. When

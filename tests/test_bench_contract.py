@@ -135,3 +135,93 @@ def test_decade_protocol_subset_merges(tmp_path, monkeypatch):
     assert d["spread"]["old_family"] == {"warm_min": 1.4, "warm_max": 1.6}
     assert d["spread"]["new_family"]["code"]  # stamped with git HEAD
     assert d["spread"]["new_family"]["n_invocations"] == 3
+
+
+def test_detect_uniform_inflation_median_semantics():
+    """The detector trips on a UNIFORM elevation (regime) and stays
+    quiet when a single query regresses (code signal) or history is
+    thin — the median over independent plans is the discriminator."""
+    import bench
+
+    floors = {f"q{i}": [1.0, 1.0, 1.0] for i in range(7)}
+    quiet = {f"q{i}": 1.05 for i in range(7)}
+    d = bench.detect_uniform_inflation(quiet, floors)
+    assert d["loaded"] is False and d["median_inflation"] == 1.05
+    # one genuine 10x regression: median untouched, no stamp
+    one_bad = dict(quiet, q3=10.0)
+    d = bench.detect_uniform_inflation(one_bad, floors)
+    assert d["loaded"] is False
+    assert d["worst"]["q3"] == 10.0  # still visible per-query
+    # uniform 1.4x: regime -> stamp
+    hot = {f"q{i}": 1.4 for i in range(7)}
+    d = bench.detect_uniform_inflation(hot, floors)
+    assert d["loaded"] is True and d["median_inflation"] == 1.4
+    # abstains below the minimum comparable-query count
+    d = bench.detect_uniform_inflation(
+        {f"q{i}": 9.9 for i in range(3)},
+        {f"q{i}": [1.0, 1.0, 1.0] for i in range(3)},
+    )
+    assert d["loaded"] is False and d["median_inflation"] is None
+    # and with thin history (fewer than 3 quiet readings per query)
+    d = bench.detect_uniform_inflation(hot, {f"q{i}": [1.0] for i in range(7)})
+    assert d["loaded"] is False and d["n_compared"] == 0
+
+
+def test_bench_load_stamp_trips_under_synthetic_load(tmp_path):
+    """r12 VERDICT ask #2: the sweep must self-label ambient load the
+    canary misses. One quiet run seeds per-query floors; a second run
+    under a deliberate busy-loop fleet must come back with
+    inflation.loaded=true and load_suspect=true."""
+    import json as _json
+    import os as _os
+    import signal as _signal
+    import subprocess as _sp
+
+    floor_dir = str(tmp_path)
+    env = {**_os.environ, "SPARK_GRAFT_FLOOR_DIR": floor_dir}
+    queries = [
+        "q1_pricing_summary",
+        "text_quality_score",
+        "ts_time_bucket_agg",
+        "crypto_hashes",
+        "pivot_order_priority",
+    ]
+
+    def run_bench():
+        proc = _sp.run(
+            [sys.executable, "bench.py", "--sf-dir",
+             "/root/testdata/sf0.001", "--repeat", "1", *queries],
+            capture_output=True, text=True, cwd="/root/repo",
+            timeout=600, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return _json.loads(proc.stdout.strip().splitlines()[-1])
+
+    quiet = run_bench()
+    assert quiet["inflation"]["n_compared"] == 0  # no floors yet
+    # expand the quiet readings into a full floor history (3 quiet
+    # sweeps' worth) so the detector has something to compare against
+    floors = {f"sf0.001": {q: [t, t, t] for q, t in quiet["queries"].items()}}
+    with open(_os.path.join(floor_dir, "query_floor.json"), "w") as f:
+        _json.dump(floors, f)
+    # the busy-loop fleet: 2x the box's cores, spinning pure CPU
+    n_spin = 2 * (_os.cpu_count() or 8)
+    spinners = [
+        _sp.Popen([sys.executable, "-c", "while True: pass"])
+        for _ in range(n_spin)
+    ]
+    try:
+        loaded = run_bench()
+    finally:
+        for p in spinners:
+            p.send_signal(_signal.SIGKILL)
+        for p in spinners:
+            p.wait()
+    assert loaded["inflation"]["n_compared"] == len(queries)
+    assert loaded["inflation"]["median_inflation"] > 1.25, loaded["inflation"]
+    assert loaded["inflation"]["loaded"] is True
+    assert loaded["load_suspect"] is True
+    # hygiene: the loaded sweep must NOT have ratcheted the floors
+    with open(_os.path.join(floor_dir, "query_floor.json")) as f:
+        after = _json.load(f)
+    assert after == floors

@@ -514,8 +514,6 @@ def test_tick_cli_runs_auto_compact(spark, tmp_path):
     --compact-threshold 1`` compacts an over-bound table."""
     import datetime as dt
 
-    from ciws_server_spark.sources import sinks
-
     from ciws_server_spark.__main__ import main
     from ciws_server_spark.sources import sinks
 
