@@ -3525,7 +3525,11 @@ def execute_drop(spark, query: str, table_dir: str) -> bool:
     if not os.path.lexists(root):
         return False
     with sinks._flock(
-        sinks._lock_file(root, "compact"), exclusive=True, blocking=False
+        # blocking, like sinks.delete_points (r13): DROP is a
+        # user-facing statement — wait behind a running maintenance
+        # rewrite instead of failing a retry-polling race; only
+        # compactor-vs-compactor stays fail-fast
+        sinks._lock_file(root, "compact"), exclusive=True, blocking=True
     ):
         with sinks._flock(sinks._lock_file(root, "write"), exclusive=True):
             doomed = root + ".dropping"

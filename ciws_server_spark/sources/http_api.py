@@ -54,6 +54,7 @@ from __future__ import annotations
 import json
 import math
 import re
+import time
 from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
 
@@ -76,6 +77,67 @@ _PRECISION_NS = {
 _VERSION = "1.8-ciws-spark"
 
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+#: Statement-level retry budget for the two CONTENTION outcomes a
+#: mutating statement (DELETE / DROP / retention rewrite) can hit
+#: against a concurrent compactor: CompactorBusy (lock held) and
+#: ConcurrentAppendDetected (optimistic-concurrency loser). Both are
+#: transient by contract — upstream's wire never surfaces an internal
+#: storage race as a failed query, so the front door retries with
+#: backoff and only reports an in-body error once the budget is spent
+#: (r12 wire-soak finding: a wire DELETE racing compaction escaped as
+#: an unhandled RuntimeError).
+_CONTENTION_RETRIES = 40
+_CONTENTION_BACKOFF_S = 0.1
+
+#: A read that raced a snapshot swap surfaces as Spark's
+#: missing-input-file error family. With r13 snapshot-pinned reads +
+#: vacuum grace this is already rare (a query would have to outlive
+#: the grace window, or hit a legacy table's one-time migration);
+#: the wire front door re-runs the statement against the CURRENT
+#: snapshot a few times before giving up — upstream never fails a
+#: query because storage maintenance happened.
+_SNAPSHOT_RACE_RETRIES = 3
+_SNAPSHOT_RACE_MARKERS = (
+    "FILE_NOT_EXIST",
+    "FileNotFoundException",
+    "PATH_NOT_FOUND",
+    "does not exist",
+    "have been updated",
+    # a table mid-CREATE/mid-DROP can flash as an empty schemaless
+    # dir; transient by construction, same retry treatment
+    "UNABLE_TO_INFER_SCHEMA",
+    "Unable to infer schema",
+    # raw OSError from a sidecar/dir walk racing a DROP's cleanup
+    "No such file or directory",
+)
+
+
+def _is_snapshot_race(exc: BaseException) -> bool:
+    return any(m in str(exc) for m in _SNAPSHOT_RACE_MARKERS)
+
+
+def _run_with_contention_retry(fn):
+    """Run ``fn`` retrying storage-contention exceptions (compactor
+    lock, optimistic-concurrency abort, snapshot-race read); re-raises
+    anything else (including InfluxQLError) untouched."""
+    races = 0
+    for attempt in range(_CONTENTION_RETRIES):
+        try:
+            return fn()
+        except (sinks.CompactorBusy, sinks.ConcurrentAppendDetected) as exc:
+            if attempt == _CONTENTION_RETRIES - 1:
+                raise InfluxQLError(
+                    f"storage contention persisted: {exc}"
+                ) from exc
+            time.sleep(_CONTENTION_BACKOFF_S)
+        except InfluxQLError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — filtered re-raise
+            races += 1
+            if not _is_snapshot_race(exc) or races > _SNAPSHOT_RACE_RETRIES:
+                raise
+            time.sleep(_CONTENTION_BACKOFF_S)
 
 
 def split_statements(q: str) -> list[str]:
@@ -338,39 +400,43 @@ class InfluxHTTPApi:
         results = []
         for i, stmt in enumerate(split_statements(q)):
             try:
-                tables = sinks.load_tables(self.spark, self.table_dir)
-                res = run_influxql(
-                    self.spark,
-                    tables,
-                    stmt,
-                    table_dir=self.table_dir,
-                    time_col=self.time_col,
-                    database=params.get("db") or self.database,
-                    now=self.now,
-                    credentials=creds,
-                )
+                # one retried unit per statement: plan AND collect —
+                # a snapshot-race at collect time re-runs the whole
+                # statement against the then-current snapshot
+                def run(stmt=stmt, i=i):
+                    tables = sinks.load_tables(self.spark, self.table_dir)
+                    res = run_influxql(
+                        self.spark,
+                        tables,
+                        stmt,
+                        table_dir=self.table_dir,
+                        time_col=self.time_col,
+                        database=params.get("db") or self.database,
+                        now=self.now,
+                        credentials=creds,
+                    )
+                    if isinstance(res, DataFrame):
+                        return serialize_frame(
+                            res, _series_name(stmt), i, epoch,
+                            max_rows=self.max_row_limit,
+                        )
+                    # write-class statements (counts / acks):
+                    # upstream returns the bare result object
+                    return {"statement_id": i}
+
+                results.append(_run_with_contention_retry(run))
             except InfluxQLError as exc:
                 msg = str(exc)
                 if "authentication failed" in msg:
                     return 401, {"error": msg}
                 if "permission denied" in msg:
                     return 403, {"error": msg}
+                if "invalid epoch precision" in msg:
+                    # a malformed REQUEST parameter, not a statement
+                    # failure (the pre-r13 serialize-time mapping)
+                    return 400, {"error": msg}
                 results.append({"statement_id": i, "error": msg})
                 continue
-            if isinstance(res, DataFrame):
-                try:
-                    results.append(
-                        serialize_frame(
-                            res, _series_name(stmt), i, epoch,
-                            max_rows=self.max_row_limit,
-                        )
-                    )
-                except InfluxQLError as exc:
-                    return 400, {"error": str(exc)}
-            else:
-                # write-class statements (counts / acks): upstream
-                # returns the bare result object
-                results.append({"statement_id": i})
         return 200, {"results": results}
 
     def handle_query_chunked(self, params: dict):
@@ -426,26 +492,44 @@ class InfluxHTTPApi:
         def gen():
             for i, stmt in enumerate(stmts):
                 try:
-                    tables = sinks.load_tables(self.spark, self.table_dir)
-                    res = run_influxql(
-                        self.spark,
-                        tables,
-                        stmt,
-                        table_dir=self.table_dir,
-                        time_col=self.time_col,
-                        database=db,
-                        now=self.now,
-                    )
+                    def run(stmt=stmt):
+                        tables = sinks.load_tables(
+                            self.spark, self.table_dir
+                        )
+                        return run_influxql(
+                            self.spark,
+                            tables,
+                            stmt,
+                            table_dir=self.table_dir,
+                            time_col=self.time_col,
+                            database=db,
+                            now=self.now,
+                        )
+
+                    res = _run_with_contention_retry(run)
                 except InfluxQLError as exc:
                     yield {"results": [
                         {"statement_id": i, "error": str(exc)}
                     ]}
                     continue
                 if isinstance(res, DataFrame):
-                    for obj in serialize_frame_chunks(
-                        res, _series_name(stmt), i, epoch, size
-                    ):
-                        yield {"results": [obj]}
+                    try:
+                        for obj in serialize_frame_chunks(
+                            res, _series_name(stmt), i, epoch, size
+                        ):
+                            yield {"results": [obj]}
+                    except Exception as exc:  # noqa: BLE001
+                        if not _is_snapshot_race(exc):
+                            raise
+                        # chunks already streamed can't be retried;
+                        # surface an in-body statement error (the
+                        # chunked-mode error shape) and keep serving
+                        # later statements
+                        yield {"results": [{
+                            "statement_id": i,
+                            "error": "snapshot changed mid-stream; "
+                                     "re-run statement",
+                        }]}
                 else:
                     yield {"results": [{"statement_id": i}]}
 
@@ -551,7 +635,15 @@ class InfluxHTTPApi:
                 ).alias(self.time_col),
                 *tag_cols,
                 *[F.col(f) for f in fields],
-            )
+            ).coalesce(1)
+            # ^ one output file per partition dir: a wire write is
+            # HTTP-body-bounded (a few MB), so collapsing it to a
+            # single task costs nothing and makes the request's
+            # points land in ONE file per partition — visible
+            # atomically to concurrent readers (append_points
+            # publishes per-file; the r13 wire soak caught a reader
+            # seeing half a multi-file batch). Bulk ingest paths
+            # keep their parallel multi-file writes.
             try:
                 sinks.append_points(pts, self.table_dir, measurement)
             except sinks.SchemaConflict as exc:

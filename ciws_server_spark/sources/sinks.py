@@ -34,6 +34,7 @@ import json
 import os
 import re
 import shutil
+import time
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -234,11 +235,21 @@ def _read_current(spark, root: str) -> DataFrame:
     schema (explicit — no footer sweep, null-fills pre-evolution
     files) or, for legacy tables without a sidecar, ``mergeSchema`` —
     one footer read per file, the price of not losing a late-added
-    column to single-footer sampling."""
+    column to single-footer sampling.
+
+    Reads PIN the snapshot: the symlink is resolved HERE, so the
+    DataFrame's file listing lives entirely inside one version dir,
+    and a compaction/delete swap mid-query cannot yank its files —
+    the retired version survives ``_SNAPSHOT_GRACE_S`` after the
+    swap (see ``_vacuum_versions``). Reading through the un-resolved
+    symlink was the r12 wire-soak isolation bug: a /query racing a
+    compaction crashed with missing input files."""
+    real = os.path.realpath(root)
+    target = real if os.path.isdir(real) else root
     schema = _registered_schema(root)
     if schema is not None:
-        return spark.read.schema(schema).parquet(root)
-    return spark.read.option("mergeSchema", "true").parquet(root)
+        return spark.read.schema(schema).parquet(target)
+    return spark.read.option("mergeSchema", "true").parquet(target)
 
 
 def read_table(spark, table_dir: str, table: str) -> DataFrame:
@@ -265,6 +276,25 @@ def load_tables(spark, table_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def _ensure_snapshot_root(path: str) -> None:
+    """Create a NEW table in SNAPSHOT layout from birth: ``path`` is
+    a symlink to ``path.v000001``. The one-time legacy-dir migration
+    (a real directory cannot be atomically replaced by a symlink)
+    then never happens for engine-created tables — its microsecond
+    no-live-path window was the last reader race the r13 wire soak
+    could still hit. Tables created by out-of-band writers remain
+    real dirs and migrate once, as before."""
+    if os.path.lexists(path):
+        return
+    versions = _version_dirs(path)
+    v1 = versions[-1] if versions else f"{path}.v{1:06d}"
+    os.makedirs(v1, exist_ok=True)
+    try:
+        os.symlink(os.path.basename(v1), path)
+    except FileExistsError:
+        pass  # raced another creator; either winner is fine
+
+
 def append_points(
     df: DataFrame, table_dir: str, table: str, batch_id: int | None = None
 ) -> None:
@@ -283,6 +313,19 @@ def append_points(
     every write merges its fields into the table's schema sidecar
     under the write lock, and a same-name/different-type write raises
     :class:`SchemaConflict` before touching storage.
+
+    VISIBILITY: publication is atomic PER FILE (each staged part file
+    enters the live tree with one rename), not per batch — a reader
+    listing between two of a multi-file append's renames sees the
+    batch partially, exactly like any parquet directory sink (and
+    like upstream InfluxDB, whose writes apply per shard with no
+    cross-shard atomicity). Readers can't be excluded: they hold no
+    locks, and only a single rename (the snapshot swap) is atomic to
+    them — batch-atomic appends would force every append through a
+    full snapshot publish, serializing concurrent appenders. Callers
+    needing a batch to appear atomically write it as one file per
+    partition dir (``df.coalesce(1)`` — what the wire /write does;
+    its batches are HTTP-body-bounded).
     """
     validate_table(table)
     parts = PARTITIONING.get(table, [])
@@ -293,7 +336,13 @@ def append_points(
         out = out.withColumn("batch_id", F.lit(int(batch_id)))
     path = os.path.join(table_dir, table)
     with table_write_lock(table_dir, table):
+        # sidecar BEFORE the root dir exists: load_tables only lists
+        # dirs, so the instant a reader can discover the table its
+        # registered schema is already on disk — a dir-without-
+        # sidecar gap reads as UNABLE_TO_INFER_SCHEMA on an empty
+        # table (wire-soak-found, r13)
         _merge_registered_schema(path, out.schema)
+        _ensure_snapshot_root(path)
         if batch_id is None:
             # NOT a direct write.mode("append") to the live root: two
             # concurrent Spark jobs appending one path share Hadoop's
@@ -384,6 +433,7 @@ def _write_manifest(
     rows: DataFrame, path: str, batch_id: int | None
 ) -> None:
     with table_write_lock(os.path.dirname(path), os.path.basename(path)):
+        _ensure_snapshot_root(path)
         if batch_id is None:
             rows.write.mode("append").parquet(path)
         else:
@@ -541,14 +591,45 @@ def _version_dirs(root: str) -> list[str]:
     return sorted(out)
 
 
-def _vacuum_versions(root: str) -> int:
-    """Delete every snapshot dir except the one ``root`` points to."""
+#: Reader grace (seconds) before a RETIRED snapshot version is
+#: vacuumed. Engine reads pin the version directory current at plan
+#: time (``_read_current`` resolves the symlink), so a compaction /
+#: delete swap mid-query no longer yanks files out from under a
+#: running scan — the old version survives until ``grace`` after its
+#: retirement (``_publish_snapshot`` bumps the outgoing dir's mtime
+#: at swap time). The same idea as Delta/Iceberg snapshot retention,
+#: minus the log. Grace must exceed the longest query; queries longer
+#: than it fall back to the old loud-failure semantics. 0 disables
+#: retention (immediate vacuum, the pre-r13 behavior).
+_SNAPSHOT_GRACE_S = float(os.environ.get("CIWS_SNAPSHOT_GRACE_S", "300"))
+
+
+def _vacuum_versions(root: str, grace_s: float | None = None) -> int:
+    """Delete retired snapshot dirs past the reader grace window.
+
+    Version dirs NEWER than the current target are crash debris (a
+    rewrite that finished but never swapped — possibly stale data):
+    always dropped. Dirs OLDER than current are retired reader
+    snapshots: kept until ``grace_s`` after retirement so pinned
+    readers drain, then dropped."""
+    if grace_s is None:
+        grace_s = _SNAPSHOT_GRACE_S
     cur = os.path.realpath(root)
+    cur_v = int(cur[-6:]) if re.search(r"\.v\d{6}$", cur) else -1
+    now = time.time()
     n = 0
     for d in _version_dirs(root):
-        if os.path.realpath(d) != cur:
-            shutil.rmtree(d)
-            n += 1
+        if os.path.realpath(d) == cur:
+            continue
+        v = int(d[-6:])
+        if v < cur_v and grace_s > 0:
+            try:
+                if now - os.path.getmtime(d) < grace_s:
+                    continue  # retired within grace: readers may hold it
+            except OSError:
+                pass  # raced another vacuum: fall through to rmtree
+        shutil.rmtree(d, ignore_errors=True)
+        n += 1
     return n
 
 
@@ -658,12 +739,22 @@ def compact_table(
     by the MULTI-WRITER CONTRACT below (round 9).
 
     READER-VISIBLE SEMANTICS during a concurrent swap (tested in
-    test_campus_streaming_and_compaction.py):
+    test_campus_streaming_and_compaction.py + the r13 wire soak,
+    tests/test_wire_reader_soak.py):
 
-    * a reader that resolved its file listing BEFORE the swap fails
-      loudly at scan time (missing input files — the compacted copy
-      has fresh file names), never silently returns partial or mixed
-      data; keep ``spark.sql.files.ignoreMissingFiles`` at its
+    * an ENGINE reader (``read_table`` / ``load_tables`` — every
+      /query) PINS the version dir current at plan time
+      (``_read_current`` resolves the symlink) and keeps a complete,
+      consistent snapshot through any number of swaps, because
+      retired versions survive ``_SNAPSHOT_GRACE_S`` before vacuum
+      (r13 snapshot isolation — the Delta/Iceberg retention idea,
+      minus the log). A reader longer than grace falls back to the
+      loud contract below;
+    * a PLAIN reader (``spark.read.parquet(root)`` through the
+      symlink path) that resolved its file listing BEFORE the swap
+      fails loudly at scan time (missing input files — the compacted
+      copy has fresh file names), never silently returns partial or
+      mixed data; keep ``spark.sql.files.ignoreMissingFiles`` at its
       ``false`` default, which is what makes this loud;
     * a reader that starts at ANY instant sees a complete table —
       the symlink repoint is atomic, so the previous protocol's
@@ -828,6 +919,15 @@ def _publish_snapshot(
             os.remove(swap)
         os.symlink(os.path.basename(vnext), swap)
         if os.path.islink(root):
+            # stamp the outgoing version's RETIREMENT time — the
+            # reader-grace clock (_vacuum_versions) counts from when
+            # a snapshot stopped being current, not when it was
+            # built (a version current for an hour would otherwise
+            # age out the instant it retires, under its readers)
+            try:
+                os.utime(os.path.realpath(root))
+            except OSError:
+                pass
             # steady state: atomic symlink replacement — no window
             os.rename(swap, root)
         else:
@@ -886,8 +986,16 @@ def delete_points(
     """
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     root = os.path.join(table_dir, table)
+    # BLOCKING lock acquisition, unlike the compactor's fail-fast:
+    # a DELETE is a user-facing statement — it should WAIT behind a
+    # running maintenance rewrite (kernel flock queues waiters
+    # fairly), not lose a retry-polling race against an aggressive
+    # compaction cadence (r13 wire-soak finding: a wire DELETE
+    # starved through 40 retries while a 20 Hz compactor loop held
+    # the lock). Compactor-vs-compactor stays fail-fast
+    # (CompactorBusy) — maintenance can always come back later.
     with _flock(
-        _lock_file(root, "compact"), exclusive=True, blocking=False
+        _lock_file(root, "compact"), exclusive=True, blocking=True
     ):
         return _delete_locked(spark, table_dir, table, root, pred)
 

@@ -10,7 +10,9 @@ import subprocess
 import sys
 
 
-def test_bench_emits_contract_json():
+def test_bench_emits_contract_json(tmp_path):
+    import os
+
     proc = subprocess.run(
         [
             sys.executable,
@@ -26,6 +28,9 @@ def test_bench_emits_contract_json():
         text=True,
         cwd="/root/repo",
         timeout=300,
+        # keep test readings (run under suite load) out of the repo's
+        # pinned quiet-floor sidecars
+        env={**os.environ, "SPARK_GRAFT_FLOOR_DIR": str(tmp_path)},
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = proc.stdout.strip().splitlines()[-1]

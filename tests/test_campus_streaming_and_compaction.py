@@ -68,6 +68,18 @@ def test_compaction_crash_recovery(spark, tmp_path):
     root = _os.path.join(table_dir, "campus_flow")
     n = spark.read.parquet(root).count()
 
+    # devolve to the LEGACY r7-era real-dir layout first — engine
+    # tables are snapshot-native from birth as of r13, but this test
+    # covers the pre-snapshot protocol's crash states, which only a
+    # real-dir store exhibits
+    if _os.path.islink(root):
+        real = _os.path.realpath(root)
+        _os.remove(root)
+        _os.rename(real, root)
+        for d in sinks._version_dirs(root):
+            _shutil.rmtree(d)
+    assert not _os.path.islink(root)
+
     # simulate: rewrite finished (.compact.new), live dir moved aside
     # (.compact.old), then CRASH before new→live — the worst state:
     # no live table directory at all
@@ -266,9 +278,11 @@ def test_compaction_reader_visible_semantics(spark, tmp_path):
     run_campus_pass(spark, str(landing), table_dir, ckpt, building="e")
     root = _os.path.join(table_dir, "campus_flow")
 
-    # (1) a pre-swap reader: file listing resolves against the old
-    # files, then the swap replaces them — the scan must FAIL (files
-    # gone), not return a partial/mixed result
+    # (1) a PLAIN pre-swap reader (spark.read.parquet through the
+    # symlink path): its listing names files under `root/...`, which
+    # the swap repoints — the scan must FAIL loudly (files gone),
+    # never return a partial/mixed result. Unchanged pre-r13
+    # contract for out-of-engine readers.
     stale = spark.read.parquet(root)
     assert stale.count() == 2  # listing + a full read pre-swap
     sinks.compact_table(spark, table_dir, "campus_flow")
@@ -282,6 +296,25 @@ def test_compaction_reader_visible_semantics(spark, tmp_path):
         exc_info.value
     ), str(exc_info.value)[:500]
 
+    # (1b) an ENGINE pre-swap reader (sinks.read_table) under r13
+    # snapshot retention: the read PINS the version dir current at
+    # plan time, the swap retires that dir into the reader-grace
+    # window, and the stale scan returns the complete pre-swap
+    # snapshot. After grace expires (forced vacuum) the same listing
+    # fails loudly — never partial.
+    pinned = sinks.read_table(spark, table_dir, "campus_flow")
+    assert pinned.count() == 2
+    sinks.compact_table(spark, table_dir, "campus_flow")
+    spark.catalog.clearCache()
+    assert pinned.count() == 2  # consistent retired-snapshot read
+    sinks._vacuum_versions(root, grace_s=0)
+    spark.catalog.clearCache()
+    with pytest.raises(Exception) as exc_info:
+        pinned.selectExpr("sum(hash(time))").collect()
+    assert "FileNotFound" in str(exc_info.value) or "does not exist" in str(
+        exc_info.value
+    ), str(exc_info.value)[:500]
+
     # (3) a fresh post-swap reader sees the complete compacted table
     assert spark.read.parquet(root).count() == 2
 
@@ -289,14 +322,17 @@ def test_compaction_reader_visible_semantics(spark, tmp_path):
     # symlink into a version dir and the repoint is one atomic
     # rename(symlink) — the pre-round-8 no-live-dir PATH_NOT_FOUND
     # window does not exist in steady state. A second compaction
-    # must leave the path continuously resolvable and vacuum the
-    # superseded version.
+    # must leave the path continuously resolvable; the superseded
+    # version is RETAINED for the reader-grace window (r13 snapshot
+    # isolation), then vacuumed.
     assert _os.path.islink(root)
     v_before = _os.path.realpath(root)
     sinks.compact_table(spark, table_dir, "campus_flow")
     assert _os.path.islink(root)
     assert _os.path.realpath(root) != v_before
-    assert not _os.path.isdir(v_before)  # vacuumed
+    assert _os.path.isdir(v_before)  # retained for pinned readers
+    sinks._vacuum_versions(root, grace_s=0)
+    assert not _os.path.isdir(v_before)  # vacuumed after grace
     assert spark.read.parquet(root).count() == 2
 
     # (2b) the ONE-TIME migration window (legacy real dir → symlink):

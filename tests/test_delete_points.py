@@ -99,16 +99,36 @@ def test_delete_no_match_is_a_noop(spark, tmp_path):
     assert spark.read.parquet(root).count() == 20
 
 
-def test_delete_excluded_by_compactor_lock(spark, tmp_path):
+def test_delete_waits_for_compactor_lock(spark, tmp_path):
+    """r13 contract: DELETE is a user-facing statement — it WAITS
+    behind a held maintenance lock (kernel flock queue) instead of
+    failing fast; it must not start its rewrite while the lock is
+    held and must complete once released."""
+    import threading
+    import time
+
     table_dir = str(tmp_path)
     root = _mk_table(spark, table_dir)
+    released = threading.Event()
+    result: dict = {}
+
+    def run_delete():
+        result["n"] = sinks.delete_points(
+            spark, table_dir, "campus_flow", "buildingID = 'A'"
+        )
+        result["after_release"] = released.is_set()
+
     with sinks._flock(
         sinks._lock_file(root, "compact"), exclusive=True, blocking=False
     ):
-        with pytest.raises(sinks.CompactorBusy):
-            sinks.delete_points(
-                spark, table_dir, "campus_flow", "buildingID = 'A'"
-            )
+        t = threading.Thread(target=run_delete)
+        t.start()
+        time.sleep(1.0)
+        assert t.is_alive()  # blocked behind the held lock
+        released.set()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert result["n"] > 0 and result["after_release"]
 
 
 def test_delete_then_compact_then_read(spark, tmp_path):

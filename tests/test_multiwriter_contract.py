@@ -111,12 +111,14 @@ def test_concurrent_mutation_aborts_swap(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
 
     # swap aborted: live table still points at the old version, the
-    # rewritten snapshot was dropped (only the live version remains),
-    # and the table reflects the delete — nothing resurrected
+    # rewritten snapshot was dropped (no version NEWER than the live
+    # one remains — retained OLDER versions are reader-grace history,
+    # r13 snapshot isolation), and the table reflects the delete —
+    # nothing resurrected
     assert os.path.islink(root) and os.readlink(root) == version_before
-    assert sinks._version_dirs(root) == [
-        os.path.join(os.path.dirname(root), os.readlink(root))
-    ]
+    live = os.path.join(os.path.dirname(root), os.readlink(root))
+    assert live in sinks._version_dirs(root)
+    assert all(d <= live for d in sinks._version_dirs(root))
     rows = _rows(spark, root)
     assert len(rows) == 3 and all(b == "A" for _, b, _ in rows)
 

@@ -123,6 +123,19 @@ def test_cron_crash_cron_across_all_three_surfaces(spark, tmp_path):
 
     # ---- phase 2: compaction killed inside the one-time migration
     # ---- window (legacy real dir renamed away, repoint pending) ----
+    # Engine tables are snapshot-native from birth as of r13, so the
+    # migration window only exists for legacy/out-of-band real-dir
+    # stores — devolve to that layout first to keep exercising it.
+    root = os.path.join(table_dir, "raw_data")
+    if os.path.islink(root):
+        import shutil as _shutil
+
+        _real = os.path.realpath(root)
+        os.remove(root)
+        os.rename(_real, root)
+        for _d in sinks._version_dirs(root):
+            _shutil.rmtree(_d)
+    assert not os.path.islink(root)
     real_rename = os.rename
     state = {"renames": 0}
 
