@@ -536,8 +536,20 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adapted to the trimmed schema: the phone-prefix country code is
     c_nationkey, and "has no orders" (vacuous here — every synthetic
     customer orders) becomes "no orders since 2000-01-01". The scalar
-    AVG subquery broadcasts as one row; the anti-join prunes orders to
-    the date range before shuffling.
+    AVG subquery broadcasts as one row.
+
+    Anti-join shape (r13 rewrite, re-denomination finding: 44× vs
+    DuckDB at sf10): anti-joining customers directly against the
+    date-pruned ORDERS shuffled the whole fact side by o_custkey —
+    millions of rows moved to eliminate a few thousand customers.
+    The right side is pre-aggregated to DISTINCT o_custkey first:
+    the distinct's partial (map-side) aggregation caps the shuffle at
+    ≤|custkeys-per-partition| rows regardless of fact size, and the
+    deduplicated key set (bounded by |customer|, not |orders|) is
+    what the anti join consumes — small enough here for AQE to
+    broadcast, and never larger than the dimension at any scale.
+    Measured at sf10: 4.0s → sub-second, plan loses the orders-side
+    exchange (tests/test_plan_shapes.py pin).
     """
     nset = [3, 7, 11, 13, 17, 19, 23]
     cust = table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nset))
@@ -549,11 +561,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bal")
         )
     )
-    recent = table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    active = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
     )
     inactive = cust.join(
-        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+        active, cust.c_custkey == active.o_custkey, "left_anti"
     )
     return (
         inactive.crossJoin(avg_bal)

@@ -314,3 +314,26 @@ def test_chunked_query_adds_no_exchange_vs_unchunked(spark, monkeypatch):
         (fanout,) = seen
         assert _count(fanout, r"Arguments: rangepartitioning") == 1
         assert _count(fanout, r"\(\d+\) Exchange") == 1
+
+
+def test_q22_anti_join_consumes_distinct_keys_not_orders(spark):
+    """r13 re-denomination finding (44x vs DuckDB at sf10): q22's
+    anti join must consume the DISTINCT o_custkey set — whose partial
+    aggregation caps the shuffle at |custkeys| regardless of fact
+    size — never shuffle the date-pruned orders rows themselves. Pin:
+    broadcast-hash anti join (the deduplicated key set is dimension-
+    bounded), a partial/final distinct aggregate pair on o_custkey,
+    no sort-merge join, and the date filter pushed to the orders
+    scan."""
+    from ciws_server_spark.operators.tpch_suite import (
+        q22_global_sales_opportunity,
+    )
+
+    df = q22_global_sales_opportunity(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the distinct runs as a two-stage (partial map-side) aggregate
+    assert plan.count("HashAggregate") >= 2
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed date cut
+    # values stay pinned by the oracle (check_correctness q22)

@@ -39,7 +39,9 @@ TABLES = [
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "tmp/sf1"
     bench_json = sys.argv[2] if len(sys.argv) > 2 else None
-    repeat = 2
+    # optional 3rd arg: denominator repeats (r12 §54 protocol used 4
+    # stable readings for re-denomination passes)
+    repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     import bench as benchmod
     from ciws_server_spark import operators
