@@ -142,6 +142,34 @@ def main() -> None:
                     else:
                         for env in body:
                             json.dumps(env)
+                elif r.random() < 0.10:
+                    # max-row-limit slice (r12 ask #7): the same
+                    # statement through a capped front door — the
+                    # response must stay wire-valid, never exceed
+                    # the cap per series, and stamp "partial" on a
+                    # truncated series
+                    cap = r.choice([1, 3, 10])
+                    counts["capped"] = counts.get("capped", 0) + 1
+                    capped_api = InfluxHTTPApi(
+                        spark, api.table_dir, max_row_limit=cap
+                    )
+                    status, body = capped_api.handle_query(params)
+                    json.dumps(body)
+                    if status == 200:
+                        total = 0
+                        for res in body["results"]:
+                            assert (
+                                "statement_id" in res or "error" in res
+                            ), body
+                            for s in res.get("series", []):
+                                total += len(s["values"])
+                                if s.get("partial"):
+                                    counts["cap_partial"] = (
+                                        counts.get("cap_partial", 0) + 1
+                                    )
+                        assert total <= cap * max(
+                            1, len(body["results"])
+                        ), (stmt, cap, total)
                 else:
                     status, body = api.handle_query(params)
                     json.dumps(body)
