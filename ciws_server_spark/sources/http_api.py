@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import re
 import time
 from datetime import date, datetime, timedelta, timezone
@@ -117,12 +118,42 @@ def _is_snapshot_race(exc: BaseException) -> bool:
     return any(m in str(exc) for m in _SNAPSHOT_RACE_MARKERS)
 
 
-def _run_with_contention_retry(fn):
+def _snapshot_fingerprint(table_dir: str | None):
+    """Cheap storage-movement witness: (table name → current snapshot
+    version realpath) for every live table root. Any compaction /
+    DELETE / DROP / CREATE that could yank files from a running scan
+    changes this tuple (version numbers are monotonic, drops remove
+    the name), so a marker-matching exception with an UNCHANGED
+    fingerprint is a genuine user/code error, never a snapshot race
+    — re-raise it instead of silently re-running the statement
+    (advisor r13: the bare string markers retried real errors)."""
+    if table_dir is None:
+        return None
+    try:
+        entries = sorted(os.listdir(table_dir))
+    except OSError:
+        return None
+    fp = []
+    for e in entries:
+        if "." in e or e.startswith("_"):
+            continue  # locks, sidecars, root.vNNNNNN, *.tmp debris
+        p = os.path.join(table_dir, e)
+        if os.path.isdir(p):  # follows the snapshot symlink
+            fp.append((e, os.path.realpath(p)))
+    return tuple(fp)
+
+
+def _run_with_contention_retry(fn, table_dir: str | None = None):
     """Run ``fn`` retrying storage-contention exceptions (compactor
     lock, optimistic-concurrency abort, snapshot-race read); re-raises
-    anything else (including InfluxQLError) untouched."""
+    anything else (including InfluxQLError) untouched.
+
+    A marker-matched generic exception only counts as a snapshot race
+    when the storage fingerprint MOVED while ``fn`` ran (typed check,
+    r14) — otherwise the error text merely resembled one."""
     races = 0
     for attempt in range(_CONTENTION_RETRIES):
+        before = _snapshot_fingerprint(table_dir)
         try:
             return fn()
         except (sinks.CompactorBusy, sinks.ConcurrentAppendDetected) as exc:
@@ -136,6 +167,13 @@ def _run_with_contention_retry(fn):
         except Exception as exc:  # noqa: BLE001 — filtered re-raise
             races += 1
             if not _is_snapshot_race(exc) or races > _SNAPSHOT_RACE_RETRIES:
+                raise
+            if (
+                before is not None
+                and _snapshot_fingerprint(table_dir) == before
+            ):
+                # no table version moved while fn ran: the message
+                # matched a marker but nothing raced — genuine error
                 raise
             time.sleep(_CONTENTION_BACKOFF_S)
 
@@ -242,11 +280,22 @@ def serialize_frame(
     exactly one series is marked partial, as upstream does."""
     # time first, under the wire name "time"
     ordered, out_cols, per_measurement, tkey = _frame_wire_cols(df)
+    overflow_row = None
     if max_rows and max_rows > 0:
         if per_measurement:
-            df = df.orderBy("measurement")
+            # composite key: Spark's sort is NOT stable, so ordering
+            # by measurement alone would scramble each series' rows
+            # (upstream always returns points time-ordered within a
+            # series) — keep the plan's time order inside each series
+            df = (
+                df.orderBy("measurement", tkey)
+                if tkey
+                else df.orderBy("measurement")
+            )
         rows = df.limit(max_rows + 1).collect()
         truncated = len(rows) > max_rows
+        if truncated:
+            overflow_row = rows[max_rows]
         rows = rows[:max_rows]
     else:
         rows = df.collect()
@@ -274,8 +323,27 @@ def serialize_frame(
     res: dict = {"statement_id": statement_id}
     if series:
         if truncated:
-            # measurement-ordered cut: only the last series was cut
-            series[-1]["partial"] = True
+            if (
+                per_measurement
+                and overflow_row is not None
+                and overflow_row["measurement"] != series[-1]["name"]
+            ):
+                # the cut landed exactly ON a series boundary: the
+                # last kept series is complete; the series actually
+                # cut off has zero kept rows. Emit it as an empty
+                # partial stub so the marker points at the truncated
+                # series, not a complete one (advisor r13).
+                series.append(
+                    {
+                        "name": overflow_row["measurement"],
+                        "columns": out_cols,
+                        "values": [],
+                        "partial": True,
+                    }
+                )
+            else:
+                # measurement-ordered cut: the last series was cut
+                series[-1]["partial"] = True
         res["series"] = series
     return res
 
@@ -320,7 +388,13 @@ def serialize_frame_chunks(
     boundaries, as upstream does)."""
     ordered, out_cols, per_measurement, tkey = _frame_wire_cols(df)
     if per_measurement:
-        df = df.orderBy("measurement")
+        # composite key (see serialize_frame): a bare measurement
+        # sort is unstable and may scramble time order within a series
+        df = (
+            df.orderBy("measurement", tkey)
+            if tkey
+            else df.orderBy("measurement")
+        )
 
     def chunk_obj(mname, vals, partial):
         s: dict = {"name": mname, "columns": out_cols, "values": vals}
@@ -424,7 +498,7 @@ class InfluxHTTPApi:
                     # upstream returns the bare result object
                     return {"statement_id": i}
 
-                results.append(_run_with_contention_retry(run))
+                results.append(_run_with_contention_retry(run, self.table_dir))
             except InfluxQLError as exc:
                 msg = str(exc)
                 if "authentication failed" in msg:
@@ -506,7 +580,7 @@ class InfluxHTTPApi:
                             now=self.now,
                         )
 
-                    res = _run_with_contention_retry(run)
+                    res = _run_with_contention_retry(run, self.table_dir)
                 except InfluxQLError as exc:
                     yield {"results": [
                         {"statement_id": i, "error": str(exc)}

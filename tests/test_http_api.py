@@ -696,3 +696,114 @@ def test_chunked_client_disconnect_mid_stream(api, spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_max_row_limit_preserves_time_order_within_series(api, spark):
+    """Advisor r13 (medium): the measurement-first sort under
+    ``max-row-limit`` must not scramble time order WITHIN a series.
+    Spark's sort is unstable, so ``orderBy("measurement")`` alone can
+    interleave a multi-partition series arbitrarily — upstream always
+    returns points time-ordered within a series. The serializers sort
+    on the composite (measurement, time) key instead."""
+    rows = [
+        (dt.datetime(2024, 2, 1, 0, 0) + dt.timedelta(minutes=i), "E", float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, buildingID string, flowRate double"
+    ).repartition(8)  # multiple files → multiple scan partitions
+    sinks.append_points(df, api.table_dir, "campus_wide")
+    capped = InfluxHTTPApi(spark, api.table_dir, max_row_limit=100)
+    status, body = capped.handle_query(
+        {"q": "SELECT flowRate FROM /^campus_(wide|flow)/", "epoch": "s"}
+    )
+    assert status == 200
+    for series in body["results"][0]["series"]:
+        times = [v[0] for v in series["values"]]
+        assert times == sorted(times), (
+            f"series {series['name']} not time-ordered under row cap"
+        )
+
+
+def test_max_row_limit_boundary_cut_marks_next_series(api, spark):
+    """Advisor r13: when the cut lands exactly ON a series boundary,
+    the last kept series is complete — stamping IT partial points the
+    marker at the wrong series. The truncated (absent) series appears
+    as an empty ``partial: true`` stub instead."""
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 7, 0), "C", 1.0),
+            (dt.datetime(2024, 1, 1, 7, 30), "D", 2.0),
+        ],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, api.table_dir, "campus_b")
+    # campus_b sorts first and has exactly 2 rows = the cap: the kept
+    # rows are ALL of campus_b, campus_flow is cut off entirely
+    capped = InfluxHTTPApi(spark, api.table_dir, max_row_limit=2)
+    status, body = capped.handle_query(
+        {"q": "SELECT flowRate FROM /^campus/"}
+    )
+    assert status == 200
+    series = body["results"][0]["series"]
+    assert [s["name"] for s in series] == ["campus_b", "campus_flow"]
+    complete, stub = series
+    assert len(complete["values"]) == 2 and "partial" not in complete
+    assert stub["values"] == [] and stub["partial"] is True
+
+
+def test_snapshot_race_retry_requires_storage_movement(tmp_path):
+    """r13 VERDICT ask #7: a marker-matching error message alone no
+    longer triggers a silent re-run — the retry path additionally
+    requires the storage fingerprint (table → pinned version realpath)
+    to have MOVED while the statement ran. A genuine user error whose
+    text resembles a race re-raises on the first attempt."""
+    from ciws_server_spark.sources.http_api import (
+        _run_with_contention_retry,
+        _snapshot_fingerprint,
+    )
+
+    td = tmp_path / "tables"
+    td.mkdir()
+    v1 = td / "m.v000001"
+    v1.mkdir()
+    (td / "m").symlink_to("m.v000001")
+
+    # 1) marker text, storage static → NO retry (one call, re-raised)
+    calls = {"n": 0}
+
+    def genuine_error():
+        calls["n"] += 1
+        raise FileNotFoundError(
+            "No such file or directory: '/etc/ciws/missing-sidecar'"
+        )
+
+    with pytest.raises(FileNotFoundError):
+        _run_with_contention_retry(genuine_error, str(td))
+    assert calls["n"] == 1
+
+    # 2) same marker text, but a compaction swapped the snapshot while
+    #    the statement ran → retried, succeeds second time
+    calls["n"] = 0
+
+    def racing_read():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            v2 = td / "m.v000002"
+            v2.mkdir()
+            tmp = td / "m.swap"
+            tmp.symlink_to("m.v000002")
+            os.rename(tmp, td / "m")
+            raise FileNotFoundError(
+                "No such file or directory: part-0000.parquet"
+            )
+        return "ok"
+
+    assert _run_with_contention_retry(racing_read, str(td)) == "ok"
+    assert calls["n"] == 2
+
+    # fingerprint witnesses create/drop too, not just swaps
+    fp = _snapshot_fingerprint(str(td))
+    (td / "m2.v000001").mkdir()
+    (td / "m2").symlink_to("m2.v000001")
+    assert _snapshot_fingerprint(str(td)) != fp
