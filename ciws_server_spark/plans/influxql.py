@@ -3544,7 +3544,14 @@ def execute_drop(spark, query: str, table_dir: str) -> bool:
         else:
             shutil.rmtree(doomed, ignore_errors=True)
         for v in sinks._version_dirs(root):
+            # VERIFIED removal (advisor r13): a version dir that
+            # survives a swallowed rmtree failure would be debris a
+            # later same-named CREATE could trip over. Retry loudly —
+            # a DROP that cannot actually remove the data must fail,
+            # not report success.
             shutil.rmtree(v, ignore_errors=True)
+            if os.path.isdir(v):
+                shutil.rmtree(v)  # second attempt raises on failure
     for leftover in (
         sinks._lock_file(root, "compact"),
         sinks._lock_file(root, "write"),

