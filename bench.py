@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -298,12 +299,21 @@ def anchors_report(sf_dir: str, windows: dict[str, tuple]) -> dict:
             ),
         }
     idx = max(w["regime_index"] for w in per_window.values())
+    med = statistics.median(
+        w["regime_index"] for w in per_window.values()
+    )
     out = {
         "query": _ANCHOR_QUERY,
         "spark_floor_sec": round(spark_floor, 3),
         "duckdb_floor_sec": round(duck_floor, 3),
         "windows": per_window,
+        # max over windows = the conservative LOAD STAMP (any one
+        # elevated window flags the run); the MEDIAN is the central
+        # estimate a normalizer may divide by — r13 judge finding:
+        # dividing by the max let one elevated pre-window flatter the
+        # headline 2× while the sweep itself ran at floor speed
         "regime_index": idx,
+        "regime_index_median": round(med, 3),
     }
     # compat keys: the post (or only) window's raw readings
     last = per_window.get("post") or next(iter(per_window.values()))
@@ -373,6 +383,88 @@ def detect_uniform_inflation(
         worst = sorted(ratios, key=ratios.get, reverse=True)[:3]
         out["worst"] = {q: round(ratios[q], 3) for q in worst}
     return out
+
+
+def normalized_headline(total: float, inflation: dict, anchor: dict):
+    """(value_normalized, meta) — the regime-corrected headline.
+
+    r13 judge finding: dividing the warm total by the MAX anchor
+    window let a single elevated window *before* the sweep halve the
+    headline while the sweep itself ran at floor speed. The
+    denominator must be a robust CENTRAL estimate of how elevated the
+    sweep actually was:
+
+    1. the 25-query inflation median vs pinned quiet floors (the
+       sweep's own readings — the most direct witness), when enough
+       queries have floor history;
+    2. else the MEDIAN anchor-window regime index;
+    3. else 1.0 (raw).
+
+    The denominator is clamped at >= 1.0: normalization only ever
+    REMOVES ambient slowdown, never inflates the headline when the
+    box happened to run under its floors. The max anchor window stays
+    in the artifact as the load stamp, not the divisor."""
+    denom, source = 1.0, "none"
+    med = inflation.get("median_inflation")
+    if med is not None and inflation.get("n_compared", 0) >= _INFLATION_MIN_QUERIES:
+        denom, source = max(float(med), 1.0), "query_floor_median"
+    elif "regime_index_median" in anchor:
+        denom, source = max(float(anchor["regime_index_median"]), 1.0), (
+            "anchor_window_median"
+        )
+    return round(total / denom, 3), {
+        "denominator": round(denom, 3),
+        "source": source,
+        "anchor_max": anchor.get("regime_index"),
+    }
+
+
+#: Hard ceiling for the stdout contract line: the external driver
+#: keeps only the LAST 2000 characters of stdout and parses the last
+#: JSON object found there — BENCH_r10..r13 all recorded
+#: ``parsed: null`` because the full result line outgrew the window.
+#: The full artifact goes to a sidecar; stdout gets a line that FITS.
+_STDOUT_LINE_BUDGET = 1900
+_FULL_SIDECAR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tmp", "BENCH_FULL.json"
+)
+
+
+def emit_result(result: dict, budget: int = _STDOUT_LINE_BUDGET) -> str:
+    """Write the FULL result to ``tmp/BENCH_FULL.json`` and return a
+    compact stdout line under ``budget`` chars.
+
+    Contract keys (metric/value/unit/queries/sf) are never dropped;
+    verbose diagnostics are shed in fixed order (anchor detail →
+    inflation detail → cold per-query → canary) until the line fits —
+    each shed key remains in the sidecar, pointed to by ``detail``."""
+    try:
+        os.makedirs(os.path.dirname(_FULL_SIDECAR), exist_ok=True)
+        with open(_FULL_SIDECAR, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the core
+    compact = dict(result)
+    compact["detail"] = os.path.relpath(
+        _FULL_SIDECAR, os.path.dirname(os.path.abspath(__file__))
+    )
+    line = json.dumps(compact)
+    for victim in ("anchor", "inflation", "ingest", "cold", "canary"):
+        if len(line) <= budget:
+            break
+        if victim in compact:
+            if victim == "ingest" and isinstance(compact["ingest"], dict):
+                # keep the headline ingest rates, shed the breakdown
+                slim = {
+                    m: compact["ingest"][m].get("files_per_sec")
+                    for m in ("batch", "stream")
+                    if isinstance(compact["ingest"].get(m), dict)
+                }
+                compact["ingest"] = slim or None
+            else:
+                del compact[victim]
+            line = json.dumps(compact)
+    return line
 
 
 def record_query_floors(
@@ -668,16 +760,22 @@ def main() -> None:
         "load_suspect": load_suspect,
         "inflation": inflation,
         "anchor": anchor,
-        # headline corrected to the box's recent-norm regime: divide
-        # by how much slower this window's paired anchors ran. When
-        # raw value moves round-over-round but value_normalized
-        # doesn't, the shift was ambient, not code.
-        "value_normalized": (
-            round(total / anchor["regime_index"], 3)
-            if "regime_index" in anchor
-            else None
-        ),
     }
+    # headline corrected to the box's recent-norm regime by a ROBUST
+    # central estimate (never the max anchor window — r13 judge
+    # finding). "value" stays the RAW warm total; when raw moves
+    # round-over-round but value_normalized doesn't, the shift was
+    # ambient, not code.
+    result["value_normalized"], result["normalizer"] = (
+        normalized_headline(total, inflation, anchor)
+    )
+    print(
+        f"# raw warm total {total:.3f}s, normalized "
+        f"{result['value_normalized']:.3f}s "
+        f"(denom {result['normalizer']['denominator']} from "
+        f"{result['normalizer']['source']})",
+        file=sys.stderr,
+    )
     # explicitly-named queries = a focused query rerun; the ingest
     # section only runs on the full default sweep (or alone, below).
     # An ingest failure must NOT discard the already-measured query
@@ -694,7 +792,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — reported, not hidden
             traceback.print_exc(file=sys.stderr)
             result["ingest"] = {"error": f"{type(exc).__name__}: {exc}"}
-    print(json.dumps(result))
+    # one PARSEABLE line: the driver keeps only the last 2000 chars
+    # of stdout, so the full artifact goes to tmp/BENCH_FULL.json and
+    # stdout carries a compact line that fits the window
+    print(emit_result(result))
 
 
 def _sf_of(sf_dir: str) -> float:

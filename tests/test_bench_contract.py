@@ -230,3 +230,106 @@ def test_bench_load_stamp_trips_under_synthetic_load(tmp_path):
     with open(_os.path.join(floor_dir, "query_floor.json")) as f:
         after = _json.load(f)
     assert after == floors
+
+
+def test_normalized_headline_uses_robust_central_estimate():
+    """r13 VERDICT ask #2: a single elevated anchor window BEFORE the
+    sweep must not halve the normalized headline when the sweep itself
+    ran at floor speed — the divisor is the query-floor inflation
+    median (or the MEDIAN anchor window), never the max window."""
+    import bench
+
+    anchor = {
+        "regime_index": 2.071,          # pre-window spike (load stamp)
+        "regime_index_median": 1.021,   # sweep actually ran near floor
+        "windows": {},
+    }
+    inflation = {"median_inflation": 0.942, "n_compared": 25}
+    total = 15.69
+    value, meta = bench.normalized_headline(total, inflation, anchor)
+    # sweep at/below floor: normalization must be a no-op (clamped),
+    # never the flattering 15.69/2.071 = 7.58 the max would give
+    assert abs(value - total) / total < 0.10
+    assert meta["source"] == "query_floor_median"
+    assert meta["denominator"] == 1.0
+    assert meta["anchor_max"] == 2.071
+
+    # genuinely uniform 1.5x inflation: divide by the median
+    value, meta = bench.normalized_headline(
+        total, {"median_inflation": 1.5, "n_compared": 25}, anchor
+    )
+    assert value == round(total / 1.5, 3)
+
+    # no floor history yet: fall back to the MEDIAN anchor window
+    value, meta = bench.normalized_headline(
+        total, {"median_inflation": None, "n_compared": 0}, anchor
+    )
+    assert meta["source"] == "anchor_window_median"
+    assert value == round(total / 1.021, 3)
+
+
+def test_emit_result_fits_driver_stdout_window(tmp_path, monkeypatch):
+    """BENCH_r10..r13 recorded ``parsed: null``: the driver keeps only
+    the last 2000 chars of stdout and the full result line outgrew the
+    window. The compact emitter must stay under budget for a
+    full-sized 25-query sweep while keeping every contract key."""
+    import bench
+
+    monkeypatch.setattr(bench, "_FULL_SIDECAR", str(tmp_path / "full.json"))
+    names = [
+        f"very_long_query_family_name_number_{i:02d}_with_suffix"
+        for i in range(25)
+    ]
+    result = {
+        "metric": "headline_total_wall",
+        "value": 15.694,
+        "value_normalized": 15.694,
+        "normalizer": {
+            "denominator": 1.0,
+            "source": "query_floor_median",
+            "anchor_max": 2.071,
+        },
+        "unit": "sec",
+        "queries": {n: 0.123 for n in names},
+        "cold": {n: 0.456 for n in names},
+        "cold_total": 24.123,
+        "sf": 0.1,
+        "canary": {
+            "pre_sec": 0.5, "post_sec": 0.5,
+            "floor_sec": 0.45, "threshold": 1.35,
+        },
+        "load_suspect": False,
+        "inflation": {
+            "n_compared": 25, "threshold": 1.25,
+            "median_inflation": 1.01, "loaded": False,
+            "worst": {names[0]: 1.2, names[1]: 1.15, names[2]: 1.1},
+        },
+        "anchor": {
+            "query": "anchor", "spark_floor_sec": 0.3,
+            "duckdb_floor_sec": 0.1, "regime_index": 1.02,
+            "regime_index_median": 1.01,
+            "windows": {
+                w: {"spark_sec": 0.31, "duckdb_sec": 0.11,
+                    "regime_index": 1.02}
+                for w in ("pre", "mid", "post")
+            },
+        },
+        "ingest": {
+            "batch": {"sec": 5.7, "files_per_sec": 34.8,
+                      "rows_per_sec": 13000.0},
+            "stream": {"sec": 5.1, "files_per_sec": 39.0,
+                       "rows_per_sec": 15000.0},
+            "files": 200, "rows_per_file": 400,
+        },
+    }
+    line = bench.emit_result(result)
+    assert len(line) <= 1900, len(line)
+    d = json.loads(line)
+    # contract keys survive trimming
+    for key in ("metric", "value", "unit", "queries", "sf",
+                "value_normalized", "normalizer", "load_suspect"):
+        assert key in d, key
+    assert len(d["queries"]) == 25
+    # the full artifact is on disk, untrimmed
+    full = json.loads((tmp_path / "full.json").read_text())
+    assert full["anchor"]["windows"] and full["cold"]
