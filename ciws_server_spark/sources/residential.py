@@ -131,6 +131,7 @@ def parse_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
         "site_id",
         "datalogger_id",
         F.coalesce("is_qc", F.lit(False)).alias("is_qc"),
+        "n_data_rows",
         "quarantine_reason",
         F.when(
             F.col("quarantine_reason").isNotNull(), F.lit("quarantine")

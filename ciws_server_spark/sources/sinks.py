@@ -418,50 +418,76 @@ def append_points(
         # table (wire-soak-found, r13)
         _merge_registered_schema(path, out.schema)
         _ensure_snapshot_root(path)
-        if batch_id is None:
-            # NOT a direct write.mode("append") to the live root: two
-            # concurrent Spark jobs appending one path share Hadoop's
-            # FileOutputCommitter staging (<path>/_temporary/0), and
-            # the first commit's cleanup deletes the second job's
-            # in-flight task attempts (TASK_WRITE_FAILED — caught by
-            # tests/test_multiwriter_soak.py). Stage each append in a
-            # PRIVATE sibling dir, then rename the committed part
-            # files into the live partition dirs — part names embed
-            # the job UUID, so concurrent appends never collide, and
-            # the shared write lock stays shared (appends still run
-            # concurrently, the multi-writer contract's promise).
-            import uuid
+        all_parts = parts + (["batch_id"] if batch_id is not None else [])
+        _staged_append(out, path, all_parts, batch_id)
 
-            stage = f"{path}.append-{uuid.uuid4().hex[:12]}"
-            try:
-                out.write.mode("append").partitionBy(*parts).parquet(stage)
-                # an all-empty append must still materialize the table
-                # root (read_table on a written-but-empty target reads
-                # the sidecar schema over an empty dir)
-                if not os.path.lexists(path):
-                    os.makedirs(path)
-                for dirpath, dirnames, files in os.walk(stage):
-                    dirnames[:] = [
-                        d for d in dirnames if not d.startswith(("_", "."))
-                    ]
-                    for f in files:
-                        if f.startswith(("_", ".")):
-                            continue
-                        rel = os.path.relpath(
-                            os.path.join(dirpath, f), stage
-                        )
-                        dst = os.path.join(path, rel)
-                        os.makedirs(os.path.dirname(dst), exist_ok=True)
-                        os.rename(os.path.join(dirpath, f), dst)
-            finally:
-                shutil.rmtree(stage, ignore_errors=True)
-        else:
-            (
-                out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*parts, "batch_id")
-                .parquet(path)
+
+def _staged_append(
+    out: DataFrame, path: str, parts: list[str], batch_id: int | None
+) -> None:
+    """Stage-write + per-file rename: the one write protocol for both
+    plain appends and overwrite-by-batch. Caller holds the write lock.
+
+    NOT a direct ``write.mode("append")`` to the live root: two
+    concurrent Spark jobs appending one path share Hadoop's
+    FileOutputCommitter staging (``<path>/_temporary/0``), and the
+    first commit's cleanup deletes the second job's in-flight task
+    attempts (TASK_WRITE_FAILED — caught by
+    tests/test_multiwriter_soak.py). Stage each append in a PRIVATE
+    sibling dir, then rename the committed part files into the live
+    partition dirs — part names embed the job UUID, so concurrent
+    appends never collide, and the shared write lock stays shared.
+
+    With ``batch_id``, idempotent overwrite-by-batch is this same
+    protocol plus a pre-rename wipe of every existing ``batch_id=N``
+    leaf: replaying a crashed micro-batch first clears what its
+    earlier attempt landed, then renames the new files in. r14: this
+    replaced Spark's ``partitionOverwriteMode=dynamic`` writer, which
+    stages to ``_temporary`` and then walks/moves partition DIRS
+    driver-side — measured 2–4× slower per micro-batch at the ingest
+    benchmark's file sizes, the per-file constant the bench had been
+    flat on for four rounds. Replay convergence is also strictly
+    stronger: dynamic overwrite only replaces partitions present in
+    the NEW attempt; the explicit wipe clears every leaf the crashed
+    attempt touched, even for keys the replay no longer produces.
+    """
+    import glob as _glob
+    import uuid
+
+    stage = f"{path}.append-{uuid.uuid4().hex[:12]}"
+    try:
+        out.write.mode("append").partitionBy(*parts).parquet(stage)
+        # an all-empty append must still materialize the table
+        # root (read_table on a written-but-empty target reads
+        # the sidecar schema over an empty dir)
+        if not os.path.lexists(path):
+            os.makedirs(path)
+        if batch_id is not None:
+            # wipe THIS batch's earlier leaves (idempotent replay).
+            # batch_id is the innermost partition level, so the glob
+            # is exact; other batches' leaves are untouched.
+            pat = os.path.join(
+                path,
+                *(["*"] * (len(parts) - 1)),
+                f"batch_id={int(batch_id)}",
             )
+            for leaf in _glob.glob(pat):
+                shutil.rmtree(leaf, ignore_errors=True)
+        for dirpath, dirnames, files in os.walk(stage):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(dirpath, f), stage
+                )
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(dirpath, f), dst)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def route_residential(
@@ -472,36 +498,175 @@ def route_residential(
 ) -> dict[str, int]:
     """Raw/QC routing (S7): one parse, two partitioned appends.
 
-    Returns per-target row counts. The split is two filtered writes of
-    the same cached parse so the scan is not repeated. With
-    ``batch_id`` every write (points, quarantine rows, ingest
-    manifest) is the idempotent overwrite-by-batch form.
+    Returns per-target row counts. With ``batch_id`` every write
+    (points, quarantine rows, ingest manifest) is the idempotent
+    overwrite-by-batch form.
+
+    ONE Spark write job covers BOTH routes (r14): the parse is staged
+    once, partitioned by ``is_qc`` ABOVE each table's own layout, and
+    the two subtrees are renamed into raw_data / qc_data under their
+    write locks — the earlier two filtered appends paid two full
+    write jobs per ingest pass, the dominant term of the per-file
+    ingest constant the bench sat on for four rounds. Route counts
+    come from the per-file manifest aggregate, so the points scan
+    runs exactly once (inside the write).
     """
-    points = points.cache()
+    manifest = manifest.cache()
     try:
-        # ONE aggregation job yields both route counts (the earlier
-        # per-target count() pair paid two scheduler round-trips per
-        # ingest pass — measurable at the cron pass's job-count floor)
-        by_route = {
-            bool(r["is_qc"]): r["n"]
-            for r in points.groupBy("is_qc").agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect()
-        }
-        counts = {}
-        for target, flag in (("raw_data", False), ("qc_data", True)):
-            counts[target] = int(by_route.get(flag, 0))
-            if counts[target]:  # empty write would leave a schemaless dir
-                sub = points.where(F.col("is_qc") == flag).drop(
-                    "is_qc", "src_file"
-                )
-                append_points(sub, table_dir, target, batch_id=batch_id)
-        append_quarantine_manifest(manifest, table_dir, batch_id=batch_id)
-        if batch_id is not None:
-            append_ingest_manifest(manifest, table_dir, batch_id)
+        # counts fall out of the write itself (df.observe metrics on
+        # the staged write job) — no separate count job; the whole
+        # pass is now 3 Spark jobs: points write, manifests write,
+        # moves (was 6 at r13)
+        counts = _route_points_combined(points, table_dir, batch_id)
+        _append_manifests_combined(
+            manifest, table_dir, batch_id,
+            include_ingest=batch_id is not None,
+        )
         return counts
     finally:
-        points.unpersist()
+        manifest.unpersist()
+
+
+def _publish_stage_subtree(
+    src_root: str,
+    path: str,
+    table_schema,
+    batch_id: int | None,
+    n_parts: int,
+) -> None:
+    """Rename one staged subtree into a live table root under its
+    write lock: sidecar-before-root, snapshot layout from birth, the
+    idempotent ``batch_id=N`` leaf wipe, then per-file renames — the
+    same publication contract as :func:`_staged_append`."""
+    import glob as _glob
+
+    with table_write_lock(
+        os.path.dirname(path), os.path.basename(path)
+    ):
+        _merge_registered_schema(path, table_schema)
+        _ensure_snapshot_root(path)
+        if batch_id is not None:
+            pat = os.path.join(
+                path, *(["*"] * n_parts), f"batch_id={int(batch_id)}"
+            )
+            for leaf in _glob.glob(pat):
+                shutil.rmtree(leaf, ignore_errors=True)
+        for dirpath, dirnames, files in os.walk(src_root):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, f), src_root)
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(dirpath, f), dst)
+
+
+def _route_points_combined(
+    points: DataFrame, table_dir: str, batch_id: int | None
+) -> dict[str, int]:
+    """Stage BOTH routes in one write job (``is_qc`` as the outermost
+    stage-only partition level), then rename each subtree into its
+    table under that table's write lock. Produces bit-identical table
+    contents to two separate ``append_points`` calls: the registered
+    schema, partition layout, and replay wipe are the same — only the
+    number of Spark jobs changes (2 → 1). Returns per-target row
+    counts, observed on the write job itself (``df.observe``) so no
+    separate count job runs."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    out = points.drop("src_file").withColumn("date", F.to_date("time"))
+    parts = ["siteID", "date"]  # == PARTITIONING["raw_data"|"qc_data"]
+    if batch_id is not None:
+        out = out.withColumn("batch_id", F.lit(int(batch_id)))
+        parts.append("batch_id")
+    obs = Observation()
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_qc").cast("long")).alias("qc"),
+    )
+    stage = os.path.join(table_dir, f".route-{uuid.uuid4().hex[:12]}")
+    try:
+        out.write.mode("append").partitionBy("is_qc", *parts).parquet(stage)
+        metrics = obs.get
+        qc = int(metrics["qc"] or 0)
+        counts = {"raw_data": int(metrics["n"]) - qc, "qc_data": qc}
+        table_schema = out.drop("is_qc").schema
+        for table, flag in (("raw_data", False), ("qc_data", True)):
+            src_root = os.path.join(stage, f"is_qc={str(flag).lower()}")
+            if os.path.isdir(src_root):
+                _publish_stage_subtree(
+                    src_root,
+                    os.path.join(table_dir, table),
+                    table_schema,
+                    batch_id,
+                    len(parts) - (1 if batch_id is not None else 0),
+                )
+        return counts
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _append_manifests_combined(
+    manifest: DataFrame,
+    table_dir: str,
+    batch_id: int | None,
+    include_ingest: bool,
+) -> None:
+    """quarantine_files (+ ingest_manifest when streaming) in ONE
+    staged write: the two tables share a schema and a source frame,
+    so a stage-only ``_mtable`` partition level splits them — one
+    Spark job instead of two per ingest pass."""
+    import uuid
+
+    rows = manifest.select("src_file", "quarantine_reason")
+    quar = rows.where(F.col("quarantine_reason").isNotNull()).withColumn(
+        "_mtable", F.lit("quarantine_files")
+    )
+    frames = quar
+    if include_ingest:
+        frames = quar.unionByName(
+            rows.withColumn("_mtable", F.lit("ingest_manifest"))
+        )
+    parts: list[str] = []
+    if batch_id is not None:
+        frames = frames.withColumn("batch_id", F.lit(int(batch_id)))
+        parts = ["batch_id"]
+    stage = os.path.join(table_dir, f".manifests-{uuid.uuid4().hex[:12]}")
+    try:
+        frames.write.mode("append").partitionBy(
+            "_mtable", *parts
+        ).parquet(stage)
+        table_schema = frames.drop("_mtable").schema
+        targets = ["quarantine_files"] + (
+            ["ingest_manifest"] if include_ingest else []
+        )
+        for table in targets:
+            src_root = os.path.join(stage, f"_mtable={table}")
+            path = os.path.join(table_dir, table)
+            if os.path.isdir(src_root):
+                _publish_stage_subtree(
+                    src_root, path, table_schema, batch_id, 0
+                )
+            else:
+                # zero rows for this table this batch: still ensure
+                # the table exists (and wipe this batch's leaf on
+                # replay) so consumers and replays see it consistently
+                with table_write_lock(table_dir, table):
+                    _merge_registered_schema(path, table_schema)
+                    _ensure_snapshot_root(path)
+                    if batch_id is not None:
+                        leaf = os.path.join(
+                            path, f"batch_id={int(batch_id)}"
+                        )
+                        shutil.rmtree(leaf, ignore_errors=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _write_manifest(
@@ -510,14 +675,13 @@ def _write_manifest(
     with table_write_lock(os.path.dirname(path), os.path.basename(path)):
         _ensure_snapshot_root(path)
         if batch_id is None:
-            rows.write.mode("append").parquet(path)
+            _staged_append(rows, path, [], None)
         else:
-            (
-                rows.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(path)
+            _staged_append(
+                rows.withColumn("batch_id", F.lit(int(batch_id))),
+                path,
+                ["batch_id"],
+                batch_id,
             )
 
 

@@ -73,13 +73,10 @@ def stream_residential(
 
     def process_batch(batch_df, batch_id: int) -> None:
         points, manifest = residential.parse_lines(batch_df)
-        manifest = manifest.cache()
-        try:
-            sinks.route_residential(
-                points, manifest, table_dir, batch_id=batch_id
-            )
-        finally:
-            manifest.unpersist()
+        # route_residential caches/unpersists the manifest itself
+        sinks.route_residential(
+            points, manifest, table_dir, batch_id=batch_id
+        )
 
     return (
         lines.writeStream.foreachBatch(process_batch)
