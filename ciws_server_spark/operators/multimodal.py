@@ -364,14 +364,15 @@ QUERIES = {
 }
 
 EXTRA = {
-    # r12 rotation (stalest-50 policy, see this comment's history in
-    # git): the registered set = the 50 stalest driver-grade records —
-    # this round that's the 9 never-driver-verified catalog queries +
-    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
-    # join_anti variant, the full r9 tier, and the alphabetical head
-    # of the r10 tier. Everything r11-green rotates OUT to extras
-    # (still oracle-checked every test run by
-    # tests/test_extra_oracle.py and tools/check_correctness.py).
+    # r14 rotation (diff-driven + stalest-50, VERDICT r13 ask #4):
+    # the registered set forces every query whose code path changed
+    # in r13/r14 (q22's rewritten anti-join plan, the q1/q18 A/B
+    # targets, this round's q3/q5 A/B targets) and fills the rest
+    # with the stalest driver-grade records (mostly the r10 tier and
+    # the r2-era similarity rows). Overlap with the r13 set: 2
+    # queries (q3/q5, forced). Everything rotated out stays
+    # oracle-checked every run by tests/test_extra_oracle.py and
+    # tools/check_correctness.py.
     "mm_byte_stats",
     "mm_frame_sample",
     "mm_image_features_stub",

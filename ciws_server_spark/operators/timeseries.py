@@ -1419,52 +1419,46 @@ QUERIES = {
 #: stale-users, retention, as-of backward) yield their slots and stay
 #: oracle-checked here by tests/test_extra_oracle.py.
 EXTRA = {
-    # r12 rotation (stalest-50 policy, see this comment's history in
-    # git): the registered set = the 50 stalest driver-grade records —
-    # this round that's the 9 never-driver-verified catalog queries +
-    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
-    # join_anti variant, the full r9 tier, and the alphabetical head
-    # of the r10 tier. Everything r11-green rotates OUT to extras
-    # (still oracle-checked every test run by
-    # tests/test_extra_oracle.py and tools/check_correctness.py).
+    # r14 rotation (diff-driven + stalest-50, VERDICT r13 ask #4):
+    # the registered set forces every query whose code path changed
+    # in r13/r14 (q22's rewritten anti-join plan, the q1/q18 A/B
+    # targets, this round's q3/q5 A/B targets) and fills the rest
+    # with the stalest driver-grade records (mostly the r10 tier and
+    # the r2-era similarity rows). Overlap with the r13 set: 2
+    # queries (q3/q5, forced). Everything rotated out stays
+    # oracle-checked every run by tests/test_extra_oracle.py and
+    # tools/check_correctness.py.
+    "influxql_cmo",
     "influxql_companion_selector",
+    "influxql_cumulative_sum",
+    "influxql_dema",
     "influxql_derivative",
-    "influxql_difference",
-    "influxql_elapsed",
-    "influxql_ema",
-    "influxql_fill_linear",
-    "influxql_group_by_time",
-    "influxql_group_by_time_fill",
-    "influxql_integral",
-    "influxql_kama",
-    "influxql_kaufman_er",
-    "influxql_month_bucket",
+    "influxql_derivative_quarter",
+    "influxql_math_aggregate",
+    "influxql_math_pointwise",
     "influxql_moving_average",
-    "influxql_offset",
-    "influxql_order_limit",
-    "influxql_percentile",
     "influxql_percentile_companion",
     "influxql_quarter_bucket",
-    "influxql_regex_predicate",
-    "influxql_rsi",
-    "influxql_select_arith",
     "influxql_select_range",
-    "influxql_slimit",
-    "influxql_soffset",
-    "influxql_stats_aggs",
-    "influxql_subquery",
-    "influxql_tema",
-    "influxql_top",
+    "influxql_show_cardinality",
+    "influxql_show_tag_values",
     "influxql_top_per_tag",
-    "influxql_trix",
-    "influxql_week_bucket",
+    "influxql_tz_fill",
+    "ts_asof_join",
     "ts_asof_join_forward",
     "ts_asof_join_nearest",
-    "ts_derived_rate",
     "ts_funnel",
-    "ts_m4_downsample",
+    "ts_gap_fill",
+    "ts_json_extract",
+    "ts_latest_event_per_user",
+    "ts_range_join_buckets",
+    "ts_retention_plan",
+    "ts_sessionize",
     "ts_sliding_window",
+    "ts_stale_users",
     "ts_tag_time_range",
+    "ts_time_bucket_agg",
+    "ts_tumbling_window",
 }
 
 _DSUM_VALUE = (

@@ -1059,30 +1059,35 @@ QUERIES = {
 #: tests/test_extra_oracle.py with the identical
 #: row/schema/value-hash comparison.
 EXTRA = {
-    # r12 rotation (stalest-50 policy, see this comment's history in
-    # git): the registered set = the 50 stalest driver-grade records —
-    # this round that's the 9 never-driver-verified catalog queries +
-    # the two NEW PQ/IVF-PQ rows (VERDICT r11 asks #1-2), the r6-stale
-    # join_anti variant, the full r9 tier, and the alphabetical head
-    # of the r10 tier. Everything r11-green rotates OUT to extras
-    # (still oracle-checked every test run by
-    # tests/test_extra_oracle.py and tools/check_correctness.py).
-    "crypto_hashes",
-    "cube_order_stats",
-    "date_functions_orders",
+    # r14 rotation (diff-driven + stalest-50, VERDICT r13 ask #4):
+    # the registered set forces every query whose code path changed
+    # in r13/r14 (q22's rewritten anti-join plan, the q1/q18 A/B
+    # targets, this round's q3/q5 A/B targets) and fills the rest
+    # with the stalest driver-grade records (mostly the r10 tier and
+    # the r2-era similarity rows). Overlap with the r13 set: 2
+    # queries (q3/q5, forced). Everything rotated out stays
+    # oracle-checked every run by tests/test_extra_oracle.py and
+    # tools/check_correctness.py.
+    "conditional_agg_order_mix",
     "distinct_agg_customers",
     "grouping_sets_orders",
     "join_anti_customers_no_recent_orders",
+    "join_anti_customers_without_orders",
     "join_outer_supplier_coverage",
     "join_semi_customers_with_orders",
     "percentile_prices",
     "pivot_order_priority",
-    "q1_pricing_summary",
     "rollup_pricing",
     "salted_high_cardinality_agg",
+    "scalar_string_functions",
+    "setop_nations_with_both",
+    "setop_nations_without_suppliers",
+    "subquery_above_avg_balance",
+    "subquery_exists_late_ship",
+    "subquery_scalar_brand_premium",
+    "topk_orders_per_segment",
     "union_all_keys",
     "window_rank_customers",
-    "window_running_revenue",
 }
 
 _DEC1 = "CAST(1 AS DECIMAL(30,6))"
