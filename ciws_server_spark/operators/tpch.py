@@ -195,7 +195,18 @@ def q1_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join, agg, deterministic top-10."""
+    """TPC-H Q3 shape: 3-way join, agg, deterministic top-10.
+
+    Revenue sums in long FIXED-POINT (q1's playbook, adopted r14 after
+    a bit-identical interleaved sf10 A/B: 2.19s vs 2.60s median for
+    the DECIMAL(30,6) form, tmp/Q3Q5_AB_R14.json). Unlike q1, the
+    long path is scale-safe at ANY sf with no partition-size guard:
+    sums are per ORDER (a handful of lineitems, rev_e4 ≤ ~1e9 each),
+    so no partial can approach 2^53, and the final ``unscale`` shift
+    is exact decimal. A per-order PRE-aggregation before the orders
+    join was also A/B'd: 36% faster at sf1 but SLOWER at sf10 (2.77s
+    vs 2.60s — the added l_orderkey shuffle outgrows the post-join
+    groupBy it removes); pinned negative in the same artifact."""
     cust = table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -205,11 +216,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    rev_e4 = fixed_point("l_extendedprice", 2) * (
+        F.lit(100) - fixed_point("l_discount", 2)
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"))
+        .agg(F.round(unscale(F.sum(rev_e4), 4), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -229,6 +243,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-floor note in BENCH_NOTES). Customer prunes to two int
     columns; AQE converts its join to broadcast from runtime shuffle
     stats, which stays correct when customer outgrows any threshold.
+
+    r14 A/B (tmp/Q3Q5_AB_R14.json): the q1/q3-style long fixed-point
+    revenue swap was bit-identical but a WASH here (2.19s vs 2.21s
+    median at sf10) — q5's cost is the lineitem scan plus the orders
+    exchange, not the decimal multiply, so the DECIMAL form stays
+    (pinned negative, same artifact).
     """
     region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation")

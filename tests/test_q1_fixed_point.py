@@ -289,3 +289,47 @@ def test_date_functions_two_stage_matches_decimal_reference(spark):
         ref = date_functions_orders_decimal(spark, sf_dir).collect()
         assert len(fast) > 12
         assert [tuple(r) for r in fast] == [tuple(r) for r in ref]
+
+
+def test_q3_fixed_point_matches_decimal_reference(spark):
+    """r14: q3's revenue moved to the q1-style long fixed-point path
+    (adopted from the bit-identical sf10 A/B, tmp/Q3Q5_AB_R14.json).
+    The DECIMAL reference form is rebuilt inline here — identical join
+    tree, _revenue() DECIMAL aggregation — and must match the shipped
+    plan exactly. Unlike q1, q3 needs no partition-size guard: sums
+    are per-order (a handful of rows), so partials can never approach
+    2^53 at any scale factor."""
+    from ciws_server_spark.operators.tpch import (
+        _revenue,
+        q3_shipping_priority,
+    )
+    from ciws_server_spark.tables import table
+
+    sf_dir = "/root/testdata/sf0.01"
+
+    def q3_decimal(spark, sf_dir):
+        cust = table(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = table(spark, sf_dir, "orders").where(
+            F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        )
+        li = table(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.round(F.sum(_revenue()).cast("double"), 2).alias(
+                    "revenue"
+                )
+            )
+            .orderBy(F.desc("revenue"), "o_orderkey")
+            .limit(10)
+        )
+
+    fast = q3_shipping_priority(spark, sf_dir).collect()
+    ref = q3_decimal(spark, sf_dir).collect()
+    assert fast and [tuple(r) for r in fast] == [tuple(r) for r in ref]
