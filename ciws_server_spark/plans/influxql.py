@@ -2255,6 +2255,11 @@ _GRAMMAR_WORDS = frozenset(
 _IDENT_SCRAPE_RE = re.compile(r'"[^"]+"|[A-Za-z_][A-Za-z0-9_]*')
 _AS_TAIL_RE = re.compile(r'\bAS\s+("[^"]+"|\w+)\s*$', re.I)
 
+#: Grammar words that act as grammar even WITHOUT a following "(" —
+#: keywords and the special time column. Everything else in
+#: _GRAMMAR_WORDS is a function name, grammar only in call position.
+_NONCALL_GRAMMAR = frozenset("time fill as and or not".split())
+
 
 def _null_fill_unknown_identifiers(
     df: DataFrame,
@@ -2270,13 +2275,24 @@ def _null_fill_unknown_identifiers(
     missing_fields: list = []
     for item in select_items:
         item = _AS_TAIL_RE.sub("", item)  # an alias is not a reference
-        for tok in _IDENT_SCRAPE_RE.findall(item):
+        for m in _IDENT_SCRAPE_RE.finditer(item):
+            tok = m.group(0)
             name = _unquote(tok)
             low = name.lower()
+            if low in have or _DURATION_RE.match(name):
+                continue
+            # a grammar word is only grammar in CALL position —
+            # ``min(count)`` on a table with no ``count`` column must
+            # null-fill ``count`` like any unknown field (a field may
+            # legally be NAMED count/min/...; soak-found r14, the
+            # unresolved column escaped the wire as a raised
+            # AnalysisException). Quoted tokens are always
+            # identifiers, never grammar.
+            is_call = item[m.end():].lstrip().startswith("(")
             if (
-                low in have
-                or low in _GRAMMAR_WORDS
-                or _DURATION_RE.match(name)
+                low in _GRAMMAR_WORDS
+                and not tok.startswith('"')
+                and (is_call or low in _NONCALL_GRAMMAR)
             ):
                 continue
             have.add(low)

@@ -59,6 +59,7 @@ import time
 from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
 from ..plans.influxql import InfluxQLError, run_influxql
@@ -511,6 +512,16 @@ class InfluxHTTPApi:
                     return 400, {"error": msg}
                 results.append({"statement_id": i, "error": msg})
                 continue
+            except AnalysisException as exc:
+                # wire totality net (soak-found r14): a statement the
+                # translator mapped to an unresolvable Spark plan must
+                # surface as upstream's in-body statement error, never
+                # a raised exception / non-JSON response
+                results.append({
+                    "statement_id": i,
+                    "error": f"invalid statement: {exc.getMessage() if hasattr(exc, 'getMessage') else exc}",
+                })
+                continue
         return 200, {"results": results}
 
     def handle_query_chunked(self, params: dict):
@@ -585,6 +596,13 @@ class InfluxHTTPApi:
                     yield {"results": [
                         {"statement_id": i, "error": str(exc)}
                     ]}
+                    continue
+                except AnalysisException as exc:
+                    # same wire totality net as handle_query
+                    yield {"results": [{
+                        "statement_id": i,
+                        "error": f"invalid statement: {exc}",
+                    }]}
                     continue
                 if isinstance(res, DataFrame):
                     try:

@@ -2172,3 +2172,64 @@ def test_show_series_no_match_regex_is_empty(spark, flow):
         spark, t, "SHOW SERIES CARDINALITY FROM /nomatch/"
     ).collect()
     assert got[0]["count"] == 0
+
+
+def test_function_named_fields_null_fill(spark, tmp_path):
+    """Soak-found r14: a field may legally be NAMED count/min/sum/...;
+    referencing one the measurement lacks must null-fill like any
+    unknown field — the old scraper treated every grammar word as
+    grammar, so ``min(count)`` on a count-less table leaked an
+    unresolved-column AnalysisException through the wire."""
+    import datetime as dt
+
+    from ciws_server_spark.plans.influxql import translate
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.5)], "time timestamp, v double"
+    )
+    # absent function-named field inside a call: null aggregate
+    rows = translate(df, "SELECT min(count) FROM m").collect()
+    assert [tuple(r) for r in rows] == [(None,)]
+    # quoted form is an identifier by definition
+    rows = translate(df, 'SELECT max("sum") FROM m').collect()
+    assert [tuple(r) for r in rows] == [(None,)]
+    # bare projection of an absent function-named field
+    rows = translate(df, "SELECT mean FROM m").collect()
+    assert [tuple(r) for r in rows] == [(dt.datetime(2024, 1, 1), None)]
+    # PRESENT function-named fields still resolve to their data
+    df2 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 3, 2.0)],
+        "time timestamp, count long, min double",
+    )
+    rows = translate(df2, "SELECT min(count) FROM m").collect()
+    assert [tuple(r) for r in rows] == [(3,)]
+    rows = translate(df2, "SELECT max(min) FROM m").collect()
+    assert [tuple(r) for r in rows] == [(2.0,)]
+    # and real calls are untouched
+    rows = translate(df2, "SELECT count(min) FROM m").collect()
+    assert [tuple(r) for r in rows] == [(1,)]
+
+
+def test_wire_analysis_exception_is_in_body_error(spark, tmp_path, monkeypatch):
+    """Wire totality net (r14): if a translated plan still reaches an
+    AnalysisException at execution, /query reports upstream's in-body
+    statement error — never a raised exception / non-JSON response."""
+    from pyspark.errors import AnalysisException
+
+    from ciws_server_spark.sources import http_api as ha
+
+    api = ha.InfluxHTTPApi(spark, str(tmp_path))
+
+    def boom(*a, **k):
+        raise AnalysisException("[UNRESOLVED_COLUMN] `x` cannot be resolved")
+
+    monkeypatch.setattr(ha, "run_influxql", boom)
+    status, body = api.handle_query({"q": "SELECT x FROM m"})
+    assert status == 200
+    (res,) = body["results"]
+    assert "invalid statement" in res["error"]
+    status, chunks = api.handle_query_chunked({"q": "SELECT x FROM m"})
+    assert status == 200
+    envs = list(chunks)
+    assert any("invalid statement" in r.get("error", "")
+               for env in envs for r in env["results"])
