@@ -331,6 +331,8 @@ def load_tables(spark, table_dir: str) -> dict[str, DataFrame]:
     evolved schema (:func:`read_table`). Skips version dirs, sidecars,
     and rewrite debris — only table roots (dirs or snapshot symlinks
     whose name carries no dot-suffix) qualify."""
+    from pyspark.errors import AnalysisException
+
     out: dict[str, DataFrame] = {}
     for entry in sorted(os.listdir(table_dir)):
         if "." in entry or entry.startswith("_"):
@@ -338,7 +340,21 @@ def load_tables(spark, table_dir: str) -> dict[str, DataFrame]:
         root = os.path.join(table_dir, entry)
         if not os.path.isdir(root):  # follows the snapshot symlink
             continue
-        out[entry] = read_table(spark, table_dir, entry)
+        try:
+            out[entry] = read_table(spark, table_dir, entry)
+        except AnalysisException as exc:
+            # a concurrent DROP can yank the table between the
+            # listdir above and the eager file-index build here
+            # (r14 soak-found via the CQ scheduler's load_tables —
+            # unlike the wire path, engine callers have no retry
+            # wrapper). A table mid-drop simply isn't part of this
+            # registry snapshot.
+            if (
+                "PATH_NOT_FOUND" in str(exc)
+                or "Path does not exist" in str(exc)
+            ):
+                continue
+            raise
     return out
 
 

@@ -148,3 +148,32 @@ def test_drop_leftover_version_never_resurrects(spark, tmp_path):
         for r in sinks.read_table(spark, td, "m").collect()
     ]
     assert got == [9.0], f"dropped rows resurrected: {got}"
+
+
+def test_load_tables_skips_table_dropped_mid_listing(
+    spark, tmp_path, monkeypatch
+):
+    """r14 soak-found (CQ ticker vs DROP): a concurrent DROP can yank
+    a table between load_tables' directory listing and the eager
+    file-index build — the registry snapshot must simply omit the
+    mid-drop table, not raise PATH_NOT_FOUND to engine callers (the
+    wire path has a retry wrapper; load_tables callers don't)."""
+    from pyspark.errors import AnalysisException
+
+    td = str(tmp_path)
+    sinks.append_points(_mk_points(spark, [1.0]), td, "keep_me")
+    sinks.append_points(_mk_points(spark, [2.0]), td, "drop_me")
+
+    real = sinks.read_table
+
+    def racing_read(spark_, table_dir, table):
+        if table == "drop_me":
+            raise AnalysisException(
+                "[PATH_NOT_FOUND] Path does not exist: "
+                f"file:{td}/drop_me.v000001. SQLSTATE: 42K03"
+            )
+        return real(spark_, table_dir, table)
+
+    monkeypatch.setattr(sinks, "read_table", racing_read)
+    out = sinks.load_tables(spark, td)
+    assert "keep_me" in out and "drop_me" not in out
