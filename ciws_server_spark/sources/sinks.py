@@ -282,6 +282,11 @@ def _read_current(spark, root: str) -> DataFrame:
 _LEASES: dict[str, "weakref.WeakSet"] = {}
 _LEASES_LOCK = threading.Lock()
 _LEASE_THREAD: threading.Thread | None = None
+#: Set on every new lease registration: wakes the heartbeat so a
+#: fresh lease gets its first touch immediately AND the loop re-reads
+#: the (env-tunable) interval — a long sleep armed under an old
+#: interval would otherwise outlive a shrunken grace window.
+_LEASE_WAKE = threading.Event()
 
 
 def _lease_interval_s() -> float:
@@ -301,11 +306,13 @@ def _lease_version(version_dir: str, df) -> None:
                 daemon=True,
             )
             _LEASE_THREAD.start()
+    _LEASE_WAKE.set()
 
 
 def _lease_heartbeat() -> None:
     while True:
-        time.sleep(_lease_interval_s())
+        _LEASE_WAKE.wait(timeout=_lease_interval_s())
+        _LEASE_WAKE.clear()
         with _LEASES_LOCK:
             dead = [d for d, refs in _LEASES.items() if not refs]
             for d in dead:
