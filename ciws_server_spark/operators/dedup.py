@@ -31,6 +31,9 @@ Scale notes (the whole point of MinHash-LSH):
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -237,7 +240,47 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def band_signatures(docs: DataFrame) -> DataFrame:
+#: Input-size threshold for the shuffle-free row-local signature
+#: strategy. The two strategies are BIT-IDENTICAL (same md5-derived
+#: h1/h2, same modular form); they differ only in physical shape:
+#:
+#: * ``explode``  — explode → whole-stage-codegen'd hashing → groupBy
+#:   with K map-side partial mins. Compiled row work (fast per row)
+#:   but pays an exchange of (doc × K longs) signature rows.
+#: * ``rowlocal`` — a document is ONE row, so its shingle set is
+#:   row-local by construction: signatures are pure array expressions
+#:   (``transform`` to (h1,h2) structs + K ``array_min`` folds),
+#:   ZERO shuffles. Higher-order functions are NOT whole-stage-
+#:   codegen'd, so per-row cost is interpreted-expression speed —
+#:   several times the compiled explode path's.
+#:
+#: Measured crossover (fresh-JVM, tools/experiments/
+#: minhash_variant_bench.py + decade protocol): at sf0.1–sf1 the
+#: interpreted constant dominates (2.6s → 13.3s regression at sf0.1
+#: if row-local is forced); at sf10 the two are a wash; at sf100 the
+#: shuffle-free form wins 2.6× (284s → 109s, tmp/SF100_DECADE.json).
+#: So the strategy is chosen from the scan's input bytes — the same
+#: stats-driven physical-strategy idea as AQE's join selection. At
+#: the 100 TB design point every corpus is far past the threshold:
+#: the plan is the shuffle-free one, and executor counts (not one
+#: box's 32 threads) absorb the interpreted per-row constant.
+_ROWLOCAL_MIN_INPUT_BYTES = 128 << 20
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes behind a file-backed frame (0 if unknown —
+    e.g. a streaming micro-batch, which is small by construction)."""
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            path = re.sub(r"^file:(//)?", "", uri)
+            total += os.path.getsize(path)
+        return total
+    except Exception:  # noqa: BLE001 — non-file frames
+        return 0
+
+
+def band_signatures(docs: DataFrame, strategy: str | None = None) -> DataFrame:
     """(doc_id, band, band_hash) MinHash-LSH index rows for any
     (doc_id, text) frame — exactly ``_BANDS`` rows per document.
 
@@ -246,44 +289,81 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     micro-batch's signatures against it as the static side of a
     stream-static join.
 
-    The signature stage is ZERO-SHUFFLE (r14): a document is ONE row,
-    so its shingle set is row-local by construction — signatures are
-    pure array expressions (``transform`` to (h1,h2) structs, then K
-    ``array_min(transform(...))`` folds), never an explode → groupBy.
-    The r13-era explode/groupBy form paid an exchange of (doc × K
-    longs) signature rows — the widest shuffle in the query and the
-    judge's prime suspect for the sf100 spill cliff (VERDICT r13
-    "What's wrong" #2). Interleaved sf10 A/B
-    (tmp/MINHASH_ROWLOCAL_AB.json): identical 24,838 pairs, warm
-    11.2s → 0.99s in-JVM. Same md5-derived h1/h2 and modular form,
-    so band hashes are bit-identical; docs with no shingles drop out
-    exactly as the explode form dropped them.
+    ``strategy`` picks the physical shape (see
+    ``_ROWLOCAL_MIN_INPUT_BYTES``): ``"explode"`` (codegen'd, one
+    signature exchange — the small-corpus / micro-batch default) or
+    ``"rowlocal"`` (zero-shuffle array folds — the at-scale default).
+    ``None`` auto-selects from the input's on-disk size. Both produce
+    bit-identical rows (pinned by
+    tests/test_dedup_scale_paths.py and the interleaved A/B
+    tmp/MINHASH_ROWLOCAL_AB.json — identical 24,838 pairs at sf10);
+    docs with no shingles drop out of either form.
     """
-    hx = F.transform(
-        F.array_distinct(word_shingles("text", 3)),
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+    if strategy is None:
+        strategy = (
+            "rowlocal"
+            if _input_bytes(docs) >= _ROWLOCAL_MIN_INPUT_BYTES
+            else "explode"
+        )
+    if strategy == "explode":
+        exploded = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text", 3))).alias(
+                "shingle"
+            ),
+        )
+        hx2 = exploded.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
             .cast("long")
             .alias("h1"),
-            F.conv(F.substring(F.md5(s), 17, 8), 16, 10)
+            F.conv(F.substring(F.md5("shingle"), 17, 8), 16, 10)
             .cast("long")
             .alias("h2"),
-        ),
-    )
-    with_h = docs.select("doc_id", hx.alias("hx")).where(F.size("hx") > 0)
-    minhash = with_h.select(
-        "doc_id",
-        *[
-            F.array_min(
+        )
+        minhash = hx2.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.col("h1") + F.lit(k) * F.col("h2"))
+                    % F.lit(_MINHASH_P)
+                ).alias(f"mh{k}")
+                for k in range(_NUM_HASHES)
+            ]
+        )
+    else:
+        hx = F.transform(
+            F.array_distinct(word_shingles("text", 3)),
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                .cast("long")
+                .alias("h1"),
+                F.conv(F.substring(F.md5(s), 17, 8), 16, 10)
+                .cast("long")
+                .alias("h2"),
+            ),
+        )
+        with_h = docs.select("doc_id", hx.alias("hx")).where(
+            F.size("hx") > 0
+        )
+
+        def _mh(k: int):
+            # closure factory, NOT `lambda x, k=k`: a two-parameter
+            # lambda makes pyspark emit the (element, index) form of
+            # transform(), silently binding k to the ARRAY INDEX —
+            # every signature collapsed to one expression (caught by
+            # test_band_signature_strategies_bit_identical; the exact
+            # verify stage had masked it in the final pairs)
+            return F.array_min(
                 F.transform(
                     "hx",
-                    lambda x, k=k: (x["h1"] + F.lit(k) * x["h2"])
+                    lambda x: (x["h1"] + F.lit(k) * x["h2"])
                     % F.lit(_MINHASH_P),
                 )
             ).alias(f"mh{k}")
-            for k in range(_NUM_HASHES)
-        ],
-    )
+
+        minhash = with_h.select(
+            "doc_id", *[_mh(k) for k in range(_NUM_HASHES)]
+        )
     # Band key = xxhash64 over the band's signature longs directly:
     # an 8-byte long join/shuffle key instead of the round-2..7 32-char
     # md5 hex string (4× smaller shuffle currency on the heaviest
@@ -412,12 +492,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with identical plan shape. Nothing stays cached after the query
     returns.
     """
-    # no repartition: the signature stage is row-local (see
-    # band_signatures) — the old repartition("doc_id") existed to
-    # co-locate the explode/groupBy form and was a full shuffle of
-    # the raw text for nothing once signatures became array folds
     docs = table(spark, sf_dir, "documents")
-    bands = band_signatures(docs)
+    strategy = (
+        "rowlocal"
+        if _input_bytes(docs) >= _ROWLOCAL_MIN_INPUT_BYTES
+        else "explode"
+    )
+    # the explode path spreads the text by doc_id first — a small
+    # corpus is one parquet split, and without the spread both the
+    # explode and the partial-min aggregate run on one core (the
+    # repartition buys PARALLELISM; co-location is incidental). The
+    # row-local path at scale skips it: the text shuffle it would
+    # cost is exactly what that strategy exists to avoid.
+    src = docs if strategy == "rowlocal" else docs.repartition("doc_id")
+    bands = band_signatures(src, strategy=strategy)
     # both sides of the bucket self-join consume `bands`; without a
     # materialization each side re-runs the whole signature pipeline
     # (bands is 4 small rows per doc — at cluster scale this is the

@@ -95,3 +95,23 @@ def test_embedding_lsh_verify_branch_finds_constructed_neardups(spark):
     assert (2, 3) in pairs
     # no unrelated pair sneaks past exact verification
     assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in pairs)
+
+
+def test_band_signature_strategies_bit_identical(spark):
+    """r14: band_signatures has two physical strategies (codegen'd
+    explode/groupBy for small scans, zero-shuffle row-local array
+    folds at scale, auto-picked from input bytes like AQE picks join
+    strategies). Same md5-derived h1/h2 and modular form — the rows
+    must be bit-identical, or the LSH index silently forks by corpus
+    size."""
+    from ciws_server_spark.operators.dedup import band_signatures
+    from ciws_server_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    a = sorted(
+        map(tuple, band_signatures(docs, strategy="explode").collect())
+    )
+    b = sorted(
+        map(tuple, band_signatures(docs, strategy="rowlocal").collect())
+    )
+    assert a and a == b
