@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from ..functions.text import md5_normalized, tokens, word_shingles
 from ..functions.vectors import pair_cosine
 from ..tables import table
+from .tpch import _conf_bytes
 
 _NUM_HASHES = 16
 _BANDS = 4  # 4 bands × 4 rows
@@ -498,13 +499,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _input_bytes(docs) >= _ROWLOCAL_MIN_INPUT_BYTES
         else "explode"
     )
-    # the explode path spreads the text by doc_id first — a small
-    # corpus is one parquet split, and without the spread both the
-    # explode and the partial-min aggregate run on one core (the
-    # repartition buys PARALLELISM; co-location is incidental). The
-    # row-local path at scale skips it: the text shuffle it would
-    # cost is exactly what that strategy exists to avoid.
-    src = docs if strategy == "rowlocal" else docs.repartition("doc_id")
+    # Spread the text when the scan yields fewer splits than cores:
+    # a fixture-scale corpus is a handful of 128 MB parquet splits,
+    # and without the spread the signature work (explode+agg OR the
+    # row-local array folds — sf100 stage profile: 69s of a 178s
+    # query on ~6 of 32 cores) is parallelism-starved. The condition
+    # is scale-neutral by construction: at the 100 TB design point
+    # splits >> cores, so the full-corpus shuffle this repartition
+    # would cost never happens on a real cluster — it only fires
+    # when the corpus is small enough that shuffling it is cheap.
+    import math
+
+    cores = spark.sparkContext.defaultParallelism
+    mpb = _conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    splits = math.ceil(max(_input_bytes(docs), 1) / max(mpb, 1))
+    src = docs.repartition("doc_id") if splits < cores else docs
     bands = band_signatures(src, strategy=strategy)
     # both sides of the bucket self-join consume `bands`; without a
     # materialization each side re-runs the whole signature pipeline
