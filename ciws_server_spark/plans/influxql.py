@@ -3239,6 +3239,31 @@ def _split_subquery(query: str) -> tuple[str, str] | None:
     raise InfluxQLError("unbalanced parentheses in FROM subquery")
 
 
+def statement_order_desc(statement: str) -> bool:
+    """True iff the OUTER statement sorts by ``time DESC``.
+
+    Consumed by the wire serializers: a multi-measurement frame is
+    re-sorted on (measurement, time) before serialization, and that
+    re-sort must preserve the statement's requested time direction —
+    forcing ASC silently inverted ``ORDER BY time DESC`` for regex /
+    comma FROM queries and made a row cap keep the OLDEST rows
+    (advisor r14). Subqueries are stripped first so an inner ORDER BY
+    never masquerades as the outer one; an unparseable statement
+    defaults to ASC (the translator raises its own error for those).
+    """
+    try:
+        query = statement
+        for _ in range(16):  # nesting bound; translator rejects deeper
+            sub = _split_subquery(query)
+            if sub is None:
+                break
+            query = sub[1]  # outer, with a FROM __sub__ placeholder
+        m = _QUERY_RE.match(query)
+        return bool(m) and (m.group("order") or "ASC").upper() == "DESC"
+    except Exception:  # noqa: BLE001 — ordering hint, never a failure
+        return False
+
+
 def _resolve_into_target(tok: str, table_dir: str) -> str:
     """INTO targets may be fully qualified the way InfluxDB clients
     write them — ``"db"."rp"."measurement"`` or ``"rp"."measurement"``

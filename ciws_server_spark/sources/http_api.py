@@ -62,7 +62,11 @@ from decimal import Decimal
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.influxql import InfluxQLError, run_influxql
+from ..plans.influxql import (
+    InfluxQLError,
+    run_influxql,
+    statement_order_desc,
+)
 from ..plans.line_protocol import parse_lines, typed_fields
 from . import sinks
 
@@ -117,6 +121,15 @@ _SNAPSHOT_RACE_MARKERS = (
 
 def _is_snapshot_race(exc: BaseException) -> bool:
     return any(m in str(exc) for m in _SNAPSHOT_RACE_MARKERS)
+
+
+def _analysis_msg(exc: BaseException) -> str:
+    """One formatting rule for AnalysisException wire errors (both the
+    buffered and the chunked handler): the JVM message without the
+    error-class prefix noise when the API offers it."""
+    return str(
+        exc.getMessage() if hasattr(exc, "getMessage") else exc
+    )
 
 
 def _snapshot_fingerprint(table_dir: str | None):
@@ -265,7 +278,7 @@ def _json_value(v, epoch: str | None):
 
 def serialize_frame(
     df: DataFrame, name: str, statement_id: int, epoch: str | None,
-    max_rows: int = 0,
+    max_rows: int = 0, order_desc: bool = False,
 ) -> dict:
     """DataFrame → one /query result object (InfluxDB JSON shape).
 
@@ -287,9 +300,16 @@ def serialize_frame(
             # composite key: Spark's sort is NOT stable, so ordering
             # by measurement alone would scramble each series' rows
             # (upstream always returns points time-ordered within a
-            # series) — keep the plan's time order inside each series
+            # series) — keep the plan's time order inside each series,
+            # honoring the statement's requested DIRECTION (a forced
+            # ASC inverted ORDER BY time DESC and made the row cap
+            # keep the oldest rows — advisor r14). Series order stays
+            # by measurement name, as upstream.
             df = (
-                df.orderBy("measurement", tkey)
+                df.orderBy(
+                    "measurement",
+                    F.col(tkey).desc() if order_desc else F.col(tkey).asc(),
+                )
                 if tkey
                 else df.orderBy("measurement")
             )
@@ -376,6 +396,7 @@ def serialize_frame_chunks(
     statement_id: int,
     epoch: str | None,
     chunk_size: int,
+    order_desc: bool = False,
 ):
     """DataFrame → iterator of /query result objects, ``chunk_size``
     rows per chunk — upstream's ``chunked=true`` shape (one complete
@@ -390,9 +411,13 @@ def serialize_frame_chunks(
     ordered, out_cols, per_measurement, tkey = _frame_wire_cols(df)
     if per_measurement:
         # composite key (see serialize_frame): a bare measurement
-        # sort is unstable and may scramble time order within a series
+        # sort is unstable and may scramble time order within a
+        # series; the time direction follows the statement's ORDER BY
         df = (
-            df.orderBy("measurement", tkey)
+            df.orderBy(
+                "measurement",
+                F.col(tkey).desc() if order_desc else F.col(tkey).asc(),
+            )
             if tkey
             else df.orderBy("measurement")
         )
@@ -494,6 +519,7 @@ class InfluxHTTPApi:
                         return serialize_frame(
                             res, _series_name(stmt), i, epoch,
                             max_rows=self.max_row_limit,
+                            order_desc=statement_order_desc(stmt),
                         )
                     # write-class statements (counts / acks):
                     # upstream returns the bare result object
@@ -516,11 +542,23 @@ class InfluxHTTPApi:
                 # wire totality net (soak-found r14): a statement the
                 # translator mapped to an unresolvable Spark plan must
                 # surface as upstream's in-body statement error, never
-                # a raised exception / non-JSON response
-                results.append({
-                    "statement_id": i,
-                    "error": f"invalid statement: {exc.getMessage() if hasattr(exc, 'getMessage') else exc}",
-                })
+                # a raised exception / non-JSON response. A snapshot
+                # race that exhausted the typed retry is NOT a
+                # statement error — label it as transient contention
+                # so clients retry instead of treating the statement
+                # as permanently invalid (advisor r14).
+                msg = _analysis_msg(exc)
+                if _is_snapshot_race(exc):
+                    results.append({
+                        "statement_id": i,
+                        "error": "storage contention persisted: "
+                                 f"{msg}; retry the statement",
+                    })
+                else:
+                    results.append({
+                        "statement_id": i,
+                        "error": f"invalid statement: {msg}",
+                    })
                 continue
         return 200, {"results": results}
 
@@ -581,7 +619,7 @@ class InfluxHTTPApi:
                         tables = sinks.load_tables(
                             self.spark, self.table_dir
                         )
-                        return run_influxql(
+                        res = run_influxql(
                             self.spark,
                             tables,
                             stmt,
@@ -590,24 +628,46 @@ class InfluxHTTPApi:
                             database=db,
                             now=self.now,
                         )
+                        # the TABLES dict is returned alongside: the
+                        # reader leases (sinks._lease_version) weakref
+                        # the exact DataFrames _read_current returned,
+                        # and a derived result frame holds no Python
+                        # reference to them — keeping the dict alive
+                        # in this generator frame keeps the pinned
+                        # snapshot leased while toLocalIterator drains
+                        # (advisor r14: the long-scan-outlives-grace
+                        # race was still open for the chunked path)
+                        return res, tables
 
-                    res = _run_with_contention_retry(run, self.table_dir)
+                    res, lease_pin = _run_with_contention_retry(
+                        run, self.table_dir
+                    )
                 except InfluxQLError as exc:
                     yield {"results": [
                         {"statement_id": i, "error": str(exc)}
                     ]}
                     continue
                 except AnalysisException as exc:
-                    # same wire totality net as handle_query
-                    yield {"results": [{
-                        "statement_id": i,
-                        "error": f"invalid statement: {exc}",
-                    }]}
+                    # same wire totality net + contention labeling as
+                    # handle_query, same getMessage-based formatting
+                    msg = _analysis_msg(exc)
+                    if _is_snapshot_race(exc):
+                        yield {"results": [{
+                            "statement_id": i,
+                            "error": "storage contention persisted: "
+                                     f"{msg}; retry the statement",
+                        }]}
+                    else:
+                        yield {"results": [{
+                            "statement_id": i,
+                            "error": f"invalid statement: {msg}",
+                        }]}
                     continue
                 if isinstance(res, DataFrame):
                     try:
                         for obj in serialize_frame_chunks(
-                            res, _series_name(stmt), i, epoch, size
+                            res, _series_name(stmt), i, epoch, size,
+                            order_desc=statement_order_desc(stmt),
                         ):
                             yield {"results": [obj]}
                     except Exception as exc:  # noqa: BLE001
@@ -622,6 +682,10 @@ class InfluxHTTPApi:
                             "error": "snapshot changed mid-stream; "
                                      "re-run statement",
                         }]}
+                    finally:
+                        # stream drained (or abandoned): release the
+                        # source frames so their reader leases lapse
+                        del lease_pin
                 else:
                     yield {"results": [{"statement_id": i}]}
 

@@ -384,7 +384,7 @@ def _ensure_snapshot_root(path: str) -> None:
     # a FRESH version numbered above the debris; vacuum reclaims the
     # leftovers as ordinary retired versions at the next publish.
     versions = _version_dirs(path)
-    nv = (int(versions[-1][-6:]) + 1) if versions else 1
+    nv = (_v_of(versions[-1]) + 1) if versions else 1
     v1 = f"{path}.v{nv:06d}"
     os.makedirs(v1, exist_ok=True)
     try:
@@ -622,14 +622,29 @@ def _route_points_combined(
         table_schema = out.drop("is_qc").schema
         for table, flag in (("raw_data", False), ("qc_data", True)):
             src_root = os.path.join(stage, f"is_qc={str(flag).lower()}")
+            path = os.path.join(table_dir, table)
+            n_parts = len(parts) - (1 if batch_id is not None else 0)
             if os.path.isdir(src_root):
                 _publish_stage_subtree(
-                    src_root,
-                    os.path.join(table_dir, table),
-                    table_schema,
-                    batch_id,
-                    len(parts) - (1 if batch_id is not None else 0),
+                    src_root, path, table_schema, batch_id, n_parts
                 )
+            elif batch_id is not None and os.path.lexists(path):
+                # zero rows for this route this batch: a replay must
+                # still wipe the crashed attempt's batch_id=N leaves
+                # or they survive as stale rows, contradicting
+                # _staged_append's convergence contract (mirrors
+                # _append_manifests_combined's empty-case wipe;
+                # advisor r14)
+                import glob as _glob
+
+                with table_write_lock(table_dir, table):
+                    pat = os.path.join(
+                        path,
+                        *(["*"] * n_parts),
+                        f"batch_id={int(batch_id)}",
+                    )
+                    for leaf in _glob.glob(pat):
+                        shutil.rmtree(leaf, ignore_errors=True)
         return counts
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -841,16 +856,27 @@ def _hashable_type(dt) -> bool:
     return True
 
 
+def _v_of(version_dir: str) -> int:
+    """Version number of a ``root.vNNNNNN`` dir — the FULL digit run
+    after ``.v``, never a fixed-width slice: past v999999 the name
+    grows to 7 digits, and ``int(name[-6:])`` would wrap the counter
+    back under existing versions, breaking the 'current = highest'
+    ordering vacuum and debris handling rely on (advisor r14)."""
+    return int(version_dir.rsplit(".v", 1)[1])
+
+
 def _version_dirs(root: str) -> list[str]:
-    """Existing ``root.vNNNNNN`` snapshot directories, sorted ascending."""
+    """Existing ``root.vNNNNNN`` snapshot directories, ascending BY
+    VERSION NUMBER (lexicographic order breaks across digit widths:
+    '.v1000000' sorts before '.v999999' as a string)."""
     import glob as _glob
 
     out = [
         d
         for d in _glob.glob(root + ".v*")
-        if re.fullmatch(r"\.v\d{6}", d[len(root):]) and os.path.isdir(d)
+        if re.fullmatch(r"\.v\d{6,}", d[len(root):]) and os.path.isdir(d)
     ]
-    return sorted(out)
+    return sorted(out, key=_v_of)
 
 
 #: Reader grace (seconds) before a RETIRED snapshot version is
@@ -877,13 +903,13 @@ def _vacuum_versions(root: str, grace_s: float | None = None) -> int:
     if grace_s is None:
         grace_s = _SNAPSHOT_GRACE_S
     cur = os.path.realpath(root)
-    cur_v = int(cur[-6:]) if re.search(r"\.v\d{6}$", cur) else -1
+    cur_v = _v_of(cur) if re.search(r"\.v\d{6,}$", cur) else -1
     now = time.time()
     n = 0
     for d in _version_dirs(root):
         if os.path.realpath(d) == cur:
             continue
-        v = int(d[-6:])
+        v = _v_of(d)
         if v < cur_v and grace_s > 0:
             try:
                 ref = os.path.getmtime(d)
@@ -1174,7 +1200,7 @@ def _publish_snapshot(
     optimistic commit-time conflict check and atomically repoint the
     symlink."""
     versions = _version_dirs(root)
-    nv = (int(versions[-1][-6:]) + 1) if versions else 1
+    nv = (_v_of(versions[-1]) + 1) if versions else 1
     vnext = f"{root}.v{nv:06d}"
     os.rename(tmp, vnext)  # durable completion marker
     with _flock(_lock_file(root, "write"), exclusive=True):

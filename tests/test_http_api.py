@@ -807,3 +807,94 @@ def test_snapshot_race_retry_requires_storage_movement(tmp_path):
     (td / "m2.v000001").mkdir()
     (td / "m2").symlink_to("m2.v000001")
     assert _snapshot_fingerprint(str(td)) != fp
+
+
+def test_query_multi_measurement_order_desc(api, spark):
+    """ORDER BY time DESC must survive the serializers' composite
+    (measurement, time) re-sort on multi-measurement frames — the
+    forced-ASC re-sort silently inverted the requested direction for
+    regex/comma FROM queries (advisor r14)."""
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 7, 0), "C", 1.0),
+            (dt.datetime(2024, 1, 1, 7, 30), "C", 3.0),
+        ],
+        "time timestamp, buildingID string, flowRate double",
+    )
+    sinks.append_points(df, api.table_dir, "campus_b")
+    q = "SELECT flowRate FROM /^campus/ ORDER BY time DESC"
+    status, body = api.handle_query({"q": q})
+    assert status == 200
+    (res,) = body["results"]
+    assert len(res["series"]) == 2
+    for s in res["series"]:
+        times = [v[0] for v in s["values"]]
+        assert times == sorted(times, reverse=True), s["name"]
+    # the chunked serializer honors the same direction
+    status, chunks = api.handle_query_chunked({"q": q, "chunk_size": "10"})
+    per_series: dict[str, list] = {}
+    for env in chunks:
+        (obj,) = env["results"]
+        for s in obj.get("series") or []:
+            per_series.setdefault(s["name"], []).extend(
+                v[0] for v in s["values"]
+            )
+    assert len(per_series) == 2
+    for times in per_series.values():
+        assert times == sorted(times, reverse=True)
+
+
+def test_max_row_limit_desc_keeps_newest(api, spark):
+    """Under max-row-limit, an ORDER BY time DESC result must keep the
+    NEWEST rows (the cut truncates the tail of the requested order,
+    as upstream) — the forced-ASC re-sort kept the oldest."""
+    capped = InfluxHTTPApi(spark, api.table_dir, max_row_limit=1)
+    status, body = capped.handle_query(
+        {"q": "SELECT flowRate FROM /^campus_f/ ORDER BY time DESC"}
+    )
+    assert status == 200
+    (res,) = body["results"]
+    (series,) = res["series"]
+    assert series["partial"] is True
+    assert series["values"][0][0] == "2024-01-01T06:30:00Z"
+
+
+def test_statement_order_desc_outer_only():
+    """The serializer's order hint reads the OUTER statement's ORDER
+    BY; an inner subquery's DESC must not leak out."""
+    from ciws_server_spark.plans.influxql import statement_order_desc
+
+    assert statement_order_desc("SELECT f FROM m ORDER BY time DESC")
+    assert statement_order_desc("select f from m order by time desc")
+    assert not statement_order_desc("SELECT f FROM m ORDER BY time ASC")
+    assert not statement_order_desc("SELECT f FROM m")
+    assert not statement_order_desc(
+        "SELECT mean(f) FROM (SELECT f FROM m ORDER BY time DESC) "
+        "GROUP BY time(1m)"
+    )
+    assert statement_order_desc(
+        "SELECT mean(f) FROM (SELECT f FROM m) GROUP BY time(1m) "
+        "ORDER BY time DESC"
+    )
+
+
+def test_chunked_stream_holds_reader_lease(api, spark):
+    """While a chunked stream is mid-drain, the pinned snapshot version
+    must still be LEASED: the leases weakref the exact frames
+    _read_current returned, and the result frame holds no Python
+    reference to them — the handler keeps the loaded-tables dict alive
+    in the generator frame for the stream's duration (advisor r14)."""
+    import gc as _gc
+
+    status, chunks = api.handle_query_chunked(
+        {"q": "SELECT flowRate FROM campus_flow", "chunk_size": "1"}
+    )
+    assert status == 200
+    it = iter(chunks)
+    next(it)  # stream is now mid-drain
+    _gc.collect()  # any ref the handler failed to hold is gone now
+    root = os.path.realpath(os.path.join(api.table_dir, "campus_flow"))
+    with sinks._LEASES_LOCK:
+        live = {d for d, refs in sinks._LEASES.items() if len(refs)}
+    assert root in live
+    list(it)  # drain

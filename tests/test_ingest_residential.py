@@ -132,3 +132,28 @@ def test_retention_delete(spark, landing, tmp_path):
     assert deleted == 1
     qc = spark.read.parquet(os.path.join(table_dir, "qc_data"))
     assert qc.count() == 1
+
+
+def test_route_replay_wipes_empty_route(spark, landing, tmp_path):
+    """A batch replay that produces ZERO rows for one route must still
+    wipe that route table's ``batch_id=N`` leaves from the crashed
+    earlier attempt — skipping the table leaves stale rows behind,
+    contradicting the staged-append convergence contract (advisor
+    r14; mirrors _append_manifests_combined's empty-case wipe)."""
+    import pyspark.sql.functions as F
+
+    from ciws_server_spark.sources import residential, sinks
+
+    table_dir = str(tmp_path / "tables")
+    points, manifest = residential.parse(spark, str(landing))
+    counts = sinks.route_residential(points, manifest, table_dir, batch_id=7)
+    assert counts["qc_data"] == 2
+    assert sinks.read_table(spark, table_dir, "qc_data").count() == 2
+    # replay the same batch where the attempt now yields no QC rows:
+    # the earlier attempt's qc_data leaves must converge away
+    sinks.route_residential(
+        points.where(~F.col("is_qc")), manifest, table_dir, batch_id=7
+    )
+    assert sinks.read_table(spark, table_dir, "qc_data").count() == 0
+    # the surviving route reflects the replay, not a duplicate append
+    assert sinks.read_table(spark, table_dir, "raw_data").count() == 3

@@ -177,3 +177,27 @@ def test_load_tables_skips_table_dropped_mid_listing(
     monkeypatch.setattr(sinks, "read_table", racing_read)
     out = sinks.load_tables(spark, td)
     assert "keep_me" in out and "drop_me" not in out
+
+
+def test_version_numbering_past_v999999(spark, tmp_path):
+    """Version numbers parse the FULL digit run after '.v': past
+    v999999 the dir name grows to 7 digits, and the old fixed-width
+    ``int(name[-6:])`` wrapped the counter to 0, restarting numbering
+    below existing versions (advisor r14). Both the next-version
+    derivation and the 'current = highest version' ordering must hold
+    across the rollover."""
+    td = str(tmp_path)
+    sinks.append_points(_mk_points(spark, [1.0, 2.0]), td, "m")
+    root = os.path.join(td, "m")
+    v_old = os.path.realpath(root)
+    v999999 = root + ".v999999"
+    os.rename(v_old, v999999)
+    os.remove(root)
+    os.symlink(os.path.basename(v999999), root)
+    sinks.compact_table(spark, td, "m")
+    cur = os.path.realpath(root)
+    assert cur.endswith(".v1000000")
+    assert sinks._v_of(cur) == 1_000_000
+    dirs = sinks._version_dirs(root)
+    assert dirs[-1] == cur  # numeric, not lexicographic, ordering
+    assert sinks.read_table(spark, td, "m").count() == 2
