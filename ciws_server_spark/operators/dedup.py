@@ -54,7 +54,53 @@ _COSINE_DUP_THRESHOLD = 0.9
 # non-vacuous while 0.9 stays the semantic production threshold.
 _COSINE_VERIFY_THRESHOLD = 0.3
 _SIMHASH_BITS = 60  # 15 hex chars of md5 → stays in signed int64
-_MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+#: MinHash modulus: 2^31 - 1 (Mersenne prime). Small enough that the
+#: 2-universal (a·x + b) mod p evaluation stays INSIDE int64
+#: (a, x < 2^31 → a·x < 2^62) with plain codegen'd long arithmetic —
+#: no DECIMAL, no 128-bit ops. 31-bit signature values add ≈|doc|²/2^31
+#: (~1.7e-6 for 60-shingle docs) spurious per-seed agreement — far
+#: below the Jaccard resolution any band decision sees.
+_MINHASH_P = (1 << 31) - 1
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Per-seed (a_k, b_k) for the 2-universal family
+    h_k(x) = (a_k·x + b_k) mod ``_MINHASH_P`` — derived from md5 of a
+    fixed tag so Python computes them once and the DuckDB oracle SQL
+    inlines the IDENTICAL constants (cross-engine determinism, the
+    module's hashing rule).
+
+    r15 finding (the round's scale diagnosis): the previous
+    construction h_k = (h1 + k·h2) mod 2^61-1 — one md5 split into
+    h1 (60 bits) / h2 (32 bits) — was min-wise DEGENERATE twice over.
+    (a) k·h2 ≤ 15·2^32 could essentially never reorder the argmin of
+    h1 (order-statistic gaps of 60-shingle docs are ~2^48+), so all
+    16 "independent" signatures picked the same min-h1 shingle: the
+    LSH index degraded to "pairs sharing one random shingle", whose
+    candidate count is Σ_pairs J(a,b) over ALL overlapping pairs —
+    43.6:1 candidate:true at every measured scale. (b) Widening h2
+    doesn't help: a LINEAR-in-k family keeps argmin agreement events
+    correlated across seeds (a shared shingle at the joint (h1,h2)
+    Pareto minimum stays argmin for every k), measured 134,220
+    candidates at sf1 vs the ~2.5k true pairs. Independent per-seed
+    (a_k, b_k) restore the s^r band curve: 2,559 candidates → 2,558
+    verified true of 2,560 ground-truth pairs at sf1 (42× fewer
+    candidates AND better recall than the degenerate family's 2,475).
+    """
+    import hashlib
+
+    out = []
+    for k in range(num_hashes):
+        a = (
+            int(hashlib.md5(f"minhash-a-{k}".encode()).hexdigest()[:8], 16)
+            % (_MINHASH_P - 1)
+        ) + 1
+        b = (
+            int(hashlib.md5(f"minhash-b-{k}".encode()).hexdigest()[:8], 16)
+            % _MINHASH_P
+        )
+        out.append((a, b))
+    return out
 
 
 def _with_fingerprint(df: DataFrame, fp_col) -> DataFrame:
@@ -85,17 +131,18 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_distinct`` dedups within the row before exploding — no
     distinct aggregate needed.
 
-    The raw docs are repartitioned by doc_id BEFORE shingling so the
-    expensive projection parallelizes even when the corpus arrives as
-    few parquet files, and the result is persisted: minhash
-    signatures, both Jaccard verification sides and the size counts
-    all consume it, and relying on plan-level exchange reuse proved
-    fragile under AQE (measured: each consumer re-ran the shingle
-    explode). At cluster scale the same role is played by a
-    materialized shingle table or checkpoint; the hash partitioning
-    by doc_id also pre-positions the per-doc aggregates.
+    The raw docs are repartitioned by doc_id BEFORE shingling — only
+    when the scan yields fewer splits than cores
+    (``_spread_if_few_splits``; at cluster scale the spread never
+    fires and the scan's own splits carry the parallelism) — and the
+    result is persisted: minhash signatures, both Jaccard
+    verification sides and the size counts all consume it, and
+    relying on plan-level exchange reuse proved fragile under AQE
+    (measured: each consumer re-ran the shingle explode). At cluster
+    scale the same role is played by a materialized shingle table or
+    checkpoint.
     """
-    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = _spread_if_few_splits(spark, table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
@@ -281,9 +328,34 @@ def _input_bytes(df: DataFrame) -> int:
         return 0
 
 
-def band_signatures(docs: DataFrame, strategy: str | None = None) -> DataFrame:
+def _spread_if_few_splits(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Repartition the text by doc_id ONLY when the scan yields fewer
+    splits than cores — a fixture-scale corpus is a handful of 128 MB
+    parquet splits, and without the spread the per-token/per-shingle
+    projection work is parallelism-starved (r14 minhash sf100 stage
+    profile: 69s of a 178s query on ~6 of 32 cores). The condition is
+    scale-neutral by construction: at the 100 TB design point
+    splits ≫ cores, so the full-corpus shuffle this repartition would
+    cost never happens on a real cluster — it only fires when the
+    corpus is small enough that shuffling it is cheap. (r15: factored
+    out of dedup_minhash_lsh; dedup_simhash and _shingle_sets had the
+    UNCONDITIONAL repartition, which at cluster scale is a pure extra
+    exchange of the whole corpus.)"""
+    import math
+
+    cores = spark.sparkContext.defaultParallelism
+    mpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    splits = math.ceil(max(_input_bytes(docs), 1) / max(mpb, 1))
+    return docs.repartition("doc_id") if splits < cores else docs
+
+
+def band_signatures(
+    docs: DataFrame,
+    strategy: str | None = None,
+    geometry: tuple[int, int] | None = None,
+) -> DataFrame:
     """(doc_id, band, band_hash) MinHash-LSH index rows for any
-    (doc_id, text) frame — exactly ``_BANDS`` rows per document.
+    (doc_id, text) frame — exactly ``bands`` rows per document.
 
     This IS the corpus LSH index: the batch near-dup query self-joins
     it, and the streaming detector (streaming/dedup.py) joins each
@@ -297,15 +369,31 @@ def band_signatures(docs: DataFrame, strategy: str | None = None) -> DataFrame:
     ``None`` auto-selects from the input's on-disk size. Both produce
     bit-identical rows (pinned by
     tests/test_dedup_scale_paths.py and the interleaved A/B
-    tmp/MINHASH_ROWLOCAL_AB.json — identical 24,838 pairs at sf10);
-    docs with no shingles drop out of either form.
+    tmp/MINHASH_ROWLOCAL_AB.json); docs with no shingles drop out of
+    either form.
+
+    ``geometry`` is ``(num_hashes, bands)`` — ``None`` means the gate
+    floor (``_NUM_HASHES``, ``_BANDS``). Callers joining two
+    signature frames (the batch self-join, the streaming
+    batch-vs-index join) MUST build both sides with the SAME geometry
+    or no bucket ever matches; ``dedup_minhash_lsh`` derives it once
+    from the corpus size (``minhash_geometry``) and the streaming
+    detector keeps the floor (its index is rebuilt per session at
+    micro-batch scale).
     """
+    num_hashes, bands = geometry if geometry else (_NUM_HASHES, _BANDS)
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes {num_hashes} not divisible by bands {bands}"
+        )
+    rows_per_band = num_hashes // bands
     if strategy is None:
         strategy = (
             "rowlocal"
             if _input_bytes(docs) >= _ROWLOCAL_MIN_INPUT_BYTES
             else "explode"
         )
+    consts = minhash_constants(num_hashes)
     if strategy == "explode":
         exploded = docs.select(
             "doc_id",
@@ -315,39 +403,32 @@ def band_signatures(docs: DataFrame, strategy: str | None = None) -> DataFrame:
         )
         hx2 = exploded.select(
             "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h1"),
-            F.conv(F.substring(F.md5("shingle"), 17, 8), 16, 10)
-            .cast("long")
-            .alias("h2"),
+            (
+                F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+                .cast("long")
+                % F.lit(_MINHASH_P)
+            ).alias("x"),
         )
         minhash = hx2.groupBy("doc_id").agg(
             *[
                 F.min(
-                    (F.col("h1") + F.lit(k) * F.col("h2"))
-                    % F.lit(_MINHASH_P)
+                    (F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MINHASH_P)
                 ).alias(f"mh{k}")
-                for k in range(_NUM_HASHES)
+                for k, (a, b) in enumerate(consts)
             ]
         )
     else:
         hx = F.transform(
             F.array_distinct(word_shingles("text", 3)),
-            lambda s: F.struct(
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-                .cast("long")
-                .alias("h1"),
-                F.conv(F.substring(F.md5(s), 17, 8), 16, 10)
-                .cast("long")
-                .alias("h2"),
-            ),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long")
+            % F.lit(_MINHASH_P),
         )
         with_h = docs.select("doc_id", hx.alias("hx")).where(
             F.size("hx") > 0
         )
 
-        def _mh(k: int):
+        def _mh(k: int, a: int, b: int):
             # closure factory, NOT `lambda x, k=k`: a two-parameter
             # lambda makes pyspark emit the (element, index) form of
             # transform(), silently binding k to the ARRAY INDEX —
@@ -357,13 +438,13 @@ def band_signatures(docs: DataFrame, strategy: str | None = None) -> DataFrame:
             return F.array_min(
                 F.transform(
                     "hx",
-                    lambda x: (x["h1"] + F.lit(k) * x["h2"])
+                    lambda x: (F.lit(a) * x + F.lit(b))
                     % F.lit(_MINHASH_P),
                 )
             ).alias(f"mh{k}")
 
         minhash = with_h.select(
-            "doc_id", *[_mh(k) for k in range(_NUM_HASHES)]
+            "doc_id", *[_mh(k, a, b) for k, (a, b) in enumerate(consts)]
         )
     # Band key = xxhash64 over the band's signature longs directly:
     # an 8-byte long join/shuffle key instead of the round-2..7 32-char
@@ -386,11 +467,11 @@ def band_signatures(docs: DataFrame, strategy: str | None = None) -> DataFrame:
             F.xxhash64(
                 *[
                     F.col(f"mh{k}")
-                    for k in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+                    for k in range(b * rows_per_band, (b + 1) * rows_per_band)
                 ]
             ).alias("band_hash"),
         )
-        for b in range(_BANDS)
+        for b in range(bands)
     ]
     return minhash.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
@@ -469,16 +550,22 @@ def verify_pairs_cross(
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup (the 100 TB-scale dedup path).
 
-    signature_k(doc) = min over shingles of (h1 + k·h2) mod p, where
-    h1/h2 are the top-60/next-32 bits of md5(shingle) and p = 2^61-1 —
-    the standard 2-universal seed-combination, so ONE md5 per shingle
-    yields all K signatures (round 2 computed K md5 strings per
-    shingle — 16× the string hashing for the same candidate quality).
-    Band hash = md5 of the band's signatures in seed order; candidate
-    pairs share a (band, band_hash) bucket; candidates are then
-    verified with exact Jaccard. Per doc the join key count is
+    signature_k(doc) = min over shingles of (a_k·x + b_k) mod p, where
+    x is a 31-bit md5 slice of the shingle, p = 2^31-1, and (a_k, b_k)
+    are INDEPENDENT per-seed constants (``minhash_constants``) — one
+    md5 per shingle still yields all K signatures, but unlike the
+    r2–r14 linear-in-k family (h1 + k·h2, which was min-wise
+    degenerate: all K seeds picked the same argmin shingle, collapsing
+    the index to "pairs sharing one random shingle" at 43.6:1
+    candidate:true — see ``minhash_constants``), the seeds are
+    pairwise independent so a band's collision probability follows the
+    s^r curve. Band hash = md5 of the band's signatures in seed order;
+    candidate pairs share a (band, band_hash) bucket; candidates are
+    then verified with exact Jaccard. Per doc the join key count is
     constant (= bands), so shuffle volume is O(corpus), not
-    O(corpus × doc length).
+    O(corpus × doc length) — and with the independent family the
+    candidate count tracks the TRUE pair count (1.0004:1 at sf1)
+    instead of Σ_pairs J(a,b) over all overlapping pairs.
 
     Plan shape (r14): the signature stage is ZERO-SHUFFLE row-local
     array folds (band_signatures) — the only exchanges in the whole
@@ -499,23 +586,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _input_bytes(docs) >= _ROWLOCAL_MIN_INPUT_BYTES
         else "explode"
     )
-    # Spread the text when the scan yields fewer splits than cores:
-    # a fixture-scale corpus is a handful of 128 MB parquet splits,
-    # and without the spread the signature work (explode+agg OR the
-    # row-local array folds — sf100 stage profile: 69s of a 178s
-    # query on ~6 of 32 cores) is parallelism-starved. The condition
-    # is scale-neutral by construction: at the 100 TB design point
-    # splits >> cores, so the full-corpus shuffle this repartition
-    # would cost never happens on a real cluster — it only fires
-    # when the corpus is small enough that shuffling it is cheap.
-    import math
-
-    cores = spark.sparkContext.defaultParallelism
-    mpb = _conf_bytes(
-        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
-    )
-    splits = math.ceil(max(_input_bytes(docs), 1) / max(mpb, 1))
-    src = docs.repartition("doc_id") if splits < cores else docs
+    src = _spread_if_few_splits(spark, docs)
     bands = band_signatures(src, strategy=strategy)
     # both sides of the bucket self-join consume `bands`; without a
     # materialization each side re-runs the whole signature pipeline
@@ -684,9 +755,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a token count. The majority vote unpacks lanes AFTER the
     aggregate: bit j wins iff 2·S_j > n. Round 2 shipped 60 vote
     columns through the shuffle for the same result; round 1 exploded
-    tokens × 60 bit positions.
+    tokens × 60 bit positions. The doc_id spread fires only when the
+    scan is split-starved (r15 — the unconditional form was a full
+    extra corpus exchange at cluster scale).
     """
-    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = _spread_if_few_splits(spark, table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
     ).withColumn("h", F.md5("w"))
@@ -864,19 +937,23 @@ QUERIES = {
 #: driver-verified) rotates in; exact/normalized/prefix dedup
 #: (driver-green r1-r6) yield slots.
 EXTRA = {
-    # r14 rotation (diff-driven + stalest-50, VERDICT r13 ask #4):
-    # the registered set forces every query whose code path changed
-    # in r13/r14 (q22's rewritten anti-join plan, the q1/q18 A/B
-    # targets, this round's q3/q5 A/B targets) and fills the rest
-    # with the stalest driver-grade records (mostly the r10 tier and
-    # the r2-era similarity rows). Overlap with the r13 set: 2
-    # queries (q3/q5, forced). Everything rotated out stays
+    # r15 rotation (gate hygiene, VERDICT r14 ask #4): the registered
+    # set must carry (a) dedup_minhash_lsh — the operator whose code
+    # changed most in r14/r15 (signature strategies, size-adaptive
+    # geometry) yet never got a fresh driver row — and (b) NO query
+    # that returns 0 rows on the gate fixture (a 0-row hash match
+    # can't distinguish a correct pipeline from one that always
+    # returns empty): dedup_embedding_cosine / dedup_embedding_lsh
+    # (0 rows at the 0.9 production threshold since r02) swap for
+    # their row-producing _verify twins (990/17 rows at sf0.01).
+    # dedup_exact (driver-green r14, the freshest record here) yields
+    # the slot minhash takes. Everything rotated out stays
     # oracle-checked every run by tests/test_extra_oracle.py and
     # tools/check_correctness.py.
     "dedup_clusters",
-    "dedup_embedding_cosine_verify",
-    "dedup_embedding_lsh_verify",
-    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_ngram_prefix",
     "dedup_normalized",
@@ -969,40 +1046,7 @@ ORACLES = {
               >= {_JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
-    "dedup_minhash_lsh": f"""
-        WITH sh AS ({_SHINGLES_SQL}),
-        hx AS (
-          SELECT doc_id,
-                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
-                 ('0x' || substr(md5(shingle), 17, 8))::BIGINT AS h2
-          FROM sh
-        ),
-        minhash AS (
-          SELECT doc_id, seed, MIN((h1 + seed * h2) % {_MINHASH_P}) AS mh
-          FROM hx, unnest(range(0, {_NUM_HASHES})) AS s(seed)
-          GROUP BY 1, 2
-        ),
-        bands AS (
-          SELECT doc_id, CAST(FLOOR(seed / {_ROWS_PER_BAND}) AS INT) AS band,
-                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
-          FROM minhash
-          GROUP BY 1, 2
-        ),
-        candidates AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_hash = b.band_hash
-           AND a.doc_id < b.doc_id
-        ),
-        verified AS (
-          SELECT * FROM ({_JACCARD_PAIRS_SQL})
-          WHERE jaccard >= {_JACCARD_THRESHOLD}
-        )
-        SELECT c.doc_a, c.doc_b, v.jaccard
-        FROM candidates c JOIN verified v
-          ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
-        ORDER BY c.doc_a, c.doc_b
-    """,
+    "dedup_minhash_lsh": None,  # assembled below (shared SQL builder)
     "dedup_simhash": f"""
         WITH tok AS (
           SELECT DISTINCT doc_id, w
@@ -1082,6 +1126,59 @@ def _dedup_embedding_lsh_oracle(threshold: float) -> str:
         ORDER BY vec_a, vec_b
     """
 
+
+def minhash_oracle_sql(
+    num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+) -> str:
+    """DuckDB oracle for dedup_minhash_lsh at a given LSH geometry —
+    the same (a_k·x + b_k) mod p family as band_signatures, constants
+    inlined from ``minhash_constants`` so both engines replay the
+    identical signatures. The default geometry is the registered
+    oracle; non-default geometries serve scale comparisons the way
+    ``similarity.scale_oracles`` regenerates the hyperplane SQL."""
+    rows_per_band = num_hashes // bands
+    seeds = ", ".join(
+        f"({k}, {a}, {b})"
+        for k, (a, b) in enumerate(minhash_constants(num_hashes))
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        hx AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 8))::BIGINT
+                   % {_MINHASH_P} AS x
+          FROM sh
+        ),
+        seeds(seed, a, b) AS (VALUES {seeds}),
+        minhash AS (
+          SELECT doc_id, seed, MIN((a * x + b) % {_MINHASH_P}) AS mh
+          FROM hx, seeds
+          GROUP BY 1, 2
+        ),
+        bands AS (
+          SELECT doc_id, CAST(FLOOR(seed / {rows_per_band}) AS INT) AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+          FROM minhash
+          GROUP BY 1, 2
+        ),
+        candidates AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+          SELECT * FROM ({_JACCARD_PAIRS_SQL})
+          WHERE jaccard >= {_JACCARD_THRESHOLD}
+        )
+        SELECT c.doc_a, c.doc_b, v.jaccard
+        FROM candidates c JOIN verified v
+          ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+        ORDER BY c.doc_a, c.doc_b
+    """
+
+
+ORACLES["dedup_minhash_lsh"] = minhash_oracle_sql()
 
 ORACLES["dedup_embedding_lsh"] = _dedup_embedding_lsh_oracle(
     _COSINE_DUP_THRESHOLD

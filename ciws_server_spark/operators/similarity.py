@@ -860,7 +860,11 @@ EXTRA = {
     "sim_lsh_buckets",
     "sim_lsh_multitable_buckets",
     "sim_lsh_multitable_pairs",
-    "sim_lsh_pairs_verify",
+    # r15 gate hygiene (VERDICT r14 ask #4): sim_lsh_pairs returns 0
+    # rows at the 0.5 production threshold on every gate fixture —
+    # its row-producing _verify twin (0.3 threshold, same plan)
+    # registers in its place so the driver value-checks real rows.
+    "sim_lsh_pairs",
     "sim_pq_topk",
 }
 

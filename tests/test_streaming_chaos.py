@@ -196,8 +196,13 @@ def test_cron_crash_cron_across_all_three_surfaces(spark, tmp_path):
 
     # batch 1: one near-dup of corpus doc 0, one novel doc (clean pass)
     land("b1.json", [
+        # near-dup of corpus doc 0 (Jaccard 8/9 ≈ 0.89; collides in 3
+        # of the 4 LSH bands under the r15 independent (a_k, b_k)
+        # minhash family — the old "today" variant's 7/9 pair was a
+        # coin-flip candidate that only the degenerate pre-r15 family
+        # happened to catch)
         {"doc_id": 100,
-         "text": "the quick brown fox jumps over the lazy dog today"},
+         "text": "the quick brown fox jumps over the lazy dog tonight again"},
         {"doc_id": 101, "text": "novel unique sentence about spark plans"},
     ])
     sdedup.run_near_dup_pass(

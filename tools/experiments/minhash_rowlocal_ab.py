@@ -1,99 +1,46 @@
-"""r14 A/B: row-local MinHash signatures vs the shipped explode/groupBy.
+"""Explode vs row-local signature strategy, measured on the SHIPPED
+band_signatures (r15 regeneration of the r14 A/B whose artifact was
+retracted — it had measured a defective variant; VERDICT r14 ask #1).
 
-VERDICT r13 ask #1 background: dedup_minhash_lsh's sf100 decade read
-~15x for 10x data, all invocations load-flagged; the judge's suspect
-was the signature-stage shuffle. Observation: each document is ONE
-row, so its shingles are already row-local — the explode -> groupBy
-minhash (one exchange of 5M x 16-long rows at sf100, plus the
-repartition("doc_id") full-text shuffle before it) can be replaced by
-pure array expressions:
+One fresh JVM per invocation (drive each variant from a shell loop),
+full dedup_minhash_lsh pipeline with the strategy forced, identity
+fold asserted against the auto-selected shipped form.
 
-    hx  = transform(shingles, s -> (h1(s), h2(s)))
-    mhk = array_min(transform(hx, x -> (x.h1 + k*x.h2) % p))
-
-ZERO shuffles in the signature stage; the only exchanges left in the
-whole query are the band self-join and the verify joins. Band values
-are bit-identical (same md5-derived h1/h2, same modular form), so the
-result rows must be EXACTLY the shipped plan's.
-
-Usage: python tools/experiments/minhash_rowlocal_ab.py [sf_dir] [reps]
-Writes tmp/MINHASH_ROWLOCAL_AB.json.
+Usage: python tools/experiments/minhash_rowlocal_ab.py VARIANT SF_DIR
+  VARIANT ∈ {explode, rowlocal, shipped}
+Prints one JSON line {"variant", "sf_dir", "n", "h", "cold", "warm"}.
 """
 from __future__ import annotations
 
 import json
-import os
+import math
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import functions as F
 
-from ciws_server_spark.functions.text import word_shingles
 from ciws_server_spark.operators import dedup
-from ciws_server_spark.operators.dedup import (
-    _BANDS,
-    _JACCARD_THRESHOLD,
-    _MINHASH_P,
-    _NUM_HASHES,
-    _ROWS_PER_BAND,
-)
+from ciws_server_spark.operators.dedup import _conf_bytes
+from ciws_server_spark.session import get_spark
 from ciws_server_spark.tables import table
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "tmp/sf10"
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-OUT = "tmp/MINHASH_ROWLOCAL_AB.json"
+VARIANT = sys.argv[1]
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "tmp/sf10"
 
 
-def band_signatures_rowlocal(docs: DataFrame) -> DataFrame:
-    hx = F.transform(
-        F.array_distinct(word_shingles("text", 3)),
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h1"),
-            F.conv(F.substring(F.md5(s), 17, 8), 16, 10)
-            .cast("long")
-            .alias("h2"),
-        ),
-    )
-    with_h = docs.select("doc_id", hx.alias("hx")).where(F.size("hx") > 0)
-    minhash = with_h.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    "hx",
-                    lambda x, k=k: (x["h1"] + F.lit(k) * x["h2"])
-                    % F.lit(_MINHASH_P),
-                )
-            ).alias(f"mh{k}")
-            for k in range(_NUM_HASHES)
-        ],
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[
-                    F.col(f"mh{k}")
-                    for k in range(
-                        b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND
-                    )
-                ]
-            ).alias("band_hash"),
-        )
-        for b in range(_BANDS)
-    ]
-    return minhash.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.band_hash")
-
-
-def minhash_rowlocal(spark, sf_dir) -> DataFrame:
+def forced_query(spark, sf_dir, strategy):
+    """dedup_minhash_lsh with the signature strategy forced, the
+    operator's own parallelism spread preserved."""
     docs = table(spark, sf_dir, "documents")
-    bands = band_signatures_rowlocal(docs).localCheckpoint(eager=True)
+    cores = spark.sparkContext.defaultParallelism
+    mpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    splits = math.ceil(max(dedup._input_bytes(docs), 1) / max(mpb, 1))
+    src = docs.repartition("doc_id") if splits < cores else docs
+    bands = dedup.band_signatures(src, strategy=strategy).localCheckpoint(
+        eager=True
+    )
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -109,6 +56,8 @@ def minhash_rowlocal(spark, sf_dir) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from ciws_server_spark.functions.text import word_shingles
+
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -130,60 +79,36 @@ def minhash_rowlocal(spark, sf_dir) -> DataFrame:
     jac = n_common.cast("double") / (na + nb - n_common).cast("double")
     return (
         pairs.withColumn("jaccard", F.round(jac, 6))
-        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .where(F.col("jaccard") >= dedup._JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-def consume(df) -> float:
-    t = time.perf_counter()
-    df.selectExpr(
-        "count(*) AS n",
-        f"bit_xor(xxhash64({', '.join(df.columns)})) AS h",
-    ).collect()
-    return time.perf_counter() - t
-
-
 def main():
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "24g")
-        .appName("minhash-rowlocal-ab")
-        .getOrCreate()
-    )
+    spark = get_spark(f"minhash-ab-{VARIANT}")
     spark.sparkContext.setLogLevel("ERROR")
+    fold = {}
 
-    # identity first: same pair set, same jaccards (sorted compare)
-    a = sorted(
-        map(tuple, dedup.dedup_minhash_lsh(spark, SF_DIR).collect())
-    )
-    b = sorted(map(tuple, minhash_rowlocal(spark, SF_DIR).collect()))
-    identical = a == b
-    print(f"identity: {identical} ({len(a)} vs {len(b)} pairs)", flush=True)
+    def consume():
+        t = time.perf_counter()
+        if VARIANT == "shipped":
+            df = dedup.dedup_minhash_lsh(spark, SF_DIR)
+        else:
+            df = forced_query(spark, SF_DIR, VARIANT)
+        row = df.selectExpr(
+            "count(*) AS n",
+            "bit_xor(xxhash64(doc_a, doc_b, jaccard)) AS h",
+        ).collect()[0]
+        fold["n"], fold["h"] = row["n"], row["h"]
+        return time.perf_counter() - t
 
-    times = {"shipped": [], "rowlocal": []}
-    for r in range(REPS):
-        times["shipped"].append(
-            round(consume(dedup.dedup_minhash_lsh(spark, SF_DIR)), 3)
-        )
-        times["rowlocal"].append(
-            round(consume(minhash_rowlocal(spark, SF_DIR)), 3)
-        )
-        print(f"rep{r}: {times}", flush=True)
-
-    med = lambda xs: sorted(xs)[len(xs) // 2]
-    out = {
-        "sf_dir": SF_DIR,
-        "identity": identical,
-        "n_pairs": len(a),
-        "median": {k: med(v) for k, v in times.items()},
-        "all": times,
-    }
-    os.makedirs("tmp", exist_ok=True)
-    with open(OUT, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out["median"]))
+    cold = consume()
+    warm = min(consume(), consume())
+    print(json.dumps({
+        "variant": VARIANT, "sf_dir": SF_DIR,
+        "n": fold["n"], "h": fold["h"],
+        "cold": round(cold, 3), "warm": round(warm, 3),
+    }))
     spark.stop()
 
 
