@@ -288,31 +288,36 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Input-size threshold for the shuffle-free row-local signature
-#: strategy. The two strategies are BIT-IDENTICAL (same md5-derived
-#: h1/h2, same modular form); they differ only in physical shape:
+#: r15 strategy decision — ``explode`` ALWAYS; the r14 input-size
+#: switch to the "rowlocal" shape (``_ROWLOCAL_MIN_INPUT_BYTES``) is
+#: DELETED. The two strategies are bit-identical (same md5-derived
+#: 31-bit x, same (a_k·x + b_k) mod p family); they differ only in
+#: physical shape:
 #:
 #: * ``explode``  — explode → whole-stage-codegen'd hashing → groupBy
-#:   with K map-side partial mins. Compiled row work (fast per row)
-#:   but pays an exchange of (doc × K longs) signature rows.
-#: * ``rowlocal`` — a document is ONE row, so its shingle set is
-#:   row-local by construction: signatures are pure array expressions
-#:   (``transform`` to (h1,h2) structs + K ``array_min`` folds),
-#:   ZERO shuffles. Higher-order functions are NOT whole-stage-
-#:   codegen'd, so per-row cost is interpreted-expression speed —
-#:   several times the compiled explode path's.
+#:   with K map-side partial mins. Because one document is ONE input
+#:   row, all its shingles land in the same map partition, so the
+#:   partial aggregate already reduces to ~1 row per doc per task:
+#:   the "signature exchange" this form pays carries only (doc ×
+#:   K longs) — corpus-row volume, not shingle volume.
+#: * ``rowlocal`` — zero-shuffle array folds (``transform`` + K
+#:   ``array_min``). Higher-order functions are CodegenFallback
+#:   (interpreted), so per-row cost is several times the compiled
+#:   explode path's — and the exchange it saves was already tiny
+#:   (see above).
 #:
-#: Measured crossover (fresh-JVM, tools/experiments/
-#: minhash_variant_bench.py + decade protocol): at sf0.1–sf1 the
-#: interpreted constant dominates (2.6s → 13.3s regression at sf0.1
-#: if row-local is forced); at sf10 the two are a wash; at sf100 the
-#: shuffle-free form wins 2.6× (284s → 109s, tmp/SF100_DECADE.json).
-#: So the strategy is chosen from the scan's input bytes — the same
-#: stats-driven physical-strategy idea as AQE's join selection. At
-#: the 100 TB design point every corpus is far past the threshold:
-#: the plan is the shuffle-free one, and executor counts (not one
-#: box's 32 threads) absorb the interpreted per-row constant.
-_ROWLOCAL_MIN_INPUT_BYTES = 128 << 20
+#: Measured on the FIXED hash family (fresh-JVM interleaved A/B,
+#: tmp/MINHASH_ROWLOCAL_AB.json, r15): explode wins at sf10 (min warm
+#: 8.67s vs 13.10s) and ties at sf100 (70.6s vs 72.3s); at sf0.1–sf1
+#: the interpreted constant makes rowlocal several times slower. The
+#: r14 claim that rowlocal won 2.6× at sf100 (284s → 109s) was
+#: measured on the defective collapsed-signature variant and is
+#: RETRACTED (BENCH_NOTES §58): on fixed code there is no rowlocal
+#: win at ANY scale, so a size switch would select a strictly-not-
+#: better physical plan at exactly the scales that matter. The
+#: ``strategy`` parameter stays (tests pin the bit-identity of both
+#: shapes; experiments force them), but ``None`` now always resolves
+#: to ``explode``.
 
 
 def _input_bytes(df: DataFrame) -> int:
@@ -362,24 +367,29 @@ def band_signatures(
     micro-batch's signatures against it as the static side of a
     stream-static join.
 
-    ``strategy`` picks the physical shape (see
-    ``_ROWLOCAL_MIN_INPUT_BYTES``): ``"explode"`` (codegen'd, one
-    signature exchange — the small-corpus / micro-batch default) or
-    ``"rowlocal"`` (zero-shuffle array folds — the at-scale default).
-    ``None`` auto-selects from the input's on-disk size. Both produce
-    bit-identical rows (pinned by
+    ``strategy`` picks the physical shape (see the r15 strategy
+    decision above): ``"explode"`` (codegen'd; the default at every
+    scale — its post-partial-agg exchange is corpus-row volume, not
+    shingle volume) or ``"rowlocal"`` (zero-shuffle interpreted array
+    folds — kept for the bit-identity pin and experiments; measured
+    not-better at any scale on the fixed family,
+    tmp/MINHASH_ROWLOCAL_AB.json). ``None`` resolves to ``explode``.
+    Both produce bit-identical rows (pinned by
     tests/test_dedup_scale_paths.py and the interleaved A/B
-    tmp/MINHASH_ROWLOCAL_AB.json); docs with no shingles drop out of
-    either form.
+    artifact); docs with no shingles drop out of either form.
 
-    ``geometry`` is ``(num_hashes, bands)`` — ``None`` means the gate
-    floor (``_NUM_HASHES``, ``_BANDS``). Callers joining two
-    signature frames (the batch self-join, the streaming
-    batch-vs-index join) MUST build both sides with the SAME geometry
-    or no bucket ever matches; ``dedup_minhash_lsh`` derives it once
-    from the corpus size (``minhash_geometry``) and the streaming
-    detector keeps the floor (its index is rebuilt per session at
-    micro-batch scale).
+    ``geometry`` is ``(num_hashes, bands)`` — ``None`` means the
+    default (``_NUM_HASHES``, ``_BANDS``), which every shipped caller
+    uses at every scale: with the r15 independent hash family the
+    candidate:true ratio is flat in corpus size (1.0007 at sf10,
+    1.0006 at sf100 — tmp/MINHASH_ROWLOCAL_AB.json), so no
+    size-adaptive geometry rung is needed for bounded candidate
+    growth. The parameter exists for scale experiments
+    (tools/experiments/minhash_geometry_ab.py) with
+    ``minhash_oracle_sql`` regenerating the matching DuckDB oracle.
+    Callers joining two signature frames (the batch self-join, the
+    streaming batch-vs-index join) MUST build both sides with the
+    SAME geometry or no bucket ever matches.
     """
     num_hashes, bands = geometry if geometry else (_NUM_HASHES, _BANDS)
     if num_hashes % bands:
@@ -388,11 +398,7 @@ def band_signatures(
         )
     rows_per_band = num_hashes // bands
     if strategy is None:
-        strategy = (
-            "rowlocal"
-            if _input_bytes(docs) >= _ROWLOCAL_MIN_INPUT_BYTES
-            else "explode"
-        )
+        strategy = "explode"
     consts = minhash_constants(num_hashes)
     if strategy == "explode":
         exploded = docs.select(
@@ -567,10 +573,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate count tracks the TRUE pair count (1.0004:1 at sf1)
     instead of Σ_pairs J(a,b) over all overlapping pairs.
 
-    Plan shape (r14): the signature stage is ZERO-SHUFFLE row-local
-    array folds (band_signatures) — the only exchanges in the whole
-    query are the band-bucket self-join and the verify joins, both
-    over 8-byte-keyed skinny rows. Verification derives shingles for
+    Plan shape (r15): the signature stage is the codegen'd explode
+    form at every scale (band_signatures; the r14 "rowlocal at scale"
+    switch is retired — its sf100 win was measured on a defective
+    variant and on fixed code it never wins, see the strategy note
+    above band_signatures). Its exchange carries corpus-row volume
+    (K longs per doc after the map-side partial min); the other
+    exchanges are the band-bucket self-join and the verify joins,
+    both over 8-byte-keyed skinny rows. Measured decade (r15, fixed
+    family): warm 8.67s at sf10 → 70.6s at sf100 (8.1×/decade) with
+    candidate:true flat at 1.0007/1.0006 — the r14 super-linear
+    candidate growth (44:1 at sf100) is gone at the source.
+    Verification derives shingles for
     CANDIDATE docs only (broadcast semi-join), not the whole corpus.
     The multi-consumer intermediates (bands, candidates, candidate
     shingle sets) are eagerly materialized via localCheckpoint so no
@@ -581,13 +595,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns.
     """
     docs = table(spark, sf_dir, "documents")
-    strategy = (
-        "rowlocal"
-        if _input_bytes(docs) >= _ROWLOCAL_MIN_INPUT_BYTES
-        else "explode"
-    )
     src = _spread_if_few_splits(spark, docs)
-    bands = band_signatures(src, strategy=strategy)
+    bands = band_signatures(src)
     # both sides of the bucket self-join consume `bands`; without a
     # materialization each side re-runs the whole signature pipeline
     # (bands is 4 small rows per doc — at cluster scale this is the

@@ -9,6 +9,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 
 def test_bench_emits_contract_json(tmp_path):
     import os
@@ -176,7 +178,16 @@ def test_bench_load_stamp_trips_under_synthetic_load(tmp_path):
     """r12 VERDICT ask #2: the sweep must self-label ambient load the
     canary misses. One quiet run seeds per-query floors; a second run
     under a deliberate busy-loop fleet must come back with
-    inflation.loaded=true and load_suspect=true."""
+    inflation.loaded=true and load_suspect=true.
+
+    r15 hardening (VERDICT r14 ask #6): the seeding run's OWN canary
+    must read quiet before its times may become floors — floors seeded
+    while a co-tenant loads the box are inflated, which inverts the
+    test's premise (the r14 'failure' was exactly this). A
+    deliberately dirty seeding attempt is made first and must be
+    rejected by the quiet-gate; the real seeding then retries until a
+    quiet window (or skips — an always-busy box cannot host this
+    test's premise at all)."""
     import json as _json
     import os as _os
     import signal as _signal
@@ -202,7 +213,51 @@ def test_bench_load_stamp_trips_under_synthetic_load(tmp_path):
         assert proc.returncode == 0, proc.stderr[-2000:]
         return _json.loads(proc.stdout.strip().splitlines()[-1])
 
-    quiet = run_bench()
+    def canary_quiet(run, slack=1.35):
+        """True iff the run's own canary readings sat near the
+        historical floor — i.e. the box was quiet DURING the run."""
+        can = run.get("canary") or {}
+        floor = can.get("floor_sec")
+        readings = [can.get("pre_sec"), can.get("post_sec")]
+        return bool(floor) and all(
+            r is not None and r / floor < slack for r in readings
+        )
+
+    def spin_fleet(n):
+        return [
+            _sp.Popen([sys.executable, "-c", "while True: pass"])
+            for _ in range(n)
+        ]
+
+    def kill_fleet(spinners):
+        for p in spinners:
+            p.send_signal(_signal.SIGKILL)
+        for p in spinners:
+            p.wait()
+
+    n_spin = 2 * (_os.cpu_count() or 8)
+
+    # Phase A: a deliberately DIRTY seeding attempt — the quiet-gate
+    # must refuse it (this is the exact co-tenant scenario that made
+    # the unguarded test seed inflated floors in r14).
+    spinners = spin_fleet(n_spin)
+    try:
+        dirty = run_bench()
+    finally:
+        kill_fleet(spinners)
+    assert not canary_quiet(dirty), (
+        f"busy-loop fleet did not move the canary: {dirty['canary']}"
+    )
+
+    # Phase B: seed only from a run whose own canary read quiet.
+    quiet = None
+    for _ in range(4):
+        run = run_bench()
+        if canary_quiet(run):
+            quiet = run
+            break
+    if quiet is None:
+        pytest.skip("no quiet window on this box; cannot seed floors")
     assert quiet["inflation"]["n_compared"] == 0  # no floors yet
     # expand the quiet readings into a full floor history (3 quiet
     # sweeps' worth) so the detector has something to compare against

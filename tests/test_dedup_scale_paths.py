@@ -98,12 +98,13 @@ def test_embedding_lsh_verify_branch_finds_constructed_neardups(spark):
 
 
 def test_band_signature_strategies_bit_identical(spark):
-    """r14: band_signatures has two physical strategies (codegen'd
-    explode/groupBy for small scans, zero-shuffle row-local array
-    folds at scale, auto-picked from input bytes like AQE picks join
-    strategies). Same md5-derived h1/h2 and modular form — the rows
-    must be bit-identical, or the LSH index silently forks by corpus
-    size."""
+    """band_signatures has two physical strategies (codegen'd
+    explode/groupBy — the shipped default at every scale since r15 —
+    and the zero-shuffle row-local array folds kept for experiments).
+    Same md5-derived 31-bit x and (a_k·x + b_k) mod p family — the
+    rows must be bit-identical, or a forced-strategy experiment
+    silently measures a different query (exactly the r14 incident
+    this pin caught)."""
     from ciws_server_spark.operators.dedup import band_signatures
     from ciws_server_spark.tables import table
 
