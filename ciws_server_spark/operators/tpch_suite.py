@@ -47,7 +47,17 @@ from ..functions.scalar import (
     unscale,
 )
 from ..tables import table
+from .dedup import _input_bytes
 from .tpch import _REVENUE_SQL, _revenue
+
+#: q8's size gate for broadcasting the pruned (date+ASIA-semi,
+#: 2-column) orders side into the lineitem join: fires only when the
+#: WHOLE orders table is under 2 GB on disk, which bounds the built
+#: hash relation to tens of MB (2 of 9 columns × ~6% date+region
+#: selectivity) — orders of magnitude under the 8 GB broadcast cap.
+#: At the 100 TB design point orders is far past this, and the plan
+#: falls back to the stats-estimated join exactly as before r15.
+_Q8_BCAST_ORDERS_MAX_BYTES = 2 << 30
 
 
 def _revenue_e4() -> F.Column:
@@ -216,7 +226,19 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders_asia = orders.join(
         cust_asia, orders.o_custkey == cust_asia.c_custkey, "left_semi"
-    )
+    ).select("o_orderkey", "o_orderdate")
+    # r15 (tmp/Q8Q18_AB_R15.json): broadcast the pruned orders side
+    # into the lineitem join when the WHOLE orders table is small
+    # on disk — the date+region filters and the 2-column projection
+    # leave the hash relation far below the 8 GB broadcast cap at any
+    # qualifying size, and lineitem then reaches the partial
+    # aggregate with ZERO exchanges (measured: wins all 5 paired
+    # rounds, median 2.80s vs 3.29s at sf10). Past the threshold
+    # (any cluster-scale corpus) the stats-estimated plan stands
+    # exactly as before — the same size-conditional physical-strategy
+    # idea as AQE's own join selection, never a local-only constant.
+    if _input_bytes(orders) < _Q8_BCAST_ORDERS_MAX_BYTES:
+        orders_asia = F.broadcast(orders_asia)
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
@@ -398,11 +420,28 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-dp quantities, as is the emitted double (``unscale``).
     Overflow: qty ≤ ~1e2 → e2 ≤ 1e4/row, int64-safe past 1e14 rows
     per order — unreachable (ANSI mode would throw regardless).
+
+    r15: the (key, qty_e2) pairs are repartitioned by l_orderkey
+    BEFORE the groupBy, which the aggregate's distribution requirement
+    then reuses — so the partial aggregate runs post-shuffle where
+    each task owns all of a key's rows. l_orderkey is near-unique per
+    map task (~1.1 rows/key: TPC-H's ~4 lineitems/order scatter
+    across input splits), so the conventional map-side partial agg
+    built a ~|task-rows|-entry hash table to shrink the exchange by
+    <10% — measured 12-20% slower than shuffling the raw 16-byte
+    pairs (tmp/Q8Q18_AB_R15.json + the 7-rep focus rerun: B wins 7 of
+    11 paired rounds, median 5.07s vs 5.78s, min 3.43s vs 4.29s at
+    sf10; bit-identity asserted every rep). The rows/key ratio is a
+    property of the schema, not the scale, so the trade holds on a
+    cluster; r10 pinned the same variant negative on the then-current
+    DECIMAL form, where the BigDecimal partial buffer dominated both.
     """
     li = table(spark, sf_dir, "lineitem")
     big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(fixed_point("l_quantity", 2)).alias("q_e2"))
+        li.select("l_orderkey", fixed_point("l_quantity", 2).alias("qe2"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sum("qe2").alias("q_e2"))
         .where(F.col("q_e2") > 300 * 100)
         .withColumn("sum_qty_dec", unscale(F.col("q_e2"), 2))
     )
