@@ -457,7 +457,7 @@ def emit_result(result: dict, budget: int = _STDOUT_LINE_BUDGET) -> str:
                 # keep the headline ingest rates, shed the breakdown
                 slim = {
                     m: compact["ingest"][m].get("files_per_sec")
-                    for m in ("batch", "stream")
+                    for m in ("batch", "stream", "batch_warm", "stream_warm")
                     if isinstance(compact["ingest"].get(m), dict)
                 }
                 compact["ingest"] = slim or None
@@ -550,42 +550,54 @@ def bench_ingest(
     from ciws_server_spark.streaming.ingest import run_ingest_pass
 
     out: dict = {}
+    # r15 measurement fix (declared in OPTIMIZATION_r15.md): each mode
+    # is timed TWICE over identical fresh landing dirs in one JVM. The
+    # first pass keeps the r13/r14 keys' longitudinal meaning (single
+    # cold shot — it pays first-use codegen/JIT of the whole ingest
+    # plan, exactly what those rounds recorded); the "<mode>_warm"
+    # keys record the second pass, the steady-state rate a cron
+    # process actually sustains (the query section's best-of-2 has
+    # embodied the same guide-§1 principle since r1; profiled: the
+    # cold/warm gap is ~5× on this path, tmp/INGEST_PHASES_R15.json).
     for mode in ("batch", "stream"):
-        root = os.path.join(workdir, mode)
-        landing = os.path.join(root, "landing")
-        tables = os.path.join(root, "tables")
-        stats = _gen_landing(landing, n_files, rows_per_file)
-        archive, quar = os.path.join(root, "archive"), os.path.join(root, "quar")
+        for attempt, key in ((0, mode), (1, f"{mode}_warm")):
+            root = os.path.join(workdir, f"{mode}{attempt}")
+            landing = os.path.join(root, "landing")
+            tables = os.path.join(root, "tables")
+            stats = _gen_landing(landing, n_files, rows_per_file)
+            archive = os.path.join(root, "archive")
+            quar = os.path.join(root, "quar")
 
-        t0 = time.perf_counter()
-        if mode == "batch":
-            points, manifest = residential.parse(spark, landing)
-            sinks.route_residential(points, manifest, tables, batch_id=0)
-            sinks.apply_pending_moves(spark, tables, archive, quar)
-        else:
-            run_ingest_pass(
-                spark, landing, tables, os.path.join(root, "ckpt"),
-                archive_dir=archive, quarantine_dir=quar,
-            )
-        elapsed = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if mode == "batch":
+                points, manifest = residential.parse(spark, landing)
+                sinks.route_residential(points, manifest, tables, batch_id=0)
+                sinks.apply_pending_moves(spark, tables, archive, quar)
+            else:
+                run_ingest_pass(
+                    spark, landing, tables, os.path.join(root, "ckpt"),
+                    archive_dir=archive, quarantine_dir=quar,
+                )
+            elapsed = time.perf_counter() - t0
 
-        n_arch, n_quar = len(os.listdir(archive)), len(os.listdir(quar))
-        if n_arch != stats["good_files"] or n_quar != stats["bad_files"]:
-            raise AssertionError(
-                f"ingest {mode}: archived {n_arch}/{stats['good_files']}, "
-                f"quarantined {n_quar}/{stats['bad_files']}"
+            n_arch = len(os.listdir(archive))
+            n_quar = len(os.listdir(quar))
+            if n_arch != stats["good_files"] or n_quar != stats["bad_files"]:
+                raise AssertionError(
+                    f"ingest {key}: archived {n_arch}/{stats['good_files']}, "
+                    f"quarantined {n_quar}/{stats['bad_files']}"
+                )
+            out[key] = {
+                "sec": round(elapsed, 3),
+                "files_per_sec": round(stats["files"] / elapsed, 1),
+                "rows_per_sec": round(stats["rows"] / elapsed, 1),
+            }
+            print(
+                f"# ingest/{key}: {elapsed:.3f}s "
+                f"({out[key]['files_per_sec']} files/s, "
+                f"{out[key]['rows_per_sec']} rows/s)",
+                file=sys.stderr,
             )
-        out[mode] = {
-            "sec": round(elapsed, 3),
-            "files_per_sec": round(stats["files"] / elapsed, 1),
-            "rows_per_sec": round(stats["rows"] / elapsed, 1),
-        }
-        print(
-            f"# ingest/{mode}: {elapsed:.3f}s "
-            f"({out[mode]['files_per_sec']} files/s, "
-            f"{out[mode]['rows_per_sec']} rows/s)",
-            file=sys.stderr,
-        )
     out.update(files=n_files, rows_per_file=rows_per_file)
     return out
 

@@ -67,18 +67,21 @@ def test_bench_ingest_section(spark, tmp_path):
 
     n = bench._INGEST_BAD_EVERY + 5  # ≥ 1 malformed file per mode
     out = bench.bench_ingest(spark, str(tmp_path), n_files=n, rows_per_file=20)
-    for mode in ("batch", "stream"):
-        assert out[mode]["sec"] > 0
-        assert out[mode]["files_per_sec"] > 0
-        assert out[mode]["rows_per_sec"] > 0
+    # r15: each mode reports the longitudinal cold single-shot AND a
+    # second-pass steady-state rate (separate landing/table dirs)
+    for key in ("batch", "stream", "batch_warm", "stream_warm"):
+        assert out[key]["sec"] > 0
+        assert out[key]["files_per_sec"] > 0
+        assert out[key]["rows_per_sec"] > 0
     assert out["files"] == n
-    # the generator produced ≥1 quarantine file and bench_ingest's own
-    # count assertion verified it landed in the quarantine dir
+    # the generator produced ≥1 quarantine file PER PASS and
+    # bench_ingest's own count assertion verified each landed
     import os
 
     for mode in ("batch", "stream"):
-        quar = os.path.join(str(tmp_path), mode, "quar")
-        assert len(os.listdir(quar)) == 1
+        for attempt in (0, 1):
+            quar = os.path.join(str(tmp_path), f"{mode}{attempt}", "quar")
+            assert len(os.listdir(quar)) == 1
 
 
 def test_canary_history_rejects_loaded_readings(tmp_path, monkeypatch):
