@@ -769,28 +769,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra corpus exchange at cluster scale).
     """
     docs = _spread_if_few_splits(spark, table(spark, sf_dir, "documents"))
+    # r15: the 60 hash bits are parsed from the hex string ONCE
+    # (conv of the first 15 chars → one long H) and every lane is a
+    # shift/mask on H. The previous form ran 15 substr allocations +
+    # 15 instr scans PER TOKEN to extract the same digits; hex digit
+    # at 1-based position p is (H >> 4·(15−p)) & 15, so bit j of
+    # digit d (0-based) is bit 4·(14−d)+j of H — identical integers,
+    # and the fingerprint is bit-identical (asserted each rep of the
+    # adopting A/B: all 7 order-alternating paired rounds faster,
+    # median 1.72s → 1.27s at sf0.1). The md5-hex form itself is the
+    # cross-engine contract with the DuckDB oracle and stays.
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
-    ).withColumn("h", F.md5("w"))
-    # 15 hex-digit values (one substr each), then each digit's 4 bits
-    # spread into 16-bit lanes of one packed long
-    digits = toks.select(
-        "doc_id",
-        *[
-            F.expr(
-                f"instr('0123456789abcdef', substr(h, {d + 1}, 1)) - 1"
-            ).alias(f"d{d}")
-            for d in range(_SIMHASH_BITS // 4)
-        ],
+    ).withColumn(
+        "H", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
     )
-    packed = digits.select(
+    packed = toks.select(
         "doc_id",
         *[
             F.expr(
-                f"CAST((d{d} & 1) AS BIGINT)"
-                f" + (shiftleft(CAST(shiftright(d{d}, 1) & 1 AS BIGINT), 16))"
-                f" + (shiftleft(CAST(shiftright(d{d}, 2) & 1 AS BIGINT), 32))"
-                f" + (shiftleft(CAST(shiftright(d{d}, 3) & 1 AS BIGINT), 48))"
+                f"(shiftright(H, {4 * (14 - d)}) & 1)"
+                f" + shiftleft(shiftright(H, {4 * (14 - d) + 1}) & 1, 16)"
+                f" + shiftleft(shiftright(H, {4 * (14 - d) + 2}) & 1, 32)"
+                f" + shiftleft(shiftright(H, {4 * (14 - d) + 3}) & 1, 48)"
             ).alias(f"p{d}")
             for d in range(_SIMHASH_BITS // 4)
         ],
