@@ -31,8 +31,6 @@ Scale notes (the whole point of MinHash-LSH):
 
 from __future__ import annotations
 
-import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -320,38 +318,13 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: to ``explode``.
 
 
-def _input_bytes(df: DataFrame) -> int:
-    """Total on-disk bytes behind a file-backed frame (0 if unknown —
-    e.g. a streaming micro-batch, which is small by construction)."""
-    try:
-        total = 0
-        for uri in df.inputFiles():
-            path = re.sub(r"^file:(//)?", "", uri)
-            total += os.path.getsize(path)
-        return total
-    except Exception:  # noqa: BLE001 — non-file frames
-        return 0
-
-
-def _spread_if_few_splits(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """Repartition the text by doc_id ONLY when the scan yields fewer
-    splits than cores — a fixture-scale corpus is a handful of 128 MB
-    parquet splits, and without the spread the per-token/per-shingle
-    projection work is parallelism-starved (r14 minhash sf100 stage
-    profile: 69s of a 178s query on ~6 of 32 cores). The condition is
-    scale-neutral by construction: at the 100 TB design point
-    splits ≫ cores, so the full-corpus shuffle this repartition would
-    cost never happens on a real cluster — it only fires when the
-    corpus is small enough that shuffling it is cheap. (r15: factored
-    out of dedup_minhash_lsh; dedup_simhash and _shingle_sets had the
-    UNCONDITIONAL repartition, which at cluster scale is a pure extra
-    exchange of the whole corpus.)"""
-    import math
-
-    cores = spark.sparkContext.defaultParallelism
-    mpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
-    splits = math.ceil(max(_input_bytes(docs), 1) / max(mpb, 1))
-    return docs.repartition("doc_id") if splits < cores else docs
+# r16: the spread helper + input-bytes probe moved to tables.py so
+# text_analysis / multimodal / similarity can share them (their
+# unconditional repartitions were the same §2.4 full-corpus exchange
+# this module shed in r15). The underscore names stay importable for
+# existing call sites and tools.
+from ..tables import input_bytes as _input_bytes  # noqa: E402
+from ..tables import spread_if_few_splits as _spread_if_few_splits  # noqa: E402
 
 
 def band_signatures(

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..tables import table
+from ..tables import spread_if_few_splits, table
 
 MODALITIES = ("image", "audio", "video")
 
@@ -140,11 +140,12 @@ def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = (
         with_payload(table(spark, sf_dir, "documents"))
         .select("doc_id", "modality", "payload")
-        # hash-spread before the pandas stage: a single-row-group scan
-        # would otherwise feed ONE python worker; on a many-split
-        # cluster scan this exchange is cheap relative to decode work
-        .repartition("doc_id")
     )
+    # hash-spread before the pandas stage ONLY when the scan yields
+    # fewer splits than cores: a single-row-group scan would otherwise
+    # feed ONE python worker, while a many-split cluster scan needs no
+    # extra full-payload exchange (guide §2.4; r16 — was unconditional)
+    mm = spread_if_few_splits(spark, mm)
     feats = mm.mapInPandas(_extract_batches, schema=_FEATURE_SCHEMA)
     return feats.select(
         "doc_id",
@@ -203,8 +204,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = (
         with_payload(table(spark, sf_dir, "documents"))
         .select("doc_id", "modality", "payload")
-        .repartition("doc_id")
     )
+    # conditional spread before the pandas stage (see mm_byte_stats)
+    mm = spread_if_few_splits(spark, mm)
     return mm.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
 
 
@@ -245,8 +247,9 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = (
         with_payload(table(spark, sf_dir, "documents"))
         .select("doc_id", "modality", "payload")
-        .repartition("doc_id")
     )
+    # conditional spread before the pandas stage (see mm_byte_stats)
+    mm = spread_if_few_splits(spark, mm)
     return mm.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
 
 
@@ -342,8 +345,9 @@ def mm_image_features(
         with_payload(table(spark, sf_dir, "documents"))
         .where(F.col("modality") == "image")
         .select("doc_id", "modality", "payload")
-        .repartition("doc_id")
     )
+    # conditional spread before the pandas stage (see mm_byte_stats)
+    mm = spread_if_few_splits(spark, mm)
     return mm.mapInPandas(gen, schema=_IMG_SCHEMA)
 
 
@@ -373,7 +377,8 @@ EXTRA = {
     # queries (q3/q5, forced). Everything rotated out stays
     # oracle-checked every run by tests/test_extra_oracle.py and
     # tools/check_correctness.py.
-    "mm_byte_stats",
+    # r16: mm_byte_stats rotated IN (changed-code rule — the spread
+    # before its mapInPandas stage became conditional this round)
     "mm_frame_sample",
     "mm_image_features_stub",
     "mm_manifest",

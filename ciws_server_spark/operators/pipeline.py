@@ -518,8 +518,9 @@ EXTRA = {
     # queries (q3/q5, forced). Everything rotated out stays
     # oracle-checked every run by tests/test_extra_oracle.py and
     # tools/check_correctness.py.
+    # r16: pipeline_curated_corpus rotated IN (changed-code rule —
+    # docs_scan's spread became conditional this round)
     "pipeline_chunk_dedup",
-    "pipeline_curated_corpus",
     "pipeline_domain_mixture",
     "pipeline_shuffle_order",
     "pipeline_source_quota",

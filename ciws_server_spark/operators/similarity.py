@@ -32,7 +32,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions.vectors import dot, pair_cosine
-from ..tables import table
+from ..tables import spread_if_few_splits, table
 
 _N_QUERIES = 10  # vec_id < 10 are the demo query vectors
 _TOP_K = 5
@@ -226,7 +226,9 @@ def _multitable_assignments(
     """
     if n_planes is None:
         n_planes = _mt_n_planes(emb.count())
-    return emb.repartition("vec_id").select(
+    # r16: spread only when the scan is parallelism-starved (guide
+    # §2.4; fires at every fixture scale, never at cluster scale)
+    return spread_if_few_splits(emb.sparkSession, emb, "vec_id").select(
         "vec_id",
         "embedding",
         _mt_buckets_udf(n_planes)(F.col("embedding")).alias("bks"),
@@ -328,7 +330,9 @@ def sim_lsh_pairs(
     near-linear, with recall recovered across tables)."""
     if threshold is None:
         threshold = _LSH_COSINE_THRESHOLD
-    emb = table(spark, sf_dir, "embeddings").repartition("vec_id").withColumn(
+    emb = spread_if_few_splits(
+        spark, table(spark, sf_dir, "embeddings"), "vec_id"
+    ).withColumn(
         "bucket", _single_bucket_udf(F.col("embedding"))
     )
     a = emb.select(
@@ -859,7 +863,8 @@ EXTRA = {
     "sim_ivfpq_topk",
     "sim_lsh_buckets",
     "sim_lsh_multitable_buckets",
-    "sim_lsh_multitable_pairs",
+    # r16: sim_lsh_multitable_pairs rotated IN (changed-code rule —
+    # _multitable_assignments' spread became conditional this round)
     # r15 gate hygiene (VERDICT r14 ask #4): sim_lsh_pairs returns 0
     # rows at the 0.5 production threshold on every gate fixture —
     # its row-producing _verify twin (0.3 threshold, same plan)

@@ -26,7 +26,7 @@ from ..functions.text import (
     tokens,
     word_shingles,
 )
-from ..tables import table
+from ..tables import spread_if_few_splits, table
 
 #: Marker tokens per language for the n-gram/stopword heuristic.
 #: Deterministic scoring is the contract; the marker lists are the
@@ -41,16 +41,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents scan repartitioned by doc_id before the per-row text
-    work. Same rationale as dedup._shingle_sets: regex/tokenization
-    cost dominates these operators, and when the corpus arrives as
-    few parquet files the scan yields fewer partitions than cores
-    (measured: 2 partitions at sf1 → the projection ran on 2 of 32
-    cores; repartitioning halved wall time). At cluster scale a real
-    corpus has many files and AQE sizes the exchange to a no-op-ish
-    shuffle of one text pass — negligible next to the per-row work it
-    parallelizes."""
-    return table(spark, sf_dir, "documents").repartition("doc_id")
+    """documents scan spread by doc_id before the per-row text work —
+    ONLY when the scan yields fewer splits than cores
+    (``tables.spread_if_few_splits``). Same rationale as
+    dedup._shingle_sets: regex/tokenization cost dominates these
+    operators, and when the corpus arrives as few parquet files the
+    scan yields fewer partitions than cores (measured: 2 partitions at
+    sf1 → the projection ran on 2 of 32 cores; repartitioning halved
+    wall time). r16: the repartition was UNCONDITIONAL here — at
+    cluster scale that is a full-corpus exchange of the text payload
+    for nothing once the scan has ≥cores splits (guide §2.4); the
+    conditional form still fires at every fixture scale (sf0.001–sf10
+    documents ≤ ~60 MB < cores×128 MB), so local plans and results
+    are unchanged."""
+    return spread_if_few_splits(spark, table(spark, sf_dir, "documents"))
 
 
 def _marker_score(col, markers: tuple[str, ...]):
@@ -533,7 +537,7 @@ EXTRA = {
     "text_fingerprint",
     "text_lang_id",
     "text_pii_redact",
-    "text_quality_score",
+    # r16: text_quality_score rotated IN (changed-code rule — docs_scan)
     "text_repetition",
     "text_rolling_fingerprint",
     "text_source_rollup",

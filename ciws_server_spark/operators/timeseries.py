@@ -1428,7 +1428,20 @@ EXTRA = {
     # queries (q3/q5, forced). Everything rotated out stays
     # oracle-checked every run by tests/test_extra_oracle.py and
     # tools/check_correctness.py.
+    # r16 rotation (changed-code rule, VERDICT r15 ask #8): the
+    # conditional-spread change (tables.spread_if_few_splits) touches
+    # docs_scan / multimodal / similarity paths, so one registered
+    # representative per touched module rotates IN
+    # (pipeline_curated_corpus, text_quality_score, mm_byte_stats,
+    # sim_lsh_multitable_pairs); four long-driver-green untouched
+    # influxql cut-family rows yield slots (order_limit/offset keep
+    # covering the cut family; everything rotated out stays
+    # oracle-checked every pytest run by tests/test_extra_oracle.py).
     "influxql_cmo",
+    "influxql_month_bucket",
+    "influxql_slimit",
+    "influxql_soffset",
+    "influxql_week_bucket",
     "influxql_companion_selector",
     "influxql_cumulative_sum",
     "influxql_dema",

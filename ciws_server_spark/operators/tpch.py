@@ -59,24 +59,10 @@ _REVENUE_SQL = (
 _Q1_LONG_SAFE_PARTITION_BYTES = 2 << 30
 
 
-def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
-    """Parse a Spark size conf ('134217728', '128m', '1g') to bytes."""
-    try:
-        raw = str(spark.conf.get(key)).strip().lower()
-    except Exception:
-        return default
-    mult = 1
-    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
-                      ("b", 1)):
-        if raw.endswith(suffix):
-            raw = raw[: -len(suffix)]
-            mult = m
-            break
-    try:
-        return int(float(raw) * mult)
-    except ValueError:
-        return default
+# r16: hoisted to tables.py so the spread helper (shared by dedup /
+# text / multimodal / similarity) can live below the operators layer;
+# the old name stays importable for existing call sites.
+from ..tables import conf_bytes as _conf_bytes  # noqa: E402
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

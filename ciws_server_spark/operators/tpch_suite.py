@@ -232,8 +232,10 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on disk — the date+region filters and the 2-column projection
     # leave the hash relation far below the 8 GB broadcast cap at any
     # qualifying size, and lineitem then reaches the partial
-    # aggregate with ZERO exchanges (measured: wins all 5 paired
-    # rounds, median 2.80s vs 3.29s at sf10). Past the threshold
+    # aggregate with ZERO exchanges (adopting evidence: the
+    # order-alternating 8-round rerun, 12/13 paired wins across both
+    # runs, alternating-run medians 2.94s vs 4.54s at sf10 — the
+    # first run's 5/5 was order-confounded, see OPTIMIZATION_r15.md). Past the threshold
     # (any cluster-scale corpus) the stats-estimated plan stands
     # exactly as before — the same size-conditional physical-strategy
     # idea as AQE's own join selection, never a local-only constant.
