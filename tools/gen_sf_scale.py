@@ -65,6 +65,14 @@ def main() -> None:
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    # r16: stream the COPY instead of buffering the whole replicated
+    # table in memory — at factor 1000 the ordered write held ~10 GB
+    # of orders rows before the first byte hit disk (and lineitem
+    # would not fit). Row order within the file is irrelevant to every
+    # consumer (order-insensitive folds/oracles); values stay
+    # deterministic.
+    con.sql("SET preserve_insertion_order=false")
+    con.sql("SET memory_limit='24GB'")
 
     def write(name: str, sql: str) -> None:
         if only is not None and name not in only:
