@@ -469,7 +469,11 @@ def emit_result(result: dict, budget: int = _STDOUT_LINE_BUDGET) -> str:
         _FULL_SIDECAR, os.path.dirname(os.path.abspath(__file__))
     )
     line = json.dumps(compact)
-    for victim in ("warm_retries", "anchor", "inflation", "ingest", "cold", "canary"):
+    # "inflated" is shed LAST (and only in pathological name-length
+    # cases): the per-query flags belong in the compact line, and the
+    # sidecar always carries them regardless.
+    for victim in ("warm_retries", "anchor", "inflation", "ingest",
+                   "cold", "canary", "inflated"):
         if len(line) <= budget:
             break
         if victim in compact:

@@ -455,6 +455,8 @@ def test_emit_result_fits_driver_stdout_window(tmp_path, monkeypatch):
             "floor_sec": 0.45, "threshold": 1.35,
         },
         "load_suspect": False,
+        "inflated": names[:6],
+        "warm_retries": {n: [1.2, 0.5] for n in names[:6]},
         "inflation": {
             "n_compared": 25, "threshold": 1.25,
             "median_inflation": 1.01, "loaded": False,
