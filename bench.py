@@ -65,7 +65,15 @@ _FLOOR_DIR = os.environ.get(
     "SPARK_GRAFT_FLOOR_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"),
 )
-_CANARY_FLOOR_FILE = os.path.join(_FLOOR_DIR, "canary_floor.json")
+# r16: the canary floor is per-core-count (canary_floor_c32.json etc.;
+# the legacy canary_floor.json was migrated to _c32) — the driver's
+# lower-core companion run reads the same pure-CPU canary ~cores-ratio
+# slower, which against a 32-core floor auto-stamped EVERY scaling run
+# load_suspect and kept its readings out of any history.
+_CANARY_FLOOR_FILE = os.path.join(
+    _FLOOR_DIR,
+    f"canary_floor_c{os.environ.get('SPARK_GRAFT_CPUS', '32')}.json",
+)
 _CANARY_ROWS = 400_000_000
 #: Calibrated on this box (round 8): idle fresh-JVM min-of-3 canary
 #: readings span 0.14-0.22s (~1.55× — JIT/GC state, not load), while
@@ -180,6 +188,22 @@ _ANCHOR_HISTORY_MAX = 20
 _ANCHOR_QUERY = "crypto_hashes"
 
 
+def _history_key(sf_dir_or_sf) -> str:
+    """Floor/anchor history key: scale factor AND core count.
+
+    r16 (VERDICT r15 ask #2/#5 hygiene): the driver benches the same
+    sf at a LOWER core count to measure scaling; with sf-only keys
+    those ~2× readings either polluted the rolling histories or —
+    via the inflation detector — read as a loaded regime against
+    32-core floors (r15's c8 run: median_inflation 2.29 on an idle
+    box). Keying by cores gives each (sf, cpus) regime its own quiet
+    floor; the legacy 'sf0.1' entries were migrated to 'sf0.1c32'
+    (this box's historical core count) in the repo sidecars."""
+    sf = sf_dir_or_sf if isinstance(sf_dir_or_sf, float) else _sf_of(sf_dir_or_sf)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return f"sf{sf}c{cpus}"
+
+
 def _median3(fn) -> float:
     vals = sorted(fn() for _ in range(3))
     return round(vals[1], 3)
@@ -269,7 +293,7 @@ def anchors_report(sf_dir: str, windows: dict[str, tuple]) -> dict:
     sweep shows up in at least one window. Only the least-loaded
     window's readings enter the rolling history (a loaded window must
     not ratchet the floor upward)."""
-    sf_key = f"sf{_sf_of(sf_dir)}"
+    sf_key = _history_key(sf_dir)
     hist = _anchor_history(sf_key)
     best_spark = min(v[0] for v in windows.values())
     best_duck = min(v[1] for v in windows.values())
@@ -681,7 +705,7 @@ def main() -> None:
     )
 
     sf = _sf_of(args.sf_dir)
-    sf_key = f"sf{sf}"
+    sf_key = _history_key(sf)
     floors_at_start = _query_floor_store().get(sf_key, {})
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

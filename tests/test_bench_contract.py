@@ -214,7 +214,10 @@ def test_bench_warm_retry_flags_inflated_queries(tmp_path):
         "crypto_hashes",
         "pivot_order_priority",
     ]
-    floors = {"sf0.001": {q: [0.001, 0.001, 0.001] for q in queries}}
+    # floor histories are keyed by (sf, core count) since r16 — the
+    # subprocess resolves cpus from $SPARK_GRAFT_CPUS (default 32)
+    key = f"sf0.001c{_os.environ.get('SPARK_GRAFT_CPUS', '32')}"
+    floors = {key: {q: [0.001, 0.001, 0.001] for q in queries}}
     with open(tmp_path / "query_floor.json", "w") as f:
         _json.dump(floors, f)
     proc = _sp.run(
@@ -362,7 +365,9 @@ def test_bench_load_stamp_trips_under_synthetic_load(tmp_path):
     assert quiet["inflation"]["n_compared"] == 0  # no floors yet
     # expand the quiet readings into a full floor history (3 quiet
     # sweeps' worth) so the detector has something to compare against
-    floors = {f"sf0.001": {q: [t, t, t] for q, t in quiet["queries"].items()}}
+    # (histories are keyed by (sf, cores) since r16)
+    key = f"sf0.001c{_os.environ.get('SPARK_GRAFT_CPUS', '32')}"
+    floors = {key: {q: [t, t, t] for q, t in quiet["queries"].items()}}
     with open(_os.path.join(floor_dir, "query_floor.json"), "w") as f:
         _json.dump(floors, f)
     # the busy-loop fleet: 2x the box's cores, spinning pure CPU
