@@ -110,7 +110,14 @@ def main() -> None:
             t0 = time.perf_counter()
             build_table(spark, wd, n_rows)
             build_s = time.perf_counter() - t0
-            api = InfluxHTTPApi(spark, wd)
+            # production-shaped httpd config: max-row-limit set (the
+            # engine default mirrors upstream's 0 = UNBOUNDED, under
+            # which 'SELECT * FROM wire_m' at the decade size is a
+            # full driver collect + pure-Python JSON build — measured
+            # >15 min / >10 GB RSS at 20M rows before this run was
+            # killed; that finding is the r16 wire-decade caveat, and
+            # the remedy is this upstream knob, not a code change)
+            api = InfluxHTTPApi(spark, wd, max_row_limit=10_000)
             cold = timed_queries(api)
             warm = timed_queries(api)
             result["scales"][str(n_rows)] = {
