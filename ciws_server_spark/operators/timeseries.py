@@ -1457,6 +1457,10 @@ EXTRA = {
     "influxql_show_tag_values",
     "influxql_top_per_tag",
     "influxql_tz_fill",
+    # r16: yields its slot to dedup_simhash (changed-code rule, ask
+    # #8); the EMA family stays gate-covered by influxql_ema / kama /
+    # trix / rsi plus the conformance + fuzz suites.
+    "influxql_tema",
     "ts_asof_join",
     "ts_asof_join_forward",
     "ts_asof_join_nearest",
